@@ -1,0 +1,45 @@
+"""Text normalization (SURVEY.md T1/T2).
+
+Two independent implementations of the same pinned behavior tables
+(core/constants.py): a scalar one for the oracle and a pandas-Series one for
+the vectorized engine. Both apply, in order:
+
+1. the GLYPH_REPLACEMENTS literal substitutions (reference first pass,
+   app/core/extractor.py:61-63),
+2. the LIGATURE_AND_WS_PASSES regexes (reference passes 2-4 plus the
+   whitespace rules, extractor.py:68-82).
+
+The pass order is semantic: e.g. ``/a/t_tentive`` is consumed by the *first*
+ligature regex (matching ``/t_tentive``), yielding ``/attentive`` — the
+second regex then no longer applies. We pin that exact behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from .constants import GLYPH_REPLACEMENTS, LIGATURE_AND_WS_PASSES
+
+_COMPILED_PASSES = [(re.compile(p), r) for p, r in LIGATURE_AND_WS_PASSES]
+
+
+def normalize_text(text: str) -> str:
+    """Scalar implementation (oracle side)."""
+    for glyph, char in GLYPH_REPLACEMENTS.items():
+        text = text.replace(glyph, char)
+    for pattern, repl in _COMPILED_PASSES:
+        text = pattern.sub(repl, text)
+    return text
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized implementation (engine side). One pass per table entry over
+    the whole Arrow batch — stays in pandas' C string kernels."""
+    s = s.astype("object").fillna("")
+    for glyph, char in GLYPH_REPLACEMENTS.items():
+        s = s.str.replace(glyph, char, regex=False)
+    for pattern, repl in _COMPILED_PASSES:
+        s = s.str.replace(pattern, repl, regex=True)
+    return s

@@ -1,0 +1,396 @@
+"""Vectorized extraction engine — the batched tokenize → block-classify →
+span-assemble pass.
+
+``extract_batch`` processes a pandas batch of documents (one row per doc,
+``spans`` as a list of structs) entirely with numpy/pandas column kernels:
+
+- flatten the batch to one flat span table (doc_idx, pos, kind, text, ...),
+- parse the kind grammar with vectorized ``str.extract``,
+- doc-global heading histogram + media dedup with groupby,
+- per-page column-split and table assembly (loops only over the rare
+  candidate groups),
+- one ``np.lexsort`` over the whole batch for reading order,
+- glyph/whitespace normalization as chained C string kernels,
+- arrow-native reassembly of the output span arrays.
+
+The Spark surface is ``run_extract`` — repartition by hash(doc_id) +
+``mapInPandas`` — which never runs per-row Python (north rule). The
+loop-based spec this must match lives in oracle/extract_one.py.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..core import constants as C
+from ..core.normalize import normalize_series
+from ..core.tables import grid_to_pipe_table, normalize_grid
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+    T.StructField("n_spans", T.IntegerType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("status", T.StringType()),
+])
+
+_SPAN_ARROW = pa.struct([
+    ("kind", pa.string()), ("text", pa.string()),
+    ("media_ref", pa.string()), ("offset", pa.int32()),
+])
+
+_LIST_RE = re.compile(C.LIST_MARKER_REGEX)
+_HASH_PREFIX = np.array(["", "# ", "## ", "### ", "#### ", "##### ", "###### "],
+                        dtype=object)
+
+
+def _attr(s: pd.Series, key: str) -> pd.Series:
+    return s.str.extract(rf"(?:^|;){key}=([^;]*)", expand=False)
+
+
+def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Explode the batch into a flat span frame + a per-doc frame."""
+    spans_col = pdf["spans"]
+    lengths = np.array([0 if s is None else len(s) for s in spans_col],
+                       dtype=np.int64)
+    docs = pd.DataFrame({
+        "doc_idx": np.arange(len(pdf)),
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "n_input": lengths,
+    })
+
+    kinds: list = []
+    texts: list = []
+    refs: list = []
+    for s in spans_col:
+        if s is None:
+            continue
+        for item in s:
+            kinds.append(item["kind"])
+            texts.append(item["text"])
+            refs.append(item["media_ref"])
+    flat = pd.DataFrame({
+        "doc_idx": np.repeat(np.arange(len(pdf)), lengths),
+        "pos": np.concatenate([np.arange(n) for n in lengths]) if lengths.sum()
+               else np.array([], dtype=np.int64),
+        "kind": pd.Series(kinds, dtype="object"),
+        "text": pd.Series(texts, dtype="object"),
+        "ref": pd.Series(refs, dtype="object"),
+    })
+    return flat, docs
+
+
+def _parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
+    k = flat["kind"].astype("object").fillna("")
+    flat["base"] = k.str.split(";").str[0]
+    flat["page"] = pd.to_numeric(_attr(k, "page"), errors="coerce").fillna(1).astype(np.int64)
+    flat["y"] = pd.to_numeric(_attr(k, "y"), errors="coerce").fillna(0.0).astype(np.float64)
+    flat["x"] = pd.to_numeric(_attr(k, "x"), errors="coerce").fillna(0.0).astype(np.float64)
+    flat["size"] = pd.to_numeric(_attr(k, "size"), errors="coerce").fillna(10.0).astype(np.float64)
+    flat["mono"] = pd.to_numeric(_attr(k, "mono"), errors="coerce").fillna(0).astype(np.int64)
+    flat["colattr"] = pd.to_numeric(_attr(k, "col"), errors="coerce").fillna(0).astype(np.int64)
+    flat["edpi"] = pd.to_numeric(_attr(k, "edpi"), errors="coerce").fillna(0).astype(np.int64)
+    flat["phash"] = _attr(k, "phash").fillna("")
+    return flat
+
+
+def _heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
+    """Per (doc_idx, size) heading level for sizes above the doc's body size.
+
+    body = most frequent size among text/title spans (ties -> smaller size);
+    sizes > body get levels 1.. descending by size, capped at 6.
+    Returns columns (doc_idx, size, level).
+    """
+    tt = flat[flat["base"].isin(("text", "title"))]
+    if tt.empty:
+        return pd.DataFrame({"doc_idx": [], "size": [], "level": []})
+    counts = tt.groupby(["doc_idx", "size"]).size().rename("cnt").reset_index()
+    counts = counts.sort_values(["doc_idx", "cnt", "size"],
+                                ascending=[True, False, True])
+    body = counts.drop_duplicates("doc_idx")[["doc_idx", "size"]].rename(
+        columns={"size": "body"})
+    sizes = counts[["doc_idx", "size"]].merge(body, on="doc_idx")
+    bigger = sizes[sizes["size"] > sizes["body"]].copy()
+    if bigger.empty:
+        return pd.DataFrame({"doc_idx": [], "size": [], "level": []})
+    bigger["level"] = (
+        bigger.groupby("doc_idx")["size"]
+        .rank(ascending=False, method="dense").astype(np.int64)
+        .clip(upper=C.MAX_HEADING_LEVEL)
+    )
+    return bigger[["doc_idx", "size", "level"]]
+
+
+def _mark_media_dups(flat: pd.DataFrame) -> pd.Series:
+    """Boolean mask: media span is an exact-phash duplicate within its
+    (doc, layer) bucket; first occurrence in (page, y, x, pos) order kept."""
+    is_media = flat["base"].isin(C.MEDIA_KINDS) & (flat["phash"] != "")
+    dup = pd.Series(False, index=flat.index)
+    if not is_media.any():
+        return dup
+    m = flat.loc[is_media, ["doc_idx", "base", "phash", "page", "y", "x", "pos"]]
+    m = m.sort_values(["doc_idx", "base", "phash", "page", "y", "x", "pos"])
+    dup.loc[m.index] = m.duplicated(["doc_idx", "base", "phash"], keep="first")
+    return dup
+
+
+def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
+    """Replace each (doc, page)'s table_cell group with one ``__table__``
+    pseudo-row (or per-cell text fallbacks when the grid is < 2x2)."""
+    cell_mask = flat["base"] == C.TABLE_CELL_KIND
+    if not cell_mask.any():
+        return flat
+    cells = flat[cell_mask].copy()
+    cells["norm"] = normalize_series(cells["text"])
+    pseudo_rows = []
+    fallback_idx: list = []
+    for (d, p), grp in cells.groupby(["doc_idx", "page"], sort=False):
+        ys = sorted(grp["y"].unique())
+        colids = sorted(grp["colattr"].unique())
+        row_of = {y: i for i, y in enumerate(ys)}
+        col_of = {c: i for i, c in enumerate(colids)}
+        grid = [["" for _ in colids] for _ in ys]
+        for y, cid, txt in zip(grp["y"], grp["colattr"], grp["norm"]):
+            grid[row_of[y]][col_of[cid]] = txt
+        norm = normalize_grid(grid)
+        if norm is None:
+            fallback_idx.extend(grp.index)
+            continue
+        pseudo_rows.append({
+            "doc_idx": d, "pos": int(grp["pos"].min()), "kind": "",
+            "text": grid_to_pipe_table(norm), "ref": "",
+            "base": "__table__", "page": p,
+            "y": float(grp["y"].min()), "x": float(grp["x"].min()),
+            "size": 0.0, "mono": 0, "colattr": 0, "edpi": 0, "phash": "",
+            "from_cell": True, "pre_normalized": True,
+        })
+    flat = flat.copy()
+    flat["from_cell"] = False
+    flat["pre_normalized"] = False
+    if fallback_idx:
+        flat.loc[fallback_idx, "base"] = "text"
+        flat.loc[fallback_idx, "size"] = 0.0
+        flat.loc[fallback_idx, "from_cell"] = True
+    remaining_cells = flat.index[(flat["base"] == C.TABLE_CELL_KIND)]
+    flat = flat.drop(index=remaining_cells)
+    if pseudo_rows:
+        flat = pd.concat([flat, pd.DataFrame(pseudo_rows)], ignore_index=True)
+    return flat
+
+
+def _column_split(flat: pd.DataFrame) -> pd.Series:
+    """Column index (0/1) per span from the per-(doc,page) x-gap split over
+    text-like spans (excluding table-cell fallbacks, matching the oracle)."""
+    col = pd.Series(0, index=flat.index, dtype=np.int64)
+    textlike = flat[flat["base"].isin(C.TEXT_LIKE_KINDS) & ~flat["from_cell"]]
+    if textlike.empty:
+        return col
+    agg = textlike.groupby(["doc_idx", "page"])["x"].agg(["min", "max", "count"])
+    cand = agg[(agg["max"] - agg["min"] >= C.MIN_COLUMN_SPREAD)
+               & (agg["count"] >= 2 * C.MIN_SPANS_PER_COLUMN)]
+    if cand.empty:
+        return col
+    cand_keys = set(cand.index)
+    for key, grp in textlike.groupby(["doc_idx", "page"], sort=False):
+        if key not in cand_keys:
+            continue
+        xs = grp["x"].to_numpy()
+        uniq = np.unique(xs)
+        gaps = np.diff(uniq)
+        gi = int(np.argmax(gaps))  # argmax -> leftmost on ties
+        if gaps[gi] < C.MIN_COLUMN_GAP:
+            continue
+        mid = (uniq[gi] + uniq[gi + 1]) / 2.0
+        left = int((xs < mid).sum())
+        if left < C.MIN_SPANS_PER_COLUMN or len(xs) - left < C.MIN_SPANS_PER_COLUMN:
+            continue
+        page_rows = flat.index[(flat["doc_idx"] == key[0]) & (flat["page"] == key[1])]
+        col.loc[page_rows] = (flat.loc[page_rows, "x"] >= mid).astype(np.int64)
+    return col
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Process one Arrow batch of documents. Returns OUTPUT_SCHEMA columns."""
+    flat, docs = _flatten(pdf)
+
+    # doc-level failure: any NULL kind -> status 'failed', no output spans
+    null_kind = flat["kind"].isna()
+    failed_docs = set(flat.loc[null_kind, "doc_idx"].unique())
+    if failed_docs:
+        flat = flat[~flat["doc_idx"].isin(failed_docs)]
+
+    flat = _parse_attrs(flat)
+    flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
+
+    headings = _heading_levels(flat)
+    flat = flat[~_mark_media_dups(flat)]
+    flat = _assemble_tables(flat)
+    if "from_cell" not in flat.columns:  # no table cells in batch
+        flat["from_cell"] = False
+        flat["pre_normalized"] = False
+    flat["col"] = _column_split(flat)
+
+    # classification masks from raw text + attrs
+    if len(headings):
+        flat = flat.merge(headings, on=["doc_idx", "size"], how="left")
+    else:
+        flat["level"] = np.nan
+    base = flat["base"]
+    raw_text = flat["text"].astype("object").fillna("")
+    is_media = base.isin(C.MEDIA_KINDS)
+    is_table = base == "__table__"
+    is_code = (base == "code") | ((flat["mono"] == 1) & ~is_media & ~is_table)
+    is_list = (~is_code & ~is_media & ~is_table
+               & ((base == "list")
+                  | raw_text.str.match(_LIST_RE).fillna(False)))
+    is_heading = (~is_code & ~is_list & ~is_media & ~is_table
+                  & ((base == "title") | flat["level"].notna()))
+    is_caption = (base == "caption") & ~is_code & ~is_list & ~is_heading
+
+    # vectorized normalization for everything except pre-normalized tables
+    norm = raw_text.copy()
+    to_norm = ~flat["pre_normalized"].to_numpy(dtype=bool)
+    norm[to_norm] = normalize_series(raw_text[to_norm])
+    norm[is_media.to_numpy()] = ""
+
+    # heading prefix (normalize-then-prefix, like the oracle)
+    lvl = flat["level"].fillna(1).astype(np.int64).clip(1, C.MAX_HEADING_LEVEL)
+    h = is_heading.to_numpy()
+    norm_arr = norm.to_numpy(dtype=object)
+    norm_arr[h] = _HASH_PREFIX[lvl.to_numpy()[h]] + norm_arr[h]
+
+    out_kind = np.where(is_media, base, "text").astype(object)
+    out_kind[is_table.to_numpy()] = "table"
+    out_kind[is_code.to_numpy()] = "code"
+    out_kind[is_list.to_numpy()] = "list"
+    out_kind[h] = "heading"
+    out_kind[is_caption.to_numpy()] = "caption"
+
+    flat = flat.assign(out_text=norm_arr, out_kind=out_kind)
+
+    # one reading-order sort for the whole batch
+    order = np.lexsort((flat["pos"].to_numpy(), flat["x"].to_numpy(),
+                        flat["y"].to_numpy(), flat["col"].to_numpy(),
+                        flat["page"].to_numpy(), flat["doc_idx"].to_numpy()))
+    flat = flat.iloc[order].reset_index(drop=True)
+
+    # media gating on the sorted survivors
+    emb = (flat["base"] == "image")
+    low = emb & (flat["edpi"] > 0) & (flat["edpi"] < C.MIN_EFFECTIVE_DPI)
+    flat["__low__"] = low
+    poisoned = flat.groupby(["doc_idx", "page"], sort=False)["__low__"].transform("max")
+    emb_rank = flat[emb].groupby([flat.loc[emb, "doc_idx"],
+                                  flat.loc[emb, "page"]]).cumcount()
+    fig = (flat["base"] == "figure")
+    fig_rank = flat[fig].groupby([flat.loc[fig, "doc_idx"],
+                                  flat.loc[fig, "page"]]).cumcount()
+
+    refs = flat["ref"].astype("object").fillna("").to_numpy(dtype=object)
+    doc_ids = docs.set_index("doc_idx")["doc_id"]
+    did = flat["doc_idx"].map(doc_ids).to_numpy(dtype=object)
+    pg = flat["page"].astype(str).to_numpy(dtype=object)
+
+    drop_mask = np.zeros(len(flat), dtype=bool)
+    emb_np = emb.to_numpy()
+    pois_np = poisoned.to_numpy(dtype=bool)
+    if emb_np.any():
+        rank_full = np.zeros(len(flat), dtype=np.int64)
+        rank_full[emb_np] = emb_rank.to_numpy()
+        healthy = emb_np & ~pois_np
+        refs[healthy] = (did[healthy] + "/p" + pg[healthy] + "/img"
+                         + rank_full[healthy].astype(str).astype(object))
+        first_poisoned = emb_np & pois_np & (rank_full == 0)
+        refs[first_poisoned] = did[first_poisoned] + "/p" + pg[first_poisoned] + "/full_render"
+        drop_mask |= emb_np & pois_np & (rank_full > 0)
+    fig_np = fig.to_numpy()
+    if fig_np.any():
+        frank_full = np.zeros(len(flat), dtype=np.int64)
+        frank_full[fig_np] = fig_rank.to_numpy()
+        refs[fig_np] = (did[fig_np] + "/p" + pg[fig_np] + "/region"
+                        + frank_full[fig_np].astype(str).astype(object))
+    refs[~(emb_np | fig_np)] = ""
+
+    flat = flat.assign(out_ref=refs)[~drop_mask]
+
+    # offsets: per-doc running char offset in reading order
+    tlen = flat["out_text"].str.len().to_numpy(dtype=np.int64)
+    cum = pd.Series(tlen).groupby(flat["doc_idx"].to_numpy()).cumsum().to_numpy()
+    flat = flat.assign(offset=(cum - tlen).astype(np.int32), tlen=tlen)
+
+    return _reassemble(flat, docs, failed_docs)
+
+
+def _reassemble(flat: pd.DataFrame, docs: pd.DataFrame,
+                failed_docs: set) -> pd.DataFrame:
+    """Arrow-native assembly of per-doc span arrays + statuses."""
+    n_docs = len(docs)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        vc = flat["doc_idx"].value_counts()
+        counts[vc.index.to_numpy()] = vc.to_numpy()
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+
+    struct = pa.StructArray.from_arrays(
+        [pa.array(flat["out_kind"], type=pa.string()),
+         pa.array(flat["out_text"], type=pa.string()),
+         pa.array(flat["out_ref"], type=pa.string()),
+         pa.array(flat["offset"], type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets), struct).to_pylist()
+
+    n_chars = np.zeros(n_docs, dtype=np.int64)
+    has_text = np.zeros(n_docs, dtype=bool)
+    if len(flat):
+        per_doc = flat.groupby("doc_idx")["tlen"].agg(["sum", "max"])
+        n_chars[per_doc.index.to_numpy()] = per_doc["sum"].to_numpy()
+        has_text[per_doc.index.to_numpy()] = per_doc["max"].to_numpy() > 0
+
+    status = np.where(
+        docs["n_input"].to_numpy() == 0, C.STATUS_EMPTY,
+        np.where(has_text, C.STATUS_COMPLETED,
+                 np.where(counts > 0, C.STATUS_NO_TEXT, C.STATUS_COMPLETED_EMPTY)),
+    ).astype(object)
+    for d in failed_docs:
+        status[d] = C.STATUS_FAILED
+        spans[d] = []
+    empty_mask = docs["n_input"].to_numpy() == 0
+    for d in np.nonzero(empty_mask)[0]:
+        spans[d] = []
+
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "spans": spans,
+        "n_spans": np.where(status == C.STATUS_FAILED, 0, counts).astype(np.int32),
+        "n_chars": np.where(status == C.STATUS_FAILED, 0, n_chars),
+        "status": status,
+    })
+
+
+def extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf):
+            yield extract_batch(pdf)
+
+
+def run_extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """The physical extraction plan for non-skewed documents:
+    hash-repartition by doc_id, then one Arrow-vectorized pass."""
+    if num_partitions:
+        df = df.repartition(num_partitions, F.col("doc_id"))
+    else:
+        df = df.repartition(F.col("doc_id"))
+    return df.mapInPandas(extract_iter, schema=OUTPUT_SCHEMA)
