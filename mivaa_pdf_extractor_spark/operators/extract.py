@@ -16,6 +16,11 @@ span-assemble pass.
 The Spark surface is ``run_extract`` — repartition by hash(doc_id) +
 ``mapInPandas`` — which never runs per-row Python (north rule). The
 loop-based spec this must match lives in oracle/extract_one.py.
+
+``_process_flat`` (table assembly → column split → classify → normalize →
+sort → media gating → offsets) is shared with the skew path
+(operators/skew.py), which feeds it per-(doc, page) groups with doc-global
+context computed natively.
 """
 
 from __future__ import annotations
@@ -33,22 +38,19 @@ from ..core import constants as C
 from ..core.normalize import normalize_series
 from ..core.tables import grid_to_pipe_table, normalize_grid
 
+SPAN_OUT_STRUCT = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+
 OUTPUT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
-    T.StructField("spans", T.ArrayType(T.StructType([
-        T.StructField("kind", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("media_ref", T.StringType()),
-        T.StructField("offset", T.IntegerType()),
-    ]))),
+    T.StructField("spans", T.ArrayType(SPAN_OUT_STRUCT)),
     T.StructField("n_spans", T.IntegerType()),
     T.StructField("n_chars", T.LongType()),
     T.StructField("status", T.StringType()),
-])
-
-_SPAN_ARROW = pa.struct([
-    ("kind", pa.string()), ("text", pa.string()),
-    ("media_ref", pa.string()), ("offset", pa.int32()),
 ])
 
 _LIST_RE = re.compile(C.LIST_MARKER_REGEX)
@@ -81,10 +83,12 @@ def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
             kinds.append(item["kind"])
             texts.append(item["text"])
             refs.append(item["media_ref"])
+    total = int(lengths.sum())
     flat = pd.DataFrame({
         "doc_idx": np.repeat(np.arange(len(pdf)), lengths),
-        "pos": np.concatenate([np.arange(n) for n in lengths]) if lengths.sum()
-               else np.array([], dtype=np.int64),
+        "doc_id": np.repeat(docs["doc_id"].to_numpy(), lengths),
+        "pos": (np.concatenate([np.arange(n) for n in lengths])
+                if total else np.array([], dtype=np.int64)),
         "kind": pd.Series(kinds, dtype="object"),
         "text": pd.Series(texts, dtype="object"),
         "ref": pd.Series(refs, dtype="object"),
@@ -92,7 +96,8 @@ def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     return flat, docs
 
 
-def _parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
+def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized kind-grammar parse (the tokenizer of this domain)."""
     k = flat["kind"].astype("object").fillna("")
     flat["base"] = k.str.split(";").str[0]
     flat["page"] = pd.to_numeric(_attr(k, "page"), errors="coerce").fillna(1).astype(np.int64)
@@ -106,16 +111,18 @@ def _parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
     return flat
 
 
-def _heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
+def heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
     """Per (doc_idx, size) heading level for sizes above the doc's body size.
 
     body = most frequent size among text/title spans (ties -> smaller size);
-    sizes > body get levels 1.. descending by size, capped at 6.
+    sizes > body get levels 1.. descending by size, capped at 6 (M1).
     Returns columns (doc_idx, size, level).
     """
     tt = flat[flat["base"].isin(("text", "title"))]
     if tt.empty:
-        return pd.DataFrame({"doc_idx": [], "size": [], "level": []})
+        return pd.DataFrame({"doc_idx": pd.Series(dtype=np.int64),
+                             "size": pd.Series(dtype=np.float64),
+                             "level": pd.Series(dtype=np.int64)})
     counts = tt.groupby(["doc_idx", "size"]).size().rename("cnt").reset_index()
     counts = counts.sort_values(["doc_idx", "cnt", "size"],
                                 ascending=[True, False, True])
@@ -124,7 +131,9 @@ def _heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
     sizes = counts[["doc_idx", "size"]].merge(body, on="doc_idx")
     bigger = sizes[sizes["size"] > sizes["body"]].copy()
     if bigger.empty:
-        return pd.DataFrame({"doc_idx": [], "size": [], "level": []})
+        return pd.DataFrame({"doc_idx": pd.Series(dtype=np.int64),
+                             "size": pd.Series(dtype=np.float64),
+                             "level": pd.Series(dtype=np.int64)})
     bigger["level"] = (
         bigger.groupby("doc_idx")["size"]
         .rank(ascending=False, method="dense").astype(np.int64)
@@ -133,9 +142,10 @@ def _heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
     return bigger[["doc_idx", "size", "level"]]
 
 
-def _mark_media_dups(flat: pd.DataFrame) -> pd.Series:
+def mark_media_dups(flat: pd.DataFrame) -> pd.Series:
     """Boolean mask: media span is an exact-phash duplicate within its
-    (doc, layer) bucket; first occurrence in (page, y, x, pos) order kept."""
+    (doc, layer) bucket; first occurrence in (page, y, x, pos) order kept
+    (I5, per-layer buckets pdf_processor.py:1184-1238)."""
     is_media = flat["base"].isin(C.MEDIA_KINDS) & (flat["phash"] != "")
     dup = pd.Series(False, index=flat.index)
     if not is_media.any():
@@ -149,6 +159,9 @@ def _mark_media_dups(flat: pd.DataFrame) -> pd.Series:
 def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
     """Replace each (doc, page)'s table_cell group with one ``__table__``
     pseudo-row (or per-cell text fallbacks when the grid is < 2x2)."""
+    flat = flat.copy()
+    flat["from_cell"] = False
+    flat["pre_normalized"] = False
     cell_mask = flat["base"] == C.TABLE_CELL_KIND
     if not cell_mask.any():
         return flat
@@ -169,22 +182,19 @@ def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
             fallback_idx.extend(grp.index)
             continue
         pseudo_rows.append({
-            "doc_idx": d, "pos": int(grp["pos"].min()), "kind": "",
+            "doc_idx": d, "doc_id": grp["doc_id"].iloc[0],
+            "pos": int(grp["pos"].min()), "kind": "",
             "text": grid_to_pipe_table(norm), "ref": "",
             "base": "__table__", "page": p,
             "y": float(grp["y"].min()), "x": float(grp["x"].min()),
             "size": 0.0, "mono": 0, "colattr": 0, "edpi": 0, "phash": "",
             "from_cell": True, "pre_normalized": True,
         })
-    flat = flat.copy()
-    flat["from_cell"] = False
-    flat["pre_normalized"] = False
     if fallback_idx:
         flat.loc[fallback_idx, "base"] = "text"
         flat.loc[fallback_idx, "size"] = 0.0
         flat.loc[fallback_idx, "from_cell"] = True
-    remaining_cells = flat.index[(flat["base"] == C.TABLE_CELL_KIND)]
-    flat = flat.drop(index=remaining_cells)
+    flat = flat.drop(index=flat.index[flat["base"] == C.TABLE_CELL_KIND])
     if pseudo_rows:
         flat = pd.concat([flat, pd.DataFrame(pseudo_rows)], ignore_index=True)
     return flat
@@ -221,32 +231,23 @@ def _column_split(flat: pd.DataFrame) -> pd.Series:
     return col
 
 
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Process one Arrow batch of documents. Returns OUTPUT_SCHEMA columns."""
-    flat, docs = _flatten(pdf)
+def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
+    """The classify → assemble core over a flat span frame whose boilerplate
+    and media duplicates are already removed.
 
-    # doc-level failure: any NULL kind -> status 'failed', no output spans
-    null_kind = flat["kind"].isna()
-    failed_docs = set(flat.loc[null_kind, "doc_idx"].unique())
-    if failed_docs:
-        flat = flat[~flat["doc_idx"].isin(failed_docs)]
-
-    flat = _parse_attrs(flat)
-    flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
-
-    headings = _heading_levels(flat)
-    flat = flat[~_mark_media_dups(flat)]
+    ``flat`` columns: doc_idx, doc_id, pos, kind, text, ref + parsed attrs.
+    ``headings``: (doc_idx, size, level).
+    Returns the frame sorted in reading order with out_kind/out_text/out_ref/
+    offset/tlen columns (offsets restart at 0 per doc_idx).
+    """
     flat = _assemble_tables(flat)
-    if "from_cell" not in flat.columns:  # no table cells in batch
-        flat["from_cell"] = False
-        flat["pre_normalized"] = False
     flat["col"] = _column_split(flat)
 
-    # classification masks from raw text + attrs
     if len(headings):
         flat = flat.merge(headings, on=["doc_idx", "size"], how="left")
     else:
         flat["level"] = np.nan
+
     base = flat["base"]
     raw_text = flat["text"].astype("object").fillna("")
     is_media = base.isin(C.MEDIA_KINDS)
@@ -286,36 +287,35 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                         flat["page"].to_numpy(), flat["doc_idx"].to_numpy()))
     flat = flat.iloc[order].reset_index(drop=True)
 
-    # media gating on the sorted survivors
+    # media gating on the sorted survivors (I2/I3 low-eDPI page gate)
     emb = (flat["base"] == "image")
-    low = emb & (flat["edpi"] > 0) & (flat["edpi"] < C.MIN_EFFECTIVE_DPI)
-    flat["__low__"] = low
-    poisoned = flat.groupby(["doc_idx", "page"], sort=False)["__low__"].transform("max")
-    emb_rank = flat[emb].groupby([flat.loc[emb, "doc_idx"],
-                                  flat.loc[emb, "page"]]).cumcount()
     fig = (flat["base"] == "figure")
-    fig_rank = flat[fig].groupby([flat.loc[fig, "doc_idx"],
-                                  flat.loc[fig, "page"]]).cumcount()
+    flat["__low__"] = emb & (flat["edpi"] > 0) & (flat["edpi"] < C.MIN_EFFECTIVE_DPI)
+    poisoned = flat.groupby(["doc_idx", "page"], sort=False)["__low__"].transform("max")
 
     refs = flat["ref"].astype("object").fillna("").to_numpy(dtype=object)
-    doc_ids = docs.set_index("doc_idx")["doc_id"]
-    did = flat["doc_idx"].map(doc_ids).to_numpy(dtype=object)
+    did = flat["doc_id"].to_numpy(dtype=object)
     pg = flat["page"].astype(str).to_numpy(dtype=object)
 
     drop_mask = np.zeros(len(flat), dtype=bool)
     emb_np = emb.to_numpy()
+    fig_np = fig.to_numpy()
     pois_np = poisoned.to_numpy(dtype=bool)
     if emb_np.any():
+        emb_rank = flat[emb].groupby([flat.loc[emb, "doc_idx"],
+                                      flat.loc[emb, "page"]]).cumcount()
         rank_full = np.zeros(len(flat), dtype=np.int64)
         rank_full[emb_np] = emb_rank.to_numpy()
         healthy = emb_np & ~pois_np
         refs[healthy] = (did[healthy] + "/p" + pg[healthy] + "/img"
                          + rank_full[healthy].astype(str).astype(object))
         first_poisoned = emb_np & pois_np & (rank_full == 0)
-        refs[first_poisoned] = did[first_poisoned] + "/p" + pg[first_poisoned] + "/full_render"
+        refs[first_poisoned] = (did[first_poisoned] + "/p" + pg[first_poisoned]
+                                + "/full_render")
         drop_mask |= emb_np & pois_np & (rank_full > 0)
-    fig_np = fig.to_numpy()
     if fig_np.any():
+        fig_rank = flat[fig].groupby([flat.loc[fig, "doc_idx"],
+                                      flat.loc[fig, "page"]]).cumcount()
         frank_full = np.zeros(len(flat), dtype=np.int64)
         frank_full[fig_np] = fig_rank.to_numpy()
         refs[fig_np] = (did[fig_np] + "/p" + pg[fig_np] + "/region"
@@ -324,11 +324,27 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     flat = flat.assign(out_ref=refs)[~drop_mask]
 
-    # offsets: per-doc running char offset in reading order
+    # offsets: per-doc running char offset in reading order (W4)
     tlen = flat["out_text"].str.len().to_numpy(dtype=np.int64)
     cum = pd.Series(tlen).groupby(flat["doc_idx"].to_numpy()).cumsum().to_numpy()
-    flat = flat.assign(offset=(cum - tlen).astype(np.int32), tlen=tlen)
+    return flat.assign(offset=(cum - tlen).astype(np.int32), tlen=tlen)
 
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Process one Arrow batch of documents. Returns OUTPUT_SCHEMA columns."""
+    flat, docs = _flatten(pdf)
+
+    # doc-level failure: any NULL kind -> status 'failed', no output spans
+    null_kind = flat["kind"].isna()
+    failed_docs = set(flat.loc[null_kind, "doc_idx"].unique())
+    if failed_docs:
+        flat = flat[~flat["doc_idx"].isin(failed_docs)]
+
+    flat = parse_attrs(flat)
+    flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
+    headings = heading_levels(flat)
+    flat = flat[~mark_media_dups(flat)]
+    flat = process_flat(flat, headings)
     return _reassemble(flat, docs, failed_docs)
 
 
@@ -366,9 +382,6 @@ def _reassemble(flat: pd.DataFrame, docs: pd.DataFrame,
     ).astype(object)
     for d in failed_docs:
         status[d] = C.STATUS_FAILED
-        spans[d] = []
-    empty_mask = docs["n_input"].to_numpy() == 0
-    for d in np.nonzero(empty_mask)[0]:
         spans[d] = []
 
     return pd.DataFrame({

@@ -1,0 +1,231 @@
+"""Skew-aware extraction: salted per-page processing of giant documents.
+
+The reference has no skew handling (SURVEY.md §4 — one 200-page catalog just
+takes longer); the north rule requires it explicitly. Strategy:
+
+- documents with ``size(spans) <= threshold`` take the normal whole-doc
+  ``mapInPandas`` path (operators/extract.py);
+- giant documents are **salted by page**: ``posexplode`` → the doc-global
+  context (heading histogram M1, per-layer media dedup I5) is computed with
+  *native* window/groupBy expressions → per-(doc_id, page) groups are
+  processed independently by ``applyInPandas`` reusing the same
+  ``process_flat`` kernel → pages are reassembled **natively** with a window
+  cumsum for the char offsets and ``array_sort``+``flatten`` for ordered span
+  concatenation (SURVEY.md §7.2 step 8's "one subtle shuffle").
+
+At cluster scale this bounds task size by page, not by document, so one
+10^6-span document cannot stall a partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from ..core import constants as C
+from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, heading_levels,
+                      parse_attrs, process_flat, run_extract)
+
+_PAGE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("page", T.LongType()),
+    T.StructField("spans", T.ArrayType(SPAN_OUT_STRUCT)),
+    T.StructField("n_spans", T.IntegerType()),
+    T.StructField("n_chars", T.LongType()),
+    T.StructField("has_text", T.BooleanType()),
+])
+
+_PAGE_RE = r"(?:^|;)page=([0-9]+)"
+
+
+def _extract_page_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (doc_id, page) group of a giant document.
+
+    Receives doc-global context as joined columns: ``heading_entries``
+    (list of {size, level}) and ``dup_pos`` (input positions of media
+    duplicates). Reuses the exact classify/assemble kernel of the normal
+    path, so per-page and whole-doc processing cannot drift.
+    """
+    doc_id = pdf["doc_id"].iloc[0]
+    page = int(pdf["page_hint"].iloc[0])
+
+    flat = pd.DataFrame({
+        "doc_idx": np.zeros(len(pdf), dtype=np.int64),
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "pos": pdf["pos"].to_numpy(),
+        "kind": pdf["kind"].astype("object"),
+        "text": pdf["text"].astype("object"),
+        "ref": pdf["ref"].astype("object"),
+    })
+    flat = parse_attrs(flat)
+
+    dup_pos = pdf["dup_pos"].iloc[0]
+    if dup_pos is not None and len(dup_pos):
+        flat = flat[~flat["pos"].isin(set(int(p) for p in dup_pos))]
+
+    entries = pdf["heading_entries"].iloc[0]
+    if entries is not None and len(entries):
+        headings = pd.DataFrame({
+            "doc_idx": np.zeros(len(entries), dtype=np.int64),
+            "size": [float(e["size"]) for e in entries],
+            "level": [int(e["level"]) for e in entries],
+        })
+    else:
+        headings = pd.DataFrame({"doc_idx": pd.Series(dtype=np.int64),
+                                 "size": pd.Series(dtype=np.float64),
+                                 "level": pd.Series(dtype=np.int64)})
+
+    out = process_flat(flat, headings)
+    spans = [
+        {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+        for k, t, r, o in zip(out["out_kind"], out["out_text"],
+                              out["out_ref"], out["offset"])
+    ]
+    n_chars = int(out["tlen"].sum()) if len(out) else 0
+    return pd.DataFrame({
+        "doc_id": [doc_id], "page": [page], "spans": [spans],
+        "n_spans": [len(spans)], "n_chars": [n_chars],
+        "has_text": [bool((out["tlen"] > 0).any()) if len(out) else False],
+    })
+
+
+def _extract_giant(giant: DataFrame) -> DataFrame:
+    """Per-page salted extraction of documents above the skew threshold."""
+    exploded = (
+        giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id", "pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("ref"),
+        )
+        .withColumn("base", F.split(F.col("kind"), ";").getItem(0))
+        .withColumn("page_hint", F.coalesce(
+            F.nullif(F.regexp_extract("kind", _PAGE_RE, 1), F.lit("")),
+            F.lit("1")).cast("long"))
+    )
+
+    # doc-level failure: any NULL kind (same semantics as the normal path)
+    failed = (
+        exploded.filter(F.col("kind").isNull())
+        .select("doc_id").distinct()
+    )
+    failed_rows = failed.select(
+        "doc_id",
+        F.array().cast(OUTPUT_SCHEMA["spans"].dataType).alias("spans"),
+        F.lit(0).alias("n_spans"), F.lit(0).cast("long").alias("n_chars"),
+        F.lit(C.STATUS_FAILED).alias("status"),
+    )
+    ok = exploded.join(F.broadcast(failed), "doc_id", "left_anti")
+
+    # boilerplate strip before the shuffle — less data moved
+    ok = ok.filter(~F.col("base").isin(*C.BOILERPLATE_KINDS))
+
+    # doc-global heading histogram (M1), computed natively
+    size_col = F.coalesce(
+        F.nullif(F.regexp_extract("kind", r"(?:^|;)size=([0-9.]+)", 1),
+                 F.lit("")),
+        F.lit("10")).cast("double")
+    tt = (ok.filter(F.col("base").isin("text", "title"))
+          .withColumn("size", size_col)
+          .groupBy("doc_id", "size").count())
+    body = (tt.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("doc_id")
+            .orderBy(F.col("count").desc(), F.col("size").asc())))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("size").alias("body_size")))
+    headings = (
+        tt.join(body, "doc_id")
+        .filter(F.col("size") > F.col("body_size"))
+        .withColumn("level", F.least(
+            F.dense_rank().over(
+                Window.partitionBy("doc_id").orderBy(F.col("size").desc())),
+            F.lit(C.MAX_HEADING_LEVEL)))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("size", "level")).alias("heading_entries"))
+    )
+
+    # doc-global media dedup (I5), computed natively
+    num = lambda key: F.coalesce(  # noqa: E731
+        F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
+                 F.lit("")), F.lit("0")).cast("double")
+    media = (ok.filter(F.col("base").isin(*C.MEDIA_KINDS))
+             .withColumn("phash",
+                         F.regexp_extract("kind", r"(?:^|;)phash=([^;]*)", 1))
+             .filter(F.col("phash") != "")
+             .withColumn("y", num("y")).withColumn("x", num("x")))
+    dups = (media.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("doc_id", "base", "phash")
+            .orderBy("page_hint", "y", "x", "pos")))
+        .filter(F.col("rn") > 1)
+        .groupBy("doc_id").agg(F.collect_list("pos").alias("dup_pos")))
+
+    # per-doc context is tiny -> broadcast both sides of the join
+    pages_in = (ok.join(F.broadcast(headings), "doc_id", "left")
+                  .join(F.broadcast(dups), "doc_id", "left"))
+
+    page_rows = (
+        pages_in.groupBy("doc_id", "page_hint")
+        .applyInPandas(_extract_page_group, schema=_PAGE_SCHEMA)
+    )
+
+    # ordered reassembly: page-base char offsets via window cumsum, span
+    # arrays concatenated in page order natively
+    w = (Window.partitionBy("doc_id").orderBy("page")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    shifted = page_rows.withColumn(
+        "page_base", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    ).withColumn(
+        "spans", F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                (s["offset"] + F.col("page_base")).cast("int").alias("offset"),
+            ))
+    )
+    docs = (
+        shifted.groupBy("doc_id").agg(
+            F.flatten(F.transform(
+                F.array_sort(F.collect_list(F.struct("page", "spans"))),
+                lambda x: x["spans"])).alias("spans"),
+            F.sum("n_spans").cast("int").alias("n_spans"),
+            F.sum("n_chars").alias("n_chars"),
+            F.max("has_text").alias("has_text"),
+        )
+        .withColumn("status", F.when(F.col("has_text"), C.STATUS_COMPLETED)
+                    .when(F.col("n_spans") > 0, C.STATUS_NO_TEXT)
+                    .otherwise(C.STATUS_COMPLETED_EMPTY))
+        .drop("has_text")
+    )
+
+    # giants whose every span was stripped produce no page rows at all
+    stripped = giant.select("doc_id").join(docs.select("doc_id"), "doc_id",
+                                           "left_anti") \
+        .join(F.broadcast(failed), "doc_id", "left_anti") \
+        .select(
+            "doc_id",
+            F.array().cast(OUTPUT_SCHEMA["spans"].dataType).alias("spans"),
+            F.lit(0).alias("n_spans"), F.lit(0).cast("long").alias("n_chars"),
+            F.lit(C.STATUS_COMPLETED_EMPTY).alias("status"),
+    )
+    return docs.select(*OUTPUT_SCHEMA.fieldNames()) \
+        .unionByName(failed_rows).unionByName(stripped)
+
+
+def run_extract_skewed(
+    df: DataFrame,
+    skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full extraction plan with skew salting: normal docs whole-doc, giant
+    docs per-page, one unioned output."""
+    n = F.size("spans")  # -1 for NULL arrays -> normal path handles them
+    normal = df.filter((n <= skew_threshold))
+    giant = df.filter(n > skew_threshold)
+    return run_extract(normal, num_partitions).unionByName(
+        _extract_giant(giant))

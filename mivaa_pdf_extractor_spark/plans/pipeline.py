@@ -1,0 +1,135 @@
+"""The resumable extraction pipeline (SURVEY.md §3.1 Spark restatement).
+
+    read documents
+      -> anti-join checkpoints on terminally-completed doc_ids   (J1 resume)
+      -> skew-aware extraction (whole-doc / per-page salted)     (UDF pass)
+      -> write `extracted` (+ run_id, partition_id)
+      -> derive `lineage` per partition and `checkpoints` per doc
+         FROM the written table (write once, aggregate from the sink)
+      -> circuit-breaker assertion (>=1 failure and 0 successes -> abort),
+         modeling stage_1_layout_precompute.py:466-489,650-674
+
+Resume semantics model the reference's checkpoint-recovery service
+(checkpoint_recovery_service.py:27-200): docs whose latest status is
+terminal (completed / completed_empty / no_text / empty_doc) are skipped;
+retryable statuses (failed) are reprocessed.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core import constants as C
+from ..operators.skew import run_extract_skewed
+from ..sources.tables_io import Catalog
+
+EXTRACTED_TABLE = "extracted"
+CHECKPOINTS_TABLE = "checkpoints"
+LINEAGE_TABLE = "lineage"
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    docs_in: int
+    docs_skipped: int
+    docs_processed: int
+    failures: int
+    wall_ms: int
+
+
+class CircuitBreakerTripped(RuntimeError):
+    """>=1 failure and 0 successes in a run — abort instead of checkpointing
+    a fully-failed pass (stage_1_layout_precompute.py:650-674 semantics)."""
+
+
+def completed_doc_ids(catalog: Catalog) -> DataFrame | None:
+    """doc_ids whose *latest* checkpoint status is terminal."""
+    if not catalog.exists(CHECKPOINTS_TABLE):
+        return None
+    cps = catalog.read(CHECKPOINTS_TABLE)
+    latest = (
+        cps.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("ts").desc())))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(
+        F.col("status").isin(*C.TERMINAL_STATUSES)).select("doc_id")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    catalog: Catalog,
+    run_id: str | None = None,
+    skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
+    num_partitions: int | None = None,
+) -> PipelineResult:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    docs_in = documents.count()
+
+    done = completed_doc_ids(catalog)
+    if done is not None:
+        # the checkpoint side is small relative to the corpus; Catalyst
+        # broadcasts it under AQE — the north rule's resume anti-join
+        todo = documents.join(done, "doc_id", "left_anti")
+    else:
+        todo = documents
+
+    extracted = (
+        run_extract_skewed(todo, skew_threshold, num_partitions)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("ts", F.current_timestamp())
+    )
+    catalog.append(extracted, EXTRACTED_TABLE)
+
+    # lineage + checkpoints derived from the sink: the expensive UDF pass
+    # runs exactly once; these are cheap column scans of the written table
+    this_run = catalog.read(EXTRACTED_TABLE).filter(F.col("run_id") == run_id)
+
+    lineage = this_run.groupBy("run_id", "partition_id").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("n_chars").alias("bytes"),
+        F.sum((F.col("status") == C.STATUS_FAILED).cast("long")).alias("failures"),
+        F.lit(int((time.time() - t0) * 1000)).alias("wall_ms"),
+    )
+    catalog.append(lineage, LINEAGE_TABLE)
+
+    checkpoints = this_run.select("doc_id", "run_id", "status", "ts")
+    catalog.append(checkpoints, CHECKPOINTS_TABLE)
+
+    agg = catalog.read(LINEAGE_TABLE).filter(F.col("run_id") == run_id).agg(
+        F.coalesce(F.sum("docs"), F.lit(0)).alias("docs"),
+        F.coalesce(F.sum("failures"), F.lit(0)).alias("failures"),
+    ).collect()[0]
+    processed, failures = int(agg["docs"]), int(agg["failures"])
+
+    if failures > 0 and failures == processed:
+        raise CircuitBreakerTripped(
+            f"run {run_id}: {failures} failures, 0 successes")
+
+    return PipelineResult(
+        run_id=run_id,
+        docs_in=docs_in,
+        docs_skipped=docs_in - processed,
+        docs_processed=processed,
+        failures=failures,
+        wall_ms=int((time.time() - t0) * 1000),
+    )
+
+
+def read_extracted_latest(catalog: Catalog) -> DataFrame:
+    """Current state of the extracted table: latest row per doc_id (append
+    log compacted at read; with Iceberg this becomes a MERGE sink)."""
+    ext = catalog.read(EXTRACTED_TABLE)
+    w = Window.partitionBy("doc_id").orderBy(F.col("ts").desc())
+    return (ext.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
