@@ -1,38 +1,582 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: full skew-aware extraction pipeline over spans
+                 synthesized natively from the sf0.001 documents table.
+``queries``    — one entry per implemented operator family (SURVEY.md §2 +
+                 the training-data battery); each callable (spark, sf_dir) ->
+                 DataFrame.
+``oracle_sql`` — exact DuckDB twins for the SQL-expressible ones. Column
+                 names and value rounding match the Spark side; md5-based
+                 hashing keeps cross-engine results bit-identical.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from mivaa_pdf_extractor_spark.core.constants import (GLYPH_REPLACEMENTS,
+                                                      LIGATURE_AND_WS_PASSES)
+from mivaa_pdf_extractor_spark.operators import dedup as dd
+from mivaa_pdf_extractor_spark.operators import similarity as sim
+from mivaa_pdf_extractor_spark.operators import text_analysis as ta
+from mivaa_pdf_extractor_spark.operators.chunking import chunk_documents
+from mivaa_pdf_extractor_spark.operators.extract import run_extract
+from mivaa_pdf_extractor_spark.operators.media import (
+    extract_image_features, sample_frames, synth_media_for_extracted)
+from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
+from mivaa_pdf_extractor_spark.sources.from_flat import (documents_to_spans,
+                                                         with_synthetic_giants)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Skew-aware span extraction over sf0.001 (native span synthesis ->
+    mapInPandas engine -> per-doc spans/status)."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    spans = with_synthetic_giants(docs, every=200, repeat=60)
+    out = run_extract_skewed(spans, skew_threshold=2000)
+    return out.select("doc_id", "n_spans", "n_chars", "status",
+                      F.col("spans").getItem(0).getField("kind").alias("first_kind"))
 
+
+# ---------------------------------------------------------------------------
+# SQL helpers shared by Spark and DuckDB sides
+# ---------------------------------------------------------------------------
+
+_DUCK_WORDS = "list_filter(regexp_split_to_array(lower({c}), '\\s+'), w -> w <> '')"
+
+_LANGS = sorted(ta.LANG_STOPWORDS)
+
+
+def _duck_lang_hits(lang: str, col: str = "text") -> str:
+    stop = ", ".join(f"'{w}'" for w in ta.LANG_STOPWORDS[lang])
+    return (f"length(list_intersect(list_distinct("
+            f"{_DUCK_WORDS.format(c=col)}), [{stop}]))")
+
+
+def _duck_glyph_chain(col: str) -> str:
+    expr = col
+    for g, c in GLYPH_REPLACEMENTS.items():
+        gq = g.replace("'", "''")
+        cq = c.replace("'", "''")
+        expr = f"replace({expr}, '{gq}', '{cq}')"
+    for pat, repl in LIGATURE_AND_WS_PASSES:
+        pq = pat.replace("'", "''")
+        # DuckDB RE2 replacement backrefs are \1 — our table already uses \1
+        rq = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pq}', '{rq}', 'g')"
+    return expr
+
+
+def _spark_glyph_chain(col):
+    expr = col
+    for g, c in GLYPH_REPLACEMENTS.items():
+        expr = F.replace(expr, F.lit(g), F.lit(c))
+    for pat, repl in LIGATURE_AND_WS_PASSES:
+        expr = F.regexp_replace(expr, pat, repl.replace("\\1", "$1")
+                                .replace("\\2", "$2").replace("\\3", "$3"))
+    return expr
+
+
+_GLYPH_SALT = " /nine.LP deci/s_ion  x/emdash.cap pa/t_terns /f end"
+
+_Q1_DATE = "1998-09-02"
+
+_QUALITY_DUCK = (
+    "CAST(floor(("
+    " 0.2 * least(length(text) / 500.0, 1.0)"
+    " + 0.2 * (CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1.0 ELSE 0.7 END)"
+    " + 0.2 * (CASE WHEN regexp_matches(text, '^[A-Z0-9]') THEN 1.0 ELSE 0.8 END)"
+    " + 0.2 * least(length(regexp_extract_all(text, '[.!?]+')) / 3.0, 1.0)"
+    " + 0.2 * least(({hits}) / greatest(CAST(length({words}) AS DOUBLE), 1.0)"
+    "   * 5.0, 1.0)"
+    ") * 1000000) AS BIGINT)"
+).format(hits=" + ".join(_duck_lang_hits(x) for x in _LANGS),
+         words=_DUCK_WORDS.format(c="text"))
+
+
+def _spark_quality_u(col):
+    n = F.length(col)
+    nw = ta.token_count_ws(col).cast("double")
+    sentences = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0))
+    stop_hits = sum(ta.lang_hits(col, lang) for lang in _LANGS)
+    score = (
+        0.2 * F.least(n / F.lit(500.0), F.lit(1.0))
+        + 0.2 * F.when(F.regexp_like(col, F.lit(r"[.!?]\s*$")), 1.0).otherwise(0.7)
+        + 0.2 * F.when(F.regexp_like(col, F.lit(r"^[A-Z0-9]")), 1.0).otherwise(0.8)
+        + 0.2 * F.least(sentences / F.lit(3.0), F.lit(1.0))
+        + 0.2 * F.least(stop_hits.cast("double") / F.greatest(nw, F.lit(1.0))
+                        * F.lit(5.0), F.lit(1.0))
+    )
+    return F.floor(score * 1e6).cast("long")
+
+
+def _dup_union(spark, sf_dir):
+    """documents sample + exact-duplicate shadow docs (id+100000)."""
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id"), "text")
+    dups = d.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 100000).alias("id"), "text")
+    return base.unionByName(dups)
+
+
+_DUP_UNION_SQL = (
+    "SELECT doc_id AS id, text FROM documents WHERE doc_id % 20 = 0 "
+    "UNION ALL SELECT doc_id + 100000 AS id, text FROM documents "
+    "WHERE doc_id % 100 = 0"
+)
+
+_DUCK_SHINGLES = """
+SELECT DISTINCT id, shingle FROM (
+  SELECT id, unnest(list_transform(
+      generate_series(1, greatest(len(words) - 2, 0)),
+      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM (SELECT id, {words} AS words FROM ({src})))
+""".format(words=_DUCK_WORDS.format(c="text"), src=_DUP_UNION_SQL)
+
+_DUCK_SIGS = """
+SELECT id,
+  min(md5('s0|' || shingle)) AS sig_0, min(md5('s1|' || shingle)) AS sig_1,
+  min(md5('s2|' || shingle)) AS sig_2, min(md5('s3|' || shingle)) AS sig_3
+FROM ({sh}) GROUP BY id
+""".format(sh=_DUCK_SHINGLES)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction-semantic operators, SQL-expressible (SURVEY.md §2) ---
 
+    def reading_order_sort(spark, sf_dir):  # L6/W1
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return _events(spark, sf_dir).select(
+            "event_id", "user_id",
+            F.row_number().over(w).alias("reading_order"))
+    q["reading_order_sort"] = reading_order_sort
+
+    def offset_cumsum(spark, sf_dir):  # W4
+        w = (Window.partitionBy("source").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return _docs(spark, sf_dir).select(
+            "doc_id", "source",
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("offset"))
+    q["offset_cumsum"] = offset_cumsum
+
+    def reading_text_assembly(spark, sf_dir):  # S4/L6/T3
+        return (_events(spark, sf_dir)
+                .groupBy("user_id")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                        lambda x: x["event_type"]), " ").alias("reading_text")))
+    q["reading_text_assembly"] = reading_text_assembly
+
+    def glyph_fix(spark, sf_dir):  # T1/T2
+        salted = F.concat(F.col("text"), F.lit(_GLYPH_SALT))
+        return _docs(spark, sf_dir).select(
+            "doc_id", _spark_glyph_chain(salted).alias("fixed_text"))
+    q["glyph_fix"] = glyph_fix
+
+    def content_hashes(spark, sf_dir):  # T6
+        return _docs(spark, sf_dir).select(
+            "doc_id", ta.content_hash(F.col("text")).alias("content_hash"))
+    q["content_hashes"] = content_hashes
+
+    def doc_metrics(spark, sf_dir):  # T7
+        return ta.doc_metrics(_docs(spark, sf_dir))
+    q["doc_metrics"] = doc_metrics
+
+    def resume_anti_join(spark, sf_dir):  # J1
+        d = _docs(spark, sf_dir)
+        completed = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        return d.join(completed, "doc_id", "left_anti").select("doc_id")
+    q["resume_anti_join"] = resume_anti_join
+
+    def caption_link(spark, sf_dir):  # J4 lead/lag linking
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = _events(spark, sf_dir).withColumn(
+            "next_type", F.lead("event_type").over(w))
+        return ev.filter(F.col("event_type") == "click").select(
+            "event_id", "next_type")
+    q["caption_link"] = caption_link
+
+    def label_taxonomy(spark, sf_dir):  # L8 + boilerplate strip
+        m = (F.when(F.col("event_type") == "error", "boilerplate")
+             .when(F.col("event_type").isin("click", "signup"), "interaction")
+             .when(F.col("event_type") == "purchase", "transaction")
+             .otherwise("text"))
+        return (_events(spark, sf_dir).select("event_id", m.alias("region_type"))
+                .filter(F.col("region_type") != "boilerplate"))
+    q["label_taxonomy"] = label_taxonomy
+
+    def sessionize(spark, sf_dir):  # X3-adjacent stateful windowing
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (F.unix_timestamp("ts")
+               - F.unix_timestamp(F.lag("ts").over(w)))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        ev = _events(spark, sf_dir).withColumn("ns", new_sess)
+        w2 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        return ev.select("user_id", "event_id",
+                         F.sum("ns").over(w2).alias("session_id"))
+    q["sessionize"] = sessionize
+
+    def tumbling_window_agg(spark, sf_dir):  # streaming windowed-agg twin
+        return (_events(spark, sf_dir)
+                .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                         "event_type")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))
+    q["tumbling_window_agg"] = tumbling_window_agg
+
+    def image_doc_heuristic(spark, sf_dir):  # L11 routing
+        return (_docs(spark, sf_dir).groupBy("lang")
+                .agg(F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+                .withColumn("route", F.when(F.col("avg_chars") < 250,
+                                            "ocr_first").otherwise("text_first")))
+    q["image_doc_heuristic"] = image_doc_heuristic
+
+    def chunk_fixed_windows(spark, sf_dir):  # C2 windows
+        t = F.col("text")
+        n = F.floor((F.length(t) - 1) / 150).cast("int")
+        pieces = F.transform(F.sequence(F.lit(0), n),
+                             lambda i: F.substring(t, i * 150 + 1, 200))
+        return (_docs(spark, sf_dir).filter(F.length(t) > 0)
+                .select("doc_id", F.posexplode(pieces)
+                        .alias("chunk_index", "content")))
+    q["chunk_fixed_windows"] = chunk_fixed_windows
+
+    def chunk_quality(spark, sf_dir):  # C5
+        return _docs(spark, sf_dir).select(
+            "doc_id", _spark_quality_u(F.col("text")).alias("quality_u"))
+    q["chunk_quality"] = chunk_quality
+
+    def media_dedup_first_per_key(spark, sf_dir):  # I5 keep-first tier
+        return (_emb(spark, sf_dir).groupBy("label")
+                .agg(F.min("vec_id").alias("vec_id_kept")))
+    q["media_dedup_first_per_key"] = media_dedup_first_per_key
+
+    def tpch_q1_pricing_summary(spark, sf_dir):
+        li = _lineitem(spark, sf_dir).filter(
+            F.col("l_shipdate") <= F.lit(_Q1_DATE).cast("timestamp"))
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order")))
+    q["tpch_q1_pricing_summary"] = tpch_q1_pricing_summary
+
+    # --- training-data battery: dedup / similarity / text analysis ---
+
+    def dedup_exact(spark, sf_dir):
+        return dd.exact_dedup(_docs(spark, sf_dir))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_signatures(spark, sf_dir):
+        return dd.minhash_signatures(_dup_union(spark, sf_dir), "text", "id",
+                                     n=3, num_hashes=4)
+    q["dedup_minhash_signatures"] = dedup_minhash_signatures
+
+    def dedup_minhash_lsh_pairs(spark, sf_dir):
+        return dd.minhash_lsh_pairs(_dup_union(spark, sf_dir), "text", "id",
+                                    n=3, num_hashes=4, band_size=2)
+    q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        return dd.ngram_jaccard_pairs(_dup_union(spark, sf_dir), "text", "id",
+                                      n=3, threshold=0.8,
+                                      max_shingle_freq=None)
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def lang_id(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", ta.lang_id(F.col("text")).alias("lang_detected"))
+    q["lang_id"] = lang_id
+
+    def doc_fingerprint(spark, sf_dir):
+        return _docs(spark, sf_dir).select(
+            "doc_id", ta.doc_fingerprint(F.col("text")).alias("fp"))
+    q["doc_fingerprint"] = doc_fingerprint
+
+    def embedding_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        return sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+    q["embedding_topk"] = embedding_topk
+
+    # --- non-SQL-expressible (driver records rows-only checks) ---
+
+    def extract_pipeline(spark, sf_dir):
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        return run_extract(spans).select("doc_id", "n_spans", "n_chars",
+                                         "status")
+    q["extract_pipeline"] = extract_pipeline
+
+    def extract_skew_giants(spark, sf_dir):
+        spans = with_synthetic_giants(_docs(spark, sf_dir), every=200,
+                                      repeat=40)
+        return run_extract_skewed(spans, skew_threshold=2000).select(
+            "doc_id", "n_spans", "n_chars", "status")
+    q["extract_skew_giants"] = extract_skew_giants
+
+    def simhash_fingerprints(spark, sf_dir):
+        return dd.simhash(_docs(spark, sf_dir))
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def simhash_near_pairs(spark, sf_dir):
+        return dd.simhash_near_pairs(_dup_union(spark, sf_dir), "text", "id",
+                                     max_hamming=3)
+    q["simhash_near_pairs"] = simhash_near_pairs
+
+    def embedding_topk_lsh(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 5), e, k=10)
+    q["embedding_topk_lsh"] = embedding_topk_lsh
+
+    def embedding_near_dups(spark, sf_dir):
+        return sim.embedding_near_dup_pairs(_emb(spark, sf_dir),
+                                            threshold=0.5)
+    q["embedding_near_dups"] = embedding_near_dups
+
+    def chunk_layout_spans(spark, sf_dir):
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        extracted = run_extract(spans)
+        return chunk_documents(extracted, strategy="layout").select(
+            "doc_id", "chunk_index", "content", "is_table", "quality")
+    q["chunk_layout_spans"] = chunk_layout_spans
+
+    def media_image_features(spark, sf_dir):
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        media = synth_media_for_extracted(run_extract(spans))
+        return extract_image_features(media)
+    q["media_image_features"] = media_image_features
+
+    def media_frame_sample(spark, sf_dir):
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        media = synth_media_for_extracted(run_extract(spans)) \
+            .withColumn("mime", F.lit("video/synthetic")) \
+            .withColumn("duration_ms", F.lit(5000))
+        return sample_frames(media, every_ms=1000)
+    q["media_frame_sample"] = media_frame_sample
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — names/rounding match the Spark side exactly
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {lang: _duck_lang_hits(lang) for lang in _LANGS}
+    greatest_hits = "greatest(" + ", ".join(hits[x] for x in _LANGS) + ")"
+    lang_case = "CASE WHEN " + greatest_hits + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {hits[lang]} = {greatest_hits} THEN '{lang}'"
+        for lang in _LANGS) + " END"
+
+    return {
+        "reading_order_sort": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS reading_order
+            FROM events""",
+        "offset_cumsum": """
+            SELECT doc_id, source,
+                   CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS offset
+            FROM documents""",
+        "reading_text_assembly": """
+            SELECT user_id,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id)
+                       AS reading_text
+            FROM events GROUP BY user_id""",
+        "glyph_fix": f"""
+            SELECT doc_id,
+                   {_duck_glyph_chain("text || '" + _GLYPH_SALT + "'")}
+                       AS fixed_text
+            FROM documents""",
+        "content_hashes": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS content_hash
+            FROM documents""",
+        "doc_metrics": f"""
+            SELECT doc_id,
+                   length({_DUCK_WORDS.format(c='text')}) AS n_words,
+                   length(text) AS n_chars_measured,
+                   length(string_split(text, chr(10))) AS n_lines,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+            FROM documents""",
+        "resume_anti_join": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM documents c
+                              WHERE c.doc_id % 7 = 0
+                                AND c.doc_id = d.doc_id)""",
+        "caption_link": """
+            SELECT event_id, next_type FROM (
+              SELECT event_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_type
+              FROM events)
+            WHERE event_type = 'click'""",
+        "label_taxonomy": """
+            SELECT event_id, region_type FROM (
+              SELECT event_id,
+                     CASE WHEN event_type = 'error' THEN 'boilerplate'
+                          WHEN event_type IN ('click','signup')
+                              THEN 'interaction'
+                          WHEN event_type = 'purchase' THEN 'transaction'
+                          ELSE 'text' END AS region_type
+              FROM events)
+            WHERE region_type <> 'boilerplate'""",
+        "sessionize": """
+            SELECT user_id, event_id,
+                   CAST(sum(ns) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                          OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id), ts) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events)""",
+        "tumbling_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "image_doc_heuristic": """
+            SELECT lang, avg_chars,
+                   CASE WHEN avg_chars < 250 THEN 'ocr_first'
+                        ELSE 'text_first' END AS route
+            FROM (SELECT lang, round(avg(n_chars), 4) AS avg_chars
+                  FROM documents GROUP BY lang)""",
+        "chunk_fixed_windows": """
+            SELECT doc_id, i AS chunk_index,
+                   substring(text, i * 150 + 1, 200) AS content
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(floor((length(text) - 1) / 150) AS BIGINT))) t(i)
+            WHERE length(text) > 0""",
+        "chunk_quality": f"""
+            SELECT doc_id, {_QUALITY_DUCK} AS quality_u FROM documents""",
+        "media_dedup_first_per_key": """
+            SELECT label, min(vec_id) AS vec_id_kept
+            FROM embeddings GROUP BY label""",
+        "tpch_q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{_Q1_DATE}'
+            GROUP BY l_returnflag, l_linestatus""",
+        "dedup_exact": r"""
+            SELECT doc_id, content_hash FROM (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                         AS content_hash
+              FROM documents)
+            QUALIFY row_number() OVER (PARTITION BY content_hash
+                                       ORDER BY doc_id) = 1""",
+        "dedup_minhash_signatures": _DUCK_SIGS,
+        "dedup_minhash_lsh_pairs": f"""
+            WITH sigs AS ({_DUCK_SIGS}),
+            bands AS (
+              SELECT id, 0 AS band,
+                     md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+              UNION ALL
+              SELECT id, 1 AS band,
+                     md5(sig_2 || '|' || sig_3) AS band_key FROM sigs)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.id < b.id""",
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({_DUCK_SHINGLES}),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY a.id, b.id)
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = inter.id_a
+            JOIN sizes sb ON sb.id = inter.id_b
+            WHERE round(CAST(inter AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8""",
+        "lang_id": f"""
+            SELECT doc_id, {lang_case} AS lang_detected FROM documents""",
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       {_DUCK_WORDS.format(c='text')})), ' ')) AS fp
+            FROM documents""",
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                     round(
+                       list_reduce(list_transform(list_zip(qv, cv),
+                           p -> p[1] * p[2]), (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                               (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                 (a, b) -> a + b))), 6) AS sim
+              FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+            SELECT query_id, rank, neighbor_id, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 10""",
+    }

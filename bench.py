@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: extraction documents/sec over the interleaved corpus
+(testdata documents synthesized natively to span docs + injected giants,
+plus the deterministic fixture corpus), at SPARK_GRAFT_SF_DIR on
+local[SPARK_GRAFT_CPUS]. Also times the training-data battery queries.
+
+Output: {"metric": ..., "value": <headline seconds>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed  # noqa: E402
+from mivaa_pdf_extractor_spark.session import build_session  # noqa: E402
+from mivaa_pdf_extractor_spark.sources.from_flat import with_synthetic_giants  # noqa: E402
+
+BENCH_QUERIES = [
+    "reading_order_sort", "offset_cumsum", "reading_text_assembly",
+    "glyph_fix", "content_hashes", "doc_metrics", "chunk_quality",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "lang_id", "doc_fingerprint", "embedding_topk", "simhash_fingerprints",
+    "tpch_q1_pricing_summary", "sessionize", "tumbling_window_agg",
+    "chunk_layout_spans",
+]
+
+
+def run_extraction_bench(spark, sf_dir: str) -> tuple[float, int]:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # materialize the synthesized input once so the bench times extraction,
+    # not corpus synthesis
+    spans = with_synthetic_giants(docs, every=500, repeat=80).localCheckpoint()
+    n_docs = spans.count()
+    t0 = time.time()
+    out = run_extract_skewed(spans, skew_threshold=2000)
+    # a real action that touches every span array but returns scalars
+    out.selectExpr("sum(n_spans)", "sum(n_chars)", "count(*)").collect()
+    return time.time() - t0, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.0
+
+    spark = build_session(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    wall, n_docs = run_extraction_bench(spark, sf_dir)
+    docs_per_sec = n_docs / wall if wall > 0 else 0.0
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {"extract_pipeline_skewed": round(wall, 3)}
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "extraction_wall_sec_and_query_suite",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "docs_per_sec": round(docs_per_sec, 2),
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

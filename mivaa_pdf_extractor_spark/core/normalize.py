@@ -36,10 +36,28 @@ def normalize_text(text: str) -> str:
 
 def normalize_series(s: pd.Series) -> pd.Series:
     """Vectorized implementation (engine side). One pass per table entry over
-    the whole Arrow batch — stays in pandas' C string kernels."""
+    the whole Arrow batch — stays in pandas' C string kernels.
+
+    Gated on cheap ``contains`` masks: the glyph/ligature passes only touch
+    rows containing ``/``, the whitespace passes only rows containing a
+    newline or double space — identical semantics (the passes are no-ops on
+    the excluded rows), ~10x fewer kernel launches on clean corpora."""
     s = s.astype("object").fillna("")
-    for glyph, char in GLYPH_REPLACEMENTS.items():
-        s = s.str.replace(glyph, char, regex=False)
-    for pattern, repl in _COMPILED_PASSES:
-        s = s.str.replace(pattern, repl, regex=True)
+    has_slash = s.str.contains("/", regex=False)
+    if has_slash.any():
+        sub = s[has_slash]
+        for glyph, char in GLYPH_REPLACEMENTS.items():
+            sub = sub.str.replace(glyph, char, regex=False)
+        for pattern, repl in _COMPILED_PASSES[:3]:
+            sub = sub.str.replace(pattern, repl, regex=True)
+        s = s.copy()
+        s[has_slash] = sub
+    has_ws = s.str.contains("\n", regex=False) | s.str.contains(
+        "  ", regex=False)
+    if has_ws.any():
+        sub = s[has_ws]
+        for pattern, repl in _COMPILED_PASSES[3:]:
+            sub = sub.str.replace(pattern, repl, regex=True)
+        s = s.copy()
+        s[has_ws] = sub
     return s

@@ -1,0 +1,242 @@
+"""Chunking operators (SURVEY.md §2.6, C1-C9).
+
+Pure-Python chunkers (the per-document state machines the reference uses —
+semantics cited below) wrapped in an Arrow-batched ``mapInPandas`` stage:
+one batch of documents in, exploded chunk rows out. The chunk state machine
+is inherently sequential per document; the batch boundary and everything
+around it (hashing, quality scoring, dedup) stays vectorized/native.
+
+Semantics modeled on the reference:
+- semantic:   split on blank lines, pack paragraphs to <= max_size, overlap =
+              trailing ``overlap`` chars of the previous chunk
+              (unified_chunking_service.py:368-456)
+- fixed:      char windows with sentence-boundary backoff ([.!?]+\\s+ last
+              match -> last whitespace -> hard cut), min size, forced advance
+              (unified_chunking_service.py:458-513,621-637)
+- hybrid:     semantic first, oversized chunks re-split fixed, ids suffixed
+              ``_i`` (unified_chunking_service.py:515-576)
+- layout:     reading-order spans; TABLE atomic (is_table), HEADING starts a
+              new chunk, else size-cap break, regions joined by blank lines
+              (unified_chunking_service.py:822-960)
+- coverage:   kb_chunker-style atomizer+packer whose chunks exactly tile
+              [0, len(text)) with no gaps (kb_chunker.py:54-228); pinned by a
+              property test
+- quality:    0.20*length + 0.30*punct-end + 0.20*start-boundary +
+              0.30*min(1, sentences/3) (unified_chunking_service.py:645-688)
+- dedup:      md5 of normalized content per doc (C6) -> dropDuplicates
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .text_analysis import content_hash
+
+PARAGRAPH_RE = re.compile(r"\n\s*\n")
+SENTENCE_END_RE = re.compile(r"[.!?]+\s+")
+
+DEFAULT_MAX_SIZE = 1000
+DEFAULT_MIN_SIZE = 100
+DEFAULT_OVERLAP = 100
+
+
+def chunk_fixed(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                min_size: int = DEFAULT_MIN_SIZE,
+                overlap: int = DEFAULT_OVERLAP) -> list[str]:
+    """Char windows with sentence-boundary backoff and forced advance."""
+    chunks: list[str] = []
+    start = 0
+    n = len(text)
+    while start < n:
+        end = min(start + max_size, n)
+        if end < n:
+            window = text[start:end]
+            matches = list(SENTENCE_END_RE.finditer(window))
+            if matches and matches[-1].end() >= min_size:
+                end = start + matches[-1].end()
+            else:
+                ws = window.rfind(" ")
+                if ws >= min_size:
+                    end = start + ws + 1
+        piece = text[start:end].strip()
+        if piece:
+            chunks.append(piece)
+        next_start = end - overlap
+        if next_start <= start:  # forced advance guard
+            next_start = start + max(1, max_size - overlap)
+        if end >= n:
+            break
+        start = next_start
+    return chunks
+
+
+def chunk_semantic(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                   overlap: int = DEFAULT_OVERLAP) -> list[str]:
+    """Paragraph packing with trailing-overlap carry."""
+    paragraphs = [p.strip() for p in PARAGRAPH_RE.split(text) if p.strip()]
+    chunks: list[str] = []
+    current = ""
+    for p in paragraphs:
+        candidate = (current + "\n\n" + p) if current else p
+        if len(candidate) <= max_size or not current:
+            current = candidate
+        else:
+            chunks.append(current)
+            tail = current[-overlap:] if overlap else ""
+            current = (tail + "\n\n" + p) if tail else p
+    if current:
+        chunks.append(current)
+    return chunks
+
+
+def chunk_hybrid(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                 min_size: int = DEFAULT_MIN_SIZE,
+                 overlap: int = DEFAULT_OVERLAP) -> list[str]:
+    out: list[str] = []
+    for c in chunk_semantic(text, max_size, overlap):
+        if len(c) > max_size:
+            out.extend(chunk_fixed(c, max_size, min_size, overlap))
+        else:
+            out.append(c)
+    return out
+
+
+def chunk_layout(spans: list[dict], max_size: int = DEFAULT_MAX_SIZE,
+                 ) -> list[dict]:
+    """Layout-aware chunking over extracted output spans (C4): tables are
+    atomic chunks, headings start a new chunk, otherwise pack to the size
+    cap. Returns [{content, is_table, kinds}]."""
+    chunks: list[dict] = []
+    cur: list[str] = []
+    kinds: list[str] = []
+
+    def flush():
+        if cur:
+            chunks.append({"content": "\n\n".join(cur), "is_table": False,
+                           "kinds": ",".join(sorted(set(kinds)))})
+            cur.clear()
+            kinds.clear()
+
+    for s in spans:
+        kind, text = s["kind"], s["text"]
+        if not text:
+            continue  # media spans carry no chunkable text
+        if kind == "table":
+            flush()
+            chunks.append({"content": text, "is_table": True,
+                           "kinds": "table"})
+            continue
+        if kind == "heading":
+            flush()
+        if cur and len("\n\n".join(cur)) + len(text) + 2 > max_size:
+            flush()
+        cur.append(text)
+        kinds.append(kind)
+    flush()
+    return chunks
+
+
+_ATOM_RE = re.compile(
+    r"(?ms)(^\#{1,6}\ [^\n]*\n?|^\|[^\n]*\n?|```.*?```\n?|[^.!?\n]*[.!?\n]+|[^.!?\n]+$)")
+
+
+def chunk_coverage(text: str, target: int = 1300,
+                   overlap: int = 150) -> list[tuple[int, int]]:
+    """kb_chunker-style coverage chunker: returns (start, end) offsets that
+    exactly tile [0, len(text)) — the invariant the reference asserts
+    (kb_chunker.py:217-228). Atoms = heading lines / pipe-table lines /
+    fenced code / sentences; packed to ``target`` chars; a tiny tail merges
+    into the previous chunk."""
+    n = len(text)
+    if n == 0:
+        return []
+    bounds: list[int] = [0]
+    for m in _ATOM_RE.finditer(text):
+        if m.end() > bounds[-1]:
+            bounds.append(m.end())
+    if bounds[-1] != n:
+        bounds.append(n)
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    i = 1
+    while i < len(bounds):
+        while i < len(bounds) - 1 and bounds[i] - start < target:
+            i += 1
+        end = bounds[i]
+        chunks.append((start, end))
+        start = end
+        i += 1
+    if len(chunks) > 1 and chunks[-1][1] - chunks[-1][0] < target // 4:
+        last = chunks.pop()
+        prev = chunks.pop()
+        chunks.append((prev[0], last[1]))
+    return chunks
+
+
+CHUNK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("chunk_index", T.IntegerType()),
+    T.StructField("content", T.StringType()),
+    T.StructField("is_table", T.BooleanType()),
+    T.StructField("kinds", T.StringType()),
+    T.StructField("strategy", T.StringType()),
+])
+
+_TEXT_CHUNKERS = {
+    "fixed": chunk_fixed,
+    "semantic": chunk_semantic,
+    "hybrid": chunk_hybrid,
+}
+
+
+def _chunk_batch(pdf: pd.DataFrame, strategy: str,
+                 max_size: int) -> pd.DataFrame:
+    rows = []
+    if strategy == "layout":
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            for i, c in enumerate(chunk_layout(list(spans), max_size)):
+                rows.append((doc_id, i, c["content"], c["is_table"],
+                             c["kinds"], strategy))
+    else:
+        chunker = _TEXT_CHUNKERS[strategy]
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            text = "\n\n".join(s["text"] for s in spans if s["text"])
+            for i, c in enumerate(chunker(text, max_size)):
+                rows.append((doc_id, i, c, False, "", strategy))
+    return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+
+def chunk_documents(extracted: DataFrame, strategy: str = "layout",
+                    max_size: int = DEFAULT_MAX_SIZE,
+                    quality_threshold: float | None = None,
+                    dedup: bool = True) -> DataFrame:
+    """Chunking plan over the extracted table: Arrow-batched chunkers →
+    native quality score (C5) → native per-doc exact dedup (C6) → optional
+    quality filter (C7)."""
+    slim = extracted.select("doc_id", "spans")
+    chunks = slim.mapInPandas(
+        lambda it: (_chunk_batch(p, strategy, max_size) for p in it),
+        schema=CHUNK_SCHEMA)
+
+    c = F.col("content")
+    sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    quality = (
+        0.20 * F.least(F.length(c) / F.lit(float(max_size)), F.lit(1.0))
+        + 0.30 * F.when(F.regexp_like(c, F.lit(r"[.!?]\s*$")), 1.0).otherwise(0.7)
+        + 0.20 * (F.when(F.regexp_like(c, F.lit(r"^[A-Z0-9#|]")), 1.0)
+                  .when(F.regexp_like(c, F.lit(r"^[a-z]")), 0.4)
+                  .otherwise(0.8))
+        + 0.30 * F.least(sentences / F.lit(3.0), F.lit(1.0))
+    )
+    out = chunks.withColumn("quality", F.round(quality, 6)) \
+                .withColumn("content_hash", content_hash(c))
+    if dedup:
+        out = out.dropDuplicates(["doc_id", "content_hash"])
+    if quality_threshold is not None:
+        out = out.filter(F.col("quality") >= quality_threshold)
+    return out

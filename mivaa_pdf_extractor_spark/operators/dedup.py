@@ -1,0 +1,210 @@
+"""Deduplication operators for web-scale corpora.
+
+Five tiers, each a first-class DataFrame plan:
+
+- exact            hash-groupBy on the normalized content hash (T6/C6)
+- ngram-jaccard    inverted-index shingle self-join (no cross join)
+- minhash + LSH    md5-based min-hash signatures, banded candidate pairs
+- simhash          64-bit sign hash via an Arrow-vectorized pandas pass
+- embedding cosine near-dup lives in operators/similarity.py
+
+All hashing is md5-based so every tier (except simhash) has an exact DuckDB
+SQL twin for the driver's correctness oracle — no reliance on engine-private
+hash functions.
+
+Scale notes: the shingle join is an inverted index — worst case is bounded
+by shingle frequency, so apply ``df.filter`` pre-cuts (min length) and the
+``max_shingle_freq`` stop-shingle cut, which caps join fan-out the way
+common-word stoplists do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .text_analysis import content_hash, words
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per normalized-content hash (C6 exact tier)."""
+    h = content_hash(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (df.select(F.col(id_col), h)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "content_hash"))
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles per document, computed natively:
+    sliding window via transform over index sequence + array_join."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    k = F.size(ws) - F.lit(n - 1)
+    shingles = F.when(k > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    ))).otherwise(F.array())
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(shingles).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        threshold: float = 0.5,
+                        max_shingle_freq: int | None = 1000) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index plan: explode distinct shingles, drop stop-shingles above
+    ``max_shingle_freq``, self-join on shingle to count intersections, then
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+        sh = (sh.join(freq.filter(F.col("freq") <= max_shingle_freq),
+                      "shingle", "inner").select("id", "shingle"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("n_sh", "n_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("n_sh", "n_b"), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+               6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 5,
+                       num_hashes: int = 8) -> DataFrame:
+    """md5-based min-hash: sig_i = min over shingles of md5('s<i>|'+shingle).
+
+    Hex-string min is a valid uniform min-hash (md5 is uniform on hex
+    strings) and is reproducible in any engine with md5 — the point, for the
+    DuckDB oracle. Output: (id, sig_0..sig_{k-1})."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH candidate pairs: hash each band of ``band_size`` signature values,
+    self-join per band bucket, distinct pairs (id_a < id_b). A banded plan —
+    each band is an equi-join on a tiny key, shuffle bounded by bucket size."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [f"sig_{b * band_size + j}" for j in range(band_size)]
+        bands.append(sigs.select(
+            "id",
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.lit(b).alias("band"),
+        ))
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a, b_ = allb.alias("a"), allb.alias("b")
+    return (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """64-bit simhash over word md5 hashes, numpy-vectorized per batch:
+    flatten all words, hash to 64 bits, expand to a (n_words, 64) bit matrix,
+    then segment-sum per doc and take sign."""
+    import hashlib
+
+    texts = pdf["text"].fillna("").str.lower().str.split()
+    lengths = texts.str.len().to_numpy(dtype=np.int64)
+    flat_words = [w for ws in texts for w in ws]
+    if flat_words:
+        hashes = np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+             for w in flat_words], dtype=np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                ).astype(np.int64) * 2 - 1
+        doc_of = np.repeat(np.arange(len(pdf)), lengths)
+        acc = np.zeros((len(pdf), 64), dtype=np.int64)
+        np.add.at(acc, doc_of, bits)
+        sim = ((acc > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1)
+    else:
+        sim = np.zeros(len(pdf), dtype=np.uint64)
+    return pd.DataFrame({"id": pdf["id"].astype(str),
+                         "simhash": sim.astype(np.int64)})
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprints (Arrow-vectorized pass; no SQL twin — the driver
+    records the rows-only check for this one)."""
+    slim = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return slim.mapInPandas(
+        lambda it: (_simhash_batch(p) for p in it), schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, using the standard
+    block-rotation trick: split 64 bits into (max_hamming+1) blocks — any
+    pair within distance shares at least one exact block (pigeonhole), so
+    candidates come from equi-joins on block values, never a cross join."""
+    sims = simhash(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = []
+    for i in range(nblocks):
+        shift = i * width
+        blocks.append(sims.select(
+            "id", "simhash",
+            F.lit(i).alias("block"),
+            F.shiftright(F.col("simhash"), shift).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("block_val"),
+        ))
+    allb = blocks[0]
+    for x in blocks[1:]:
+        allb = allb.unionByName(x)
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.block_val") == F.col("b.block_val"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,132 @@
+"""Multimodal column operators: image/audio/video as opaque binary columns
+with typed metadata.
+
+The decode/resize/frame-sample kernels require codec libraries that are not
+in this container, so the *pixel* step is stubbed behind ``use_real_codecs``
+(raises NotImplementedError) or a deterministic fake (md5-derived features).
+Everything Spark-side is real and tested: schemas, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing — so swapping in a real decoder
+is a one-function change.
+
+Models the reference's media surface: extraction layers and stable refs
+(pdf_processor.py:1022-1136), perceptual hashing (:1709-1734), quality
+metrics (:1651-1707).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("phash64", T.LongType()),
+    T.StructField("ahash64", T.LongType()),
+    T.StructField("sharpness", T.DoubleType()),
+    T.StructField("brightness", T.DoubleType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("frame_ref", T.StringType()),
+])
+
+
+def _fake_image_features(content: bytes, dim: int = 16) -> dict:
+    """Deterministic stand-in for a real decoder: statistics derived from
+    the md5 of the bytes. Replaced wholesale when codecs are available."""
+    digest = hashlib.md5(content or b"").digest()
+    h = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+    rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+    return {
+        "phash64": int.from_bytes(digest[:8], "big", signed=True),
+        "ahash64": int.from_bytes(digest[8:16], "big", signed=True),
+        "sharpness": float(h.mean() / 255.0),
+        "brightness": float(h.std() / 128.0),
+        "feature": rng.randn(dim).astype(np.float32).tolist(),
+    }
+
+
+def _decode_batch(pdf: pd.DataFrame, use_real_codecs: bool) -> pd.DataFrame:
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv, not present in this "
+            "environment; plumbing (schema/batching/partitioning) is real — "
+            "swap _fake_image_features for the codec call")
+    feats = [_fake_image_features(c) for c in pdf["content"]]
+    return pd.DataFrame({
+        "media_ref": pdf["media_ref"],
+        "doc_id": pdf["doc_id"],
+        "phash64": [f["phash64"] for f in feats],
+        "ahash64": [f["ahash64"] for f in feats],
+        "sharpness": [f["sharpness"] for f in feats],
+        "brightness": [f["brightness"] for f in feats],
+        "feature": [f["feature"] for f in feats],
+    })
+
+
+def extract_image_features(media: DataFrame,
+                           use_real_codecs: bool = False) -> DataFrame:
+    """Decode + feature-extract pass over an image media table. Repartitions
+    by media_ref hash so large binaries spread evenly (binary columns make
+    row-size the skew axis, not row count)."""
+    imgs = media.filter(F.col("mime").startswith("image/"))
+    imgs = imgs.repartition(F.col("media_ref"))
+    return imgs.mapInPandas(
+        lambda it: (_decode_batch(p, use_real_codecs) for p in it),
+        schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _frame_batch(pdf: pd.DataFrame, every_ms: int) -> pd.DataFrame:
+    rows = []
+    for ref, doc, dur in zip(pdf["media_ref"], pdf["doc_id"],
+                             pdf["duration_ms"]):
+        dur = int(dur or 0)
+        for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+            rows.append((ref, doc, i, ts, f"{ref}/frame{i}"))
+    return pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video media: emits one row per sampled frame
+    with a deterministic frame_ref (decode itself is the stubbed step)."""
+    vids = media.filter(F.col("mime").startswith("video/"))
+    return vids.mapInPandas(
+        lambda it: (_frame_batch(p, every_ms) for p in it),
+        schema=FRAME_SCHEMA)
+
+
+def synth_media_for_extracted(extracted: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the extracted span table's
+    media_refs (content = utf8 bytes of the ref — a stable fake payload)."""
+    refs = (extracted.select(
+        "doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.media_ref") != "")
+        .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+    return refs.select(
+        "media_ref", "doc_id",
+        F.lit("image/synthetic").alias("mime"),
+        F.encode(F.col("media_ref"), "utf-8").alias("content"),
+        F.lit(64).alias("width"), F.lit(64).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )

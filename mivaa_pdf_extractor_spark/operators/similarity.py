@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``     brute-force exact top-k with native higher-order
+                      functions (zip_with product + aggregate sum — stays in
+                      Tungsten, no Python); the correctness baseline.
+- ``cosine_topk_lsh`` sign-random-projection bucketed variant: deterministic
+                      hyperplanes (seeded), candidates share a bucket → the
+                      scale path (shuffle ~ bucket size, not |Q|x|C|).
+- ``embedding_near_dup_pairs`` cosine >= threshold pairs via the same LSH
+                      bucketing — the embedding tier of the dedup suite.
+
+Arithmetic is done in double with a left-fold ``aggregate`` so the DuckDB
+oracle (list_reduce) reproduces the exact same op order → bitwise-equal
+results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector.
+
+    Plan: broadcast the (small) query side against the corpus — a single
+    scan of the corpus per batch of queries, no shuffle until the final
+    per-query top-k window."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def srp_bucket(vec_col, planes: np.ndarray):
+    """Sign-random-projection bucket id as a native expression: for each
+    plane, sign(dot(v, plane)) bit — computed with zip_with against literal
+    plane arrays, folded into a bigint."""
+    bucket = F.lit(0).cast("long")
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        bit = (_dot(_as_double(vec_col), plane) > 0).cast("long")
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8, n_tables: int = 4,
+                    dim: int = 64, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates must share an SRP bucket in at least one
+    of ``n_tables`` hash tables; exact cosine is computed only on candidates.
+    Recall grows with n_tables; shuffle is bounded by bucket occupancy."""
+    qs, cs = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qs.append(queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
+        cs.append(corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
+    q = qs[0]
+    for x in qs[1:]:
+        q = q.unionByName(x)
+    c = cs[0]
+    for x in cs[1:]:
+        c = c.unionByName(x)
+    cand = (c.join(F.broadcast(q), ["tbl", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "qv", "cv")
+            .distinct()
+            .withColumn("sim", F.round(
+                cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_planes: int = 8, n_tables: int = 4,
+                             dim: int = 64, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t) via
+    SRP-LSH candidate generation."""
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        tables.append(df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.lit(t).alias("tbl"),
+            srp_bucket(F.col(vec_col), planes).alias("bucket")))
+    allt = tables[0]
+    for x in tables[1:]:
+        allt = allt.unionByName(x)
+    a, b = allt.alias("a"), allt.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .distinct())
+    return (cand.withColumn("sim", F.round(
+        cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim"))

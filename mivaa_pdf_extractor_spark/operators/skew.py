@@ -5,16 +5,24 @@ takes longer); the north rule requires it explicitly. Strategy:
 
 - documents with ``size(spans) <= threshold`` take the normal whole-doc
   ``mapInPandas`` path (operators/extract.py);
-- giant documents are **salted by page**: ``posexplode`` → the doc-global
-  context (heading histogram M1, per-layer media dedup I5) is computed with
-  *native* window/groupBy expressions → per-(doc_id, page) groups are
-  processed independently by ``applyInPandas`` reusing the same
-  ``process_flat`` kernel → pages are reassembled **natively** with a window
-  cumsum for the char offsets and ``array_sort``+``flatten`` for ordered span
+- giant documents are **salted by page bucket**: ``posexplode`` → the
+  doc-global context (heading histogram M1, per-layer media dedup I5) is
+  computed with *native* window/groupBy expressions → per
+  ``(doc_id, page % n_salts)`` bucket groups are processed by
+  ``applyInPandas`` reusing the same ``process_flat`` kernel (one kernel
+  invocation covers ~pages/n_salts pages, so the per-group pandas overhead
+  amortizes) → per-page rows are reassembled **natively** with a window
+  cumsum for char offsets and ``array_sort``+``flatten`` for ordered span
   concatenation (SURVEY.md §7.2 step 8's "one subtle shuffle").
 
-At cluster scale this bounds task size by page, not by document, so one
-10^6-span document cannot stall a partition.
+At cluster scale this bounds task size by page bucket, not by document: one
+10^6-span document spreads across exactly ``n_salts`` tasks, and no task
+materializes the whole document until the final (columnar, JVM-side)
+concatenation.
+
+The giant subset is persisted before fan-out: five downstream subplans
+(failure scan, heading histogram, dedup window, page groups, stripped-doc
+anti-join) would otherwise each recompute the upstream plan.
 """
 
 from __future__ import annotations
@@ -23,10 +31,11 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..core import constants as C
-from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, heading_levels,
-                      parse_attrs, process_flat, run_extract)
+from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, parse_attrs,
+                      process_flat, run_extract)
 
 _PAGE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -39,17 +48,18 @@ _PAGE_SCHEMA = T.StructType([
 
 _PAGE_RE = r"(?:^|;)page=([0-9]+)"
 
+DEFAULT_PAGE_SALTS = 32
 
-def _extract_page_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (doc_id, page) group of a giant document.
+
+def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (doc_id, page-bucket) group of a giant doc.
 
     Receives doc-global context as joined columns: ``heading_entries``
     (list of {size, level}) and ``dup_pos`` (input positions of media
-    duplicates). Reuses the exact classify/assemble kernel of the normal
-    path, so per-page and whole-doc processing cannot drift.
-    """
+    duplicates). Reuses the classify/assemble kernel of the normal path over
+    *all pages in the bucket at once*, then splits the result per page for
+    the native reassembly."""
     doc_id = pdf["doc_id"].iloc[0]
-    page = int(pdf["page_hint"].iloc[0])
 
     flat = pd.DataFrame({
         "doc_idx": np.zeros(len(pdf), dtype=np.int64),
@@ -78,21 +88,41 @@ def _extract_page_group(pdf: pd.DataFrame) -> pd.DataFrame:
                                  "level": pd.Series(dtype=np.int64)})
 
     out = process_flat(flat, headings)
-    spans = [
-        {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
-        for k, t, r, o in zip(out["out_kind"], out["out_text"],
-                              out["out_ref"], out["offset"])
-    ]
-    n_chars = int(out["tlen"].sum()) if len(out) else 0
-    return pd.DataFrame({
-        "doc_id": [doc_id], "page": [page], "spans": [spans],
-        "n_spans": [len(spans)], "n_chars": [n_chars],
-        "has_text": [bool((out["tlen"] > 0).any()) if len(out) else False],
-    })
+    if not len(out):
+        return pd.DataFrame(columns=[f.name for f in _PAGE_SCHEMA.fields])
+
+    # per-page offsets (process_flat's running offsets are per doc_idx; the
+    # bucket holds many pages, each of which must restart at 0 for the
+    # native page-base reassembly)
+    tlen = out["tlen"].to_numpy()
+    page_vals = out["page"].to_numpy()
+    cum = pd.Series(tlen).groupby(page_vals).cumsum().to_numpy()
+    offsets = (cum - tlen).astype(np.int64)
+
+    rows = []
+    # out is sorted by page already (doc constant); split on boundaries
+    boundaries = np.flatnonzero(np.diff(page_vals)) + 1
+    for seg, page_seg, off_seg in zip(
+            np.split(np.arange(len(out)), boundaries),
+            np.split(page_vals, boundaries),
+            np.split(offsets, boundaries)):
+        sub = out.iloc[seg]
+        spans = [
+            {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
+            for k, t, r, o in zip(sub["out_kind"], sub["out_text"],
+                                  sub["out_ref"], off_seg)
+        ]
+        seg_tlen = sub["tlen"].to_numpy()
+        rows.append((doc_id, int(page_seg[0]), spans, len(spans),
+                     int(seg_tlen.sum()), bool((seg_tlen > 0).any())))
+    return pd.DataFrame(rows, columns=[f.name for f in _PAGE_SCHEMA.fields])
 
 
-def _extract_giant(giant: DataFrame) -> DataFrame:
-    """Per-page salted extraction of documents above the skew threshold."""
+def _extract_giant(giant: DataFrame,
+                   n_salts: int = DEFAULT_PAGE_SALTS) -> DataFrame:
+    """Per-page-bucket salted extraction of documents above the threshold."""
+    giant = giant.persist(StorageLevel.MEMORY_AND_DISK)
+
     exploded = (
         giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
         .select(
@@ -122,6 +152,7 @@ def _extract_giant(giant: DataFrame) -> DataFrame:
 
     # boilerplate strip before the shuffle — less data moved
     ok = ok.filter(~F.col("base").isin(*C.BOILERPLATE_KINDS))
+    ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
 
     # doc-global heading histogram (M1), computed natively
     size_col = F.coalesce(
@@ -149,9 +180,11 @@ def _extract_giant(giant: DataFrame) -> DataFrame:
     )
 
     # doc-global media dedup (I5), computed natively
-    num = lambda key: F.coalesce(  # noqa: E731
-        F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
-                 F.lit("")), F.lit("0")).cast("double")
+    def num(key):
+        return F.coalesce(
+            F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
+                     F.lit("")), F.lit("0")).cast("double")
+
     media = (ok.filter(F.col("base").isin(*C.MEDIA_KINDS))
              .withColumn("phash",
                          F.regexp_extract("kind", r"(?:^|;)phash=([^;]*)", 1))
@@ -166,11 +199,13 @@ def _extract_giant(giant: DataFrame) -> DataFrame:
 
     # per-doc context is tiny -> broadcast both sides of the join
     pages_in = (ok.join(F.broadcast(headings), "doc_id", "left")
-                  .join(F.broadcast(dups), "doc_id", "left"))
+                  .join(F.broadcast(dups), "doc_id", "left")
+                  .withColumn("bucket", F.pmod(F.col("page_hint"),
+                                               F.lit(n_salts))))
 
     page_rows = (
-        pages_in.groupBy("doc_id", "page_hint")
-        .applyInPandas(_extract_page_group, schema=_PAGE_SCHEMA)
+        pages_in.groupBy("doc_id", "bucket")
+        .applyInPandas(_extract_page_bucket, schema=_PAGE_SCHEMA)
     )
 
     # ordered reassembly: page-base char offsets via window cumsum, span
@@ -221,11 +256,12 @@ def run_extract_skewed(
     df: DataFrame,
     skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
     num_partitions: int | None = None,
+    n_salts: int = DEFAULT_PAGE_SALTS,
 ) -> DataFrame:
     """Full extraction plan with skew salting: normal docs whole-doc, giant
-    docs per-page, one unioned output."""
+    docs per-page-bucket, one unioned output."""
     n = F.size("spans")  # -1 for NULL arrays -> normal path handles them
     normal = df.filter((n <= skew_threshold))
     giant = df.filter(n > skew_threshold)
     return run_extract(normal, num_partitions).unionByName(
-        _extract_giant(giant))
+        _extract_giant(giant, n_salts))

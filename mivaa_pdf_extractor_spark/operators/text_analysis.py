@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure native Column expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path. Each has an ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` so the driver's DuckDB oracle checks them
+value-for-value.
+
+Models the reference's text metrics (T5-T7: pdf_processor.py:1384-1396,
+unified_chunking_service.py:690-694) extended with the standard
+language-ID / quality / tokenization battery a 100 TB corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic mini stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du", "que", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "it": ["il", "di", "che", "la", "per", "con", "del", "una", "sono", "le"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_WS_COLLAPSE = r"\s+"
+
+
+def words(col: Column) -> Column:
+    """Whitespace word split with empty-token removal."""
+    return F.array_remove(F.split(col, _WS_COLLAPSE), "")
+
+
+def content_hash(col: Column) -> Column:
+    """T6 dedup key: md5(lowercase, whitespace-collapsed)
+    (unified_chunking_service.py:690-694)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), _WS_COLLAPSE, " ")))
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Vocabulary fingerprint: md5 over the sorted distinct word set —
+    order-insensitive rolling-hash analogue for shard-level dedup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(col)))))
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    """Distinct stopword hits for one language."""
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(F.lower(col))), stop))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over per-language stopword hits; ties -> lexicographically
+    first language; zero hits -> 'und'. Deterministic and SQL-expressible."""
+    pairs = F.array(*[
+        F.struct(lang_hits(col, lang).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_STOPWORDS)
+    ])
+    # max by (hits asc, lang desc) comparator == argmax hits, tie -> first lang
+    best = F.array_max(F.transform(
+        pairs, lambda p: F.struct(
+            p["hits"].alias("hits"),
+            # invert lang ordering so array_max prefers lexicographically
+            # smaller lang on hit ties: store negated rank
+            (-F.array_position(
+                F.array(*[F.lit(x) for x in sorted(LANG_STOPWORDS)]),
+                p["lang"])).cast("int").alias("nrank"),
+            p["lang"].alias("lang"))))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic quality score in [0,1], modeling the reference's chunk
+    quality formula (C5, unified_chunking_service.py:645-688): length band +
+    terminal punctuation + start-boundary + sentence count, reweighted with a
+    stopword-ratio component for corpus filtering."""
+    n = F.length(col)
+    nw = token_count_ws(col).cast("double")
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    ends_punct = F.when(F.regexp_like(col, F.lit(r"[.!?]\s*$")), 1.0).otherwise(0.7)
+    starts_upper = F.when(F.regexp_like(col, F.lit(r"^[A-Z0-9]")), 1.0).otherwise(0.8)
+    sentences = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0))
+    sent_score = F.least(sentences.cast("double") / F.lit(3.0), F.lit(1.0))
+    stop_hits = sum(lang_hits(col, lang) for lang in sorted(LANG_STOPWORDS))
+    stop_score = F.least(stop_hits.cast("double") / F.greatest(nw, F.lit(1.0))
+                         * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        0.2 * len_score + 0.2 * ends_punct + 0.2 * starts_upper
+        + 0.2 * sent_score + 0.2 * stop_score, 6)
+
+
+def doc_metrics(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """T7 word/char/line metrics, one row per document."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_ws(c).alias("n_words"),
+        F.length(c).alias("n_chars_measured"),
+        F.size(F.split(c, "\n")).alias("n_lines"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+    )

@@ -1,0 +1,53 @@
+"""Native (no-Python) synthesis of span-structured documents from a flat
+``documents(doc_id, text, ...)`` table.
+
+Used by the driver contract and the bench: the engine's input schema is
+``(doc_id, spans array<struct<kind,text,media_ref,offset>>)``; this converts
+the testdata corpus into that shape deterministically with pure Column
+expressions, so the whole plan stays in Tungsten until the extraction UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def documents_to_spans(df: DataFrame, words_per_span: int = 8) -> DataFrame:
+    """Split each text into spans of ``words_per_span`` words; spans get
+    synthetic geometry (10 spans per page, descending y, first span titled).
+    Deterministic: same input -> same spans."""
+    ws = F.array_remove(F.split(F.col("text"), r"\s+"), "")
+    n_spans = F.greatest(
+        F.ceil(F.size(ws) / F.lit(words_per_span)).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.concat(
+                F.when(i == 0, F.lit("title;")).otherwise(F.lit("text;")),
+                F.lit("page="), (F.floor(i / 10) + 1).cast("string"),
+                F.lit(";y="), ((i % 10) * 40 + 80).cast("string"),
+                F.lit(";x=50;size="),
+                F.when(i == 0, F.lit("18")).otherwise(F.lit("10")),
+            ).alias("kind"),
+            F.array_join(
+                F.slice(ws, i * words_per_span + 1, words_per_span), " "
+            ).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+    )
+    return df.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     spans.alias("spans"))
+
+
+def with_synthetic_giants(df: DataFrame, every: int = 1000,
+                          repeat: int = 80) -> DataFrame:
+    """Skew injection for benchmarks: every ``every``-th doc also yields a
+    giant variant (text repeated ``repeat`` times, one word per span) so the
+    salted path is exercised at bench scale."""
+    giants = (df.filter(F.col("doc_id") % every == 0)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      F.repeat(F.concat(F.col("text"), F.lit(" ")),
+                               repeat).alias("text")))
+    return documents_to_spans(df).unionByName(
+        documents_to_spans(giants, words_per_span=1))

@@ -1,0 +1,57 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference's streaming-shaped features (SURVEY.md §2.10) are batch
+resume + bounded fan-out; the natural Spark expression is a
+``Trigger.AvailableNow`` stream over the documents source with
+``foreachBatch`` running the same extraction plan per micro-batch:
+
+- new files under the source path are discovered exactly once
+  (checkpointLocation tracks consumed files — ingest-level resume),
+- within each micro-batch the pipeline's checkpoint anti-join still applies
+  (doc-level resume, retryable statuses),
+- watermarks/session windows are deliberately absent: the reference has no
+  event-time semantics (SURVEY.md §2.10 X3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..core import constants as C
+from ..operators.skew import run_extract_skewed
+from ..sources.synthetic import INPUT_SCHEMA
+from ..sources.tables_io import Catalog
+from ..plans.pipeline import EXTRACTED_TABLE
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_path: str,
+    catalog: Catalog,
+    stream_checkpoint: str,
+    skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
+) -> None:
+    """Process all currently-available new document files, then stop."""
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .parquet(source_path)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        extracted = (
+            run_extract_skewed(batch_df, skew_threshold)
+            .withColumn("run_id", F.lit(f"stream-{batch_id}"))
+            .withColumn("partition_id", F.spark_partition_id())
+            .withColumn("ts", F.current_timestamp())
+        )
+        catalog.append(extracted, EXTRACTED_TABLE)
+
+    q = (
+        stream.writeStream
+        .foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
