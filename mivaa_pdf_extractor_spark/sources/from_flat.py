@@ -19,25 +19,36 @@ def documents_to_spans(df: DataFrame, words_per_span: int = 8) -> DataFrame:
     ws = F.array_remove(F.split(F.col("text"), r"\s+"), "")
     n_spans = F.greatest(
         F.ceil(F.size(ws) / F.lit(words_per_span)).cast("int"), F.lit(1))
+    doc_id_s = F.col("doc_id").cast("string")
+
+    def kind_of(i):
+        is_media = (i % 13 == 5) & (i > 0)
+        geo = F.concat(
+            F.lit("page="), (F.floor(i / 10) + 1).cast("string"),
+            F.lit(";y="), ((i % 10) * 40 + 80).cast("string"),
+            F.lit(";x=50"))
+        return (
+            F.when(i == 0, F.concat(F.lit("title;"), geo, F.lit(";size=18")))
+            .when(is_media, F.concat(
+                F.lit("image;"), geo, F.lit(";edpi=250;phash="),
+                F.substring(F.md5(F.concat(doc_id_s, F.lit("#"),
+                                           i.cast("string"))), 1, 16)))
+            .otherwise(F.concat(F.lit("text;"), geo, F.lit(";size=10")))
+        )
+
     spans = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.struct(
-            F.concat(
-                F.when(i == 0, F.lit("title;")).otherwise(F.lit("text;")),
-                F.lit("page="), (F.floor(i / 10) + 1).cast("string"),
-                F.lit(";y="), ((i % 10) * 40 + 80).cast("string"),
-                F.lit(";x=50;size="),
-                F.when(i == 0, F.lit("18")).otherwise(F.lit("10")),
-            ).alias("kind"),
-            F.array_join(
-                F.slice(ws, i * words_per_span + 1, words_per_span), " "
+            kind_of(i).alias("kind"),
+            F.when((i % 13 == 5) & (i > 0), F.lit("")).otherwise(
+                F.array_join(
+                    F.slice(ws, i * words_per_span + 1, words_per_span), " ")
             ).alias("text"),
             F.lit("").alias("media_ref"),
             F.lit(0).alias("offset"),
         ),
     )
-    return df.select(F.col("doc_id").cast("string").alias("doc_id"),
-                     spans.alias("spans"))
+    return df.select(doc_id_s.alias("doc_id"), spans.alias("spans"))
 
 
 def with_synthetic_giants(df: DataFrame, every: int = 1000,
