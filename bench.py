@@ -39,6 +39,10 @@ def run_extraction_bench(spark, sf_dir: str) -> tuple[float, int]:
     # not corpus synthesis
     spans = with_synthetic_giants(docs, every=500, repeat=80).localCheckpoint()
     n_docs = spans.count()
+    # warm the Python workers (fork + numpy/pandas import) so the bench
+    # measures steady-state extraction throughput, not cold-start
+    spark.range(256).repartition(256).mapInPandas(
+        lambda it: it, "id long").count()
     t0 = time.time()
     out = run_extract_skewed(spans, skew_threshold=2000)
     # a real action that touches every span array but returns scalars

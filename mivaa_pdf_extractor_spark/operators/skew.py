@@ -20,9 +20,9 @@ At cluster scale this bounds task size by page bucket, not by document: one
 materializes the whole document until the final (columnar, JVM-side)
 concatenation.
 
-The giant subset is persisted before fan-out: five downstream subplans
-(failure scan, heading histogram, dedup window, page groups, stripped-doc
-anti-join) would otherwise each recompute the upstream plan.
+The giant subset and its exploded form are persisted before fan-out: the
+downstream subplans (failure scan, media-dedup window, heading histogram,
+page buckets) would otherwise each recompute the upstream plan.
 """
 
 from __future__ import annotations
@@ -54,9 +54,9 @@ DEFAULT_PAGE_SALTS = 32
 def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one (doc_id, page-bucket) group of a giant doc.
 
-    Receives doc-global context as joined columns: ``heading_entries``
-    (list of {size, level}) and ``dup_pos`` (input positions of media
-    duplicates). Reuses the classify/assemble kernel of the normal path over
+    Receives the doc-global heading context as a joined ``heading_entries``
+    column (list of {size, level}); media duplicates were already removed
+    upstream. Reuses the classify/assemble kernel of the normal path over
     *all pages in the bucket at once*, then splits the result per page for
     the native reassembly."""
     doc_id = pdf["doc_id"].iloc[0]
@@ -70,10 +70,6 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         "ref": pdf["ref"].astype("object"),
     })
     flat = parse_attrs(flat)
-
-    dup_pos = pdf["dup_pos"].iloc[0]
-    if dup_pos is not None and len(dup_pos):
-        flat = flat[~flat["pos"].isin(set(int(p) for p in dup_pos))]
 
     entries = pdf["heading_entries"].iloc[0]
     if entries is not None and len(entries):
@@ -120,8 +116,21 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _extract_giant(giant: DataFrame,
                    n_salts: int = DEFAULT_PAGE_SALTS) -> DataFrame:
-    """Per-page-bucket salted extraction of documents above the threshold."""
+    """Per-page-bucket salted extraction of documents above the threshold.
+
+    Stage-lean plan (each line after the explode is one shuffle at most):
+      explode -> [doc-level failure scan (tiny agg)]
+              -> media dedup as a window *filter* on media rows only,
+                 unioned back with the narrow non-media rows
+              -> heading histogram (two tiny aggs) broadcast-joined
+              -> one full shuffle into (doc_id, page-bucket) groups
+              -> applyInPandas kernel
+              -> window cumsum + groupBy reassembly (same key: one shuffle)
+              -> final broadcast left-join against the giant id list to
+                 restore all-stripped and failed documents
+    """
     giant = giant.persist(StorageLevel.MEMORY_AND_DISK)
+    giant_ids = giant.select("doc_id")
 
     exploded = (
         giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
@@ -136,25 +145,34 @@ def _extract_giant(giant: DataFrame,
             F.nullif(F.regexp_extract("kind", _PAGE_RE, 1), F.lit("")),
             F.lit("1")).cast("long"))
     )
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # doc-level failure: any NULL kind (same semantics as the normal path)
-    failed = (
-        exploded.filter(F.col("kind").isNull())
-        .select("doc_id").distinct()
-    )
-    failed_rows = failed.select(
-        "doc_id",
-        F.array().cast(OUTPUT_SCHEMA["spans"].dataType).alias("spans"),
-        F.lit(0).alias("n_spans"), F.lit(0).cast("long").alias("n_chars"),
-        F.lit(C.STATUS_FAILED).alias("status"),
-    )
-    ok = exploded.join(F.broadcast(failed), "doc_id", "left_anti")
+    failed = (exploded.filter(F.col("kind").isNull())
+              .select("doc_id").distinct()
+              .withColumn("is_failed", F.lit(True)))
 
-    # boilerplate strip before the shuffle — less data moved
-    ok = ok.filter(~F.col("base").isin(*C.BOILERPLATE_KINDS))
-    ok = ok.persist(StorageLevel.MEMORY_AND_DISK)
+    ok = exploded.filter(F.col("kind").isNotNull()) \
+                 .filter(~F.col("base").isin(*C.BOILERPLATE_KINDS))
 
-    # doc-global heading histogram (M1), computed natively
+    # media dedup (I5) as a window filter over the (small) media subset:
+    # keep the first (page, y, x, pos) occurrence per (doc, layer, phash)
+    def num(key):
+        return F.coalesce(
+            F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
+                     F.lit("")), F.lit("0")).cast("double")
+
+    is_media = F.col("base").isin(*C.MEDIA_KINDS)
+    phash = F.regexp_extract("kind", r"(?:^|;)phash=([^;]*)", 1)
+    media = (ok.filter(is_media & (phash != ""))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("doc_id", "base", phash)
+                 .orderBy("page_hint", num("y"), num("x"), "pos")))
+             .filter(F.col("rn") == 1).drop("rn"))
+    rest = ok.filter(~(is_media & (phash != "")))
+    deduped = rest.unionByName(media)
+
+    # doc-global heading histogram (M1): two tiny aggregations
     size_col = F.coalesce(
         F.nullif(F.regexp_extract("kind", r"(?:^|;)size=([0-9.]+)", 1),
                  F.lit("")),
@@ -179,29 +197,16 @@ def _extract_giant(giant: DataFrame,
         .agg(F.collect_list(F.struct("size", "level")).alias("heading_entries"))
     )
 
-    # doc-global media dedup (I5), computed natively
-    def num(key):
-        return F.coalesce(
-            F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
-                     F.lit("")), F.lit("0")).cast("double")
+    pages_in = (deduped.join(F.broadcast(headings), "doc_id", "left")
+                .withColumn("bucket", F.pmod(F.col("page_hint"),
+                                             F.lit(n_salts))))
 
-    media = (ok.filter(F.col("base").isin(*C.MEDIA_KINDS))
-             .withColumn("phash",
-                         F.regexp_extract("kind", r"(?:^|;)phash=([^;]*)", 1))
-             .filter(F.col("phash") != "")
-             .withColumn("y", num("y")).withColumn("x", num("x")))
-    dups = (media.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("doc_id", "base", "phash")
-            .orderBy("page_hint", "y", "x", "pos")))
-        .filter(F.col("rn") > 1)
-        .groupBy("doc_id").agg(F.collect_list("pos").alias("dup_pos")))
-
-    # per-doc context is tiny -> broadcast both sides of the join
-    pages_in = (ok.join(F.broadcast(headings), "doc_id", "left")
-                  .join(F.broadcast(dups), "doc_id", "left")
-                  .withColumn("bucket", F.pmod(F.col("page_hint"),
-                                               F.lit(n_salts))))
+    # explicit repartition on the exact grouping keys: the groupBy reuses
+    # this hash partitioning, and the fixed partition count keeps AQE from
+    # byte-coalescing the compute-heavy Python stage down to a few tasks
+    spark = giant.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    pages_in = pages_in.repartition(n_parts, "doc_id", "bucket")
 
     page_rows = (
         pages_in.groupBy("doc_id", "bucket")
@@ -209,7 +214,8 @@ def _extract_giant(giant: DataFrame,
     )
 
     # ordered reassembly: page-base char offsets via window cumsum, span
-    # arrays concatenated in page order natively
+    # arrays concatenated in page order natively; groupBy reuses the window's
+    # hash partitioning on doc_id (no extra shuffle)
     w = (Window.partitionBy("doc_id").orderBy("page")
          .rowsBetween(Window.unboundedPreceding, -1))
     shifted = page_rows.withColumn(
@@ -232,24 +238,32 @@ def _extract_giant(giant: DataFrame,
             F.sum("n_chars").alias("n_chars"),
             F.max("has_text").alias("has_text"),
         )
-        .withColumn("status", F.when(F.col("has_text"), C.STATUS_COMPLETED)
-                    .when(F.col("n_spans") > 0, C.STATUS_NO_TEXT)
-                    .otherwise(C.STATUS_COMPLETED_EMPTY))
-        .drop("has_text")
     )
 
-    # giants whose every span was stripped produce no page rows at all
-    stripped = giant.select("doc_id").join(docs.select("doc_id"), "doc_id",
-                                           "left_anti") \
-        .join(F.broadcast(failed), "doc_id", "left_anti") \
-        .select(
-            "doc_id",
-            F.array().cast(OUTPUT_SCHEMA["spans"].dataType).alias("spans"),
-            F.lit(0).alias("n_spans"), F.lit(0).cast("long").alias("n_chars"),
-            F.lit(C.STATUS_COMPLETED_EMPTY).alias("status"),
-    )
-    return docs.select(*OUTPUT_SCHEMA.fieldNames()) \
-        .unionByName(failed_rows).unionByName(stripped)
+    # one final join restores documents that produced no page rows at all
+    # (failed, or everything stripped as boilerplate)
+    empty_spans = F.array().cast(OUTPUT_SCHEMA["spans"].dataType)
+    out = (giant_ids
+           .join(F.broadcast(failed), "doc_id", "left")
+           .join(docs, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.when(F.col("is_failed"), empty_spans)
+               .otherwise(F.coalesce(F.col("spans"), empty_spans))
+               .alias("spans"),
+               F.when(F.col("is_failed"), F.lit(0))
+               .otherwise(F.coalesce(F.col("n_spans"), F.lit(0)))
+               .alias("n_spans"),
+               F.when(F.col("is_failed"), F.lit(0).cast("long"))
+               .otherwise(F.coalesce(F.col("n_chars"), F.lit(0).cast("long")))
+               .alias("n_chars"),
+               F.when(F.col("is_failed"), C.STATUS_FAILED)
+               .when(F.col("has_text"), C.STATUS_COMPLETED)
+               .when(F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                     C.STATUS_NO_TEXT)
+               .otherwise(C.STATUS_COMPLETED_EMPTY).alias("status"),
+           ))
+    return out
 
 
 def run_extract_skewed(
