@@ -402,8 +402,12 @@ def extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def run_extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """The physical extraction plan for non-skewed documents:
     hash-repartition by doc_id, then one Arrow-vectorized pass."""
-    if num_partitions:
-        df = df.repartition(num_partitions, F.col("doc_id"))
-    else:
-        df = df.repartition(F.col("doc_id"))
+    if num_partitions is None:
+        # pin the partition count: a bare repartition(col) is AQE-coalescible
+        # by bytes, and span rows are small in bytes but heavy in Python
+        # compute — AQE would shrink this stage to 1-2 tasks. 3x task slots
+        # keeps the compute-heavy stage load-balanced (a single wave of
+        # slot-sized tasks makes every straggler extend the stage)
+        num_partitions = 3 * df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(num_partitions, F.col("doc_id"))
     return df.mapInPandas(extract_iter, schema=OUTPUT_SCHEMA)

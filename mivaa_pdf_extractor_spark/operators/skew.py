@@ -20,9 +20,12 @@ At cluster scale this bounds task size by page bucket, not by document: one
 materializes the whole document until the final (columnar, JVM-side)
 concatenation.
 
-The giant subset and its exploded form are persisted before fan-out: the
+The giant subset is deliberately NOT persisted before fan-out: the
 downstream subplans (failure scan, media-dedup window, heading histogram,
-page buckets) would otherwise each recompute the upstream plan.
+page buckets) re-derive the explode from the columnar source scan, which
+benchmarks ~2x faster end-to-end than an InMemoryRelation at high
+parallelism (cache build + block-manager contention + GC outweigh three
+codegen'd re-scans).
 """
 
 from __future__ import annotations
@@ -31,19 +34,19 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
-from pyspark.storagelevel import StorageLevel
 
 from ..core import constants as C
 from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, parse_attrs,
                       process_flat, run_extract)
 
-_PAGE_SCHEMA = T.StructType([
+_ROW_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
     T.StructField("page", T.LongType()),
-    T.StructField("spans", T.ArrayType(SPAN_OUT_STRUCT)),
-    T.StructField("n_spans", T.IntegerType()),
-    T.StructField("n_chars", T.LongType()),
-    T.StructField("has_text", T.BooleanType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("tlen", T.LongType()),
 ])
 
 _PAGE_RE = r"(?:^|;)page=([0-9]+)"
@@ -57,8 +60,9 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     Receives the doc-global heading context as a joined ``heading_entries``
     column (list of {size, level}); media duplicates were already removed
     upstream. Reuses the classify/assemble kernel of the normal path over
-    *all pages in the bucket at once*, then splits the result per page for
-    the native reassembly."""
+    *all pages in the bucket at once* and returns FLAT span rows (one row
+    per output span, columnar through Arrow — no per-span Python objects);
+    per-doc offsets and span-array assembly happen natively downstream."""
     doc_id = pdf["doc_id"].iloc[0]
 
     flat = pd.DataFrame({
@@ -85,33 +89,20 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out = process_flat(flat, headings)
     if not len(out):
-        return pd.DataFrame(columns=[f.name for f in _PAGE_SCHEMA.fields])
+        return pd.DataFrame(columns=[f.name for f in _ROW_SCHEMA.fields])
 
-    # per-page offsets (process_flat's running offsets are per doc_idx; the
-    # bucket holds many pages, each of which must restart at 0 for the
-    # native page-base reassembly)
-    tlen = out["tlen"].to_numpy()
-    page_vals = out["page"].to_numpy()
-    cum = pd.Series(tlen).groupby(page_vals).cumsum().to_numpy()
-    offsets = (cum - tlen).astype(np.int64)
-
-    rows = []
-    # out is sorted by page already (doc constant); split on boundaries
-    boundaries = np.flatnonzero(np.diff(page_vals)) + 1
-    for seg, page_seg, off_seg in zip(
-            np.split(np.arange(len(out)), boundaries),
-            np.split(page_vals, boundaries),
-            np.split(offsets, boundaries)):
-        sub = out.iloc[seg]
-        spans = [
-            {"kind": k, "text": t, "media_ref": r, "offset": int(o)}
-            for k, t, r, o in zip(sub["out_kind"], sub["out_text"],
-                                  sub["out_ref"], off_seg)
-        ]
-        seg_tlen = sub["tlen"].to_numpy()
-        rows.append((doc_id, int(page_seg[0]), spans, len(spans),
-                     int(seg_tlen.sum()), bool((seg_tlen > 0).any())))
-    return pd.DataFrame(rows, columns=[f.name for f in _PAGE_SCHEMA.fields])
+    # out is sorted in reading order (pages ascending; doc constant). `seq`
+    # preserves that order through the unordered native collect_list: the
+    # downstream array_sort key is (page, seq).
+    return pd.DataFrame({
+        "doc_id": np.full(len(out), doc_id, dtype=object),
+        "page": out["page"].to_numpy(dtype=np.int64),
+        "seq": np.arange(len(out), dtype=np.int64),
+        "kind": out["out_kind"].to_numpy(dtype=object),
+        "text": out["out_text"].to_numpy(dtype=object),
+        "media_ref": out["out_ref"].to_numpy(dtype=object),
+        "tlen": out["tlen"].to_numpy(dtype=np.int64),
+    })
 
 
 def _extract_giant(giant: DataFrame,
@@ -129,7 +120,11 @@ def _extract_giant(giant: DataFrame,
               -> final broadcast left-join against the giant id list to
                  restore all-stripped and failed documents
     """
-    giant = giant.persist(StorageLevel.MEMORY_AND_DISK)
+    # deliberately NOT persisted: the downstream subplans (failure scan,
+    # heading histogram, page buckets) each re-derive the explode from the
+    # columnar source scan, which measures 2x faster end-to-end than
+    # caching — InMemoryRelation build + scan at 32 threads costs more in
+    # block-manager contention and GC than three codegen'd re-scans
     giant_ids = giant.select("doc_id")
 
     exploded = (
@@ -145,8 +140,6 @@ def _extract_giant(giant: DataFrame,
             F.nullif(F.regexp_extract("kind", _PAGE_RE, 1), F.lit("")),
             F.lit("1")).cast("long"))
     )
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
-
     # doc-level failure: any NULL kind (same semantics as the normal path)
     failed = (exploded.filter(F.col("kind").isNull())
               .select("doc_id").distinct()
@@ -205,38 +198,38 @@ def _extract_giant(giant: DataFrame,
     # this hash partitioning, and the fixed partition count keeps AQE from
     # byte-coalescing the compute-heavy Python stage down to a few tasks
     spark = giant.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    # 3x task slots: page buckets are uneven (giants differ in page count),
+    # and a single wave of slot-sized tasks lets one straggler extend the
+    # whole stage
+    n_parts = 3 * spark.sparkContext.defaultParallelism
     pages_in = pages_in.repartition(n_parts, "doc_id", "bucket")
 
-    page_rows = (
+    span_rows = (
         pages_in.groupBy("doc_id", "bucket")
-        .applyInPandas(_extract_page_bucket, schema=_PAGE_SCHEMA)
+        .applyInPandas(_extract_page_bucket, schema=_ROW_SCHEMA)
     )
 
-    # ordered reassembly: page-base char offsets via window cumsum, span
-    # arrays concatenated in page order natively; groupBy reuses the window's
-    # hash partitioning on doc_id (no extra shuffle)
-    w = (Window.partitionBy("doc_id").orderBy("page")
+    # ordered reassembly, fully native: one global char-offset cumsum over
+    # the doc's reading order (page asc, then within-bucket seq — pages never
+    # straddle buckets, so (page, seq) totally orders the doc), then span
+    # arrays rebuilt with array_sort over the same key. The groupBy reuses
+    # the window's hash partitioning on doc_id (no extra shuffle).
+    w = (Window.partitionBy("doc_id").orderBy("page", "seq")
          .rowsBetween(Window.unboundedPreceding, -1))
-    shifted = page_rows.withColumn(
-        "page_base", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    ).withColumn(
-        "spans", F.transform(
-            "spans",
-            lambda s: F.struct(
-                s["kind"].alias("kind"), s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-                (s["offset"] + F.col("page_base")).cast("int").alias("offset"),
-            ))
-    )
+    with_off = span_rows.withColumn(
+        "offset", F.coalesce(F.sum("tlen").over(w), F.lit(0)).cast("int"))
     docs = (
-        shifted.groupBy("doc_id").agg(
-            F.flatten(F.transform(
-                F.array_sort(F.collect_list(F.struct("page", "spans"))),
-                lambda x: x["spans"])).alias("spans"),
-            F.sum("n_spans").cast("int").alias("n_spans"),
-            F.sum("n_chars").alias("n_chars"),
-            F.max("has_text").alias("has_text"),
+        with_off.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "page", "seq", "kind", "text", "media_ref", "offset"))),
+                lambda x: F.struct(
+                    x["kind"].alias("kind"), x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    x["offset"].alias("offset"))).alias("spans"),
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum("tlen").alias("n_chars"),
+            F.max(F.col("tlen") > 0).alias("has_text"),
         )
     )
 

@@ -19,6 +19,7 @@ def build_session(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         # match task slots at local scale; on a real cluster override to
@@ -39,7 +40,17 @@ def build_session(
         # executor memory (SURVEY.md §4: manual-batching replacement)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver JVM == all executors; size the heap for the
+        # task-slot count (32 slots x shuffle/cache state blows an 8g heap
+        # into GC thrash). On a real cluster set executor memory instead.
+        .config("spark.driver.memory", driver_mem)
+        # fixed, pre-touched heap: G1's commit/uncommit cycling under a
+        # high allocation rate shows up as 20-60% SYSTEM time at 32 task
+        # threads (page-fault + munmap TLB-shootdown storms, measured on
+        # this box: wall 31s -> 15s at local[32]). Same flags apply to
+        # executor JVMs on a real cluster via executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

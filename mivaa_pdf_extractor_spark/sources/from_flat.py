@@ -15,11 +15,27 @@ from pyspark.sql import DataFrame, functions as F
 def documents_to_spans(df: DataFrame, words_per_span: int = 8) -> DataFrame:
     """Split each text into spans of ``words_per_span`` words; spans get
     synthetic geometry (10 spans per page, descending y, first span titled).
-    Deterministic: same input -> same spans."""
-    ws = F.array_remove(F.split(F.col("text"), r"\s+"), "")
-    n_spans = F.greatest(
-        F.ceil(F.size(ws) / F.lit(words_per_span)).cast("int"), F.lit(1))
-    doc_id_s = F.col("doc_id").cast("string")
+    Deterministic: same input -> same spans.
+
+    Span texts are produced by ONE regex pass per row (insert a NUL
+    delimiter after every ``words_per_span`` words, split once) instead of
+    ``slice(split(text), i*k, k)`` inside the per-element transform lambda:
+    Catalyst's CollapseProject freely inlines the whole synthesis expression
+    into downstream filter predicates (e.g. the skew router's
+    ``size(spans) > t``), where interpreted eval would recompute the O(words)
+    split per element — O(words^2) per document, an effective hang on
+    repeat-synthesized giant docs. With this shape every per-element lambda
+    is O(1), so even a fully-inlined re-evaluation stays linear.
+    """
+    k = words_per_span
+    norm = F.regexp_replace(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    chunked = F.regexp_replace(
+        norm, r"((?:\S+ ){%d}\S+) " % (k - 1), "$1\u0000")
+    df = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(chunked, "\u0000").alias("__chunks"))
+    doc_id_s = F.col("doc_id")
 
     def kind_of(i):
         is_media = (i % 13 == 5) & (i > 0)
@@ -37,13 +53,11 @@ def documents_to_spans(df: DataFrame, words_per_span: int = 8) -> DataFrame:
         )
 
     spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.struct(
+        F.col("__chunks"),
+        lambda x, i: F.struct(
             kind_of(i).alias("kind"),
-            F.when((i % 13 == 5) & (i > 0), F.lit("")).otherwise(
-                F.array_join(
-                    F.slice(ws, i * words_per_span + 1, words_per_span), " ")
-            ).alias("text"),
+            F.when((i % 13 == 5) & (i > 0), F.lit("")).otherwise(x)
+            .alias("text"),
             F.lit("").alias("media_ref"),
             F.lit(0).alias("offset"),
         ),

@@ -1,0 +1,149 @@
+"""Two-parallelism scaling benchmark — the sandbox's stand-in for the
+north rule's N vs 4N executor-cluster criterion (BASELINE.json: "throughput
+scaling efficiency >=0.8 from N to 4N executors").
+
+No real cluster exists here, so we run the IDENTICAL extraction job at
+local[8] and local[32] on the same input (SPARK_GRAFT_SF_DIR, default
+/root/testdata/sf0.1) and report documents/sec at both plus
+    efficiency = (throughput_4N / throughput_N) / 4
+
+Child mode (invoked with --cpus N) builds one session, warms the Python
+workers, times the extraction action, prints one JSON line.
+Parent mode (no args) runs both children sequentially (so they never
+compete for cores), computes efficiency, prints a summary JSON and a
+markdown table fragment suitable for BASELINE.md.
+
+Usage:
+    python scripts/bench_scaling.py            # full N-vs-4N comparison
+    python scripts/bench_scaling.py --cpus 8   # one child run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+# corpus replication factor: scaling measurements need enough work per core
+# that compute dominates fixed job-scheduling overhead (a ~6 s job measures
+# scheduler latency, not throughput scaling)
+MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "24"))
+
+
+def _stage_corpus(spark, sf_dir: str) -> str:
+    """Synthesize the MULT-replicated interleaved corpus to parquet (once
+    per sf_dir+MULT; reused across child runs)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+    from mivaa_pdf_extractor_spark.sources.from_flat import \
+        with_synthetic_giants
+
+    path = f"/tmp/scaling_corpus_m{MULT}_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = reduce(DataFrame.unionByName, [
+            base.select((F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                        "text")
+            for i in range(MULT)
+        ])
+        (with_synthetic_giants(docs, every=500, repeat=80)
+         .repartition(64).write.mode("overwrite").parquet(path))
+    return path
+
+
+def child(cpus: int, sf_dir: str) -> None:
+    from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
+    from mivaa_pdf_extractor_spark.session import build_session
+    from mivaa_pdf_extractor_spark.sources.from_flat import with_synthetic_giants
+
+    spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # synthesized corpus is staged to parquet once and read back per run:
+    # this matches the production source (a columnar Iceberg scan) and keeps
+    # the timed job's JVM heap free of a corpus-sized live set (a cached/
+    # checkpointed corpus of deserialized objects makes every GC scan it,
+    # which inflates ALL stages at high thread counts)
+    corpus = _stage_corpus(spark, sf_dir)
+    spans = spark.read.parquet(corpus)
+    n_docs = spans.count()
+
+    # warm Python workers (fork + numpy/pandas import) so we time
+    # steady-state throughput, not interpreter cold-start
+    spark.range(8 * cpus).repartition(8 * cpus).mapInPandas(
+        lambda it: it, "id long").count()
+
+    walls = []
+    for _ in range(REPEATS):
+        # drop the previous repeat's intra-plan persists (the giant path
+        # caches its exploded input per run) so repeats don't accumulate
+        spark.catalog.clearCache()
+        t0 = time.time()
+        out = run_extract_skewed(spans, skew_threshold=2000)
+        out.selectExpr("sum(n_spans)", "sum(n_chars)", "count(*)").collect()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+
+    print(json.dumps({
+        "cpus": cpus,
+        "docs": n_docs,
+        "wall_sec": round(wall, 3),
+        "walls": [round(w, 3) for w in walls],
+        "docs_per_sec": round(n_docs / wall, 2),
+    }))
+    spark.stop()
+
+
+def parent(sf_dir: str) -> None:
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+
+    tp8 = results[8]["docs_per_sec"]
+    tp32 = results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    summary = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "sf_dir": sf_dir,
+        "docs": results[32]["docs"],
+        "local8": results[8],
+        "local32": results[32],
+        "speedup": round(tp32 / tp8, 3),
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    print()
+    print("| parallelism | wall (s) | docs/sec |")
+    print("|---|---|---|")
+    print(f"| local[8]  | {results[8]['wall_sec']} | {tp8} |")
+    print(f"| local[32] | {results[32]['wall_sec']} | {tp32} |")
+    print(f"\nspeedup 8→32: {tp32 / tp8:.2f}×; "
+          f"scaling efficiency (speedup/4): {eff:.3f} "
+          f"({'PASS' if eff >= 0.8 else 'FAIL'} vs ≥0.8)")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--cpus" in sys.argv:
+        child(int(sys.argv[sys.argv.index("--cpus") + 1]), sf_dir)
+    else:
+        parent(sf_dir)
+
+
+if __name__ == "__main__":
+    main()
