@@ -8,15 +8,16 @@ takes longer); the north rule requires it explicitly. Strategy:
 - giant documents are **salted by page bucket**: ``posexplode`` → the
   doc-global context (heading histogram M1, per-layer media dedup I5) is
   computed with *native* window/groupBy expressions → per
-  ``(doc_id, page % n_salts)`` bucket groups are processed by
+  ``(doc_id, page % ceil(n_spans/spans_per_bucket))`` bucket groups are
+  processed by
   ``applyInPandas`` reusing the same ``process_flat`` kernel (one kernel
-  invocation covers ~pages/n_salts pages, so the per-group pandas overhead
-  amortizes) → per-page rows are reassembled **natively** with a window
+  invocation covers ~spans_per_bucket spans, so the per-group pandas
+  overhead amortizes) → per-page rows are reassembled **natively** with a window
   cumsum for char offsets and ``array_sort``+``flatten`` for ordered span
   concatenation (SURVEY.md §7.2 step 8's "one subtle shuffle").
 
 At cluster scale this bounds task size by page bucket, not by document: one
-10^6-span document spreads across exactly ``n_salts`` tasks, and no task
+10^6-span document spreads across ~n/spans_per_bucket tasks, and no task
 materializes the whole document until the final (columnar, JVM-side)
 concatenation.
 
@@ -51,7 +52,7 @@ _ROW_SCHEMA = T.StructType([
 
 _PAGE_RE = r"(?:^|;)page=([0-9]+)"
 
-DEFAULT_PAGE_SALTS = 32
+DEFAULT_SPANS_PER_BUCKET = 8192
 
 
 def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -75,12 +76,13 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     })
     flat = parse_attrs(flat)
 
-    entries = pdf["heading_entries"].iloc[0]
-    if entries is not None and len(entries):
+    hs = pdf["heading_str"].iloc[0]
+    if hs:
+        pairs = [e.split(":") for e in hs.split(",")]
         headings = pd.DataFrame({
-            "doc_idx": np.zeros(len(entries), dtype=np.int64),
-            "size": [float(e["size"]) for e in entries],
-            "level": [int(e["level"]) for e in entries],
+            "doc_idx": np.zeros(len(pairs), dtype=np.int64),
+            "size": [float(p[0]) for p in pairs],
+            "level": [int(p[1]) for p in pairs],
         })
     else:
         headings = pd.DataFrame({"doc_idx": pd.Series(dtype=np.int64),
@@ -106,7 +108,8 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _extract_giant(giant: DataFrame,
-                   n_salts: int = DEFAULT_PAGE_SALTS) -> DataFrame:
+                   spans_per_bucket: int = DEFAULT_SPANS_PER_BUCKET,
+                   ) -> DataFrame:
     """Per-page-bucket salted extraction of documents above the threshold.
 
     Stage-lean plan (each line after the explode is one shuffle at most):
@@ -128,9 +131,10 @@ def _extract_giant(giant: DataFrame,
     giant_ids = giant.select("doc_id")
 
     exploded = (
-        giant.select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        giant.select("doc_id", F.size("spans").alias("n_doc_spans"),
+                     F.posexplode("spans").alias("pos", "span"))
         .select(
-            "doc_id", "pos",
+            "doc_id", "n_doc_spans", "pos",
             F.col("span.kind").alias("kind"),
             F.col("span.text").alias("text"),
             F.col("span.media_ref").alias("ref"),
@@ -187,12 +191,29 @@ def _extract_giant(giant: DataFrame,
                 Window.partitionBy("doc_id").orderBy(F.col("size").desc())),
             F.lit(C.MAX_HEADING_LEVEL)))
         .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("size", "level")).alias("heading_entries"))
+        .agg(F.concat_ws(",", F.collect_list(
+            F.concat_ws(":", F.col("size").cast("string"),
+                        F.col("level").cast("string"))))
+             .alias("heading_str"))
     )
 
+    # ship the kernel only what it consumes: doc-global heading context is a
+    # compact string (a per-row list<struct> duplicate is pure Arrow bloat),
+    # and base/page_hint are re-derived by the kernel's own attr parse.
+    # Salt count ADAPTS to document size (~spans_per_bucket spans per
+    # bucket): a fixed salt count either shreds medium giants into
+    # thousands of tiny applyInPandas groups (per-group pandas overhead
+    # dominates) or under-splits the truly huge ones. A 10^6-span document
+    # still spreads across ~n/spans_per_bucket tasks, so task size stays
+    # bounded by bucket, not by document.
+    n_salts_doc = F.greatest(
+        F.ceil(F.col("n_doc_spans") / F.lit(spans_per_bucket)), F.lit(1))
     pages_in = (deduped.join(F.broadcast(headings), "doc_id", "left")
                 .withColumn("bucket", F.pmod(F.col("page_hint"),
-                                             F.lit(n_salts))))
+                                             n_salts_doc))
+                .select("doc_id", "pos", "kind", "text", "ref", "bucket",
+                        F.coalesce("heading_str", F.lit(""))
+                        .alias("heading_str")))
 
     # explicit repartition on the exact grouping keys: the groupBy reuses
     # this hash partitioning, and the fixed partition count keeps AQE from
@@ -263,7 +284,7 @@ def run_extract_skewed(
     df: DataFrame,
     skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
     num_partitions: int | None = None,
-    n_salts: int = DEFAULT_PAGE_SALTS,
+    spans_per_bucket: int = DEFAULT_SPANS_PER_BUCKET,
 ) -> DataFrame:
     """Full extraction plan with skew salting: normal docs whole-doc, giant
     docs per-page-bucket, one unioned output."""
@@ -271,4 +292,4 @@ def run_extract_skewed(
     normal = df.filter((n <= skew_threshold))
     giant = df.filter(n > skew_threshold)
     return run_extract(normal, num_partitions).unionByName(
-        _extract_giant(giant, n_salts))
+        _extract_giant(giant, spans_per_bucket))

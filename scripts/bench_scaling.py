@@ -28,7 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
 # corpus replication factor: scaling measurements need enough work per core
 # that compute dominates fixed job-scheduling overhead (a ~6 s job measures
 # scheduler latency, not throughput scaling)
@@ -103,8 +103,15 @@ def child(cpus: int, sf_dir: str) -> None:
 def parent(sf_dir: str) -> None:
     results = {}
     for cpus in (8, 32):
+        # pin the small run to `cpus` physical CPUs: an unpinned local[8]
+        # on a 32-core box is NOT an 8-core cluster — its JVM shuffle/Arrow
+        # threads ride free on the other 24 cores, understating what a real
+        # N-executor cluster (whose executors own their cores) achieves.
+        # Pinning models the two cluster sizes honestly: total machine
+        # resources scale 4x between the runs.
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__),
              "--cpus", str(cpus)],
             capture_output=True, text=True, check=True,
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
