@@ -42,8 +42,20 @@ def normalize_series(s: pd.Series) -> pd.Series:
     rows containing ``/``, the whitespace passes only rows containing a
     newline or double space — identical semantics (the passes are no-ops on
     the excluded rows), ~10x fewer kernel launches on clean corpora."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     s = s.astype("object").fillna("")
-    has_slash = s.str.contains("/", regex=False)
+    arr = pa.array(s, type=pa.string())
+
+    def _contains(sub: str) -> pd.Series:
+        # C-level substring scan; pandas' object-dtype contains is a
+        # per-row Python call
+        return pd.Series(
+            pc.match_substring(arr, sub).to_numpy(zero_copy_only=False),
+            index=s.index)
+
+    has_slash = _contains("/")
     if has_slash.any():
         sub = s[has_slash]
         for glyph, char in GLYPH_REPLACEMENTS.items():
@@ -52,8 +64,9 @@ def normalize_series(s: pd.Series) -> pd.Series:
             sub = sub.str.replace(pattern, repl, regex=True)
         s = s.copy()
         s[has_slash] = sub
-    has_ws = s.str.contains("\n", regex=False) | s.str.contains(
-        "  ", regex=False)
+    if has_slash.any():
+        arr = pa.array(s, type=pa.string())  # re-scan post-substitution
+    has_ws = _contains("\n") | _contains("  ")
     if has_ws.any():
         sub = s[has_ws]
         for pattern, repl in _COMPILED_PASSES[3:]:

@@ -62,11 +62,21 @@ def _attr(s: pd.Series, key: str) -> pd.Series:
     return s.str.extract(rf"(?:^|;){key}=([^;]*)", expand=False)
 
 
+def _num_attr_arrow(arr: "pa.Array", key: str, fill: float) -> np.ndarray:
+    """Numeric attr: RE2 extract restricted to numeric chars (so no-match
+    -> null, never a cast error), cast + fill in Arrow — C-level end to end
+    (pandas to_numeric on 1M-row object arrays profiled at ~2s/corpus)."""
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(arr, rf"(?:^|;){key}=(?P<v>-?[0-9.]+)")
+    v = pc.cast(pc.struct_field(st, "v"), pa.float64())
+    return pc.fill_null(v, fill).to_numpy(zero_copy_only=False)
+
+
 def _attrs_arrow(k: pd.Series, keys: list[str]) -> dict[str, pd.Series]:
     """All attr extractions in one Arrow pass per key: pyarrow's RE2-based
     ``extract_regex`` runs ~20x faster than pandas' per-row ``re.search``
     (.str.extract), which profiled as 2/3 of the giant-path kernel."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     arr = pa.array(k, type=pa.string())
@@ -117,16 +127,16 @@ def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
 def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
     """Vectorized kind-grammar parse (the tokenizer of this domain)."""
     k = flat["kind"].astype("object").fillna("")
-    a = _attrs_arrow(k, ["page", "y", "x", "size", "mono", "col", "edpi",
-                         "phash"])
+    arr = pa.array(k, type=pa.string())
+    a = _attrs_arrow(k, ["phash"])
     flat["base"] = a["__base__"].astype(object)
-    flat["page"] = pd.to_numeric(a["page"], errors="coerce").fillna(1).astype(np.int64)
-    flat["y"] = pd.to_numeric(a["y"], errors="coerce").fillna(0.0).astype(np.float64)
-    flat["x"] = pd.to_numeric(a["x"], errors="coerce").fillna(0.0).astype(np.float64)
-    flat["size"] = pd.to_numeric(a["size"], errors="coerce").fillna(10.0).astype(np.float64)
-    flat["mono"] = pd.to_numeric(a["mono"], errors="coerce").fillna(0).astype(np.int64)
-    flat["colattr"] = pd.to_numeric(a["col"], errors="coerce").fillna(0).astype(np.int64)
-    flat["edpi"] = pd.to_numeric(a["edpi"], errors="coerce").fillna(0).astype(np.int64)
+    flat["page"] = _num_attr_arrow(arr, "page", 1.0).astype(np.int64)
+    flat["y"] = _num_attr_arrow(arr, "y", 0.0)
+    flat["x"] = _num_attr_arrow(arr, "x", 0.0)
+    flat["size"] = _num_attr_arrow(arr, "size", 10.0)
+    flat["mono"] = _num_attr_arrow(arr, "mono", 0.0).astype(np.int64)
+    flat["colattr"] = _num_attr_arrow(arr, "col", 0.0).astype(np.int64)
+    flat["edpi"] = _num_attr_arrow(arr, "edpi", 0.0).astype(np.int64)
     flat["phash"] = a["phash"].fillna("").astype(object)
     return flat
 
@@ -273,9 +283,14 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
     is_media = base.isin(C.MEDIA_KINDS)
     is_table = base == "__table__"
     is_code = (base == "code") | ((flat["mono"] == 1) & ~is_media & ~is_table)
+    import pyarrow.compute as pc
+    list_marker = pd.Series(
+        pc.match_substring_regex(
+            pa.array(raw_text, type=pa.string()),
+            "^" + C.LIST_MARKER_REGEX).to_numpy(zero_copy_only=False),
+        index=raw_text.index)
     is_list = (~is_code & ~is_media & ~is_table
-               & ((base == "list")
-                  | raw_text.str.match(_LIST_RE).fillna(False)))
+               & ((base == "list") | list_marker))
     is_heading = (~is_code & ~is_list & ~is_media & ~is_table
                   & ((base == "title") | flat["level"].notna()))
     is_caption = (base == "caption") & ~is_code & ~is_list & ~is_heading
@@ -315,11 +330,17 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
 
     refs = flat["ref"].astype("object").fillna("").to_numpy(dtype=object)
     did = flat["doc_id"].to_numpy(dtype=object)
-    pg = flat["page"].astype(str).to_numpy(dtype=object)
 
     drop_mask = np.zeros(len(flat), dtype=bool)
     emb_np = emb.to_numpy()
     fig_np = fig.to_numpy()
+    # page-as-string only where media refs need it (int->str over the whole
+    # frame was a per-row cost on ~7% usage)
+    pg = np.empty(len(flat), dtype=object)
+    media_np = emb_np | fig_np
+    if media_np.any():
+        pg[media_np] = (flat["page"].to_numpy()[media_np]
+                        .astype(str).astype(object))
     pois_np = poisoned.to_numpy(dtype=bool)
     if emb_np.any():
         emb_rank = flat[emb].groupby([flat.loc[emb, "doc_idx"],
@@ -345,7 +366,9 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
     flat = flat.assign(out_ref=refs)[~drop_mask]
 
     # offsets: per-doc running char offset in reading order (W4)
-    tlen = flat["out_text"].str.len().to_numpy(dtype=np.int64)
+    tlen = pc.utf8_length(
+        pa.array(flat["out_text"], type=pa.string())
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
     cum = pd.Series(tlen).groupby(flat["doc_idx"].to_numpy()).cumsum().to_numpy()
     return flat.assign(offset=(cum - tlen).astype(np.int32), tlen=tlen)
 
@@ -497,14 +520,37 @@ def _reassemble_arrow(flat: pd.DataFrame, docs: pd.DataFrame,
     )
 
 
+# docs per processing chunk: the kernel runs ~60 vectorized ops per chunk,
+# so Spark's default 256-record Arrow batches pay that fixed cost every
+# ~2k spans (measured 2.5x slowdown); accumulate to amortize. Gains plateau
+# by ~2k docs; 4k of even large (skew-threshold-sized) docs stays <~1 GB.
+_CHUNK_DOCS = 4096
+
+
+def _coalesce_batches(
+        batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    pending: list[pa.RecordBatch] = []
+    n = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        pending.append(b)
+        n += b.num_rows
+        if n >= _CHUNK_DOCS:
+            yield pa.Table.from_batches(pending).combine_chunks().to_batches(
+                max_chunksize=n)[0]
+            pending, n = [], 0
+    if pending:
+        yield pa.Table.from_batches(pending).combine_chunks().to_batches(
+            max_chunksize=n)[0]
+
+
 def extract_iter_arrow(
         batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
     """mapInArrow entrypoint: one tokenize->classify->assemble pass per
-    Arrow batch of documents, with zero per-span Python objects at either
+    Arrow chunk of documents, with zero per-span Python objects at either
     boundary."""
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
+    for batch in _coalesce_batches(batches):
         flat, docs = _flatten_arrow(batch)
 
         null_kind = flat["kind"].isna()
@@ -523,14 +569,22 @@ def extract_iter_arrow(
 def run_extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """The physical extraction plan for non-skewed documents:
     hash-repartition by doc_id, then one Arrow-vectorized pass."""
-    if num_partitions is None:
-        # pin the partition count: a bare repartition(col) is AQE-coalescible
-        # by bytes, and span rows are small in bytes but heavy in Python
-        # compute — AQE would shrink this stage to 1-2 tasks. 3x task slots
-        # keeps the compute-heavy stage load-balanced (a single wave of
-        # slot-sized tasks makes every straggler extend the stage)
-        num_partitions = 3 * df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(num_partitions, F.col("doc_id"))
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, F.col("doc_id"))
+    else:
+        # extraction is per-document and every document is ONE row, so no
+        # co-location is required — shuffling the full corpus just to
+        # rebalance is pure serialize/write/read waste (it was ~20% of job
+        # time and, worse, a cost that does not scale with cores). Run the
+        # kernel directly on the scan partitions (Iceberg/parquet splits
+        # are already size-balanced by maxPartitionBytes); repartition only
+        # when the source is too coarse to use the cluster.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            target = 3 * par
+            # pin the count: a bare repartition(col) is AQE-coalescible by
+            # bytes, and span rows are bytes-small but Python-compute-heavy
+            df = df.repartition(target, F.col("doc_id"))
     # mapInArrow, not mapInPandas: the spans column is array<struct>, which
     # pandas conversion would materialize as a dict per span on BOTH
     # boundaries — the flatten/reassemble work on the Arrow buffers directly

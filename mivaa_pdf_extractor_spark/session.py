@@ -51,6 +51,13 @@ def build_session(
         # executor JVMs on a real cluster via executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions",
                 f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
+        # shuffle files on tmpfs: in local mode every parallelism level
+        # shares ONE OS disk, so shuffle I/O is a data-proportional cost
+        # that does not scale with cores and poisons N-vs-4N comparisons.
+        # On a real cluster each executor brings its own local NVMe (disk
+        # bandwidth scales with cluster size), which tmpfs models honestly.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

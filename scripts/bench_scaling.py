@@ -100,6 +100,50 @@ def child(cpus: int, sf_dir: str) -> None:
     spark.stop()
 
 
+def _controls() -> dict:
+    """Hardware-envelope controls run at the same two process counts.
+
+    These bound what ANY workload can achieve on this single shared-memory
+    box: pure-CPU scaling (frequency/scheduler ceiling) and memory-bandwidth
+    scaling (string/object-heavy workloads are substantially
+    bandwidth-bound; one box's memory controllers do NOT scale with process
+    count, whereas a real 4N-executor cluster's do)."""
+    import tempfile
+
+    spin_src = (
+        "import time,sys\n"
+        "t0=time.time();n=0\n"
+        "while time.time()-t0<2:\n"
+        "    x=0\n"
+        "    for i in range(10000): x+=i*i\n"
+        "    n+=1\n"
+        "print(n)\n")
+    copy_src = (
+        "import time,numpy as np\n"
+        "a=np.ones(8*1024*1024);b=np.empty_like(a)\n"
+        "t0=time.time();n=0\n"
+        "while time.time()-t0<2:\n"
+        "    np.copyto(b,a);n+=1\n"
+        "print(n)\n")
+    out = {}
+    for name, src in (("cpu", spin_src), ("membw", copy_src)):
+        fp = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+        fp.write(src)
+        fp.close()
+        agg = {}
+        for n_procs in (8, 32):
+            procs = [subprocess.Popen([sys.executable, fp.name],
+                                      stdout=subprocess.PIPE)
+                     for _ in range(n_procs)]
+            agg[n_procs] = sum(int(p.communicate()[0]) for p in procs)
+        os.unlink(fp.name)
+        out[name] = {
+            "agg8": agg[8], "agg32": agg[32],
+            "efficiency": round(agg[32] / agg[8] / 4.0, 3),
+        }
+    return out
+
+
 def parent(sf_dir: str) -> None:
     results = {}
     for cpus in (8, 32):
@@ -122,6 +166,12 @@ def parent(sf_dir: str) -> None:
     tp8 = results[8]["docs_per_sec"]
     tp32 = results[32]["docs_per_sec"]
     eff = (tp32 / tp8) / 4.0
+    ctl = _controls()
+    # the same box's hardware envelope: anything between the memory-
+    # bandwidth floor and the pure-CPU ceiling is hardware-bound, not a
+    # serial bottleneck in the plan. Normalizing against the CPU control
+    # estimates what a real N->4N cluster (whose memory bandwidth scales
+    # with node count) would deliver.
     summary = {
         "metric": "scaling_efficiency_8_to_32_cores",
         "sf_dir": sf_dir,
@@ -130,6 +180,9 @@ def parent(sf_dir: str) -> None:
         "local32": results[32],
         "speedup": round(tp32 / tp8, 3),
         "efficiency": round(eff, 3),
+        "controls": ctl,
+        "efficiency_vs_cpu_envelope": round(
+            eff / ctl["cpu"]["efficiency"], 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
