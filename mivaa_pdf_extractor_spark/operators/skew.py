@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..core import constants as C
 from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, parse_attrs,
@@ -123,11 +124,15 @@ def _extract_giant(giant: DataFrame,
               -> final broadcast left-join against the giant id list to
                  restore all-stripped and failed documents
     """
-    # deliberately NOT persisted: the downstream subplans (failure scan,
-    # heading histogram, page buckets) each re-derive the explode from the
-    # columnar source scan, which measures 2x faster end-to-end than
-    # caching — InMemoryRelation build + scan at 32 threads costs more in
-    # block-manager contention and GC than three codegen'd re-scans
+    # persist ONLY the giant subset: the size filter is not pushable
+    # (computed column), so without this the 4 downstream subplans would
+    # each re-scan the FULL corpus — harmless on a 65 MB bench corpus,
+    # disqualifying at 100 TB. The subset is the skew tail (p99 docs), so
+    # the cache is small by construction. The *exploded* form is NOT
+    # persisted: a span-level InMemoryRelation measured 2x slower at 32
+    # threads (cache build + block-manager contention + GC) than
+    # re-exploding the cached doc rows.
+    giant = giant.persist(StorageLevel.MEMORY_AND_DISK)
     giant_ids = giant.select("doc_id")
 
     exploded = (
