@@ -21,7 +21,11 @@ from mivaa_pdf_extractor_spark.core.constants import (GLYPH_REPLACEMENTS,
 from mivaa_pdf_extractor_spark.operators import dedup as dd
 from mivaa_pdf_extractor_spark.operators import similarity as sim
 from mivaa_pdf_extractor_spark.operators import text_analysis as ta
-from mivaa_pdf_extractor_spark.operators.chunking import chunk_documents
+from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
+                                                          detect_cross_refs)
+from mivaa_pdf_extractor_spark.operators.layout import analyze_sheet_layout
+from mivaa_pdf_extractor_spark.operators.tables_op import \
+    parse_and_classify_tables
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
 from mivaa_pdf_extractor_spark.operators.media import (
     extract_image_features, sample_frames, synth_media_for_extracted)
@@ -390,6 +394,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_frames(media, every_ms=1000)
     q["media_frame_sample"] = media_frame_sample
 
+    def text_similarity(spark, sf_dir):
+        # T5 word-overlap over (original, shadow-dup) pairs; the shadow's
+        # text gets a one-word suffix so similarities are nontrivial
+        d = _docs(spark, sf_dir)
+        a = d.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+        b = d.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 100000).alias("id_b"),
+            F.concat(F.col("text"), F.lit(" zzzextra")).alias("text_b"))
+        pairs = a.join(b, a.id_a + 100000 == b.id_b)
+        return pairs.select(
+            "id_a", "id_b",
+            F.round(ta.word_overlap_similarity(
+                F.col("text_a"), F.col("text_b")), 6).alias("overlap"))
+    q["text_similarity"] = text_similarity
+
+    def text_similarity_seqratio(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        a = d.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+        b = d.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 100000).alias("id_b"),
+            F.concat(F.col("text"), F.lit(" zzzextra")).alias("text_b"))
+        pairs = a.join(b, a.id_a + 100000 == b.id_b)
+        return ta.sequence_ratio_pairs(pairs).select(
+            "id_a", "id_b", F.round("seq_ratio", 6).alias("seq_ratio"))
+    q["text_similarity_seqratio"] = text_similarity_seqratio
+
+    def sheet_layout(spark, sf_dir):
+        # L1 over sheets synthesized natively: each doc gets 1 + doc_id%4
+        # sheets; every third sheet is landscape (aspect 1.6 -> spread)
+        d = _docs(spark, sf_dir).select("doc_id")
+        sheets = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+                      ).alias("sheet_idx"),
+        ).select(
+            "doc_id", "sheet_idx",
+            F.when((F.col("sheet_idx") + F.col("doc_id")) % 3 == 0,
+                   F.lit(1346.0)).otherwise(F.lit(595.0)).alias("width"),
+            F.lit(842.0).alias("height"),
+        )
+        return analyze_sheet_layout(sheets).select(
+            "doc_id", "sheet_idx", "layout_type", "n_physical",
+            "first_physical_page")
+    q["sheet_layout"] = sheet_layout
+
+    def chunk_cross_refs(spark, sf_dir):
+        # C8 over synthesized chunks: every doc yields 3 chunks on pages
+        # 1..3; chunk 0 references page 3, chunk 2 references page 12
+        # (unresolvable -> empty target list)
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        chunks = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("chunk_index"),
+        ).select(
+            "doc_id", "chunk_index",
+            (F.col("chunk_index") + 1).alias("page"),
+            F.when(F.col("chunk_index") == 0,
+                   F.lit("intro, see page 3 for details"))
+            .when(F.col("chunk_index") == 2,
+                  F.lit("appendix, refer to page 12"))
+            .otherwise(F.lit("body text")).alias("content"),
+        )
+        out = detect_cross_refs(chunks)
+        return out.select(
+            "doc_id", "src_chunk", "ref_page",
+            F.array_join("target_chunks", ",").alias("targets"))
+    q["chunk_cross_refs"] = chunk_cross_refs
+
+    def table_parse_classify(spark, sf_dir):
+        # G1-G6 over synthesized table texts: half markdown, half HTML,
+        # headers chosen by doc_id so every class appears
+        d = _docs(spark, sf_dir).select("doc_id").filter(
+            F.col("doc_id") % 10 == 0)
+        hdr = (F.when(F.col("doc_id") % 50 == 0, F.lit("Price,EUR"))
+               .when(F.col("doc_id") % 30 == 0, F.lit("Size,Pack"))
+               .otherwise(F.lit("Name,Material")))
+        md = F.concat(F.lit("| "),
+                      F.regexp_replace(hdr, ",", " | "),
+                      F.lit(" |\n| --- | --- |\n| a"),
+                      F.col("doc_id").cast("string"),
+                      F.lit(" | b |"))
+        html = F.concat(F.lit("<table><tr><th>"),
+                        F.regexp_replace(hdr, ",", "</th><th>"),
+                        F.lit("</th></tr><tr><td>a"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("</td><td>b</td></tr></table>"))
+        texts = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, html).otherwise(md)
+            .alias("text"))
+        return parse_and_classify_tables(texts).select(
+            "id", "table_type", "headers", "num_rows", "num_cols")
+    q["table_parse_classify"] = table_parse_classify
+
     return q
 
 
@@ -481,6 +581,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "text_similarity": """
+            WITH a AS (SELECT doc_id AS id_a,
+                              list_distinct(list_filter(
+                                regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS wa
+                       FROM documents WHERE doc_id % 50 = 0),
+                 b AS (SELECT doc_id + 100000 AS id_b,
+                              list_distinct(list_filter(
+                                regexp_split_to_array(
+                                  lower(text || ' zzzextra'), '\\s+'),
+                                x -> x <> '')) AS wb
+                       FROM documents WHERE doc_id % 100 = 0)
+            SELECT id_a, id_b,
+                   round(CASE WHEN greatest(len(wa), len(wb)) = 0 THEN 0.0
+                         ELSE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+                              / greatest(len(wa), len(wb)) END, 6) AS overlap
+            FROM a JOIN b ON a.id_a + 100000 = b.id_b""",
+        "sheet_layout": """
+            WITH sheets AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 4)) AS sheet_idx
+              FROM documents),
+            dims AS (
+              SELECT doc_id, sheet_idx,
+                     CASE WHEN (sheet_idx + doc_id) % 3 = 0
+                          THEN 1346.0 ELSE 595.0 END AS width,
+                     842.0 AS height
+              FROM sheets),
+            typed AS (
+              SELECT doc_id, sheet_idx,
+                     CASE WHEN width / height > 1.4
+                          THEN 'spread' ELSE 'single' END AS layout_type,
+                     CASE WHEN width / height > 1.4 THEN 2 ELSE 1
+                          END AS n_physical
+              FROM dims)
+            SELECT doc_id, sheet_idx, layout_type, n_physical,
+                   CAST(coalesce(sum(n_physical) OVER (
+                        PARTITION BY doc_id ORDER BY sheet_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) + 1 AS INT) AS first_physical_page
+            FROM typed""",
+        "chunk_cross_refs": """
+            WITH chunks AS (
+              SELECT doc_id, unnest([0, 1, 2]) AS chunk_index
+              FROM documents),
+            c2 AS (
+              SELECT doc_id, chunk_index, chunk_index + 1 AS page,
+                     CASE WHEN chunk_index = 0
+                          THEN 'intro, see page 3 for details'
+                          WHEN chunk_index = 2
+                          THEN 'appendix, refer to page 12'
+                          ELSE 'body text' END AS content
+              FROM chunks),
+            refs AS (
+              SELECT doc_id, chunk_index AS src_chunk,
+                     CAST(unnest(regexp_extract_all(lower(content),
+                       '(?:see|refer to|refer|shown on|described on) page (\\d+)',
+                       1)) AS INT) AS ref_page
+              FROM c2)
+            SELECT r.doc_id, r.src_chunk, r.ref_page,
+                   coalesce(string_agg(CAST(c.chunk_index AS VARCHAR), ','
+                            ORDER BY c.chunk_index), '') AS targets
+            FROM refs r
+            LEFT JOIN c2 c ON c.doc_id = r.doc_id AND c.page = r.ref_page
+            GROUP BY 1, 2, 3""",
+        "table_parse_classify": """
+            -- independently-derived expectations for the synthesized
+            -- markdown/HTML tables (validates the full parse+classify chain)
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN doc_id % 50 = 0 THEN 'pricing'
+                        WHEN doc_id % 30 = 0 THEN 'dimensions'
+                        ELSE 'specifications' END AS table_type,
+                   CASE WHEN doc_id % 50 = 0 THEN 'Price,EUR'
+                        WHEN doc_id % 30 = 0 THEN 'Size,Pack'
+                        ELSE 'Name,Material' END AS headers,
+                   1 AS num_rows, 2 AS num_cols
+            FROM documents WHERE doc_id % 10 = 0""",
         "image_doc_heuristic": """
             SELECT lang, avg_chars,
                    CASE WHEN avg_chars < 250 THEN 'ocr_first'

@@ -42,3 +42,142 @@ def grid_to_pipe_table(grid: list[list[str]]) -> str:
     align = "| " + " | ".join("---" for _ in grid[0]) + " |"
     body = [row(r) for r in grid[1:]]
     return "\n".join([header, align, *body])
+
+
+# --- G1/G2/G3 table parsing + G5 classify + G6 records -------------------
+# Models table_extraction.py: markdown parse (:120-133, alignment-row regex
+# :36), HTML parse via stdlib HTMLParser tolerant of unclosed <tr>
+# (:66-117), content dispatch "<table/<tr -> html, | -> markdown, else None
+# — None is NOT an empty table" (:136-151), multilingual keyword classify
+# with fixed priority pricing > dimensions > packaging > specifications >
+# comparison > other (:43-63,312-365), and table->record conversion
+# (headers = row 0, :267-310).
+
+import re as _re
+from html.parser import HTMLParser as _HTMLParser
+
+_ALIGNMENT_ROW_RE = _re.compile(r"^:?-{2,}:?$")
+
+
+def parse_markdown_table(text: str) -> list[list[str]] | None:
+    """G1: split pipe rows, unescape ``\\|``, drop the alignment row."""
+    rows: list[list[str]] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if "|" not in line:
+            continue
+        line = line.strip("|")
+        cells = [c.strip().replace("\\|", "|")
+                 for c in _re.split(r"(?<!\\)\|", line)]
+        if cells and all(_ALIGNMENT_ROW_RE.match(c) for c in cells if c):
+            continue
+        rows.append(cells)
+    return rows or None
+
+
+class _TableHTMLParser(_HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.rows: list[list[str]] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "tr":
+            if self._row is not None:  # tolerate unclosed <tr>
+                self._close_row()
+            self._row = []
+        elif tag in ("td", "th"):
+            if self._row is None:
+                self._row = []
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if tag in ("td", "th") and self._cell is not None:
+            self._close_cell()
+        elif tag == "tr" and self._row is not None:
+            self._close_row()
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+    def _close_cell(self):
+        text = _re.sub(r"\s+", " ", "".join(self._cell or [])).strip()
+        self._row.append(text)
+        self._cell = None
+
+    def _close_row(self):
+        if self._cell is not None:
+            self._close_cell()
+        if self._row:
+            self.rows.append(self._row)
+        self._row = None
+
+    def close(self):
+        super().close()
+        if self._row is not None:
+            self._close_row()
+
+
+def parse_html_table(text: str) -> list[list[str]] | None:
+    """G2: stdlib-HTMLParser tr/td/th collection, whitespace-collapsed."""
+    p = _TableHTMLParser()
+    p.feed(text)
+    p.close()
+    return p.rows or None
+
+
+def parse_table_content(text: str) -> list[list[str]] | None:
+    """G3 dispatch: HTML markers win, then pipes; None means 'no table',
+    which is distinct from an empty grid."""
+    if text is None:
+        return None
+    low = text.lower()
+    if "<table" in low or "<tr" in low:
+        grid = parse_html_table(text)
+    elif "|" in text:
+        grid = parse_markdown_table(text)
+    else:
+        return None
+    return normalize_grid(grid) if grid else None
+
+
+# G5 multilingual keyword sets (EN/IT/ES/FR/DE), priority order fixed.
+TABLE_TYPE_KEYWORDS: list[tuple[str, tuple[str, ...]]] = [
+    ("pricing", ("price", "cost", "prezzo", "costo", "precio", "prix",
+                 "preis", "€", "$", "eur", "usd")),
+    ("dimensions", ("size", "dimension", "width", "height", "length",
+                    "dimensioni", "misure", "tamaño", "medidas",
+                    "dimensions", "largeur", "hauteur", "maße", "größe",
+                    "mm", "cm")),
+    ("packaging", ("pack", "packaging", "box", "pallet", "confezione",
+                   "imballo", "pz", "mq", "embalaje", "caja", "emballage",
+                   "verpackung", "karton")),
+    ("specifications", ("spec", "specification", "technical", "material",
+                        "specifiche", "tecnico", "materiale",
+                        "especificaciones", "técnico", "spécifications",
+                        "technique", "technische", "eigenschaft")),
+    ("comparison", ("vs", "versus", "comparison", "confronto",
+                    "comparación", "comparaison", "vergleich")),
+]
+
+
+def classify_table(grid: list[list[str]]) -> str:
+    """G5: first matching type in priority order over the lowercased,
+    space-joined header row; 'other' when nothing matches."""
+    if not grid:
+        return "other"
+    header = " ".join(grid[0]).lower()
+    for table_type, keywords in TABLE_TYPE_KEYWORDS:
+        if any(k in header for k in keywords):
+            return table_type
+    return "other"
+
+
+def table_to_record(grid: list[list[str]]) -> dict:
+    """G6: headers = row 0, rows = rest, with shape counts."""
+    headers = grid[0] if grid else []
+    rows = grid[1:] if grid else []
+    return {"headers": headers, "rows": rows,
+            "num_rows": len(rows), "num_cols": len(headers)}

@@ -240,3 +240,41 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
     if quality_threshold is not None:
         out = out.filter(F.col("quality") >= quality_threshold)
     return out
+
+
+# C8 cross-reference detection (unified_chunking_service.py:762-820): the
+# reference runs 6 regexes over chunk content ("see page 12", "refer to
+# table 3", ...) and resolves page references through a page -> chunk_ids
+# index. Spark form: regexp_extract_all + posexplode + a self-join on
+# (doc_id, page) — fully native, no UDF.
+XREF_PAGE_PATTERN = r"(?:see|refer to|refer|shown on|described on) page (\d+)"
+
+
+def detect_cross_refs(chunks: DataFrame,
+                      content_col: str = "content",
+                      doc_col: str = "doc_id",
+                      page_col: str = "page",
+                      chunk_id_col: str = "chunk_index") -> DataFrame:
+    """One row per (referencing chunk, referenced page) with the resolved
+    target chunk ids on that page (empty array when the page has none)."""
+    refs = (
+        chunks.select(
+            F.col(doc_col), F.col(chunk_id_col).alias("src_chunk"),
+            # DSL form, not F.expr: a SQL string literal would swallow the
+            # pattern's backslashes
+            F.explode(F.regexp_extract_all(
+                F.lower(F.col(content_col)),
+                F.lit(XREF_PAGE_PATTERN), F.lit(1))).alias("ref_page_s"))
+        .withColumn("ref_page", F.col("ref_page_s").cast("int"))
+        .drop("ref_page_s")
+    )
+    page_index = (
+        chunks.groupBy(F.col(doc_col), F.col(page_col).alias("ref_page"))
+        .agg(F.sort_array(F.collect_list(F.col(chunk_id_col)))
+             .alias("target_chunks"))
+    )
+    return (refs.join(page_index, [doc_col, "ref_page"], "left")
+            .withColumn("target_chunks",
+                        F.coalesce("target_chunks",
+                                   F.array().cast("array<int>")))
+            .orderBy(doc_col, "src_chunk", "ref_page"))

@@ -111,3 +111,41 @@ def doc_metrics(df: DataFrame, text_col: str = "text",
         F.size(F.split(c, "\n")).alias("n_lines"),
         token_count_bpe(c).alias("n_tokens_bpe"),
     )
+
+
+def word_overlap_similarity(a: Column, b: Column) -> Column:
+    """T5 word-overlap similarity: |set(A) & set(B)| / max(|set(A)|, |set(B)|)
+    on lowercase whitespace tokens (reference semantics:
+    app/utils/text_similarity.py:60-117 — set overlap, max-cardinality
+    denominator, empty-vs-empty -> 0.0). Pure native columns."""
+    wa = F.array_distinct(words(F.lower(a)))
+    wb = F.array_distinct(words(F.lower(b)))
+    inter = F.size(F.array_intersect(wa, wb))
+    denom = F.greatest(F.size(wa), F.size(wb))
+    return F.when(denom <= 0, F.lit(0.0)) \
+            .otherwise(inter / denom.cast("double"))
+
+
+def sequence_ratio_pairs(pairs: DataFrame, a_col: str = "text_a",
+                         b_col: str = "text_b") -> DataFrame:
+    """T5 fuzzy similarity: difflib.SequenceMatcher.ratio per pair
+    (text_similarity.py:14-38). No native/SQL equivalent exists, so this is
+    an Arrow-batched pandas UDF — the only sanctioned Python path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(a, b):
+        from difflib import SequenceMatcher
+        return pd.Series([
+            SequenceMatcher(None, x or "", y or "").ratio()
+            for x, y in zip(a, b)
+        ])
+
+    # real class objects, not lazy-string annotations (PEP 563 strings from
+    # `from __future__ import annotations` break pandas_udf inference)
+    _ratio_fn.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                                 "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, T.DoubleType())
+
+    return pairs.withColumn("seq_ratio", _ratio(F.col(a_col), F.col(b_col)))

@@ -1,0 +1,104 @@
+"""Pinned semantics for the G1-G6 table operators, L1/L2 layout, T5
+similarity and C8 cross-references (SURVEY.md §2.2/§2.3/§2.5/§2.6)."""
+
+from __future__ import annotations
+
+from mivaa_pdf_extractor_spark.core.tables import (classify_table,
+                                                   parse_html_table,
+                                                   parse_markdown_table,
+                                                   parse_table_content,
+                                                   table_to_record)
+
+
+def test_markdown_parse_drops_alignment_and_unescapes():
+    md = "| Articolo | Prezzo \\| EUR |\n|---|:---:|\n| X10 | 12,50 |"
+    grid = parse_markdown_table(md)
+    assert grid == [["Articolo", "Prezzo | EUR"], ["X10", "12,50"]]
+
+
+def test_html_parse_tolerates_unclosed_tr_and_collapses_ws():
+    html = ("<table><tr><th>Size</th><th> Pack\n  Qty </th>"
+            "<tr><td>60x60</td><td>4 Pz</td></table>")
+    assert parse_html_table(html) == [["Size", "Pack Qty"],
+                                      ["60x60", "4 Pz"]]
+
+
+def test_dispatch_none_is_not_empty_table():
+    assert parse_table_content("plain prose, no grid") is None
+    assert parse_table_content("| a | b |\n| c | d |") == [["a", "b"],
+                                                           ["c", "d"]]
+    assert parse_table_content("<tr><td>a</td><td>b</td></tr>"
+                               "<tr><td>c</td><td>d</td></tr>") is not None
+    # sub-minimum grids (under 2x2) normalize away
+    assert parse_table_content("| only |\n| one |") is None
+
+
+def test_classify_priority_pricing_beats_dimensions():
+    grid = [["Price", "Size"], ["1", "2"]]
+    assert classify_table(grid) == "pricing"
+    assert classify_table([["Misure", "Confezione"], ["a", "b"]]) == \
+        "dimensions"
+    assert classify_table([["Imballo", "Pz"], ["a", "b"]]) == "packaging"
+    assert classify_table([["Name", "Id"], ["a", "b"]]) == "other"
+
+
+def test_table_to_record_shape():
+    rec = table_to_record([["h1", "h2"], ["a", "b"], ["c", "d"]])
+    assert rec == {"headers": ["h1", "h2"], "rows": [["a", "b"], ["c", "d"]],
+                   "num_rows": 2, "num_cols": 2}
+
+
+def test_sheet_layout_spread_thresholds(spark):
+    from mivaa_pdf_extractor_spark.operators.layout import \
+        analyze_sheet_layout
+    rows = [("d1", 0, 595.0, 842.0),    # portrait -> single
+            ("d1", 1, 1346.0, 842.0),   # aspect 1.6 -> spread
+            ("d1", 2, 1100.0, 842.0),   # aspect 1.31 ambiguous -> single
+            ("d2", 0, 1346.0, 842.0)]
+    df = spark.createDataFrame(rows, "doc_id string, sheet_idx int, "
+                                     "width double, height double")
+    got = {(r["doc_id"], r["sheet_idx"]):
+           (r["layout_type"], r["n_physical"], r["first_physical_page"])
+           for r in analyze_sheet_layout(df).collect()}
+    assert got[("d1", 0)] == ("single", 1, 1)
+    assert got[("d1", 1)] == ("spread", 2, 2)
+    assert got[("d1", 2)] == ("single", 1, 4)  # after a 2-page spread
+    assert got[("d2", 0)] == ("spread", 2, 1)
+
+
+def test_word_overlap_and_seq_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from mivaa_pdf_extractor_spark.operators.text_analysis import (
+        sequence_ratio_pairs, word_overlap_similarity)
+    df = spark.createDataFrame(
+        [("the cat sat", "the cat sat on the mat"),
+         ("", ""),
+         ("abc", "xyz")],
+        "text_a string, text_b string")
+    out = df.select(
+        word_overlap_similarity(F.col("text_a"), F.col("text_b"))
+        .alias("ov")).collect()
+    # {the,cat,sat} vs {the,cat,sat,on,mat}: 3/5
+    assert abs(out[0]["ov"] - 0.6) < 1e-9
+    assert out[1]["ov"] == 0.0
+    assert out[2]["ov"] == 0.0
+
+    ratios = sequence_ratio_pairs(df).select("seq_ratio").collect()
+    from difflib import SequenceMatcher
+    assert abs(ratios[0]["seq_ratio"]
+               - SequenceMatcher(None, "the cat sat",
+                                 "the cat sat on the mat").ratio()) < 1e-9
+
+
+def test_cross_refs_resolution(spark):
+    from mivaa_pdf_extractor_spark.operators.chunking import detect_cross_refs
+    chunks = spark.createDataFrame(
+        [("d1", 0, 1, "see page 2 and refer to page 9"),
+         ("d1", 1, 2, "target a"),
+         ("d1", 2, 2, "target b")],
+        "doc_id string, chunk_index int, page int, content string")
+    out = {(r["src_chunk"], r["ref_page"]): list(r["target_chunks"])
+           for r in detect_cross_refs(chunks).collect()}
+    assert out[(0, 2)] == [1, 2]
+    assert out[(0, 9)] == []  # unresolvable page -> empty targets
