@@ -211,6 +211,87 @@ def _chunk_batch(pdf: pd.DataFrame, strategy: str,
     return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
 
+def _chunk_layout_arrays(kinds, texts, max_size: int) -> list[tuple]:
+    """chunk_layout over parallel kind/text arrays (no per-span dicts);
+    identical semantics to chunk_layout()."""
+    chunks: list[tuple] = []
+    cur: list[str] = []
+    cur_len = 0
+    kset: set[str] = set()
+
+    def flush():
+        nonlocal cur, cur_len, kset
+        if cur:
+            chunks.append(("\n\n".join(cur), False, ",".join(sorted(kset))))
+            cur = []
+            cur_len = 0
+            kset = set()
+
+    for kind, text in zip(kinds, texts):
+        if not text:
+            continue
+        if kind == "table":
+            flush()
+            chunks.append((text, True, "table"))
+            continue
+        if kind == "heading":
+            flush()
+        if cur and cur_len + len(text) + 2 > max_size:
+            flush()
+        cur.append(text)
+        cur_len += len(text) + (2 if cur_len else 0)
+        kset.add(kind)
+    flush()
+    return chunks
+
+
+def _chunk_arrow_iter(batches, strategy: str, max_size: int):
+    """mapInArrow chunking stage: spans arrive as a ListArray whose
+    offsets/values we slice per doc — no dict-per-span materialization
+    (the mapInPandas form spent most of its time building span dicts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    chunker = None if strategy == "layout" else _TEXT_CHUNKERS[strategy]
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans")
+        lengths = spans_col.value_lengths().to_numpy(zero_copy_only=False)
+        lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+        values = spans_col.flatten()
+        kinds_all = values.field("kind").to_pylist()
+        texts_all = values.field("text").to_pylist()
+
+        out_doc, out_idx, out_content, out_table, out_kinds = \
+            [], [], [], [], []
+        start = 0
+        for doc_id, n in zip(doc_ids, lengths):
+            k = kinds_all[start:start + n]
+            t = texts_all[start:start + n]
+            start += n
+            if strategy == "layout":
+                results = _chunk_layout_arrays(k, t, max_size)
+            else:
+                text = "\n\n".join(x for x in t if x)
+                results = [(c, False, "") for c in chunker(text, max_size)]
+            for i, (content, is_table, kinds) in enumerate(results):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_content.append(content)
+                out_table.append(is_table)
+                out_kinds.append(kinds)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_doc, type=pa.string()),
+             pa.array(out_idx, type=pa.int32()),
+             pa.array(out_content, type=pa.string()),
+             pa.array(out_table, type=pa.bool_()),
+             pa.array(out_kinds, type=pa.string()),
+             pa.array([strategy] * len(out_doc), type=pa.string())],
+            names=[f.name for f in CHUNK_SCHEMA.fields])
+
+
 def chunk_documents(extracted: DataFrame, strategy: str = "layout",
                     max_size: int = DEFAULT_MAX_SIZE,
                     quality_threshold: float | None = None,
@@ -219,8 +300,8 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
     native quality score (C5) → native per-doc exact dedup (C6) → optional
     quality filter (C7)."""
     slim = extracted.select("doc_id", "spans")
-    chunks = slim.mapInPandas(
-        lambda it: (_chunk_batch(p, strategy, max_size) for p in it),
+    chunks = slim.mapInArrow(
+        lambda it: _chunk_arrow_iter(it, strategy, max_size),
         schema=CHUNK_SCHEMA)
 
     c = F.col("content")
