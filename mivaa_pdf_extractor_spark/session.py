@@ -51,6 +51,9 @@ def build_session(
         # executor JVMs on a real cluster via executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions",
                 f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
+        # same fix for executor JVMs on a real cluster (no-op in local mode,
+        # where the driver JVM is the executor)
+        .config("spark.executor.extraJavaOptions", "-XX:+AlwaysPreTouch")
         # shuffle files on tmpfs: in local mode every parallelism level
         # shares ONE OS disk, so shuffle I/O is a data-proportional cost
         # that does not scale with cores and poisons N-vs-4N comparisons.
