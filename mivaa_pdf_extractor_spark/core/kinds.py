@@ -12,7 +12,34 @@ the engine parses the same grammar vectorized with pandas ``str.extract``
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# THE numeric attr grammar — single source of truth for every parse path
+# (oracle parse_kind, the Arrow kernel's extract_regex, the skew path's
+# native regexp_extract). A value is accepted only if the WHOLE value (up to
+# the next ';' / end of string) matches; anything else keeps the default.
+# Bounded digit counts keep int64/float64 casts exact and identical across
+# Python int()/float(), Arrow cast, and Spark's cast.
+# ---------------------------------------------------------------------------
+INT_ATTR_PATTERN = r"-?\d{1,9}"
+FLOAT_ATTR_PATTERN = r"-?\d{1,9}(?:\.\d{1,9})?(?:[eE][-+]?\d{1,2})?"
+
+_INT_FULL = re.compile(INT_ATTR_PATTERN + r"\Z")
+_FLOAT_FULL = re.compile(FLOAT_ATTR_PATTERN + r"\Z")
+
+
+def attr_regex(key: str, pattern: str, named: bool = False) -> str:
+    """Anchored extraction regex for one ``k=v`` attr: the value must span
+    the full segment (next ``;`` or end), so partial-numeric garbage like
+    ``y=1.2.3`` is a no-match (-> default), never a prefix parse. First
+    valid occurrence wins (RE2/Java regex find the leftmost match).
+    ``named=True`` emits RE2's ``(?P<v>...)`` group for pyarrow
+    ``extract_regex``; the default numbered group is for Spark's
+    ``regexp_extract`` (group 1)."""
+    group = rf"(?P<v>{pattern})" if named else rf"({pattern})"
+    return rf"(?:^|;){key}={group}(?:;|$)"
 
 
 @dataclass
@@ -37,25 +64,35 @@ _INT_KEYS = {"page", "mono", "col", "edpi"}
 
 def parse_kind(kind: str) -> SpanAttrs:
     """Parse ``base;k=v;...``. Lenient: missing attrs keep defaults;
-    unparseable values keep defaults (the engine treats *None* kind as a
-    document failure, not a bad attribute)."""
+    values that don't fully match the grammar keep defaults (the engine
+    treats *None* kind as a document failure, not a bad attribute).
+
+    The FIRST occurrence of each key whose value matches the grammar wins —
+    the same semantics as the engines' leftmost regex match (so
+    ``y=bad;y=2`` reads 2, but ``y=1;y=2`` reads 1)."""
     parts = kind.split(";")
     attrs = SpanAttrs(base=parts[0])
+    seen: set[str] = set()
     for part in parts[1:]:
         if "=" not in part:
             continue
         k, _, v = part.partition("=")
-        try:
-            if k in _FLOAT_KEYS:
-                setattr(attrs, k, float(v))
-            elif k in _INT_KEYS:
-                setattr(attrs, k, int(v))
-            elif k == "phash":
-                attrs.phash = v
-            else:
-                attrs.extra[k] = v
-        except ValueError:
+        if k in seen:
             continue
+        if k in _FLOAT_KEYS:
+            if _FLOAT_FULL.match(v):
+                setattr(attrs, k, float(v))
+                seen.add(k)
+        elif k in _INT_KEYS:
+            if _INT_FULL.match(v):
+                setattr(attrs, k, int(v))
+                seen.add(k)
+        elif k == "phash":
+            attrs.phash = v
+            seen.add(k)
+        else:
+            if k not in attrs.extra:
+                attrs.extra[k] = v
     return attrs
 
 

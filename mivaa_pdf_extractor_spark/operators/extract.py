@@ -35,6 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..core import constants as C
+from ..core.kinds import FLOAT_ATTR_PATTERN, INT_ATTR_PATTERN, attr_regex
 from ..core.normalize import normalize_series
 from ..core.tables import grid_to_pipe_table, normalize_grid
 
@@ -62,13 +63,15 @@ def _attr(s: pd.Series, key: str) -> pd.Series:
     return s.str.extract(rf"(?:^|;){key}=([^;]*)", expand=False)
 
 
-def _num_attr_arrow(arr: "pa.Array", key: str, fill: float) -> np.ndarray:
-    """Numeric attr: RE2 extract restricted to numeric chars (so no-match
-    -> null, never a cast error), cast + fill in Arrow — C-level end to end
-    (pandas to_numeric on 1M-row object arrays profiled at ~2s/corpus)."""
+def _num_attr_arrow(arr: "pa.Array", key: str, fill: float,
+                    pattern: str = FLOAT_ATTR_PATTERN) -> np.ndarray:
+    """Numeric attr: RE2 extract with the shared anchored grammar (every
+    match is guaranteed castable, so no-match -> null -> default, never an
+    ArrowInvalid), cast + fill in Arrow — C-level end to end (pandas
+    to_numeric on 1M-row object arrays profiled at ~2s/corpus)."""
     import pyarrow.compute as pc
 
-    st = pc.extract_regex(arr, rf"(?:^|;){key}=(?P<v>-?[0-9.]+)")
+    st = pc.extract_regex(arr, attr_regex(key, pattern, named=True))
     v = pc.cast(pc.struct_field(st, "v"), pa.float64())
     return pc.fill_null(v, fill).to_numpy(zero_copy_only=False)
 
@@ -130,13 +133,17 @@ def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
     arr = pa.array(k, type=pa.string())
     a = _attrs_arrow(k, ["phash"])
     flat["base"] = a["__base__"].astype(object)
-    flat["page"] = _num_attr_arrow(arr, "page", 1.0).astype(np.int64)
+    flat["page"] = _num_attr_arrow(
+        arr, "page", 1.0, INT_ATTR_PATTERN).astype(np.int64)
     flat["y"] = _num_attr_arrow(arr, "y", 0.0)
     flat["x"] = _num_attr_arrow(arr, "x", 0.0)
     flat["size"] = _num_attr_arrow(arr, "size", 10.0)
-    flat["mono"] = _num_attr_arrow(arr, "mono", 0.0).astype(np.int64)
-    flat["colattr"] = _num_attr_arrow(arr, "col", 0.0).astype(np.int64)
-    flat["edpi"] = _num_attr_arrow(arr, "edpi", 0.0).astype(np.int64)
+    flat["mono"] = _num_attr_arrow(
+        arr, "mono", 0.0, INT_ATTR_PATTERN).astype(np.int64)
+    flat["colattr"] = _num_attr_arrow(
+        arr, "col", 0.0, INT_ATTR_PATTERN).astype(np.int64)
+    flat["edpi"] = _num_attr_arrow(
+        arr, "edpi", 0.0, INT_ATTR_PATTERN).astype(np.int64)
     flat["phash"] = a["phash"].fillna("").astype(object)
     return flat
 

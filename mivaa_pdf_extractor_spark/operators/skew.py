@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
 from ..core import constants as C
+from ..core.kinds import FLOAT_ATTR_PATTERN, INT_ATTR_PATTERN, attr_regex
 from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, parse_attrs,
                       process_flat, run_extract)
 
@@ -51,7 +52,11 @@ _ROW_SCHEMA = T.StructType([
     T.StructField("tlen", T.LongType()),
 ])
 
-_PAGE_RE = r"(?:^|;)page=([0-9]+)"
+# shared attr grammar (core/kinds.py): signed, anchored to the full ;-segment
+# so the skew path parses EXACTLY like the normal kernel and the oracle —
+# round 1 had unsigned `[0-9.]+` here, which read `edpi=-1` as 1 and flipped
+# the low-DPI gate only on the skew path.
+_PAGE_RE = attr_regex("page", INT_ATTR_PATTERN)
 
 DEFAULT_SPANS_PER_BUCKET = 8192
 
@@ -161,7 +166,7 @@ def _extract_giant(giant: DataFrame,
     # keep the first (page, y, x, pos) occurrence per (doc, layer, phash)
     def num(key):
         return F.coalesce(
-            F.nullif(F.regexp_extract("kind", rf"(?:^|;){key}=([0-9.]+)", 1),
+            F.nullif(F.regexp_extract("kind", attr_regex(key, FLOAT_ATTR_PATTERN), 1),
                      F.lit("")), F.lit("0")).cast("double")
 
     is_media = F.col("base").isin(*C.MEDIA_KINDS)
@@ -176,7 +181,7 @@ def _extract_giant(giant: DataFrame,
 
     # doc-global heading histogram (M1): two tiny aggregations
     size_col = F.coalesce(
-        F.nullif(F.regexp_extract("kind", r"(?:^|;)size=([0-9.]+)", 1),
+        F.nullif(F.regexp_extract("kind", attr_regex("size", FLOAT_ATTR_PATTERN), 1),
                  F.lit("")),
         F.lit("10")).cast("double")
     tt = (ok.filter(F.col("base").isin("text", "title"))

@@ -21,6 +21,7 @@ except ImportError:  # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
 
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
+from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
 from mivaa_pdf_extractor_spark.oracle import extract_document
 from mivaa_pdf_extractor_spark.sources.synthetic import corpus_to_spark_df
 
@@ -29,6 +30,13 @@ _BASES = ["text", "title", "caption", "image", "figure", "table_cell",
           ""]
 
 _ATTR_KEYS = ["page", "y", "x", "size", "mono", "col", "edpi", "phash"]
+
+# adversarial attr values straight at the grammar: float-valued int keys
+# (round 1's fuzz failure), scientific notation, prefix-parseable garbage,
+# Python-float-lenient-but-not-grammar forms, sign/underscore/overflow
+_NASTY_NUMERICS = ["1.0", "2.7", "250.0", "1e3", "1E-2", "1.2.3", ".", "1.",
+                   ".5", "+1", "-0", "007", "inf", "nan", "1_0", "", " 1",
+                   "9999999999", "1e999"]
 
 
 @st.composite
@@ -41,10 +49,11 @@ def _kind(draw):
         if k == "phash":
             v = draw(st.sampled_from(["", "abcd1234", "ffff0000", ";bad"]))
         else:
-            v = str(draw(st.one_of(
-                st.integers(-5, 3000),
+            v = draw(st.one_of(
+                st.integers(-5, 3000).map(str),
                 st.floats(0, 2000, allow_nan=False).map(
-                    lambda f: round(f, 2)))))
+                    lambda f: str(round(f, 2))),
+                st.sampled_from(_NASTY_NUMERICS)))
         parts.append(f"{k}={v}")
     return ";".join(parts)
 
@@ -68,14 +77,11 @@ _doc = st.lists(_span, min_size=0, max_size=25)
 _corpus = st.lists(_doc, min_size=1, max_size=8)
 
 
-@settings(max_examples=12, deadline=None,
-          suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(corpus=_corpus)
-def test_fuzzed_span_equality(spark, corpus):
+def _assert_corpus_equal(spark, corpus, runner):
     docs = [{"doc_id": f"fz-{i:03d}", "spans": spans}
             for i, spans in enumerate(corpus)]
     got = {r["doc_id"]: r
-           for r in run_extract(corpus_to_spark_df(spark, docs), 4).collect()}
+           for r in runner(corpus_to_spark_df(spark, docs)).collect()}
     for d in docs:
         want = extract_document(d["doc_id"], d["spans"])
         got_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
@@ -84,3 +90,21 @@ def test_fuzzed_span_equality(spark, corpus):
                       for s in want["spans"]]
         assert got_spans == want_spans, d["doc_id"]
         assert got[d["doc_id"]]["status"] == want["status"], d["doc_id"]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=_corpus)
+def test_fuzzed_span_equality(spark, corpus):
+    _assert_corpus_equal(spark, corpus, lambda df: run_extract(df, 4))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=_corpus)
+def test_fuzzed_span_equality_skew_path(spark, corpus):
+    """The salted per-page-bucket plan must speak the SAME attr grammar:
+    threshold=0 routes every fuzzed doc through the skew path (round 1's
+    unsigned regexes diverged on negative numerics here)."""
+    _assert_corpus_equal(
+        spark, corpus, lambda df: run_extract_skewed(df, skew_threshold=0))
