@@ -167,6 +167,117 @@ SELECT id,
 FROM ({sh}) GROUP BY id
 """.format(sh=_DUCK_SHINGLES)
 
+# stop-shingle cap for the n-gram tier: the contract query keeps the
+# inverted-index fan-out guard ON; the twin applies the identical cap
+_SHINGLE_FREQ_CAP = 1000
+
+_DUCK_SHINGLES_CAPPED = """
+SELECT id, shingle FROM ({sh})
+QUALIFY count(*) OVER (PARTITION BY shingle) <= {cap}
+""".format(sh=_DUCK_SHINGLES, cap=_SHINGLE_FREQ_CAP)
+
+
+def _duck_simhash(src: str) -> str:
+    """DuckDB twin of operators/dedup.py simhash: per-word md5 -> 64-bit
+    sign aggregation. The engine's kernel is Arrow-vectorized numpy; the twin
+    re-derives the exact same bits from md5 hex, so the driver can value-hash
+    the fingerprints instead of a rows-only check."""
+    return f"""
+WITH src AS ({src}),
+w AS (SELECT id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM src),
+hv AS (SELECT id, CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT) AS v
+       FROM w),
+bits AS (SELECT id, b,
+                sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM hv, unnest(generate_series(0, 63)) t(b)
+         GROUP BY id, b),
+agg AS (SELECT id,
+               sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b
+                        ELSE CAST(0 AS UBIGINT) END) AS u
+        FROM bits GROUP BY id)
+SELECT s.id,
+       CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+                 THEN CAST(u AS HUGEINT) - 18446744073709551616
+                 ELSE CAST(coalesce(u, 0) AS HUGEINT) END AS BIGINT)
+           AS simhash
+FROM src s LEFT JOIN agg ON s.id = agg.id
+"""
+
+
+def _duck_srp_bucket(vec_expr: str, planes) -> str:
+    """DuckDB replica of operators/similarity.py srp_bucket: the hyperplanes
+    are deterministic seeded constants, so the twin embeds them as literals
+    (repr round-trips doubles exactly) and folds sign bits MSB-first exactly
+    like the Spark expression."""
+    n = len(planes)
+    terms = []
+    for i, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        bit = (f"CASE WHEN list_reduce(list_transform(list_zip({vec_expr}, "
+               f"{arr}), q -> q[1] * q[2]), (x, y) -> x + y) > 0 "
+               f"THEN 1 ELSE 0 END")
+        terms.append(f"{bit} * {1 << (n - 1 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duck_topk_lsh_sql(k: int = 10, n_planes: int = 8, n_tables: int = 4,
+                       dim: int = 64, seed: int = 42) -> str:
+    from mivaa_pdf_extractor_spark.operators.similarity import _hyperplanes
+
+    per_table = ["SELECT vec_id, v, {t} AS tbl, {b} AS bucket FROM base"
+                 .format(t=t, b=_duck_srp_bucket("v", _hyperplanes(
+                     dim, n_planes, seed + t)))
+                 for t in range(n_tables)]
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+        cb AS ({buckets}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 q.v AS qv, c.v AS cv
+          FROM cb c JOIN cb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 round(list_reduce(list_transform(list_zip(qv, cv),
+                           p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                               (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                 (x, y) -> x + y))), 6) AS sim
+          FROM cand)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= {k}"""
+
+
+# media refs exactly as the extraction pipeline derives them from
+# documents_to_spans: n_spans = max(ceil(n_words/8), 1); span i is an
+# embedded image iff i % 13 = 5 and i > 0 (edpi=250, unique phash -> no
+# dedup/gate); page = i // 10 + 1; within-page img rank follows i order
+# (constant x, ascending y)
+_DUCK_MEDIA_REFS = r"""
+nsp AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         greatest(CAST(ceil(coalesce(length(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')), 0) / 8.0)
+             AS BIGINT), 1) AS n
+  FROM documents),
+idx AS (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i FROM nsp),
+m AS (SELECT doc_id, i, i // 10 + 1 AS page
+      FROM idx WHERE i % 13 = 5 AND i > 0),
+refs AS (
+  SELECT doc_id,
+         doc_id || '/p' || CAST(page AS VARCHAR) || '/img' ||
+         CAST(row_number() OVER (PARTITION BY doc_id, page ORDER BY i) - 1
+              AS VARCHAR) AS media_ref
+  FROM m)
+"""
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -319,9 +430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
 
     def dedup_ngram_jaccard(spark, sf_dir):
+        # max_shingle_freq ON (stop-shingle cap): the guard that bounds the
+        # inverted-index self-join fan-out at 100 TB stays in the published
+        # plan; the DuckDB twin applies the same cap (VERDICT.md item 7)
         return dd.ngram_jaccard_pairs(_dup_union(spark, sf_dir), "text", "id",
                                       n=3, threshold=0.8,
-                                      max_shingle_freq=None)
+                                      max_shingle_freq=_SHINGLE_FREQ_CAP)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def lang_id(spark, sf_dir):
@@ -340,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk"] = embedding_topk
 
     # --- non-SQL-expressible (driver records rows-only checks) ---
+    # (simhash + media queries moved OUT of this group in round 2: their
+    # md5-closed-form semantics admit exact DuckDB twins after all)
 
     def extract_pipeline(spark, sf_dir):
         spans = documents_to_spans(_docs(spark, sf_dir))
@@ -369,8 +485,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_topk_lsh"] = embedding_topk_lsh
 
     def embedding_near_dups(spark, sf_dir):
-        return sim.embedding_near_dup_pairs(_emb(spark, sf_dir),
-                                            threshold=0.5)
+        # plant scale-perturbed shadows (vec_id+10000, embedding*1.01):
+        # scaling preserves every SRP sign bit, so the LSH pipeline finds
+        # each planted pair in ALL hash tables deterministically — which
+        # makes the approximate operator value-matchable against a DuckDB
+        # twin (the testdata embeddings are isotropic random, max stray
+        # cosine ~0.5 << 0.95, so planted pairs are the exact output).
+        # recall on clustered corpora is asserted in tests/test_ann_recall.py
+        e = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("embedding"))
+        shadow = e.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01))
+            .alias("embedding"))
+        return sim.embedding_near_dup_pairs(e.unionByName(shadow),
+                                            threshold=0.95)
     q["embedding_near_dups"] = embedding_near_dups
 
     def chunk_layout_spans(spark, sf_dir):
@@ -381,9 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_layout_spans"] = chunk_layout_spans
 
     def media_image_features(spark, sf_dir):
+        # contract projection drops the raw array<float> feature column (it
+        # crashed the driver canonicalizer in round 1, and its randn stub has
+        # no SQL twin); the scalar stats are integer-closed-form md5 stats
+        # with an exact DuckDB twin
         spans = documents_to_spans(_docs(spark, sf_dir))
         media = synth_media_for_extracted(run_extract(spans))
-        return extract_image_features(media)
+        return extract_image_features(media).select(
+            "media_ref", "doc_id", "phash64", "ahash64",
+            "sharpness", "brightness")
     q["media_image_features"] = media_image_features
 
     def media_frame_sample(spark, sf_dir):
@@ -637,7 +774,7 @@ def oracle_sql() -> dict[str, str]:
             refs AS (
               SELECT doc_id, chunk_index AS src_chunk,
                      CAST(unnest(regexp_extract_all(lower(content),
-                       '(?:see|refer to|refer|shown on|described on) page (\\d+)',
+                       '(?:see|refer(?:ence)?|refer to|shown in|described in|detailed in|as in)\\s+page[s]?\\s+(\\d+)',
                        1)) AS INT) AS ref_page
               FROM c2)
             SELECT r.doc_id, r.src_chunk, r.ref_page,
@@ -713,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.id < b.id""",
         "dedup_ngram_jaccard": f"""
-            WITH sh AS ({_DUCK_SHINGLES}),
+            WITH sh AS ({_DUCK_SHINGLES_CAPPED}),
             sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
             inter AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -756,4 +893,73 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY sim DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 10""",
+        "embedding_topk_lsh": _duck_topk_lsh_sql(),
+        "embedding_near_dups": """
+            -- planted scale-perturbed shadows: SRP signs are scale-invariant
+            -- so the LSH output is exactly the planted pairs (see queries())
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+                       FROM embeddings),
+            p AS (SELECT vec_id AS id_a, vec_id + 10000 AS id_b, va,
+                         list_transform(va, x -> x * 1.01) AS vb
+                  FROM v),
+            s AS (SELECT id_a, id_b,
+                         round(list_reduce(list_transform(list_zip(va, vb),
+                                   q -> q[1] * q[2]), (x, y) -> x + y)
+                               / (sqrt(list_reduce(list_transform(va,
+                                       x -> x * x), (x, y) -> x + y))
+                                  * sqrt(list_reduce(list_transform(vb,
+                                         x -> x * x), (x, y) -> x + y))), 6)
+                             AS sim
+                  FROM p)
+            SELECT id_a, id_b, sim FROM s WHERE sim >= 0.95""",
+        "simhash_fingerprints": _duck_simhash(
+            "SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents"),
+        "simhash_near_pairs": f"""
+            WITH fp AS ({_duck_simhash(
+                "SELECT CAST(id AS VARCHAR) AS id, text FROM ("
+                + _DUP_UNION_SQL + ")")})
+            -- brute-force Hamming twin: the engine's block-rotation LSH has
+            -- EXACT recall for hamming <= 3 with 4 blocks (pigeonhole), so
+            -- the full O(n^2) scan at oracle scale must match it exactly
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM fp a JOIN fp b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "media_image_features": f"""
+            WITH {_DUCK_MEDIA_REFS},
+            feat AS (SELECT media_ref, doc_id, md5(media_ref) AS h FROM refs),
+            by AS (
+              SELECT media_ref, doc_id, h,
+                     CAST(('0x' || substring(h, 1, 16)) AS UBIGINT) AS v1,
+                     CAST(('0x' || substring(h, 17, 16)) AS UBIGINT) AS v2,
+                     list_sum(list_transform(generate_series(1, 16),
+                         j -> CAST(('0x' || substring(h, 2*j - 1, 2))
+                                   AS INTEGER))) AS sx,
+                     list_sum(list_transform(generate_series(1, 16),
+                         j -> CAST(('0x' || substring(h, 2*j - 1, 2))
+                                   AS INTEGER)
+                              * CAST(('0x' || substring(h, 2*j - 1, 2))
+                                     AS INTEGER))) AS sx2
+              FROM feat)
+            SELECT media_ref, doc_id,
+                   CAST(CASE WHEN v1 >= 9223372036854775808
+                             THEN CAST(v1 AS HUGEINT) - 18446744073709551616
+                             ELSE CAST(v1 AS HUGEINT) END AS BIGINT)
+                       AS phash64,
+                   CAST(CASE WHEN v2 >= 9223372036854775808
+                             THEN CAST(v2 AS HUGEINT) - 18446744073709551616
+                             ELSE CAST(v2 AS HUGEINT) END AS BIGINT)
+                       AS ahash64,
+                   (CAST(sx AS DOUBLE) / 16.0) / 255.0 AS sharpness,
+                   sqrt(CAST(sx2 * 16 - sx * sx AS DOUBLE) / 256.0) / 128.0
+                       AS brightness
+            FROM by""",
+        "media_frame_sample": f"""
+            WITH {_DUCK_MEDIA_REFS}
+            SELECT media_ref, doc_id,
+                   CAST(i AS INTEGER) AS frame_index,
+                   CAST(i * 1000 AS INTEGER) AS ts_ms,
+                   media_ref || '/frame' || CAST(i AS VARCHAR) AS frame_ref
+            FROM refs, unnest(generate_series(0, 4)) t(i)""",
     }

@@ -328,7 +328,12 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
 # table 3", ...) and resolves page references through a page -> chunk_ids
 # index. Spark form: regexp_extract_all + posexplode + a self-join on
 # (doc_id, page) — fully native, no UDF.
-XREF_PAGE_PATTERN = r"(?:see|refer to|refer|shown on|described on) page (\d+)"
+# the reference's verb set and whitespace tolerance verbatim
+# (unified_chunking_service.py:762-820): 'shown in'/'described in' (not
+# 'on'), 'reference', 'detailed in', 'as in', optional plural 'pages',
+# \s+ between tokens (round-1 ADVICE divergence)
+XREF_PAGE_PATTERN = (r"(?:see|refer(?:ence)?|refer to|shown in|described in"
+                     r"|detailed in|as in)\s+page[s]?\s+(\d+)")
 
 
 def detect_cross_refs(chunks: DataFrame,

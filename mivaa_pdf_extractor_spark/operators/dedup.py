@@ -149,9 +149,13 @@ def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     lengths = texts.str.len().to_numpy(dtype=np.int64)
     flat_words = [w for ws in texts for w in ws]
     if flat_words:
-        hashes = np.array(
+        # hash UNIQUE words only (Zipf: ~5-10x fewer md5 calls per batch),
+        # then gather back through the factorize codes
+        codes, uniques = pd.factorize(np.asarray(flat_words, dtype=object))
+        uniq_hashes = np.array(
             [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-             for w in flat_words], dtype=np.uint64)
+             for w in uniques], dtype=np.uint64)
+        hashes = uniq_hashes[codes]
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
                 ).astype(np.int64) * 2 - 1
         doc_of = np.repeat(np.arange(len(pdf)), lengths)

@@ -54,15 +54,23 @@ FRAME_SCHEMA = T.StructType([
 
 def _fake_image_features(content: bytes, dim: int = 16) -> dict:
     """Deterministic stand-in for a real decoder: statistics derived from
-    the md5 of the bytes. Replaced wholesale when codecs are available."""
+    the md5 of the bytes. Replaced wholesale when codecs are available.
+
+    sharpness/brightness use a closed form over EXACT integer byte sums
+    (single IEEE ops from integers), so a SQL oracle computing the same
+    formula from ``md5(...)`` produces bit-identical doubles — this is what
+    lets the driver value-hash the query instead of rows-only."""
+    import math
+
     digest = hashlib.md5(content or b"").digest()
-    h = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+    sx = sum(digest)
+    sx2 = sum(b * b for b in digest)
     rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
     return {
         "phash64": int.from_bytes(digest[:8], "big", signed=True),
         "ahash64": int.from_bytes(digest[8:16], "big", signed=True),
-        "sharpness": float(h.mean() / 255.0),
-        "brightness": float(h.std() / 128.0),
+        "sharpness": (sx / 16.0) / 255.0,
+        "brightness": math.sqrt((sx2 * 16 - sx * sx) / 256.0) / 128.0,
         "feature": rng.randn(dim).astype(np.float32).tolist(),
     }
 
@@ -97,23 +105,27 @@ def extract_image_features(media: DataFrame,
         schema=IMAGE_FEATURES_SCHEMA)
 
 
-def _frame_batch(pdf: pd.DataFrame, every_ms: int) -> pd.DataFrame:
-    rows = []
-    for ref, doc, dur in zip(pdf["media_ref"], pdf["doc_id"],
-                             pdf["duration_ms"]):
-        dur = int(dur or 0)
-        for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
-            rows.append((ref, doc, i, ts, f"{ref}/frame{i}"))
-    return pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
-
-
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video media: emits one row per sampled frame
-    with a deterministic frame_ref (decode itself is the stubbed step)."""
+    """Frame-sampling plan for video media: one row per sampled frame at
+    ``ts = 0, every_ms, ... < max(duration_ms, 1)`` with a deterministic
+    frame_ref (the decode itself is the stubbed step).
+
+    Fully native — ``posexplode(sequence(...))`` stays inside codegen and
+    admits an exact DuckDB ``generate_series`` oracle twin; round 1 had a
+    per-row Python loop here (VERDICT.md item 4)."""
     vids = media.filter(F.col("mime").startswith("video/"))
-    return vids.mapInPandas(
-        lambda it: (_frame_batch(p, every_ms) for p in it),
-        schema=FRAME_SCHEMA)
+    dur = F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(1))
+    last = F.floor((dur - F.lit(1)) / F.lit(every_ms)).cast("int")
+    return (vids
+            .select("media_ref", "doc_id",
+                    F.posexplode(F.sequence(F.lit(0), last))
+                    .alias("frame_index", "_ts_step"))
+            .select(
+                "media_ref", "doc_id",
+                F.col("frame_index").cast("int").alias("frame_index"),
+                (F.col("frame_index") * every_ms).cast("int").alias("ts_ms"),
+                F.concat(F.col("media_ref"), F.lit("/frame"),
+                         F.col("frame_index")).alias("frame_ref")))
 
 
 def synth_media_for_extracted(extracted: DataFrame) -> DataFrame:
