@@ -23,7 +23,10 @@ from mivaa_pdf_extractor_spark.operators import similarity as sim
 from mivaa_pdf_extractor_spark.operators import text_analysis as ta
 from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
                                                           detect_cross_refs)
-from mivaa_pdf_extractor_spark.operators.layout import analyze_sheet_layout
+from mivaa_pdf_extractor_spark.operators.layout import (analyze_sheet_layout,
+                                                        is_full_spread_image,
+                                                        normalize_regions,
+                                                        spans_in_clip)
 from mivaa_pdf_extractor_spark.operators.tables_op import \
     parse_and_classify_tables
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
@@ -559,11 +562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("seq_ratio", 6).alias("seq_ratio"))
     q["text_similarity_seqratio"] = text_similarity_seqratio
 
-    def sheet_layout(spark, sf_dir):
-        # L1 over sheets synthesized natively: each doc gets 1 + doc_id%4
-        # sheets; every third sheet is landscape (aspect 1.6 -> spread)
+    def _sheets(spark, sf_dir):
+        # L1 fixture: each doc gets 1 + doc_id%4 sheets; every third sheet
+        # is landscape (aspect 1.6 -> spread)
         d = _docs(spark, sf_dir).select("doc_id")
-        sheets = d.select(
+        return d.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
                       ).alias("sheet_idx"),
@@ -573,10 +576,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.lit(1346.0)).otherwise(F.lit(595.0)).alias("width"),
             F.lit(842.0).alias("height"),
         )
+
+    def sheet_layout(spark, sf_dir):
+        # L1 + L2: spread typing, physical-page counter, and the
+        # full-spread-image no-split flag over synthesized image dims
+        sheets = _sheets(spark, sf_dir)
+        img_w = F.when(F.col("doc_id") % 5 == 0,
+                       F.col("width") * 0.8).otherwise(F.col("width") * 0.3)
+        img_h = F.when(F.col("doc_id") % 2 == 0,
+                       F.col("height") * 0.6).otherwise(F.col("height") * 0.2)
+        chars = (F.col("doc_id") * 13 % 400).cast("double")
+        vect = F.col("doc_id") % 11 == 0
         return analyze_sheet_layout(sheets).select(
             "doc_id", "sheet_idx", "layout_type", "n_physical",
-            "first_physical_page")
+            "first_physical_page",
+            is_full_spread_image(img_w, img_h, F.col("width"),
+                                 F.col("height"), chars, vect)
+            .alias("no_split"))
     q["sheet_layout"] = sheet_layout
+
+    def sheet_clip_spans(spark, sf_dir):
+        # L3 + L5: half-page clip + span-in-clip over synthesized spans —
+        # gutter straddlers land on both halves, px coords are clip-local
+        sheets_src = _sheets(spark, sf_dir)
+        sheets = analyze_sheet_layout(sheets_src)
+        spans = (sheets_src
+                 .select("doc_id", "sheet_idx",
+                         F.explode(F.sequence(F.lit(0), F.lit(5)))
+                         .alias("i"))
+                 .select(
+                     "doc_id", "sheet_idx",
+                     (((F.col("doc_id") % 7) * 97.0 + F.col("i") * 173.0)
+                      % 1200.0).alias("x0"),
+                     F.when(F.col("i") == 5, F.lit(900.0))
+                     .otherwise(100.0 + F.col("i") * 150.0).alias("y0"),
+                     F.when(F.col("i") == 3, F.lit("  "))
+                     .otherwise(F.concat(F.lit("t"),
+                                         F.col("i").cast("string")))
+                     .alias("text")))
+        spans = spans.withColumn("x1", F.col("x0") + 120.0) \
+                     .withColumn("y1", F.col("y0") + 40.0)
+        return spans_in_clip(spans, sheets)
+    q["sheet_clip_spans"] = sheet_clip_spans
+
+    def region_normalize(spark, sf_dir):
+        # L7: clamp + order-correction over synthesized pixel regions
+        # (one inverted box, one out-of-range, one NULL bbox, one doc class
+        # with width=0 exercising the 'or 1.0' fallback)
+        d = _docs(spark, sf_dir).select("doc_id")
+        r = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        ).select(
+            "doc_id", F.lit(1).alias("page"), F.col("i").alias("pos"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(0.0))
+            .otherwise(F.lit(1000.0)).alias("width"),
+            F.lit(800.0).alias("height"),
+            F.when(F.col("i") == 0,
+                   F.array(F.lit(50.0), F.lit(40.0), F.lit(200.0),
+                           F.lit(100.0)))
+            .when(F.col("i") == 1,
+                  F.array(F.lit(300.0), F.lit(500.0), F.lit(100.0),
+                          F.lit(200.0)))
+            .when(F.col("i") == 2,
+                  F.array(F.lit(-50.0), F.lit(-20.0), F.lit(1200.0),
+                          F.lit(900.0)))
+            .otherwise(F.lit(None).cast("array<double>")).alias("bbox"),
+            F.when(F.col("i") == 2, F.lit("")).otherwise(
+                F.concat(F.lit("lbl"), F.col("i").cast("string")))
+            .alias("label"),
+            F.concat(F.lit("c"), F.col("i").cast("string")).alias("content"),
+            F.when(F.col("i") == 1, F.lit(0)).otherwise(F.col("i"))
+            .cast("int").alias("order"),
+        )
+        return normalize_regions(r)
+    q["region_normalize"] = region_normalize
+
+    def size_gate(spark, sf_dir):
+        # S1: the 50 MB input cap as a native routing expression (the
+        # pipeline variant filters + stamps the terminal 'oversize' status;
+        # tested with a small cap in tests/test_resume.py)
+        cap = 2000
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.octet_length("text").alias("n_bytes"),
+            F.when(F.octet_length("text") > cap, F.lit("oversize"))
+            .otherwise(F.lit("ok")).alias("route"))
+    q["size_gate"] = size_gate
 
     def chunk_cross_refs(spark, sf_dir):
         # C8 over synthesized chunks: every doc yields 3 chunks on pages
@@ -747,18 +832,133 @@ def oracle_sql() -> dict[str, str]:
                      842.0 AS height
               FROM sheets),
             typed AS (
-              SELECT doc_id, sheet_idx,
+              SELECT doc_id, sheet_idx, width, height,
                      CASE WHEN width / height > 1.4
                           THEN 'spread' ELSE 'single' END AS layout_type,
                      CASE WHEN width / height > 1.4 THEN 2 ELSE 1
-                          END AS n_physical
+                          END AS n_physical,
+                     CASE WHEN doc_id % 5 = 0 THEN width * 0.8
+                          ELSE width * 0.3 END AS img_w,
+                     CASE WHEN doc_id % 2 = 0 THEN height * 0.6
+                          ELSE height * 0.2 END AS img_h,
+                     CAST(doc_id * 13 % 400 AS DOUBLE) AS chars,
+                     doc_id % 11 = 0 AS vect
               FROM dims)
             SELECT doc_id, sheet_idx, layout_type, n_physical,
                    CAST(coalesce(sum(n_physical) OVER (
                         PARTITION BY doc_id ORDER BY sheet_idx
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) + 1 AS INT) AS first_physical_page
+                        0) + 1 AS INT) AS first_physical_page,
+                   ((img_w >= width * 0.75) AND (img_h >= height * 0.5))
+                   OR (vect AND (img_w >= width * 0.75) AND (chars < 200))
+                       AS no_split
             FROM typed""",
+        "sheet_clip_spans": """
+            WITH sheets AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 4)) AS sheet_idx
+              FROM documents),
+            dims AS (
+              SELECT doc_id, sheet_idx,
+                     CASE WHEN (sheet_idx + doc_id) % 3 = 0
+                          THEN 1346.0 ELSE 595.0 END AS width,
+                     842.0 AS height
+              FROM sheets),
+            phys AS (
+              SELECT *,
+                     CASE WHEN width / height > 1.4
+                          THEN 'spread' ELSE 'single' END AS layout_type,
+                     CAST(coalesce(sum(CASE WHEN width / height > 1.4
+                                            THEN 2 ELSE 1 END) OVER (
+                          PARTITION BY doc_id ORDER BY sheet_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) + 1 AS INT) AS first_physical_page
+              FROM dims),
+            spans AS (
+              SELECT doc_id, sheet_idx, i,
+                     ((doc_id % 7) * 97.0 + i * 173.0) % 1200.0 AS x0,
+                     CASE WHEN i = 5 THEN 900.0
+                          ELSE 100.0 + i * 150.0 END AS y0,
+                     CASE WHEN i = 3 THEN '  '
+                          ELSE 't' || CAST(i AS VARCHAR) END AS text
+              FROM sheets, unnest(generate_series(0, 5)) t(i)),
+            j AS (
+              SELECT p.doc_id, p.width, p.height, p.layout_type,
+                     p.first_physical_page, s.i, s.x0, s.y0,
+                     s.x0 + 120.0 AS x1, s.y0 + 40.0 AS y1, s.text
+              FROM phys p JOIN spans s
+                ON s.doc_id = p.doc_id AND s.sheet_idx = p.sheet_idx),
+            e AS (
+              SELECT *,
+                     unnest(CASE WHEN layout_type = 'spread'
+                                 THEN ['left', 'right']
+                                 ELSE ['full'] END) AS position
+              FROM j),
+            f AS (
+              SELECT *,
+                     CASE WHEN position = 'right' THEN width / 2.0
+                          ELSE 0.0 END AS cx0,
+                     CASE WHEN position = 'left' THEN width / 2.0
+                          ELSE width END AS cx1
+              FROM e)
+            SELECT doc_id,
+                   CAST(first_physical_page
+                        + CASE WHEN position = 'right' THEN 1 ELSE 0 END
+                        AS INT) AS physical_page,
+                   position,
+                   CAST(trunc((x0 - cx0) * (250.0 / 72.0)) AS INT) AS x,
+                   CAST(trunc(y0 * (250.0 / 72.0)) AS INT) AS y,
+                   CAST(trunc(greatest(x1 - x0, 1.0) * (250.0 / 72.0))
+                        AS INT) AS w,
+                   CAST(trunc(greatest(y1 - y0, 1.0) * (250.0 / 72.0))
+                        AS INT) AS h,
+                   trim(text) AS text
+            FROM f
+            WHERE trim(text) <> ''
+              AND (position = 'full'
+                   OR NOT (x1 < cx0 OR x0 > cx1 OR y1 < 0 OR y0 > height))""",
+        "region_normalize": """
+            WITH r AS (
+              SELECT doc_id, 1 AS page, i AS pos,
+                     CASE WHEN doc_id % 10 = 0 THEN 0.0
+                          ELSE 1000.0 END AS width,
+                     800.0 AS height,
+                     CASE WHEN i = 0 THEN [50.0, 40.0, 200.0, 100.0]
+                          WHEN i = 1 THEN [300.0, 500.0, 100.0, 200.0]
+                          WHEN i = 2 THEN [-50.0, -20.0, 1200.0, 900.0]
+                          ELSE NULL END AS bbox,
+                     CASE WHEN i = 2 THEN ''
+                          ELSE 'lbl' || CAST(i AS VARCHAR) END AS label,
+                     'c' || CAST(i AS VARCHAR) AS content,
+                     CAST(CASE WHEN i = 1 THEN 0 ELSE i END AS INT) AS ord
+              FROM documents, unnest(generate_series(0, 3)) t(i)),
+            kept AS (SELECT * FROM r WHERE bbox IS NOT NULL
+                                      AND len(bbox) = 4),
+            c AS (
+              SELECT doc_id, page, label, content, ord, pos,
+                     least(greatest(bbox[1] / wd, 0.0), 1.0) AS cx0,
+                     least(greatest(bbox[2] / hd, 0.0), 1.0) AS cy0,
+                     least(greatest(bbox[3] / wd, 0.0), 1.0) AS cx1,
+                     least(greatest(bbox[4] / hd, 0.0), 1.0) AS cy1
+              FROM (SELECT *,
+                           CASE WHEN width = 0 THEN 1.0
+                                ELSE width END AS wd,
+                           CASE WHEN height = 0 THEN 1.0
+                                ELSE height END AS hd
+                    FROM kept))
+            SELECT doc_id, page,
+                   CASE WHEN label = '' THEN 'text' ELSE label END AS label,
+                   least(cx0, cx1) AS nx0, least(cy0, cy1) AS ny0,
+                   greatest(cx0, cx1) AS nx1, greatest(cy0, cy1) AS ny1,
+                   content,
+                   CAST(row_number() OVER (PARTITION BY doc_id, page
+                        ORDER BY ord, pos) AS INT) AS region_rank
+            FROM c""",
+        "size_gate": """
+            SELECT doc_id, strlen(text) AS n_bytes,
+                   CASE WHEN strlen(text) > 2000 THEN 'oversize'
+                        ELSE 'ok' END AS route
+            FROM documents""",
         "chunk_cross_refs": """
             WITH chunks AS (
               SELECT doc_id, unnest([0, 1, 2]) AS chunk_index

@@ -80,9 +80,11 @@ STATUS_NO_TEXT = "no_text"              # media-only doc (pdf_worker.py:52-101 p
 STATUS_EMPTY = "empty_doc"              # blank-doc terminal (stage_1:170-195)
 STATUS_COMPLETED_EMPTY = "completed_empty"  # everything stripped as boilerplate
 STATUS_FAILED = "failed"                # retryable
+STATUS_OVERSIZE = "oversize"            # S1 size gate (pdf_processor.py:223)
 
 TERMINAL_STATUSES = frozenset(
-    {STATUS_COMPLETED, STATUS_NO_TEXT, STATUS_EMPTY, STATUS_COMPLETED_EMPTY}
+    {STATUS_COMPLETED, STATUS_NO_TEXT, STATUS_EMPTY, STATUS_COMPLETED_EMPTY,
+     STATUS_OVERSIZE}
 )
 RETRYABLE_STATUSES = frozenset({STATUS_FAILED})
 
@@ -97,6 +99,25 @@ RETRYABLE_STATUSES = frozenset({STATUS_FAILED})
 MIN_COLUMN_GAP = 200.0
 MIN_COLUMN_SPREAD = 400.0
 MIN_SPANS_PER_COLUMN = 2
+
+# spread-sheet geometry (L1/L3/L5; pdf_to_images.py:163-279 aspect gates,
+# stage_1_layout_precompute.py:124-141 half-page clip, :198-234 span-in-clip
+# with the 250-DPI pixel zoom)
+SPREAD_ASPECT = 1.4
+SINGLE_ASPECT = 1.2
+LAYOUT_RENDER_DPI = 250
+PDF_POINTS_TO_PIXEL_ZOOM = LAYOUT_RENDER_DPI / 72.0
+
+# L2 full-spread-image gate (pdf_to_images.py:103-158): a media span
+# covering >= 75% of sheet width AND >= 50% of sheet height means the
+# spread must NOT be split in half
+FULL_SPREAD_WIDTH_FRAC = 0.75
+FULL_SPREAD_HEIGHT_FRAC = 0.50
+
+# S1 input size gate (pdf_processor.py:223 max_file_size_mb, default 50):
+# documents whose total span-text bytes exceed the cap are rejected with a
+# terminal 'oversize' status instead of entering extraction
+MAX_DOC_BYTES = 50 * 1024 * 1024
 
 # heading inference (M1): body size = most frequent font size (ties -> the
 # *smaller* size is body, so larger sizes become headings — the fixed

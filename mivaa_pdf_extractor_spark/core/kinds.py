@@ -53,12 +53,14 @@ class SpanAttrs:
     col: int = 0
     w: float = 0.0
     h: float = 0.0
+    sw: float = 0.0   # sheet width  (L3/L5 spread-clip geometry)
+    sh: float = 0.0   # sheet height
     edpi: int = 0
     phash: str = ""
     extra: dict = field(default_factory=dict)
 
 
-_FLOAT_KEYS = {"y", "x", "size", "w", "h"}
+_FLOAT_KEYS = {"y", "x", "size", "w", "h", "sw", "sh"}
 _INT_KEYS = {"page", "mono", "col", "edpi"}
 
 

@@ -129,10 +129,25 @@ def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
 
 def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
     """Vectorized kind-grammar parse (the tokenizer of this domain)."""
+    import pyarrow.compute as pc
+
     k = flat["kind"].astype("object").fillna("")
     arr = pa.array(k, type=pa.string())
     a = _attrs_arrow(k, ["phash"])
     flat["base"] = a["__base__"].astype(object)
+    # span w/h + sheet dims feed ONLY the L3/L5 spread remap, so the four
+    # extra regex passes are gated on a cheap substring probe for ';sw='
+    # (sheet-addressed docs always carry it on at least one span per sheet)
+    if len(k) and pc.any(pc.match_substring(arr, ";sw=")).as_py():
+        flat["w"] = _num_attr_arrow(arr, "w", 0.0)
+        flat["h"] = _num_attr_arrow(arr, "h", 0.0)
+        flat["sw"] = _num_attr_arrow(arr, "sw", 0.0)
+        flat["sh"] = _num_attr_arrow(arr, "sh", 0.0)
+    else:
+        flat["w"] = 0.0
+        flat["h"] = 0.0
+        flat["sw"] = 0.0
+        flat["sh"] = 0.0
     flat["page"] = _num_attr_arrow(
         arr, "page", 1.0, INT_ATTR_PATTERN).astype(np.int64)
     flat["y"] = _num_attr_arrow(arr, "y", 0.0)
@@ -191,6 +206,115 @@ def mark_media_dups(flat: pd.DataFrame) -> pd.Series:
     m = m.sort_values(["doc_idx", "base", "phash", "page", "y", "x", "pos"])
     dup.loc[m.index] = m.duplicated(["doc_idx", "base", "phash"], keep="first")
     return dup
+
+
+_SHEET_CTX_COLS = ["sheet_doc", "is_spread", "first_phys",
+                   "sheet_w", "sheet_h"]
+
+
+def _sheet_ctx(flat: pd.DataFrame) -> pd.DataFrame | None:
+    """Per-(doc, sheet) physical-page mapping for sheet-addressed documents
+    (L1 over the fixture encoding): sheet dims = max sw/sh over the sheet's
+    spans; aspect > SPREAD_ASPECT -> spread (2 physical pages); 1-based
+    running first_physical counter in sheet order. Returns None when the
+    batch has no sheet-addressed doc (fast path)."""
+    # validity is SHEET-level (a sheet's sw and sh may come from different
+    # spans — the dims are per-sheet maxes); this cheap span-level probe is
+    # only a necessary condition for the fast path
+    if not ((flat["sw"] > 0).any() and (flat["sh"] > 0).any()):
+        return None
+    d = (flat.groupby(["doc_idx", "page"], sort=True)[["sw", "sh"]].max()
+         .rename(columns={"sw": "sheet_w", "sh": "sheet_h"}).reset_index())
+    valid = (d["sheet_w"] > 0) & (d["sheet_h"] > 0)
+    if not valid.any():
+        return None
+    d["sheet_doc"] = valid.groupby(d["doc_idx"]).transform("max")
+    safe_h = np.where(d["sheet_h"] > 0, d["sheet_h"], 1.0)
+    d["is_spread"] = ((d["sheet_h"] > 0)
+                      & (d["sheet_w"] / safe_h > C.SPREAD_ASPECT))
+    # L2 full-spread-image gate (pdf_to_images.py:103-158): a media span
+    # covering >= 75% of sheet width and >= 50% of sheet height means the
+    # spread must NOT be split — the sheet stays one physical page
+    media = flat.loc[flat["base"].isin(C.MEDIA_KINDS),
+                     ["doc_idx", "page", "w", "h"]]
+    if len(media):
+        m = media.merge(d[["doc_idx", "page", "sheet_w", "sheet_h"]],
+                        on=["doc_idx", "page"])
+        m["full_img"] = ((m["w"] >= C.FULL_SPREAD_WIDTH_FRAC * m["sheet_w"])
+                         & (m["h"] >= C.FULL_SPREAD_HEIGHT_FRAC * m["sheet_h"]))
+        flag = (m.groupby(["doc_idx", "page"])["full_img"].max()
+                .reset_index())
+        d = d.merge(flag, on=["doc_idx", "page"], how="left")
+        d["is_spread"] &= ~d["full_img"].fillna(False).astype(bool)
+    n_phys = np.where(d["is_spread"], 2, 1)
+    d["first_phys"] = (pd.Series(n_phys).groupby(d["doc_idx"]).cumsum()
+                       - n_phys + 1)
+    return d[["doc_idx", "page"] + _SHEET_CTX_COLS]
+
+
+def remap_spreads(flat: pd.DataFrame,
+                  dims: pd.DataFrame | None = None,
+                  ctx: pd.DataFrame | None = None) -> pd.DataFrame:
+    """L3 half-page clip + L5 span-in-clip remap (reference
+    stage_1_layout_precompute.py:124-141 `_clip_rect_for_position`,
+    :198-234 `_pymupdf_spans_in_clip`): in sheet-addressed docs the `page`
+    attr is a SHEET index; spread sheets (aspect > 1.4) split at mid = sw/2
+    into two physical pages. A span lands on each half whose clip rect it
+    intersects (inclusive bounds — gutter-straddling spans appear on BOTH
+    halves, exactly like the reference); right-half copies translate
+    x -> x - mid. Runs AFTER media dedup / heading histogram (content stats
+    are sheet-level) and BEFORE classify/sort. `pos` becomes 2*pos + half
+    so the duplicated copies stay uniquely ordered.
+
+    Sheet geometry (dims + the L2 gate) is a property of the SHEET, so it
+    is computed PRE-media-dedup (reference: page.rect / page images) —
+    pass `dims` from `_sheet_ctx` on the pre-dedup frame (None -> no
+    sheet-addressed docs, no-op), or `ctx` (the skew path's per-row native
+    context, aligned row-for-row with `flat`)."""
+    if ctx is None:
+        if dims is None:
+            return flat
+        flat = flat.merge(dims, on=["doc_idx", "page"], how="left")
+        # dedup may have removed a sheet's only spans; remaining rows
+        # always match a dims row, but guard dtypes anyway
+        if flat["sheet_doc"].isna().any():  # pragma: no cover
+            flat["sheet_doc"] = flat["sheet_doc"].fillna(False)
+            flat["is_spread"] = flat["is_spread"].fillna(False)
+            flat["first_phys"] = flat["first_phys"].fillna(1)
+            flat["sheet_w"] = flat["sheet_w"].fillna(0.0)
+            flat["sheet_h"] = flat["sheet_h"].fillna(0.0)
+    else:
+        flat = flat.reset_index(drop=True)
+        for c in _SHEET_CTX_COLS:
+            flat[c] = ctx[c].to_numpy()
+        if not flat["sheet_doc"].any():
+            return flat.drop(columns=_SHEET_CTX_COLS)
+
+    flat = flat.copy()
+    flat["pos"] = 2 * flat["pos"]
+    sheet = flat["sheet_doc"].to_numpy(dtype=bool)
+    spread = sheet & flat["is_spread"].to_numpy(dtype=bool)
+    first = flat["first_phys"].to_numpy(dtype=np.int64)
+    x = flat["x"].to_numpy(dtype=np.float64)
+    y = flat["y"].to_numpy(dtype=np.float64)
+    x1 = x + flat["w"].to_numpy(dtype=np.float64)
+    y1 = y + flat["h"].to_numpy(dtype=np.float64)
+    sw = flat["sheet_w"].to_numpy(dtype=np.float64)
+    shh = flat["sheet_h"].to_numpy(dtype=np.float64)
+    mid = sw / 2.0
+    in_left = spread & ~((x1 < 0) | (x > mid) | (y1 < 0) | (y > shh))
+    in_right = spread & ~((x1 < mid) | (x > sw) | (y1 < 0) | (y > shh))
+
+    pg = flat["page"].to_numpy(dtype=np.int64).copy()
+    pg[sheet] = first[sheet]  # single sheets + left halves
+    flat["page"] = pg
+    left_part = flat[~spread | in_left]
+    right = flat[in_right].copy()
+    right["page"] = first[in_right] + 1
+    right["x"] = x[in_right] - mid[in_right]
+    right["pos"] = right["pos"].to_numpy() + 1
+    out = pd.concat([left_part, right], ignore_index=True)
+    return out.drop(columns=_SHEET_CTX_COLS)
 
 
 def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
@@ -393,7 +517,9 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     flat = parse_attrs(flat)
     flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
     headings = heading_levels(flat)
+    sheet_dims = _sheet_ctx(flat)  # sheet geometry is pre-dedup
     flat = flat[~mark_media_dups(flat)]
+    flat = remap_spreads(flat, sheet_dims)
     flat = process_flat(flat, headings)
     return _reassemble(flat, docs, failed_docs)
 
@@ -568,7 +694,9 @@ def extract_iter_arrow(
         flat = parse_attrs(flat)
         flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
         headings = heading_levels(flat)
+        sheet_dims = _sheet_ctx(flat)  # sheet geometry is pre-dedup
         flat = flat[~mark_media_dups(flat)]
+        flat = remap_spreads(flat, sheet_dims)
         flat = process_flat(flat, headings)
         yield _reassemble_arrow(flat, docs, failed_docs)
 

@@ -40,7 +40,7 @@ from pyspark.storagelevel import StorageLevel
 from ..core import constants as C
 from ..core.kinds import FLOAT_ATTR_PATTERN, INT_ATTR_PATTERN, attr_regex
 from .extract import (OUTPUT_SCHEMA, SPAN_OUT_STRUCT, parse_attrs,
-                      process_flat, run_extract)
+                      process_flat, remap_spreads, run_extract)
 
 _ROW_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -81,6 +81,16 @@ def _extract_page_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         "ref": pdf["ref"].astype("object"),
     })
     flat = parse_attrs(flat)
+    # L3/L5 spread remap with the natively-computed doc-global sheet
+    # context (buckets never straddle a sheet, so per-bucket remap is safe)
+    ctx = pd.DataFrame({
+        "sheet_doc": pdf["sheet_doc"].to_numpy(dtype=bool),
+        "is_spread": pdf["is_spread"].to_numpy(dtype=bool),
+        "first_phys": pdf["first_phys"].to_numpy(dtype=np.int64),
+        "sheet_w": pdf["sheet_w"].to_numpy(dtype=np.float64),
+        "sheet_h": pdf["sheet_h"].to_numpy(dtype=np.float64),
+    })
+    flat = remap_spreads(flat, ctx=ctx)
 
     hs = pdf["heading_str"].iloc[0]
     if hs:
@@ -207,6 +217,58 @@ def _extract_giant(giant: DataFrame,
              .alias("heading_str"))
     )
 
+    # doc-global sheet context (L3/L5 spread remap + the L2 full-spread
+    # gate): per-sheet dims from tiny aggs over the PRE-dedup rows — sheet
+    # geometry is a property of the sheet (reference: page.rect / page
+    # images), and sourcing from `ok` keeps the expensive dedup-window
+    # subplan computed exactly once. Physical-page counter as a window
+    # cumsum, broadcast back per (doc, sheet). Docs without sw/sh attrs
+    # flow through with sheet_doc=false -> the kernel's remap fast-path.
+    #
+    # The whole subplan is gated on a one-boolean probe of the (persisted)
+    # giant subset: without any ';sw=' attr the remap is a provable no-op,
+    # so corpora with no sheet-addressed docs — the common case — pay one
+    # cached early-exit scan instead of two extra aggregate subplans.
+    has_sheets = bool(giant.filter(F.exists(
+        "spans",
+        lambda s: F.coalesce(s["kind"].contains(";sw="), F.lit(False))
+    )).take(1))
+    if has_sheets:
+        wdoc = Window.partitionBy("doc_id")
+        wsheet = (Window.partitionBy("doc_id").orderBy("page_hint")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        sheet_sizes = (ok.groupBy("doc_id", "page_hint")
+                       .agg(F.max(num("sw")).alias("sheet_w"),
+                            F.max(num("sh")).alias("sheet_h")))
+        full_flag = (
+            ok.filter(F.col("base").isin(*C.MEDIA_KINDS))
+            .select("doc_id", "page_hint", num("w").alias("iw"),
+                    num("h").alias("ih"))
+            .join(sheet_sizes, ["doc_id", "page_hint"])
+            .groupBy("doc_id", "page_hint")
+            .agg(F.max((F.col("iw") >= C.FULL_SPREAD_WIDTH_FRAC
+                        * F.col("sheet_w"))
+                       & (F.col("ih") >= C.FULL_SPREAD_HEIGHT_FRAC
+                          * F.col("sheet_h"))).alias("full_img")))
+        sheet_dims = (
+            sheet_sizes
+            .join(full_flag, ["doc_id", "page_hint"], "left")
+            .withColumn("valid",
+                        (F.col("sheet_w") > 0) & (F.col("sheet_h") > 0))
+            .withColumn("sheet_doc", F.max("valid").over(wdoc))
+            .withColumn("is_spread",
+                        (F.col("sheet_h") > 0)
+                        & (F.col("sheet_w") / F.col("sheet_h")
+                           > C.SPREAD_ASPECT)
+                        & ~F.coalesce(F.col("full_img"), F.lit(False)))
+            .withColumn("n_phys",
+                        F.when(F.col("is_spread"), 2).otherwise(1))
+            .withColumn("first_phys",
+                        (F.coalesce(F.sum("n_phys").over(wsheet), F.lit(0))
+                         + 1).cast("long"))
+            .select("doc_id", "page_hint", "sheet_doc", "is_spread",
+                    "first_phys", "sheet_w", "sheet_h"))
+
     # ship the kernel only what it consumes: doc-global heading context is a
     # compact string (a per-row list<struct> duplicate is pure Arrow bloat),
     # and base/page_hint are re-derived by the kernel's own attr parse.
@@ -218,12 +280,31 @@ def _extract_giant(giant: DataFrame,
     # bounded by bucket, not by document.
     n_salts_doc = F.greatest(
         F.ceil(F.col("n_doc_spans") / F.lit(spans_per_bucket)), F.lit(1))
-    pages_in = (deduped.join(F.broadcast(headings), "doc_id", "left")
+    with_ctx = deduped.join(F.broadcast(headings), "doc_id", "left")
+    if has_sheets:
+        with_ctx = with_ctx.join(F.broadcast(sheet_dims),
+                                 ["doc_id", "page_hint"], "left")
+    else:
+        with_ctx = (with_ctx
+                    .withColumn("sheet_doc", F.lit(False))
+                    .withColumn("is_spread", F.lit(False))
+                    .withColumn("first_phys", F.lit(1).cast("long"))
+                    .withColumn("sheet_w", F.lit(0.0))
+                    .withColumn("sheet_h", F.lit(0.0)))
+    pages_in = (with_ctx
                 .withColumn("bucket", F.pmod(F.col("page_hint"),
                                              n_salts_doc))
                 .select("doc_id", "pos", "kind", "text", "ref", "bucket",
                         F.coalesce("heading_str", F.lit(""))
-                        .alias("heading_str")))
+                        .alias("heading_str"),
+                        F.coalesce("sheet_doc", F.lit(False))
+                        .alias("sheet_doc"),
+                        F.coalesce("is_spread", F.lit(False))
+                        .alias("is_spread"),
+                        F.coalesce("first_phys", F.lit(1))
+                        .alias("first_phys"),
+                        F.coalesce("sheet_w", F.lit(0.0)).alias("sheet_w"),
+                        F.coalesce("sheet_h", F.lit(0.0)).alias("sheet_h")))
 
     # explicit repartition on the exact grouping keys: the groupBy reuses
     # this hash partitioning, and the fixed partition count keeps AQE from

@@ -39,6 +39,7 @@ Semantics reproduced (SURVEY.md §2 citations into /root/reference):
 from __future__ import annotations
 
 import re
+from dataclasses import replace
 
 from ..core import constants as C
 from ..core.kinds import SpanAttrs, parse_kind
@@ -127,6 +128,12 @@ def extract_document(doc_id: str, spans: list[dict] | None) -> dict:
 
     heading_map = _heading_map(parsed)
     dups = _dup_positions(parsed)
+    # media dedup + heading histogram are sheet-level (pre-remap); the
+    # L3/L5 spread remap then renumbers pages / duplicates straddlers.
+    # Sheet GEOMETRY (dims + L2 gate) comes from the pre-dedup spans — it
+    # is a property of the sheet, not of the surviving spans.
+    kept = [it for it in parsed if it[3] not in dups]
+    parsed = _remap_spreads(kept, parsed)
 
     pages: dict[int, list[tuple[SpanAttrs, str, str, int]]] = {}
     for item in parsed:
@@ -134,7 +141,7 @@ def extract_document(doc_id: str, spans: list[dict] | None) -> dict:
 
     out: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
     for page in sorted(pages):
-        out.extend(_extract_page(doc_id, page, pages[page], heading_map, dups))
+        out.extend(_extract_page(doc_id, page, pages[page], heading_map))
 
     if not out:
         status = C.STATUS_COMPLETED_EMPTY
@@ -145,12 +152,66 @@ def extract_document(doc_id: str, spans: list[dict] | None) -> dict:
     return _result(doc_id, out, status)
 
 
+def _remap_spreads(
+    parsed: list[tuple[SpanAttrs, str, str, int]],
+    dims_source: list[tuple[SpanAttrs, str, str, int]],
+) -> list[tuple[SpanAttrs, str, str, int]]:
+    """L3/L5 spread remap (stage_1_layout_precompute.py:124-141, :198-234):
+    see operators/extract.py remap_spreads — this is the loop-based spec.
+
+    In sheet-addressed docs (any sheet with sw>0 and sh>0) the `page` attr
+    is a SHEET index. Sheet dims = max sw/sh over the sheet's spans; aspect
+    > SPREAD_ASPECT -> the sheet splits at mid=sw/2 into two physical pages.
+    A span joins each half whose clip it intersects (inclusive bounds:
+    straddlers land on BOTH, as in the reference); right copies translate
+    x -> x - mid. Positions become 2*pos + half."""
+    dims: dict[int, list[float]] = {}
+    for a, _t, _r, _p in dims_source:
+        d = dims.setdefault(a.page, [0.0, 0.0])
+        d[0] = max(d[0], a.sw)
+        d[1] = max(d[1], a.sh)
+    if not any(w > 0 and h > 0 for w, h in dims.values()):
+        return parsed
+    # L2 full-spread-image gate (pdf_to_images.py:103-158): media covering
+    # >= 75% of sheet width and >= 50% of sheet height -> do not split.
+    # Both computed from the PRE-dedup spans (sheet geometry).
+    full_img: set[int] = set()
+    for a, _t, _r, _p in dims_source:
+        if a.base in C.MEDIA_KINDS:
+            w, h = dims[a.page]
+            if (a.w >= C.FULL_SPREAD_WIDTH_FRAC * w
+                    and a.h >= C.FULL_SPREAD_HEIGHT_FRAC * h):
+                full_img.add(a.page)
+    first: dict[int, int] = {}
+    is_spread: dict[int, bool] = {}
+    counter = 1
+    for page in sorted(dims):
+        w, h = dims[page]
+        is_spread[page] = (h > 0 and w / h > C.SPREAD_ASPECT
+                           and page not in full_img)
+        first[page] = counter
+        counter += 2 if is_spread[page] else 1
+    out: list[tuple[SpanAttrs, str, str, int]] = []
+    for a, t, r, p in parsed:
+        fp = first[a.page]
+        if not is_spread[a.page]:
+            out.append((replace(a, page=fp), t, r, 2 * p))
+            continue
+        w, h = dims[a.page]
+        mid = w / 2.0
+        x1, y1 = a.x + a.w, a.y + a.h
+        if not (x1 < 0 or a.x > mid or y1 < 0 or a.y > h):
+            out.append((replace(a, page=fp), t, r, 2 * p))
+        if not (x1 < mid or a.x > w or y1 < 0 or a.y > h):
+            out.append((replace(a, page=fp + 1, x=a.x - mid), t, r, 2 * p + 1))
+    return out
+
+
 def _extract_page(
     doc_id: str,
     page: int,
     items: list[tuple[SpanAttrs, str, str, int]],
     heading_map: dict[float, int],
-    dups: set[int],
 ) -> list[tuple[str, str, str]]:
     cells = [it for it in items if it[0].base == C.TABLE_CELL_KIND]
     others = [it for it in items if it[0].base != C.TABLE_CELL_KIND]
@@ -176,10 +237,7 @@ def _extract_page(
 
     records.sort(key=lambda rec: (rec[0], rec[1], rec[2], rec[3]))
 
-    # media pass 1: drop phash duplicates
-    records = [rec for rec in records if rec[3] not in dups]
-
-    # media pass 2: low-eDPI gate (embedded layer only) — any surviving
+    # media pass: low-eDPI gate (embedded layer only) — any surviving
     # embedded image with 0 < edpi < MIN_EFFECTIVE_DPI poisons the page:
     # the first embedded image becomes a single full_render span, the rest
     # are dropped

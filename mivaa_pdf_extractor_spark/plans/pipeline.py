@@ -62,6 +62,15 @@ def completed_doc_ids(catalog: Catalog) -> DataFrame | None:
         F.col("status").isin(*C.TERMINAL_STATUSES)).select("doc_id")
 
 
+def doc_bytes(spans_col: str = "spans") -> F.Column:
+    """Total input span-text bytes per document — the Spark analog of the
+    reference's on-disk file size (native fold, no UDF)."""
+    return F.aggregate(
+        spans_col, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.octet_length(s["text"]),
+                                        F.lit(0)).cast("long"))
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -69,6 +78,7 @@ def run_pipeline(
     run_id: str | None = None,
     skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
     num_partitions: int | None = None,
+    max_doc_bytes: int = C.MAX_DOC_BYTES,
 ) -> PipelineResult:
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
@@ -82,8 +92,23 @@ def run_pipeline(
     else:
         todo = documents
 
+    # S1 size gate (pdf_processor.py:223 50 MB cap): oversize documents are
+    # rejected with a terminal status and never enter the extraction kernel
+    # NULL spans -> NULL bytes -> treat as ok (the kernel's empty_doc path)
+    size_ok = F.coalesce(doc_bytes() <= F.lit(max_doc_bytes), F.lit(True))
+    oversize = todo.filter(~size_ok).select(
+        "doc_id",
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,"
+            "offset:int>>").alias("spans"),
+        F.lit(0).alias("n_spans"),
+        F.lit(0).cast("long").alias("n_chars"),
+        F.lit(C.STATUS_OVERSIZE).alias("status"))
+    todo = todo.filter(size_ok)
+
     extracted = (
         run_extract_skewed(todo, skew_threshold, num_partitions)
+        .unionByName(oversize)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("partition_id", F.spark_partition_id())
         .withColumn("ts", F.current_timestamp())

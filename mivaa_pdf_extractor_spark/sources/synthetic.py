@@ -41,6 +41,7 @@ _LIGATURES = ["a/f_ter", "pa/t_terns", "/a/t_tentive", "cra/f_t", "/f lag"]
 CLASSES = [
     "plain", "multi_column", "headings", "glyphs", "tables", "boilerplate",
     "embedded_images", "low_dpi_media", "dup_media", "scanned_like", "empty",
+    "spread",
 ]
 
 
@@ -183,6 +184,37 @@ def _make_doc(cls: str, i: int, seed: int) -> dict:
             spans.append(_span(make_kind("image", page=p, y=50, x=30, w=600,
                                          h=800, edpi=150,
                                          phash=f"{rng.getrandbits(64):016x}")))
+
+    elif cls == "spread":
+        # L3/L5 fixtures: sheet 1 is a landscape spread (1200x800, split at
+        # x=600), sheet 2 a portrait single; spans include left/right-half
+        # text, a gutter straddler, and a straddling image
+        sw, sh_, mid = 1200, 800, 600
+        for j in range(rng.randint(2, 4)):
+            spans.append(_span(
+                make_kind("text", page=1, sw=sw, sh=sh_, y=80 + 40 * j,
+                          x=rng.choice([60, 80, 100]), w=150, size=10),
+                _sentence(rng, 6)))
+        for j in range(rng.randint(2, 4)):
+            spans.append(_span(
+                make_kind("text", page=1, sw=sw, sh=sh_, y=80 + 40 * j,
+                          x=mid + rng.choice([60, 80, 100]), w=150, size=10),
+                _sentence(rng, 6)))
+        spans.append(_span(
+            make_kind("text", page=1, sw=sw, sh=sh_, y=400,
+                      x=mid - 80, w=160, size=10),
+            "gutter " + _sentence(rng, 3)))
+        if rng.random() < 0.5:
+            spans.append(_span(make_kind(
+                "image", page=1, sw=sw, sh=sh_, y=500, x=mid - 100, w=200,
+                h=120, edpi=250, phash=f"{rng.getrandbits(64):016x}")))
+        spans.append(_span(
+            make_kind("title", page=2, sw=595, sh=842, y=40, x=50, size=18),
+            _sentence(rng, 3)))
+        spans.extend(
+            _span(make_kind("text", page=2, sw=595, sh=842, y=100 + 40 * j,
+                            x=50, size=10), _sentence(rng, 7))
+            for j in range(rng.randint(2, 5)))
 
     elif cls == "empty":
         spans = []

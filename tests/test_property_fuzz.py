@@ -29,7 +29,8 @@ _BASES = ["text", "title", "caption", "image", "figure", "table_cell",
           "code", "list", "header", "footer", "page_number", "weird",
           ""]
 
-_ATTR_KEYS = ["page", "y", "x", "size", "mono", "col", "edpi", "phash"]
+_ATTR_KEYS = ["page", "y", "x", "size", "mono", "col", "edpi", "phash",
+              "w", "h", "sw", "sh"]
 
 # adversarial attr values straight at the grammar: float-valued int keys
 # (round 1's fuzz failure), scientific notation, prefix-parseable garbage,

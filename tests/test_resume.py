@@ -71,6 +71,27 @@ def test_retryable_status_is_reprocessed(spark, tmp_path):
     assert spans_tuples(row["spans"]) == [("text", "hello", "", 0)]
 
 
+def test_oversize_gate(spark, tmp_path):
+    """S1 size gate (pdf_processor.py:223): docs over the byte cap get the
+    terminal 'oversize' status, never enter extraction, and are NOT retried
+    on resume."""
+    docs = [
+        ("small", [("text;page=1;y=1;x=1;size=10", "hello", "", 0)]),
+        ("big", [("text;page=1;y=1;x=1;size=10", "x" * 500, "", 0)]),
+    ]
+    cat = Catalog(spark, str(tmp_path / "oversize"))
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    r1 = run_pipeline(spark, df, cat, run_id="r1", max_doc_bytes=100)
+    assert r1.docs_processed == 2 and r1.failures == 0
+    rows = {r["doc_id"]: r for r in read_extracted_latest(cat).collect()}
+    assert rows["small"]["status"] == "completed"
+    assert rows["big"]["status"] == "oversize"
+    assert rows["big"]["spans"] == [] and rows["big"]["n_spans"] == 0
+    # terminal: resume skips it (no reprocessing of oversize docs)
+    r2 = run_pipeline(spark, df, cat, run_id="r2", max_doc_bytes=100)
+    assert r2.docs_skipped == 2 and r2.docs_processed == 0
+
+
 def test_lineage_is_consistent(spark, tmp_path, corpus):
     cat = Catalog(spark, str(tmp_path / "lineage"))
     res = run_pipeline(spark, corpus_to_spark_df(spark, corpus), cat,
