@@ -693,7 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id") % 10 == 0)
         hdr = (F.when(F.col("doc_id") % 50 == 0, F.lit("Price,EUR"))
                .when(F.col("doc_id") % 30 == 0, F.lit("Size,Pack"))
-               .otherwise(F.lit("Name,Material")))
+               .otherwise(F.lit("Property,Standard")))
         md = F.concat(F.lit("| "),
                       F.regexp_replace(hdr, ",", " | "),
                       F.lit(" |\n| --- | --- |\n| a"),
@@ -992,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'specifications' END AS table_type,
                    CASE WHEN doc_id % 50 = 0 THEN 'Price,EUR'
                         WHEN doc_id % 30 = 0 THEN 'Size,Pack'
-                        ELSE 'Name,Material' END AS headers,
+                        ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
             FROM documents WHERE doc_id % 10 = 0""",
         "image_doc_heuristic": """

@@ -54,20 +54,23 @@ def grid_to_pipe_table(grid: list[list[str]]) -> str:
 # (headers = row 0, :267-310).
 
 import re as _re
+from html import unescape as _unescape
 from html.parser import HTMLParser as _HTMLParser
 
 _ALIGNMENT_ROW_RE = _re.compile(r"^:?-{2,}:?$")
 
 
 def parse_markdown_table(text: str) -> list[list[str]] | None:
-    """G1: split pipe rows, unescape ``\\|``, drop the alignment row."""
+    """G1: split pipe rows, html-unescape cells (the reference's markdown
+    comes from VLM output carrying entities, table_extraction.py:127),
+    unescape ``\\|``, drop the alignment row."""
     rows: list[list[str]] = []
     for line in text.splitlines():
         line = line.strip()
         if "|" not in line:
             continue
         line = line.strip("|")
-        cells = [c.strip().replace("\\|", "|")
+        cells = [_unescape(c.strip().replace("\\|", "|"))
                  for c in _re.split(r"(?<!\\)\|", line)]
         if cells and all(_ALIGNMENT_ROW_RE.match(c) for c in cells if c):
             continue
@@ -143,23 +146,42 @@ def parse_table_content(text: str) -> list[list[str]] | None:
     return normalize_grid(grid) if grid else None
 
 
-# G5 multilingual keyword sets (EN/IT/ES/FR/DE), priority order fixed.
+# G5 multilingual keyword sets, verbatim from the reference
+# (table_extraction.py:43-63 PRICING/DIMENSION/PACKAGING_KEYWORDS and
+# :312-365 classify_table_type's inline specification/comparison lists),
+# in the reference's fixed priority order: pricing > dimensions >
+# packaging > specifications > comparison > other.
 TABLE_TYPE_KEYWORDS: list[tuple[str, tuple[str, ...]]] = [
-    ("pricing", ("price", "cost", "prezzo", "costo", "precio", "prix",
-                 "preis", "€", "$", "eur", "usd")),
-    ("dimensions", ("size", "dimension", "width", "height", "length",
-                    "dimensioni", "misure", "tamaño", "medidas",
-                    "dimensions", "largeur", "hauteur", "maße", "größe",
-                    "mm", "cm")),
-    ("packaging", ("pack", "packaging", "box", "pallet", "confezione",
-                   "imballo", "pz", "mq", "embalaje", "caja", "emballage",
-                   "verpackung", "karton")),
-    ("specifications", ("spec", "specification", "technical", "material",
-                        "specifiche", "tecnico", "materiale",
-                        "especificaciones", "técnico", "spécifications",
-                        "technique", "technische", "eigenschaft")),
-    ("comparison", ("vs", "versus", "comparison", "confronto",
-                    "comparación", "comparaison", "vergleich")),
+    ("pricing", (
+        "price", "prezzo", "precio", "prix", "preis",
+        "cost", "costo", "rate", "pricing", "quote", "msrp", "listino",
+    )),
+    ("dimensions", (
+        "dimension", "dimensions", "dimensioni", "dimensione",
+        "size", "sizes", "misura", "misure", "medida", "medidas", "taille",
+        "format", "formato", "formats", "formati",
+        "thickness", "spessore", "espesor", "épaisseur", "epaisseur",
+        "stärke", "starke",
+        "width", "height", "length", "diameter",
+        "larghezza", "altezza", "lunghezza", "ancho", "alto", "largo",
+    )),
+    ("packaging", (
+        "pcs/box", "pcs/", "pieces", "pezzi", "piezas", "pièces",
+        "box", "boxes", "carton", "scatola", "scatole", "caja", "cajas",
+        "pallet", "bancale", "palet",
+        "coverage", "mq", "m2", "m²", "sqm",
+        "weight", "peso", "poids", "gewicht", "kg",
+    )),
+    ("specifications", (
+        "specification", "specifiche", "especificacion", "spécification",
+        "property", "properties", "proprieta", "proprietà", "propiedad",
+        "feature", "caratteristica", "caracteristica",
+        "characteristic", "parameter", "parametro", "norm", "norma",
+        "standard",
+    )),
+    ("comparison", (
+        "comparison", "versus", "compare", "confronto", "model", "modello",
+    )),
 ]
 
 

@@ -701,12 +701,26 @@ def extract_iter_arrow(
         yield _reassemble_arrow(flat, docs, failed_docs)
 
 
-def run_extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def source_partitions(df: DataFrame) -> int:
+    """Physical partition count of `df`'s plan. The df->RDD bridge compiles
+    a separate physical plan, so call this ONCE per source, not per subplan
+    (ADVICE r1) — run_extract_skewed probes the raw source and passes the
+    decision down."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def run_extract(df: DataFrame, num_partitions: int | None = None,
+                auto_repartition: bool = True) -> DataFrame:
     """The physical extraction plan for non-skewed documents:
-    hash-repartition by doc_id, then one Arrow-vectorized pass."""
-    if num_partitions is not None:
+    hash-repartition by doc_id, then one Arrow-vectorized pass.
+
+    ``num_partitions`` <= 0 is treated as unset (auto)."""
+    if num_partitions is not None and num_partitions > 0:
         df = df.repartition(num_partitions, F.col("doc_id"))
-    else:
+    elif auto_repartition:
         # extraction is per-document and every document is ONE row, so no
         # co-location is required — shuffling the full corpus just to
         # rebalance is pure serialize/write/read waste (it was ~20% of job
@@ -715,7 +729,7 @@ def run_extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         # are already size-balanced by maxPartitionBytes); repartition only
         # when the source is too coarse to use the cluster.
         par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if source_partitions(df) < par:
             target = 3 * par
             # pin the count: a bare repartition(col) is AQE-coalescible by
             # bytes, and span rows are bytes-small but Python-compute-heavy

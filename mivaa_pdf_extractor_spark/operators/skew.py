@@ -382,5 +382,14 @@ def run_extract_skewed(
     n = F.size("spans")  # -1 for NULL arrays -> normal path handles them
     normal = df.filter((n <= skew_threshold))
     giant = df.filter(n > skew_threshold)
-    return run_extract(normal, num_partitions).unionByName(
+    if num_partitions is None or num_partitions <= 0:
+        # probe the RAW source once (one extra plan compile total) instead
+        # of letting run_extract probe the filtered subplan per call
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        from .extract import source_partitions
+        if source_partitions(df) < par:
+            num_partitions = 3 * par
+    return run_extract(normal, num_partitions,
+                       auto_repartition=False).unionByName(
         _extract_giant(giant, spans_per_bucket))

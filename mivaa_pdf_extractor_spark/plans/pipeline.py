@@ -79,10 +79,16 @@ def run_pipeline(
     skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
     num_partitions: int | None = None,
     max_doc_bytes: int = C.MAX_DOC_BYTES,
+    count_input: bool = True,
 ) -> PipelineResult:
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
-    docs_in = documents.count()
+    # docs_in/docs_skipped metrics need one count of the source. On parquet
+    # /Iceberg this is footer-metadata-cheap, but for an arbitrary upstream
+    # plan it is a full scan — disable with count_input=False at 100 TB
+    # (docs_in/docs_skipped then report -1; lineage still carries exact
+    # processed counts).
+    docs_in = documents.count() if count_input else -1
 
     done = completed_doc_ids(catalog)
     if done is not None:
@@ -144,7 +150,7 @@ def run_pipeline(
     return PipelineResult(
         run_id=run_id,
         docs_in=docs_in,
-        docs_skipped=docs_in - processed,
+        docs_skipped=(docs_in - processed) if docs_in >= 0 else -1,
         docs_processed=processed,
         failures=failures,
         wall_ms=int((time.time() - t0) * 1000),

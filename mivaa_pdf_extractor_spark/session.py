@@ -7,8 +7,45 @@ multi-executor cluster (local[] only changes the master).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
+
+
+def _available_gb() -> int:
+    """MemAvailable from /proc/meminfo, in GiB (0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:  # pragma: no cover
+        pass
+    return 0
+
+
+def _default_driver_mem() -> tuple[str, bool]:
+    """Heap default derived from available memory (half of MemAvailable,
+    clamped to [4g, 24g]); pre-touching (-Xms=heap) only when there is
+    >=1.5x the heap available so the fixed heap cannot thrash smaller
+    hosts. Override with SPARK_GRAFT_DRIVER_MEM."""
+    avail = _available_gb()
+    if avail <= 0:
+        return "8g", False
+    heap = max(4, min(24, avail // 2))
+    return f"{heap}g", avail >= heap * 1.5
+
+
+def _default_local_dir() -> str:
+    """Shuffle on tmpfs only when /dev/shm has real headroom (>=16 GiB
+    free); otherwise fall back to disk, where spill works instead of
+    fighting the heap for physical RAM."""
+    try:
+        if shutil.disk_usage("/dev/shm").free >= 16 * 1024 ** 3:
+            return "/dev/shm/spark-local"
+    except OSError:  # pragma: no cover
+        pass
+    return "/tmp/spark-local"
 
 
 def build_session(
@@ -19,7 +56,11 @@ def build_session(
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    env_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env_mem:
+        driver_mem, pre_touch = env_mem, True
+    else:
+        driver_mem, pre_touch = _default_driver_mem()
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         # match task slots at local scale; on a real cluster override to
@@ -47,10 +88,12 @@ def build_session(
         # fixed, pre-touched heap: G1's commit/uncommit cycling under a
         # high allocation rate shows up as 20-60% SYSTEM time at 32 task
         # threads (page-fault + munmap TLB-shootdown storms, measured on
-        # this box: wall 31s -> 15s at local[32]). Same flags apply to
-        # executor JVMs on a real cluster via executor.extraJavaOptions.
+        # this box: wall 31s -> 15s at local[32]). Applied only when the
+        # host has the headroom (see _default_driver_mem); same flags apply
+        # to executor JVMs on a real cluster via executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions",
-                f"-Xms{driver_mem} -XX:+AlwaysPreTouch")
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch" if pre_touch
+                else "-XX:+AlwaysPreTouch")
         # same fix for executor JVMs on a real cluster (no-op in local mode,
         # where the driver JVM is the executor)
         .config("spark.executor.extraJavaOptions", "-XX:+AlwaysPreTouch")
@@ -59,8 +102,10 @@ def build_session(
         # that does not scale with cores and poisons N-vs-4N comparisons.
         # On a real cluster each executor brings its own local NVMe (disk
         # bandwidth scales with cluster size), which tmpfs models honestly.
+        # Falls back to disk when /dev/shm lacks headroom (spill must work).
         .config("spark.local.dir",
-                os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR") or
+                _default_local_dir())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -38,7 +38,7 @@ def test_classify_priority_pricing_beats_dimensions():
     assert classify_table(grid) == "pricing"
     assert classify_table([["Misure", "Confezione"], ["a", "b"]]) == \
         "dimensions"
-    assert classify_table([["Imballo", "Pz"], ["a", "b"]]) == "packaging"
+    assert classify_table([["Scatola", "Pz/Box"], ["a", "b"]]) == "packaging"
     assert classify_table([["Name", "Id"], ["a", "b"]]) == "other"
 
 
