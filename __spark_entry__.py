@@ -209,6 +209,47 @@ FROM src s LEFT JOIN agg ON s.id = agg.id
 """
 
 
+def _duck_extract_twin(src: str) -> str:
+    """DuckDB twin of the FULL extraction pipeline's contract projection
+    (doc_id, n_spans, n_chars, status) over documents_to_spans-synthesized
+    spans: chunk counts from the word-split spec, per-chunk glyph/whitespace
+    normalization via the shared chain, the '# ' heading prefix for
+    non-list titles, media chunks contributing zero chars. An independent
+    SQL derivation of what the Arrow kernel computes.
+
+    ``src`` must yield (doc_id VARCHAR, text, k) where k = words per span.
+    """
+    norm = _duck_glyph_chain("ctext")
+    list_re = "^\\s*([•\\-\\*]|\\d+[.)])\\s+"
+    return f"""
+        WITH src AS ({src}),
+        w AS (SELECT doc_id, k,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '\\s+'), x -> x <> '') AS words
+              FROM src),
+        n AS (SELECT doc_id, k, words,
+                     greatest(CAST(ceil(len(words) / (k * 1.0)) AS BIGINT),
+                              1) AS nch
+              FROM w),
+        chunks AS (
+          SELECT doc_id, nch, i,
+                 (i % 13 = 5 AND i > 0) AS is_media,
+                 CASE WHEN i % 13 = 5 AND i > 0 THEN ''
+                      ELSE array_to_string(words[i*k+1 : i*k+k], ' ')
+                      END AS ctext
+          FROM n, unnest(generate_series(0, nch - 1)) t(i))
+        SELECT doc_id,
+               CAST(nch AS INT) AS n_spans,
+               CAST(sum(CASE WHEN is_media THEN 0
+                             ELSE length({norm})
+                                  + CASE WHEN i = 0 AND NOT regexp_matches(
+                                             ctext, '{list_re}')
+                                         THEN 2 ELSE 0 END
+                        END) AS BIGINT) AS n_chars,
+               'completed' AS status
+        FROM chunks GROUP BY doc_id, nch"""
+
+
 def _duck_srp_bucket(vec_expr: str, planes) -> str:
     """DuckDB replica of operators/similarity.py srp_bucket: the hyperplanes
     are deterministic seeded constants, so the twin embeds them as literals
@@ -1093,6 +1134,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY sim DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 10""",
+        "extract_pipeline": _duck_extract_twin(
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, 8 AS k "
+            "FROM documents"),
+        "extract_skew_giants": _duck_extract_twin(
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, 8 AS k "
+            "FROM documents UNION ALL "
+            "SELECT CAST(doc_id + 10000000 AS VARCHAR), "
+            "repeat(text || ' ', 40), 1 FROM documents "
+            "WHERE doc_id % 200 = 0"),
         "embedding_topk_lsh": _duck_topk_lsh_sql(),
         "embedding_near_dups": """
             -- planted scale-perturbed shadows: SRP signs are scale-invariant
