@@ -30,6 +30,10 @@ BENCH_QUERIES = [
     "lang_id", "doc_fingerprint", "embedding_topk", "simhash_fingerprints",
     "tpch_q1_pricing_summary", "sessionize", "tumbling_window_agg",
     "chunk_layout_spans",
+    # round 2 additions
+    "simhash_near_pairs", "embedding_topk_lsh", "embedding_near_dups",
+    "sheet_clip_spans", "region_normalize", "media_image_features",
+    "media_frame_sample", "size_gate",
 ]
 
 

@@ -245,10 +245,127 @@ def _chunk_layout_arrays(kinds, texts, max_size: int) -> list[tuple]:
     return chunks
 
 
+def _layout_chunks_arrow(batch, max_size: int):
+    """Arrow-native layout chunking: the per-doc boundary state machine runs
+    over INT arrays only (dictionary-encoded kinds + utf8 lengths); chunk
+    content is assembled with ``pc.take`` + ``pc.binary_join`` so the string
+    bytes never become Python objects (round 1's ``to_pylist`` per span was
+    the bench's slowest stage). Semantics identical to
+    ``_chunk_layout_arrays`` (pinned by tests/test_oracle_semantics.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spans_col = batch.column("spans")
+    lengths = spans_col.value_lengths().to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
+    def _arr(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    values = spans_col.flatten()
+    texts = _arr(values.field("text"))
+    tlen = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    kdict = _arr(pc.dictionary_encode(values.field("kind")))
+    if len(tlen):
+        kcodes = kdict.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kind_names = kdict.dictionary.to_pylist()
+    else:
+        kcodes = np.array([], dtype=np.int64)
+        kind_names = []
+    table_code = kind_names.index("table") if "table" in kind_names else -1
+    heading_code = (kind_names.index("heading")
+                    if "heading" in kind_names else -1)
+
+    n_spans = len(tlen)
+    span_chunk = np.full(n_spans, -1, dtype=np.int64)
+    chunk_doc: list[int] = []      # doc row index per chunk
+    chunk_table: list[bool] = []
+    chunk_mask: list[int] = []     # bitmask over kind codes
+    cid = -1
+    pos = 0
+    for d in range(len(lengths)):
+        cur_len = 0
+        cur_open = False
+        mask = 0
+        for j in range(pos, pos + lengths[d]):
+            tl = tlen[j]
+            if tl == 0:
+                continue
+            k = kcodes[j]
+            if k == table_code:
+                if cur_open:
+                    chunk_mask.append(mask)
+                    cur_open = False
+                cid += 1
+                span_chunk[j] = cid
+                chunk_doc.append(d)
+                chunk_table.append(True)
+                chunk_mask.append(-1)  # sentinel: 'table'
+                cur_len = 0
+                mask = 0
+                continue
+            if k == heading_code and cur_open:
+                chunk_mask.append(mask)
+                cur_open = False
+                cur_len = 0
+                mask = 0
+            if cur_open and cur_len + tl + 2 > max_size:
+                chunk_mask.append(mask)
+                cur_open = False
+                cur_len = 0
+                mask = 0
+            if not cur_open:
+                cid += 1
+                chunk_doc.append(d)
+                chunk_table.append(False)
+                cur_open = True
+            span_chunk[j] = cid
+            cur_len += tl + (2 if cur_len else 0)
+            mask |= 1 << k
+        if cur_open:
+            chunk_mask.append(mask)
+        pos += lengths[d]
+
+    n_chunks = cid + 1
+    if n_chunks == 0:
+        return None
+    kept = np.nonzero(span_chunk >= 0)[0]
+    counts = np.bincount(span_chunk[kept], minlength=n_chunks)
+    offsets = np.zeros(n_chunks + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    kept_texts = _arr(pc.take(texts, pa.array(kept)))
+    content = _arr(pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), kept_texts),
+        pa.scalar("\n\n")))
+
+    mask_str: dict[int, str] = {-1: "table"}
+    kinds_out = []
+    for m in chunk_mask:
+        s = mask_str.get(m)
+        if s is None:
+            s = ",".join(sorted(kind_names[b]
+                                for b in range(len(kind_names))
+                                if m >> b & 1))
+            mask_str[m] = s
+        kinds_out.append(s)
+
+    doc_of_chunk = np.asarray(chunk_doc, dtype=np.int64)
+    change = np.r_[True, doc_of_chunk[1:] != doc_of_chunk[:-1]]
+    starts = np.where(change)[0]
+    grp = np.cumsum(change) - 1
+    chunk_index = (np.arange(n_chunks) - starts[grp]).astype(np.int32)
+    doc_id_arr = _arr(pc.take(batch.column("doc_id"),
+                              pa.array(doc_of_chunk)))
+
+    return (doc_id_arr, chunk_index, content,
+            np.asarray(chunk_table, dtype=bool), kinds_out)
+
+
 def _chunk_arrow_iter(batches, strategy: str, max_size: int):
     """mapInArrow chunking stage: spans arrive as a ListArray whose
-    offsets/values we slice per doc — no dict-per-span materialization
-    (the mapInPandas form spent most of its time building span dicts)."""
+    offsets/values we slice per doc — no dict-per-span materialization."""
     import numpy as np
     import pyarrow as pa
 
@@ -256,26 +373,38 @@ def _chunk_arrow_iter(batches, strategy: str, max_size: int):
     for batch in batches:
         if batch.num_rows == 0:
             continue
+        if strategy == "layout":
+            out = _layout_chunks_arrow(batch, max_size)
+            if out is None:
+                continue
+            doc_id_arr, chunk_index, content, is_table, kinds_out = out
+            yield pa.RecordBatch.from_arrays(
+                [doc_id_arr.combine_chunks() if isinstance(
+                    doc_id_arr, pa.ChunkedArray) else doc_id_arr,
+                 pa.array(chunk_index),
+                 content.combine_chunks() if isinstance(
+                     content, pa.ChunkedArray) else content,
+                 pa.array(is_table),
+                 pa.array(kinds_out, type=pa.string()),
+                 pa.array([strategy] * len(kinds_out), type=pa.string())],
+                names=[f.name for f in CHUNK_SCHEMA.fields])
+            continue
+
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans")
         lengths = spans_col.value_lengths().to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
         values = spans_col.flatten()
-        kinds_all = values.field("kind").to_pylist()
         texts_all = values.field("text").to_pylist()
 
         out_doc, out_idx, out_content, out_table, out_kinds = \
             [], [], [], [], []
         start = 0
         for doc_id, n in zip(doc_ids, lengths):
-            k = kinds_all[start:start + n]
             t = texts_all[start:start + n]
             start += n
-            if strategy == "layout":
-                results = _chunk_layout_arrays(k, t, max_size)
-            else:
-                text = "\n\n".join(x for x in t if x)
-                results = [(c, False, "") for c in chunker(text, max_size)]
+            text = "\n\n".join(x for x in t if x)
+            results = [(c, False, "") for c in chunker(text, max_size)]
             for i, (content, is_table, kinds) in enumerate(results):
                 out_doc.append(doc_id)
                 out_idx.append(i)

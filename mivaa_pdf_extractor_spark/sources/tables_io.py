@@ -12,8 +12,19 @@ snapshot isolation for free when the jar is present.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def merge_into_sql(table: str, key: str) -> str:
+    """The Iceberg MERGE-on-write statement the upsert path issues (shape
+    pinned by tests/test_resume.py even though the sandbox lacks the jar):
+    row-level upsert keyed on ``key``, full-row update/insert."""
+    return (f"MERGE INTO {table} t USING __updates s "
+            f"ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -62,3 +73,29 @@ class Catalog:
             df.writeTo(f"local.db.{name}").createOrReplace()
         else:
             df.write.mode("overwrite").parquet(self._path(name))
+
+    def upsert(self, df: DataFrame, name: str, key: str = "doc_id") -> None:
+        """Row-level upsert keyed on ``key`` — Iceberg MERGE INTO when the
+        runtime is present; on parquet, an anti-join + rewrite staged
+        through a temp dir (never overwrite a path mid-read). Keeps the
+        `extracted` table one-row-per-doc so snapshot reads need no
+        latest-row window compaction."""
+        if self.use_iceberg:
+            table = f"local.db.{name}"
+            if not self.exists(name):
+                df.writeTo(table).create()
+                return
+            df.createOrReplaceTempView("__updates")
+            self.spark.sql(merge_into_sql(table, key))
+            return
+        if not self.exists(name):
+            self.append(df, name)
+            return
+        kept = self.read(name).join(df.select(key).distinct(), key,
+                                    "left_anti")
+        merged = kept.unionByName(df)
+        tmp = self._path(name + "__tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self._path(name))
+        shutil.rmtree(tmp, ignore_errors=True)

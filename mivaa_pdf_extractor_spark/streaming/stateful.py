@@ -1,0 +1,111 @@
+"""Streaming twins of the batch windowing/sessionization operators.
+
+- ``streaming_tumbling_counts``: watermarked event-time tumbling windows —
+  the streaming form of the batch `tumbling_window_agg` (which is
+  DuckDB-value-matched); late rows beyond the watermark are dropped by
+  Spark's state eviction instead of a manual filter.
+- ``sessionize_stateful``: custom stateful sessionization with
+  ``applyInPandasWithState`` — per-user session ids assigned by a
+  ``gap_s`` inactivity split, state (last event ts + running session id +
+  open-session aggregate) carried across micro-batches. The single-batch
+  result equals the batch `sessionize` query (pinned in
+  tests/test_streaming.py); across batches the state keeps ids stable.
+
+Both operate on the events schema (event_id, user_id, ts, event_type,
+value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_ts", T.TimestampType()),
+    T.StructField("end_ts", T.TimestampType()),
+])
+
+# carried per user: id of the open session, its event count, its start/end
+_STATE_SCHEMA = T.StructType([
+    T.StructField("session_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+DEFAULT_GAP_S = 1800
+
+
+def streaming_tumbling_counts(events: DataFrame,
+                              window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an events stream."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value"))
+
+
+def _session_fn(gap_s: int):
+    gap_us = gap_s * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+           ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            sid, n, start_us, last_us = state.get
+        else:
+            sid, n, start_us, last_us = 0, 0, None, None
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+
+        def emit():
+            if n > 0:
+                out.append((user_id, sid, n,
+                            pd.Timestamp(start_us, unit="us"),
+                            pd.Timestamp(last_us, unit="us")))
+
+        for ts in rows["ts"]:
+            us = int(ts.value // 1000)
+            if last_us is None or us - last_us > gap_us:
+                emit()
+                sid += 1
+                n = 0
+                start_us = us
+            n += 1
+            last_us = us
+        emit()
+        state.update((sid, n, start_us, last_us))
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         SESSION_SCHEMA.fields])
+
+    return fn
+
+
+def sessionize_stateful(events: DataFrame,
+                        gap_s: int = DEFAULT_GAP_S) -> DataFrame:
+    """applyInPandasWithState sessionization: one output row per (user,
+    session) per micro-batch carrying the session's current aggregate
+    (update semantics — downstream upserts on (user_id, session_id))."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn(gap_s),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,87 @@
+"""Pin the Arrow-native layout chunker (operators/chunking.py
+`_layout_chunks_arrow`) to the pure-Python spec `chunk_layout` — the state
+machine was rewritten to keep string bytes inside Arrow, so every boundary
+rule (atomic tables, heading breaks, size-cap flush, empty-span skip, kinds
+set) needs an explicit equality pin. Also covers the text strategies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
+                                                          chunk_fixed,
+                                                          chunk_hybrid,
+                                                          chunk_layout,
+                                                          chunk_semantic)
+from mivaa_pdf_extractor_spark.sources.synthetic import SPAN_STRUCT
+from pyspark.sql import types as T
+
+EXTRACTED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+])
+
+
+def sp(kind, text):
+    return (kind, text, "", 0)
+
+
+_DOCS = [
+    ("d0", [sp("heading", "# Title"), sp("text", "para one."),
+            sp("text", "para two."), sp("table", "| a | b |\n| --- | --- |"),
+            sp("text", "after table")]),
+    # empty texts (media spans) skipped; table first; table last
+    ("d1", [sp("table", "| t |"), sp("image", ""), sp("text", "x"),
+            sp("table", "| u |")]),
+    # size-cap flush: three 40-char texts with max_size=100
+    ("d2", [sp("text", "a" * 40), sp("text", "b" * 40), sp("text", "c" * 40),
+            sp("list", "- item"), sp("code", "x = 1")]),
+    # heading mid-stream starts a new chunk; consecutive headings
+    ("d3", [sp("text", "intro"), sp("heading", "# H1"),
+            sp("heading", "## H2"), sp("caption", "fig")]),
+    # all-empty doc -> zero chunks
+    ("d4", [sp("image", ""), sp("figure", "")]),
+    # unicode lengths (astral chars count as 1 codepoint)
+    ("d5", [sp("text", "😀" * 60), sp("text", "é" * 60)]),
+    ("d6", []),
+]
+
+MAX = 100
+
+
+def test_layout_chunker_matches_spec(spark):
+    df = spark.createDataFrame(_DOCS, schema=EXTRACTED_SCHEMA)
+    got = {}
+    for r in chunk_documents(df, strategy="layout", max_size=MAX,
+                             dedup=False).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["content"], r["is_table"], r["kinds"]))
+    for doc_id, spans in _DOCS:
+        want = [
+            (i, c["content"], c["is_table"], c["kinds"])
+            for i, c in enumerate(chunk_layout(
+                [{"kind": k, "text": t} for k, t, _r, _o in spans], MAX))
+        ]
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+
+
+def test_layout_chunk_boundaries():
+    # hand-computed: d2 with max 100 -> aaa..+bbb.. (82) flush before ccc..
+    chunks = chunk_layout([{"kind": "text", "text": "a" * 40},
+                           {"kind": "text", "text": "b" * 40},
+                           {"kind": "text", "text": "c" * 40}], MAX)
+    assert [len(c["content"]) for c in chunks] == [82, 40]
+
+
+def test_text_strategies_roundtrip(spark):
+    text = ("Sentence one. Sentence two! Longer paragraph follows here.\n\n"
+            + "word " * 300 + "\n\nfinal para.")
+    df = spark.createDataFrame(
+        [("t0", [sp("text", text)])], schema=EXTRACTED_SCHEMA)
+    for strategy, fn in (("fixed", chunk_fixed), ("semantic", chunk_semantic),
+                         ("hybrid", chunk_hybrid)):
+        got = [r["content"] for r in
+               chunk_documents(df, strategy=strategy, max_size=200,
+                               dedup=False)
+               .orderBy("chunk_index").collect()]
+        assert got == fn(text, 200), strategy

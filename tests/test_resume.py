@@ -71,6 +71,28 @@ def test_retryable_status_is_reprocessed(spark, tmp_path):
     assert spans_tuples(row["spans"]) == [("text", "hello", "", 0)]
 
 
+def test_catalog_upsert(spark, tmp_path):
+    """S5/S6/J7 upsert shape: second write with overlapping keys replaces
+    matched rows and inserts new ones (parquet fallback mirrors what
+    Iceberg MERGE INTO does; the MERGE statement itself is shape-pinned)."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import (Catalog,
+                                                             merge_into_sql)
+
+    assert merge_into_sql("local.db.extracted", "doc_id") == (
+        "MERGE INTO local.db.extracted t USING __updates s "
+        "ON t.doc_id = s.doc_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+
+    cat = Catalog(spark, str(tmp_path / "upsert"))
+    df1 = spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    cat.upsert(df1, "t")
+    df2 = spark.createDataFrame([("b", 2), ("c", 2)], "doc_id string, v int")
+    cat.upsert(df2, "t")
+    got = {(r["doc_id"], r["v"]) for r in cat.read("t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 2)}
+
+
 def test_oversize_gate(spark, tmp_path):
     """S1 size gate (pdf_processor.py:223): docs over the byte cap get the
     terminal 'oversize' status, never enter extraction, and are NOT retried
