@@ -250,6 +250,83 @@ def _duck_extract_twin(src: str) -> str:
         FROM chunks GROUP BY doc_id, nch"""
 
 
+def _duck_layout_chunks_sql() -> str:
+    """DuckDB twin of chunk_layout_spans: the layout chunker's sequential
+    size-cap fold re-derived with a RECURSIVE CTE over the span index (in
+    this corpus only span 0 can be a heading, and it always starts the
+    first chunk, so the transition reduces to `cur_len == 0 OR cur_len +
+    tlen + 2 > max_size` -> new chunk). Content via string_agg in span
+    order; quality/hash/keep-first dedup mirror the Spark expressions."""
+    norm = _duck_glyph_chain("raw")
+    list_re = "^\\s*([•\\-\\*]|\\d+[.)])\\s+"
+    return f"""
+        WITH RECURSIVE
+        w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '\\s+'), x -> x <> '') AS words
+              FROM documents),
+        n AS (SELECT doc_id, words,
+                     greatest(CAST(ceil(len(words) / 8.0) AS BIGINT), 1)
+                         AS nch
+              FROM w),
+        sp AS (SELECT doc_id, i,
+                      (i % 13 = 5 AND i > 0) AS is_media,
+                      CASE WHEN i % 13 = 5 AND i > 0 THEN ''
+                           ELSE array_to_string(words[i*8+1 : i*8+8], ' ')
+                           END AS raw
+               FROM n, unnest(generate_series(0, nch - 1)) t(i)),
+        sp2 AS (SELECT doc_id, i,
+                       CASE WHEN is_media THEN ''
+                            WHEN i = 0 AND NOT regexp_matches(raw,
+                                '{list_re}')
+                            THEN '# ' || {norm}
+                            ELSE {norm} END AS txt
+                FROM sp),
+        sp3 AS (SELECT doc_id, i, txt, length(txt) AS tl FROM sp2),
+        st AS (
+          SELECT doc_id, CAST(-1 AS BIGINT) AS i,
+                 CAST(-1 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS cur_len
+          FROM n
+          UNION ALL
+          SELECT s.doc_id, s.i,
+                 CASE WHEN s.tl = 0 THEN st.chunk_id
+                      WHEN st.cur_len = 0
+                           OR st.cur_len + s.tl + 2 > 1000
+                      THEN st.chunk_id + 1
+                      ELSE st.chunk_id END,
+                 CASE WHEN s.tl = 0 THEN st.cur_len
+                      WHEN st.cur_len = 0
+                           OR st.cur_len + s.tl + 2 > 1000
+                      THEN s.tl
+                      ELSE st.cur_len + s.tl + 2 END
+          FROM st JOIN sp3 s
+            ON s.doc_id = st.doc_id AND s.i = st.i + 1),
+        ch AS (SELECT s.doc_id, st.chunk_id,
+                      string_agg(s.txt, chr(10) || chr(10) ORDER BY s.i)
+                          AS content
+               FROM sp3 s JOIN st
+                 ON st.doc_id = s.doc_id AND st.i = s.i
+               WHERE s.tl > 0
+               GROUP BY s.doc_id, st.chunk_id),
+        q AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_index, content,
+                     FALSE AS is_table,
+                     round(0.20 * least(length(content) / 1000.0, 1.0)
+                         + 0.30 * CASE WHEN regexp_matches(content,
+                               '[.!?]\\s*$') THEN 1.0 ELSE 0.7 END
+                         + 0.20 * CASE WHEN regexp_matches(content,
+                               '^[A-Z0-9#|]') THEN 1.0
+                               WHEN regexp_matches(content, '^[a-z]')
+                               THEN 0.4 ELSE 0.8 END
+                         + 0.30 * least(length(regexp_extract_all(content,
+                               '[.!?]+')) / 3.0, 1.0), 6) AS quality,
+                     md5(trim(regexp_replace(lower(content), '\\s+', ' ',
+                         'g'))) AS h
+              FROM ch)
+        SELECT doc_id, chunk_index, content, is_table, quality FROM q
+        QUALIFY row_number() OVER (PARTITION BY doc_id, h
+                                   ORDER BY chunk_index) = 1"""
+
+
 def _duck_srp_bucket(vec_expr: str, planes) -> str:
     """DuckDB replica of operators/similarity.py srp_bucket: the hyperplanes
     are deterministic seeded constants, so the twin embeds them as literals
@@ -549,10 +626,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = embedding_near_dups
 
     def chunk_layout_spans(spark, sf_dir):
+        # dedup as a DETERMINISTIC keep-first window (dropDuplicates keeps
+        # an arbitrary row, which would make the value-hash non-reproducible
+        # when a doc contains identical chunks)
         spans = documents_to_spans(_docs(spark, sf_dir))
         extracted = run_extract(spans)
-        return chunk_documents(extracted, strategy="layout").select(
-            "doc_id", "chunk_index", "content", "is_table", "quality")
+        chunks = chunk_documents(extracted, strategy="layout", dedup=False)
+        w = Window.partitionBy("doc_id", "content_hash").orderBy(
+            "chunk_index")
+        return (chunks.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "chunk_index", "content", "is_table",
+                        "quality"))
     q["chunk_layout_spans"] = chunk_layout_spans
 
     def media_image_features(spark, sf_dir):
@@ -1143,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id + 10000000 AS VARCHAR), "
             "repeat(text || ' ', 40), 1 FROM documents "
             "WHERE doc_id % 200 = 0"),
+        "chunk_layout_spans": _duck_layout_chunks_sql(),
         "embedding_topk_lsh": _duck_topk_lsh_sql(),
         "embedding_near_dups": """
             -- planted scale-perturbed shadows: SRP signs are scale-invariant
