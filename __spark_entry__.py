@@ -626,18 +626,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = embedding_near_dups
 
     def chunk_layout_spans(spark, sf_dir):
-        # dedup as a DETERMINISTIC keep-first window (dropDuplicates keeps
-        # an arbitrary row, which would make the value-hash non-reproducible
-        # when a doc contains identical chunks)
+        # dedup as a DETERMINISTIC keep-lowest-index min_by aggregation:
+        # dropDuplicates keeps an arbitrary row (value-hash would not
+        # reproduce when a doc contains identical chunks), and a window
+        # would shuffle+sort the full chunk contents — min_by keeps
+        # map-side partial aggregation
         spans = documents_to_spans(_docs(spark, sf_dir))
         extracted = run_extract(spans)
         chunks = chunk_documents(extracted, strategy="layout", dedup=False)
-        w = Window.partitionBy("doc_id", "content_hash").orderBy(
-            "chunk_index")
-        return (chunks.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("doc_id", "chunk_index", "content", "is_table",
-                        "quality"))
+        agg = chunks.groupBy("doc_id", "content_hash").agg(
+            F.min_by(F.struct("chunk_index", "content", "is_table",
+                              "quality"),
+                     F.col("chunk_index")).alias("c"))
+        return agg.select(
+            "doc_id", F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.content").alias("content"),
+            F.col("c.is_table").alias("is_table"),
+            F.col("c.quality").alias("quality"))
     q["chunk_layout_spans"] = chunk_layout_spans
 
     def media_image_features(spark, sf_dir):

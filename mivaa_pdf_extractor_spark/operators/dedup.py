@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 from .text_analysis import content_hash, words
 
@@ -113,7 +114,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """LSH candidate pairs: hash each band of ``band_size`` signature values,
     self-join per band bucket, distinct pairs (id_a < id_b). A banded plan —
     each band is an equi-join on a tiny key, shuffle bounded by bucket size."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # persist the signature table: it is TINY (one row of k hashes per doc
+    # vs the full corpus) but referenced once per band per join side — an
+    # unpersisted plan re-runs the shingle explode + groupBy-min
+    # 2*num_bands times (plan-audit finding, round 2)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     bands = []
     for b in range(num_hashes // band_size):
         cols = [f"sig_{b * band_size + j}" for j in range(band_size)]
@@ -185,7 +191,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     block-rotation trick: split 64 bits into (max_hamming+1) blocks — any
     pair within distance shares at least one exact block (pigeonhole), so
     candidates come from equi-joins on block values, never a cross join."""
-    sims = simhash(df, text_col, id_col)
+    # persist: 8 bytes per doc, but the block union references it once per
+    # block per join side — unpersisted, the Python simhash kernel re-runs
+    # 2*(max_hamming+1) times over the corpus
+    sims = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = []

@@ -100,6 +100,11 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = cs[0]
     for x in cs[1:]:
         c = c.unionByName(x)
+    # persist the bucketed corpus: the SRP dot products (n_planes x dim
+    # multiply-folds per row per table) are the expensive part; without
+    # this the join re-derives them per side (plan-audit finding, round 2)
+    from pyspark.storagelevel import StorageLevel
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (c.join(F.broadcast(q), ["tbl", "bucket"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id", "qv", "cv")
@@ -130,6 +135,9 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     allt = tables[0]
     for x in tables[1:]:
         allt = allt.unionByName(x)
+    # self-join: both sides re-derive the SRP buckets without a persist
+    from pyspark.storagelevel import StorageLevel
+    allt = allt.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = allt.alias("a"), allt.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
