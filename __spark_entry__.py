@@ -327,6 +327,59 @@ def _duck_layout_chunks_sql() -> str:
                                    ORDER BY chunk_index) = 1"""
 
 
+def _duck_cos_lit(vec_expr: str, row) -> str:
+    """cosine(vec, literal centroid) with the exact fold order of
+    operators/similarity.py cosine() (list_reduce == aggregate with 0.0
+    seed for doubles)."""
+    arr = ("CAST([" + ", ".join(repr(float(x)) for x in row)
+           + "] AS DOUBLE[])")
+    return (f"(list_reduce(list_transform(list_zip({vec_expr}, {arr}), "
+            f"p -> p[1] * p[2]), (x, y) -> x + y) "
+            f"/ (sqrt(list_reduce(list_transform({vec_expr}, "
+            f"x -> x * x), (x, y) -> x + y)) "
+            f"* sqrt(list_reduce(list_transform({arr}, "
+            f"x -> x * x), (x, y) -> x + y))))")
+
+
+def _duck_topk_ivf_sql(k: int = 10, n_probe: int = 3, n_centroids: int = 8,
+                       dim: int = 64, seed: int = 123) -> str:
+    from mivaa_pdf_extractor_spark.operators.similarity import \
+        random_centroids
+
+    cents = random_centroids(n_centroids, dim, seed)
+    sims = "[" + ", ".join(_duck_cos_lit("v", c) for c in cents) + "]"
+    cos_qc = ("(list_reduce(list_transform(list_zip(qv, cv), "
+              "p -> p[1] * p[2]), (x, y) -> x + y) "
+              "/ (sqrt(list_reduce(list_transform(qv, x -> x * x), "
+              "(x, y) -> x + y)) "
+              "* sqrt(list_reduce(list_transform(cv, x -> x * x), "
+              "(x, y) -> x + y))))")
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+        asg AS (SELECT vec_id, v, {sims} AS sims FROM base),
+        asg2 AS (SELECT vec_id, v AS cv,
+                        CAST(list_position(sims, list_max(sims)) - 1
+                             AS INT) AS cluster
+                 FROM asg),
+        probes AS (
+          SELECT query_id, qv, cluster FROM (
+            SELECT b.vec_id AS query_id, b.v AS qv, t.ci AS cluster,
+                   row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY b.sims[t.ci + 1] DESC, t.ci) AS rk
+            FROM asg b, unnest(generate_series(0, {n_centroids - 1})) t(ci)
+            WHERE b.vec_id < 5)
+          WHERE rk <= {n_probe}),
+        cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        round({cos_qc}, 6) AS sim
+                 FROM asg2 c JOIN probes p ON c.cluster = p.cluster
+                 WHERE c.vec_id <> p.query_id)
+        SELECT query_id, rank, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        WHERE rank <= {k}"""
+
+
 def _duck_srp_bucket(vec_expr: str, planes) -> str:
     """DuckDB replica of operators/similarity.py srp_bucket: the hyperplanes
     are deterministic seeded constants, so the twin embeds them as literals
@@ -569,6 +622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", ta.doc_fingerprint(F.col("text")).alias("fp"))
     q["doc_fingerprint"] = doc_fingerprint
 
+    def doc_winnowing(spark, sf_dir):
+        # rolling-hash winnowing fingerprints (k=8 char grams, window 4)
+        return ta.winnowing_fingerprints(_docs(spark, sf_dir))
+    q["doc_winnowing"] = doc_winnowing
+
     def embedding_topk(spark, sf_dir):
         e = _emb(spark, sf_dir)
         return sim.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
@@ -604,6 +662,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _emb(spark, sf_dir)
         return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 5), e, k=10)
     q["embedding_topk_lsh"] = embedding_topk_lsh
+
+    def embedding_topk_ivf(spark, sf_dir):
+        # IVF with the deterministic pretrained coarse quantizer (seeded
+        # centroids as literals -> exact DuckDB twin); Lloyd TRAINING is
+        # recall-verified separately in tests/test_ann_recall.py
+        e = _emb(spark, sf_dir)
+        cents = sim.random_centroids(8, 64, 123)
+        return sim.ivf_topk(e.filter(F.col("vec_id") < 5), e, cents,
+                            k=10, n_probe=3)
+    q["embedding_topk_ivf"] = embedding_topk_ivf
 
     def embedding_near_dups(spark, sf_dir):
         # plant scale-perturbed shadows (vec_id+10000, embedding*1.01):
@@ -1203,6 +1271,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct(
                        {_DUCK_WORDS.format(c='text')})), ' ')) AS fp
             FROM documents""",
+        "doc_winnowing": r"""
+            WITH t AS (SELECT doc_id,
+                              substring(trim(regexp_replace(lower(text),
+                                  '\s+', ' ', 'g')), 1, 400) AS t
+                       FROM documents),
+            g AS (SELECT doc_id, t, length(t) - 7 AS ng FROM t
+                  WHERE length(t) - 7 >= 1),
+            h AS (SELECT doc_id,
+                         list_transform(generate_series(1, ng),
+                             i -> md5(substring(t, i, 8))) AS hs
+                  FROM g),
+            f AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, greatest(len(hs) - 3, 1)),
+                             j -> list_min(hs[j : j + 3]))) AS fps
+                  FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM f""",
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id,
                               CAST(embedding AS DOUBLE[]) AS qv
@@ -1235,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 200 = 0"),
         "chunk_layout_spans": _duck_layout_chunks_sql(),
         "embedding_topk_lsh": _duck_topk_lsh_sql(),
+        "embedding_topk_ivf": _duck_topk_ivf_sql(),
         "embedding_near_dups": """
             -- planted scale-perturbed shadows: SRP signs are scale-invariant
             -- so the LSH output is exactly the planted pairs (see queries())

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     # round 2 additions
     "simhash_near_pairs", "embedding_topk_lsh", "embedding_near_dups",
     "sheet_clip_spans", "region_normalize", "media_image_features",
-    "media_frame_sample", "size_gate",
+    "media_frame_sample", "size_gate", "doc_winnowing", "embedding_topk_ivf",
 ]
 
 

@@ -118,6 +118,94 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+def _centroid_lit(row) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in row])
+
+
+def random_centroids(n_centroids: int = 8, dim: int = 64,
+                     seed: int = 123) -> np.ndarray:
+    """Deterministic seeded coarse quantizer (the 'pretrained centroids'
+    mode — production IVF ships a pretrained quantizer with the index)."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_centroids, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds ``cluster`` = argmax cosine(vec, centroid) (first max on ties,
+    matching SQL list_position semantics)."""
+    sims = F.array(*[cosine(_as_double(F.col(vec_col)), _centroid_lit(c))
+                     for c in centroids])
+    return df.withColumn(
+        "cluster", (F.array_position(sims, F.array_max(sims)) - 1)
+        .cast("int"))
+
+
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
+                        iters: int = 5, vec_col: str = "embedding",
+                        id_col: str = "vec_id", dim: int = 64,
+                        seed: int = 123) -> np.ndarray:
+    """Distributed Lloyd iterations: assignment runs on executors as native
+    column expressions; only the (n_centroids x dim) sums/counts come back
+    to the driver per iteration — the classic scale shape for a coarse
+    quantizer (the corpus is never collected)."""
+    centroids = random_centroids(n_centroids, dim, seed)
+    dim_sums = [F.sum(F.col(vec_col).getItem(i).cast("double"))
+                .alias(f"s{i}") for i in range(dim)]
+    for _ in range(iters):
+        agg = (ivf_assign(corpus, centroids, vec_col)
+               .groupBy("cluster")
+               .agg(F.count("*").alias("n"), *dim_sums)
+               .collect())
+        new = centroids.copy()
+        for row in agg:
+            c = row["cluster"]
+            n = row["n"]
+            if n > 0:
+                new[c] = [row[f"s{i}"] / n for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame,
+             centroids: np.ndarray, k: int = 10, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> DataFrame:
+    """IVF search: each query probes its ``n_probe`` nearest clusters and
+    computes exact cosine only on those clusters' members — candidates ~
+    n_probe/n_centroids of the corpus instead of all of it. The assigned
+    corpus is persisted (the argmax over centroid literals is the expensive
+    per-row part and the candidate join must not re-derive it)."""
+    from pyspark.storagelevel import StorageLevel
+
+    c = (ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv")), centroids, "cv")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    qsims = F.array(*[cosine(_as_double(F.col("qv")), _centroid_lit(x))
+                      for x in centroids])
+    qp = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qv"))
+          .select("query_id", "qv",
+                  F.posexplode(qsims).alias("cluster", "csim")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cluster").asc())
+    probes = (qp.withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") <= n_probe)
+              .select("query_id", "qv", "cluster"))
+    cand = (c.join(F.broadcast(probes), "cluster")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("sim", F.round(
+                cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))),
+                6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -92,6 +92,32 @@ def test_cosine_topk_lsh_matches_exact_on_candidates(clustered, spark):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["sim"]
 
 
+def test_ivf_trained_recall(clustered, spark):
+    """IVF with Lloyd-trained centroids: on a clustered corpus the coarse
+    quantizer converges to the cluster structure, so probing 2 of 20 cells
+    must recover >= 0.8 of the exact top-10 (and beat the untrained seeded
+    quantizer it was initialized from)."""
+    df, V, _labels = clustered
+    cents = sim.train_ivf_centroids(df, n_centroids=20, iters=5)
+    qids = [0, 20, 40, 60, 80]
+    q = df.filter(F.col("vec_id").isin(qids))
+
+    def recall(centroids, n_probe):
+        rows = sim.ivf_topk(q, df, centroids, k=10, n_probe=n_probe).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        V32 = V.astype(np.float32).astype(np.float64)
+        want = _exact_topk(V32, qids)
+        return sum(len(want[x] & got.get(x, set())) / len(want[x])
+                   for x in qids) / len(qids)
+
+    trained = recall(cents, n_probe=2)
+    untrained = recall(sim.random_centroids(20, DIM), n_probe=2)
+    assert trained >= 0.8, trained
+    assert trained >= untrained, (trained, untrained)
+
+
 def test_embedding_near_dup_recall(clustered, spark):
     """Near-dup tier: plant tight duplicates (cosine ~0.99) of every 10th
     vector; the SRP-bucketed pair generator must find >= 80% of the true
