@@ -78,54 +78,55 @@ def parse_markdown_table(text: str) -> list[list[str]] | None:
     return rows or None
 
 
-class _TableHTMLParser(_HTMLParser):
+class _GridCollector(_HTMLParser):
+    """Event-driven ``<tr>``/``<td>``/``<th>`` grid collector (G2 semantics:
+    whitespace-collapsed cell text; an opening ``<tr>`` implicitly closes an
+    unclosed previous row, and a ``<td>`` before any ``<tr>`` opens one)."""
+
     def __init__(self) -> None:
         super().__init__()
         self.rows: list[list[str]] = []
-        self._row: list[str] | None = None
-        self._cell: list[str] | None = None
+        # current row / current cell fragment buffers; None = not open
+        self._open: dict[str, list | None] = {"row": None, "cell": None}
+
+    def _finish(self, what: str) -> None:
+        if what == "cell" and self._open["cell"] is not None:
+            text = _re.sub(r"\s+", " ", "".join(self._open["cell"])).strip()
+            self._open["row"].append(text)
+            self._open["cell"] = None
+        elif what == "row" and self._open["row"] is not None:
+            self._finish("cell")
+            if self._open["row"]:
+                self.rows.append(self._open["row"])
+            self._open["row"] = None
 
     def handle_starttag(self, tag, attrs):
         if tag == "tr":
-            if self._row is not None:  # tolerate unclosed <tr>
-                self._close_row()
-            self._row = []
+            self._finish("row")  # tolerate unclosed <tr>
+            self._open["row"] = []
         elif tag in ("td", "th"):
-            if self._row is None:
-                self._row = []
-            self._cell = []
+            if self._open["row"] is None:
+                self._open["row"] = []
+            self._open["cell"] = []
 
     def handle_endtag(self, tag):
-        if tag in ("td", "th") and self._cell is not None:
-            self._close_cell()
-        elif tag == "tr" and self._row is not None:
-            self._close_row()
+        if tag in ("td", "th"):
+            self._finish("cell")
+        elif tag == "tr":
+            self._finish("row")
 
     def handle_data(self, data):
-        if self._cell is not None:
-            self._cell.append(data)
-
-    def _close_cell(self):
-        text = _re.sub(r"\s+", " ", "".join(self._cell or [])).strip()
-        self._row.append(text)
-        self._cell = None
-
-    def _close_row(self):
-        if self._cell is not None:
-            self._close_cell()
-        if self._row:
-            self.rows.append(self._row)
-        self._row = None
+        if self._open["cell"] is not None:
+            self._open["cell"].append(data)
 
     def close(self):
         super().close()
-        if self._row is not None:
-            self._close_row()
+        self._finish("row")
 
 
 def parse_html_table(text: str) -> list[list[str]] | None:
     """G2: stdlib-HTMLParser tr/td/th collection, whitespace-collapsed."""
-    p = _TableHTMLParser()
+    p = _GridCollector()
     p.feed(text)
     p.close()
     return p.rows or None
