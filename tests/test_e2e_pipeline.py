@@ -1,0 +1,100 @@
+"""End-to-end training-data pipeline composition (SURVEY §3.1 lifecycle
+analogue): documents -> resumable extraction -> layout chunking -> quality
+scoring -> dedup -> fingerprints, with structural invariants that hold for
+ANY corpus:
+
+- chunk reassembly: joining a doc's chunk contents with the chunk
+  separator reproduces exactly the join of its non-empty extracted span
+  texts (the chunker may only cut, never alter or drop text);
+- size cap: every multi-span chunk is <= max_size (a single oversized
+  span is allowed through atomically);
+- quality in [0, 1]; dedup idempotent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mivaa_pdf_extractor_spark.operators.chunking import chunk_documents
+from mivaa_pdf_extractor_spark.operators.dedup import exact_dedup
+from mivaa_pdf_extractor_spark.operators.text_analysis import \
+    winnowing_fingerprints
+from mivaa_pdf_extractor_spark.plans.pipeline import (read_extracted_latest,
+                                                      run_pipeline)
+from mivaa_pdf_extractor_spark.sources.synthetic import (corpus_to_spark_df,
+                                                         gen_corpus)
+from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+MAX = 300
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("e2e") / "wh"))
+    docs = corpus_to_spark_df(spark, gen_corpus(60, seed=11, giants=1))
+    run_pipeline(spark, docs, cat, run_id="e2e")
+    return read_extracted_latest(cat).cache()
+
+
+def test_chunks_reassemble_to_span_text(spark, extracted):
+    chunks = chunk_documents(extracted, strategy="layout", max_size=MAX,
+                             dedup=False)
+    got = {r["doc_id"]: r["joined"] for r in
+           (chunks.groupBy("doc_id")
+            .agg(F.array_join(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("chunk_index", "content"))),
+                lambda x: x["content"]), "\n\n").alias("joined"))).collect()}
+    want_rows = (extracted
+                 .select("doc_id", F.array_join(F.filter(
+                     F.transform("spans", lambda s: s["text"]),
+                     lambda t: t != ""), "\n\n").alias("joined"))
+                 .collect())
+    n_checked = 0
+    for r in want_rows:
+        if r["joined"]:
+            assert got[r["doc_id"]] == r["joined"], r["doc_id"]
+            n_checked += 1
+        else:
+            assert r["doc_id"] not in got
+    assert n_checked >= 40  # most docs carry text
+
+
+def test_chunk_size_cap_and_quality_bounds(spark, extracted):
+    chunks = chunk_documents(extracted, strategy="layout", max_size=MAX,
+                             dedup=False).cache()
+    # a chunk longer than MAX must be a single span (atomic table or one
+    # oversized span); multi-span chunks respect the cap
+    over = chunks.filter(F.length("content") > MAX)
+    multi = over.filter(F.col("content").contains("\n\n")
+                        & ~F.col("is_table"))
+    assert multi.count() == 0
+    stats = chunks.agg(F.min("quality"), F.max("quality")).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+
+
+def test_dedup_and_fingerprints_compose(spark, extracted):
+    raw = chunk_documents(extracted, strategy="layout", max_size=MAX,
+                          dedup=False).cache()
+    deduped = chunk_documents(extracted, strategy="layout", max_size=MAX,
+                              dedup=True)
+    # chunk-level dedup == one row per (doc, content_hash); idempotent
+    assert deduped.count() == raw.select("doc_id",
+                                         "content_hash").distinct().count()
+    # cross-doc exact dedup over chunk contents keeps one id per hash
+    kept = exact_dedup(
+        raw.select(F.monotonically_increasing_id().alias("cid"), "content"),
+        text_col="content", id_col="cid")
+    assert kept.count() == raw.select(F.md5(F.trim(F.regexp_replace(
+        F.lower("content"), r"\s+", " ")))).distinct().count()
+    # winnowing fingerprints over distinct chunk texts: every chunk with
+    # >= 8 normalized chars yields at least one fingerprint
+    fps = winnowing_fingerprints(
+        raw.select(F.col("content_hash").alias("doc_id"),
+                   F.col("content").alias("text")))
+    n_long = (raw.filter(F.length(F.trim(F.regexp_replace(
+        F.lower("content"), r"\s+", " "))) >= 8)
+        .select("content_hash").distinct().count())
+    assert fps.select("doc_id").distinct().count() == n_long
