@@ -194,64 +194,13 @@ _TEXT_CHUNKERS = {
 }
 
 
-def _chunk_batch(pdf: pd.DataFrame, strategy: str,
-                 max_size: int) -> pd.DataFrame:
-    rows = []
-    if strategy == "layout":
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            for i, c in enumerate(chunk_layout(list(spans), max_size)):
-                rows.append((doc_id, i, c["content"], c["is_table"],
-                             c["kinds"], strategy))
-    else:
-        chunker = _TEXT_CHUNKERS[strategy]
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            text = "\n\n".join(s["text"] for s in spans if s["text"])
-            for i, c in enumerate(chunker(text, max_size)):
-                rows.append((doc_id, i, c, False, "", strategy))
-    return pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
-
-
-def _chunk_layout_arrays(kinds, texts, max_size: int) -> list[tuple]:
-    """chunk_layout over parallel kind/text arrays (no per-span dicts);
-    identical semantics to chunk_layout()."""
-    chunks: list[tuple] = []
-    cur: list[str] = []
-    cur_len = 0
-    kset: set[str] = set()
-
-    def flush():
-        nonlocal cur, cur_len, kset
-        if cur:
-            chunks.append(("\n\n".join(cur), False, ",".join(sorted(kset))))
-            cur = []
-            cur_len = 0
-            kset = set()
-
-    for kind, text in zip(kinds, texts):
-        if not text:
-            continue
-        if kind == "table":
-            flush()
-            chunks.append((text, True, "table"))
-            continue
-        if kind == "heading":
-            flush()
-        if cur and cur_len + len(text) + 2 > max_size:
-            flush()
-        cur.append(text)
-        cur_len += len(text) + (2 if cur_len else 0)
-        kset.add(kind)
-    flush()
-    return chunks
-
-
 def _layout_chunks_arrow(batch, max_size: int):
     """Arrow-native layout chunking: the per-doc boundary state machine runs
     over INT arrays only (dictionary-encoded kinds + utf8 lengths); chunk
     content is assembled with ``pc.take`` + ``pc.binary_join`` so the string
     bytes never become Python objects (round 1's ``to_pylist`` per span was
     the bench's slowest stage). Semantics identical to
-    ``_chunk_layout_arrays`` (pinned by tests/test_oracle_semantics.py)."""
+    ``chunk_layout`` (pinned by tests/test_chunking.py)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
-from .text_analysis import content_hash, words
+from .text_analysis import content_hash
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

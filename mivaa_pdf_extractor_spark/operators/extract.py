@@ -13,9 +13,10 @@ span-assemble pass.
 - glyph/whitespace normalization as chained C string kernels,
 - arrow-native reassembly of the output span arrays.
 
-The Spark surface is ``run_extract`` — repartition by hash(doc_id) +
-``mapInPandas`` — which never runs per-row Python (north rule). The
-loop-based spec this must match lives in oracle/extract_one.py.
+The Spark surface is ``run_extract`` — ``mapInArrow`` directly over the
+scan splits (hash-repartition only when the source is coarser than the
+cluster) — which never runs per-row Python (north rule). The loop-based
+spec this must match lives in oracle/extract_one.py.
 
 ``_process_flat`` (table assembly → column split → classify → normalize →
 sort → media gating → offsets) is shared with the skew path
@@ -25,7 +26,6 @@ context computed natively.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -54,13 +54,8 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField("status", T.StringType()),
 ])
 
-_LIST_RE = re.compile(C.LIST_MARKER_REGEX)
 _HASH_PREFIX = np.array(["", "# ", "## ", "### ", "#### ", "##### ", "###### "],
                         dtype=object)
-
-
-def _attr(s: pd.Series, key: str) -> pd.Series:
-    return s.str.extract(rf"(?:^|;){key}=([^;]*)", expand=False)
 
 
 def _num_attr_arrow(arr: "pa.Array", key: str, fill: float,
