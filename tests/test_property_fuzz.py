@@ -61,6 +61,7 @@ def _kind(draw):
 
 _text = st.one_of(
     st.just(""),
+    st.none(),  # schema-nullable text must behave like ""
     st.text(min_size=0, max_size=40),
     st.sampled_from(["/nine.LP x", "a  b\n\n\n\nc", "• item one",
                      "1. numbered", "| a | b |", "word " * 30]),
@@ -69,7 +70,7 @@ _text = st.one_of(
 _span = st.fixed_dictionaries({
     "kind": _kind(),
     "text": _text,
-    "media_ref": st.sampled_from(["", "keep-me"]),
+    "media_ref": st.sampled_from(["", "keep-me", None]),
     "offset": st.just(0),
 })
 
