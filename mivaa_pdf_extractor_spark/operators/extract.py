@@ -315,12 +315,16 @@ def remap_spreads(flat: pd.DataFrame,
 def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
     """Replace each (doc, page)'s table_cell group with one ``__table__``
     pseudo-row (or per-cell text fallbacks when the grid is < 2x2)."""
+    cell_mask = flat["base"] == C.TABLE_CELL_KIND
+    if not cell_mask.any():
+        # common case: no table cells -> no pseudo-row surgery, and the two
+        # marker columns are constant (skip the full-frame copy)
+        flat["from_cell"] = False
+        flat["pre_normalized"] = False
+        return flat
     flat = flat.copy()
     flat["from_cell"] = False
     flat["pre_normalized"] = False
-    cell_mask = flat["base"] == C.TABLE_CELL_KIND
-    if not cell_mask.any():
-        return flat
     cells = flat[cell_mask].copy()
     cells["norm"] = normalize_series(cells["text"])
     pseudo_rows = []
@@ -400,7 +404,11 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
     flat["col"] = _column_split(flat)
 
     if len(headings):
-        flat = flat.merge(headings, on=["doc_idx", "size"], how="left")
+        # merge only the 2-column key frame: a full-frame merge copies and
+        # re-consolidates every column (profiled at ~25% of this kernel)
+        flat["level"] = (flat[["doc_idx", "size"]]
+                        .merge(headings, on=["doc_idx", "size"], how="left")
+                        ["level"].to_numpy())
     else:
         flat["level"] = np.nan
 
@@ -440,63 +448,95 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
     out_kind[h] = "heading"
     out_kind[is_caption.to_numpy()] = "caption"
 
-    flat = flat.assign(out_text=norm_arr, out_kind=out_kind)
-
-    # one reading-order sort for the whole batch
+    # From here on the frame is done: one reading-order lexsort, then the
+    # media gate + offsets run on SORTED NUMPY ARRAYS with contiguous
+    # (doc, page) segments — the previous .assign/.iloc/.merge chain spent
+    # >80% of this kernel in pandas block copies and consolidation.
     order = np.lexsort((flat["pos"].to_numpy(), flat["x"].to_numpy(),
                         flat["y"].to_numpy(), flat["col"].to_numpy(),
                         flat["page"].to_numpy(), flat["doc_idx"].to_numpy()))
-    flat = flat.iloc[order].reset_index(drop=True)
+    n = len(order)
+    d_s = flat["doc_idx"].to_numpy()[order]
+    pg_s = flat["page"].to_numpy()[order]
+    base_s = flat["base"].to_numpy(dtype=object)[order]
+    edpi_s = flat["edpi"].to_numpy()[order]
+    did_s = flat["doc_id"].to_numpy(dtype=object)[order]
+    text_s = norm_arr[order]
+    kind_s = out_kind[order]
 
-    # media gating on the sorted survivors (I2/I3 low-eDPI page gate)
-    emb = (flat["base"] == "image")
-    fig = (flat["base"] == "figure")
-    flat["__low__"] = emb & (flat["edpi"] > 0) & (flat["edpi"] < C.MIN_EFFECTIVE_DPI)
-    poisoned = flat.groupby(["doc_idx", "page"], sort=False)["__low__"].transform("max")
+    out = pd.DataFrame({
+        "doc_idx": d_s, "doc_id": did_s, "page": pg_s,
+        "out_kind": kind_s, "out_text": text_s,
+    })
+    if n == 0:
+        out["out_ref"] = np.array([], dtype=object)
+        out["tlen"] = np.array([], dtype=np.int64)
+        out["offset"] = np.array([], dtype=np.int32)
+        return out
 
-    refs = flat["ref"].astype("object").fillna("").to_numpy(dtype=object)
-    did = flat["doc_id"].to_numpy(dtype=object)
+    # contiguous (doc, page) segments after the sort
+    seg_new = np.r_[True, (d_s[1:] != d_s[:-1]) | (pg_s[1:] != pg_s[:-1])]
+    seg_starts = np.flatnonzero(seg_new)
+    seg_id = np.cumsum(seg_new) - 1
 
-    drop_mask = np.zeros(len(flat), dtype=bool)
-    emb_np = emb.to_numpy()
-    fig_np = fig.to_numpy()
-    # page-as-string only where media refs need it (int->str over the whole
-    # frame was a per-row cost on ~7% usage)
-    pg = np.empty(len(flat), dtype=object)
+    # media gating (I2/I3 low-eDPI page gate) as segment reductions
+    emb_np = base_s == "image"
+    fig_np = base_s == "figure"
+    low = emb_np & (edpi_s > 0) & (edpi_s < C.MIN_EFFECTIVE_DPI)
+    pois_np = np.logical_or.reduceat(low, seg_starts)[seg_id]
+
+    refs = np.empty(n, dtype=object)
+    refs[:] = ""
+    drop_mask = np.zeros(n, dtype=bool)
     media_np = emb_np | fig_np
     if media_np.any():
-        pg[media_np] = (flat["page"].to_numpy()[media_np]
-                        .astype(str).astype(object))
-    pois_np = poisoned.to_numpy(dtype=bool)
-    if emb_np.any():
-        emb_rank = flat[emb].groupby([flat.loc[emb, "doc_idx"],
-                                      flat.loc[emb, "page"]]).cumcount()
-        rank_full = np.zeros(len(flat), dtype=np.int64)
-        rank_full[emb_np] = emb_rank.to_numpy()
-        healthy = emb_np & ~pois_np
-        refs[healthy] = (did[healthy] + "/p" + pg[healthy] + "/img"
-                         + rank_full[healthy].astype(str).astype(object))
-        first_poisoned = emb_np & pois_np & (rank_full == 0)
-        refs[first_poisoned] = (did[first_poisoned] + "/p" + pg[first_poisoned]
-                                + "/full_render")
-        drop_mask |= emb_np & pois_np & (rank_full > 0)
-    if fig_np.any():
-        fig_rank = flat[fig].groupby([flat.loc[fig, "doc_idx"],
-                                      flat.loc[fig, "page"]]).cumcount()
-        frank_full = np.zeros(len(flat), dtype=np.int64)
-        frank_full[fig_np] = fig_rank.to_numpy()
-        refs[fig_np] = (did[fig_np] + "/p" + pg[fig_np] + "/region"
-                        + frank_full[fig_np].astype(str).astype(object))
-    refs[~(emb_np | fig_np)] = ""
+        # page-as-string only where media refs need it
+        pg = np.empty(n, dtype=object)
+        pg[media_np] = pg_s[media_np].astype(str).astype(object)
 
-    flat = flat.assign(out_ref=refs)[~drop_mask]
+        def seg_rank(mask):
+            # within-segment running count of mask rows, valid at mask rows
+            cs = np.cumsum(mask)
+            before = (cs - mask)[seg_starts]
+            return cs - 1 - before[seg_id]
 
-    # offsets: per-doc running char offset in reading order (W4)
+        if emb_np.any():
+            rank_full = seg_rank(emb_np)
+            healthy = emb_np & ~pois_np
+            refs[healthy] = (did_s[healthy] + "/p" + pg[healthy] + "/img"
+                             + rank_full[healthy].astype(str)
+                             .astype(object))
+            first_poisoned = emb_np & pois_np & (rank_full == 0)
+            refs[first_poisoned] = (did_s[first_poisoned] + "/p"
+                                    + pg[first_poisoned] + "/full_render")
+            drop_mask |= emb_np & pois_np & (rank_full > 0)
+        if fig_np.any():
+            frank = seg_rank(fig_np)
+            refs[fig_np] = (did_s[fig_np] + "/p" + pg[fig_np] + "/region"
+                            + frank[fig_np].astype(str).astype(object))
+
+    if drop_mask.any():
+        keep = ~drop_mask
+        out = out[keep].reset_index(drop=True)
+        refs = refs[keep]
+        d_s = d_s[keep]
+        text_s = text_s[keep]
+
+    # offsets: per-doc running char offset in reading order (W4), as
+    # contiguous-segment arithmetic over the (sorted) doc runs
     tlen = pc.utf8_length(
-        pa.array(flat["out_text"], type=pa.string())
+        pa.array(text_s, type=pa.string())
     ).to_numpy(zero_copy_only=False).astype(np.int64)
-    cum = pd.Series(tlen).groupby(flat["doc_idx"].to_numpy()).cumsum().to_numpy()
-    return flat.assign(offset=(cum - tlen).astype(np.int32), tlen=tlen)
+    doc_new = np.r_[True, d_s[1:] != d_s[:-1]]
+    doc_starts = np.flatnonzero(doc_new)
+    doc_id_seg = np.cumsum(doc_new) - 1
+    cum_excl = np.cumsum(tlen) - tlen
+    offset = cum_excl - cum_excl[doc_starts][doc_id_seg]
+
+    out["out_ref"] = refs
+    out["tlen"] = tlen
+    out["offset"] = offset.astype(np.int32)
+    return out
 
 
 def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
