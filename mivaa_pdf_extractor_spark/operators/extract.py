@@ -158,14 +158,20 @@ def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
     return flat
 
 
-def heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
+def heading_levels(flat: pd.DataFrame,
+                   valid: np.ndarray | None = None) -> pd.DataFrame:
     """Per (doc_idx, size) heading level for sizes above the doc's body size.
 
     body = most frequent size among text/title spans (ties -> smaller size);
     sizes > body get levels 1.. descending by size, capped at 6 (M1).
+    ``valid`` (optional row mask) lets the caller defer the boilerplate
+    filter so the frame is copied once, not per stage.
     Returns columns (doc_idx, size, level).
     """
-    tt = flat[flat["base"].isin(("text", "title"))]
+    mask = flat["base"].isin(("text", "title"))
+    if valid is not None:
+        mask &= valid
+    tt = flat[mask]
     if tt.empty:
         return pd.DataFrame({"doc_idx": pd.Series(dtype=np.int64),
                              "size": pd.Series(dtype=np.float64),
@@ -189,11 +195,14 @@ def heading_levels(flat: pd.DataFrame) -> pd.DataFrame:
     return bigger[["doc_idx", "size", "level"]]
 
 
-def mark_media_dups(flat: pd.DataFrame) -> pd.Series:
+def mark_media_dups(flat: pd.DataFrame,
+                    valid: np.ndarray | None = None) -> pd.Series:
     """Boolean mask: media span is an exact-phash duplicate within its
     (doc, layer) bucket; first occurrence in (page, y, x, pos) order kept
     (I5, per-layer buckets pdf_processor.py:1184-1238)."""
     is_media = flat["base"].isin(C.MEDIA_KINDS) & (flat["phash"] != "")
+    if valid is not None:
+        is_media &= valid
     dup = pd.Series(False, index=flat.index)
     if not is_media.any():
         return dup
@@ -207,7 +216,8 @@ _SHEET_CTX_COLS = ["sheet_doc", "is_spread", "first_phys",
                    "sheet_w", "sheet_h"]
 
 
-def _sheet_ctx(flat: pd.DataFrame) -> pd.DataFrame | None:
+def _sheet_ctx(flat: pd.DataFrame,
+               valid: np.ndarray | None = None) -> pd.DataFrame | None:
     """Per-(doc, sheet) physical-page mapping for sheet-addressed documents
     (L1 over the fixture encoding): sheet dims = max sw/sh over the sheet's
     spans; aspect > SPREAD_ASPECT -> spread (2 physical pages); 1-based
@@ -218,6 +228,9 @@ def _sheet_ctx(flat: pd.DataFrame) -> pd.DataFrame | None:
     # only a necessary condition for the fast path
     if not ((flat["sw"] > 0).any() and (flat["sh"] > 0).any()):
         return None
+    if valid is not None:
+        flat = flat.loc[valid, ["doc_idx", "page", "sw", "sh", "base",
+                                "w", "h"]]
     d = (flat.groupby(["doc_idx", "page"], sort=True)[["sw", "sh"]].max()
          .rename(columns={"sw": "sheet_w", "sh": "sheet_h"}).reset_index())
     valid = (d["sheet_w"] > 0) & (d["sheet_h"] > 0)
@@ -550,10 +563,13 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         flat = flat[~flat["doc_idx"].isin(failed_docs)]
 
     flat = parse_attrs(flat)
-    flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
-    headings = heading_levels(flat)
-    sheet_dims = _sheet_ctx(flat)  # sheet geometry is pre-dedup
-    flat = flat[~mark_media_dups(flat)]
+    # defer the boilerplate filter and fold it into the dedup filter: each
+    # boolean filter copies the whole frame, so the stages take a validity
+    # mask and the frame is taken ONCE
+    ok = ~flat["base"].isin(C.BOILERPLATE_KINDS).to_numpy()
+    headings = heading_levels(flat, ok)
+    sheet_dims = _sheet_ctx(flat, ok)  # sheet geometry is pre-dedup
+    flat = flat[ok & ~mark_media_dups(flat, ok).to_numpy()]
     flat = remap_spreads(flat, sheet_dims)
     flat = process_flat(flat, headings)
     return _reassemble(flat, docs, failed_docs)
@@ -727,10 +743,11 @@ def extract_iter_arrow(
             flat = flat[~flat["doc_idx"].isin(failed_docs)]
 
         flat = parse_attrs(flat)
-        flat = flat[~flat["base"].isin(C.BOILERPLATE_KINDS)]
-        headings = heading_levels(flat)
-        sheet_dims = _sheet_ctx(flat)  # sheet geometry is pre-dedup
-        flat = flat[~mark_media_dups(flat)]
+        # one combined boilerplate+dedup take (see extract_batch)
+        ok = ~flat["base"].isin(C.BOILERPLATE_KINDS).to_numpy()
+        headings = heading_levels(flat, ok)
+        sheet_dims = _sheet_ctx(flat, ok)  # sheet geometry is pre-dedup
+        flat = flat[ok & ~mark_media_dups(flat, ok).to_numpy()]
         flat = remap_spreads(flat, sheet_dims)
         flat = process_flat(flat, headings)
         yield _reassemble_arrow(flat, docs, failed_docs)
