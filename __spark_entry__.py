@@ -864,8 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def chunk_cross_refs(spark, sf_dir):
         # C8 over synthesized chunks: every doc yields 3 chunks on pages
-        # 1..3; chunk 0 references page 3, chunk 2 references page 12
-        # (unresolvable -> empty target list)
+        # 1..3, exercising all six typed reference patterns — resolved
+        # page ref, unresolvable page refs (plain + parenthesized), table/
+        # figure/section/appendix refs (no resolution by design)
         d = _docs(spark, sf_dir).select("doc_id", "text")
         chunks = d.select(
             "doc_id",
@@ -876,12 +877,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.col("chunk_index") == 0,
                    F.lit("intro, see page 3 for details"))
             .when(F.col("chunk_index") == 2,
-                  F.lit("appendix, refer to page 12"))
-            .otherwise(F.lit("body text")).alias("content"),
+                  F.lit("refer to page 12 (see 5), refer to the Appendix A,"
+                        " described in section 1.2"))
+            .otherwise(F.lit("body, see Table 2.1 and as in Fig. 4-2"))
+            .alias("content"),
         )
         out = detect_cross_refs(chunks)
         return out.select(
-            "doc_id", "src_chunk", "ref_page",
+            "doc_id", "src_chunk", "ref_type", "ref_value",
             F.array_join("target_chunks", ",").alias("targets"))
     q["chunk_cross_refs"] = chunk_cross_refs
 
@@ -1167,21 +1170,56 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN chunk_index = 0
                           THEN 'intro, see page 3 for details'
                           WHEN chunk_index = 2
-                          THEN 'appendix, refer to page 12'
-                          ELSE 'body text' END AS content
+                          THEN 'refer to page 12 (see 5), refer to the Appendix A, described in section 1.2'
+                          ELSE 'body, see Table 2.1 and as in Fig. 4-2'
+                          END AS content
               FROM chunks),
             refs AS (
-              SELECT doc_id, chunk_index AS src_chunk,
-                     CAST(unnest(regexp_extract_all(lower(content),
-                       '(?:see|refer(?:ence)?|refer to|shown in|described in|detailed in|as in)\\s+page[s]?\\s+(\\d+)',
-                       1)) AS INT) AS ref_page
-              FROM c2)
-            SELECT r.doc_id, r.src_chunk, r.ref_page,
-                   coalesce(string_agg(CAST(c.chunk_index AS VARCHAR), ','
-                            ORDER BY c.chunk_index), '') AS targets
-            FROM refs r
-            LEFT JOIN c2 c ON c.doc_id = r.doc_id AND c.page = r.ref_page
-            GROUP BY 1, 2, 3""",
+              SELECT doc_id, chunk_index AS src_chunk, 'page' AS ref_type,
+                     unnest(regexp_extract_all(content,
+                       '(?i)(?:see|refer(?:ence)?|refer to|shown in|described in|detailed in|as in)\\s+page[s]?\\s+(\\d+)',
+                       1)) AS ref_value
+              FROM c2
+              UNION ALL
+              SELECT doc_id, chunk_index, 'table',
+                     unnest(regexp_extract_all(content,
+                       '(?i)(?:see|refer(?:ence)?|refer to|shown in|see also)\\s+(?:the\\s+)?(?:table|tbl\\.?)\\s+([\\d\\.\\-]+)', 1))
+              FROM c2
+              UNION ALL
+              SELECT doc_id, chunk_index, 'figure',
+                     unnest(regexp_extract_all(content,
+                       '(?i)(?:see|refer(?:ence)?|shown in|as in|refer to)\\s+(?:the\\s+)?(?:figure|fig\\.?)\\s+([\\d\\.\\-]+)', 1))
+              FROM c2
+              UNION ALL
+              SELECT doc_id, chunk_index, 'section',
+                     unnest(regexp_extract_all(content,
+                       '(?i)(?:see|refer to|described in|detailed in)\\s+(?:the\\s+)?(?:section|sec\\.?)\\s+([\\d\\.\\-]+)', 1))
+              FROM c2
+              UNION ALL
+              SELECT doc_id, chunk_index, 'appendix',
+                     unnest(regexp_extract_all(content,
+                       '(?i)(?:see|refer to)\\s+(?:the\\s+)?(?:appendix|app\\.?)\\s+([A-Z\\d]+)', 1))
+              FROM c2
+              UNION ALL
+              SELECT doc_id, chunk_index, 'page',
+                     unnest(regexp_extract_all(content,
+                       '(?i)\\((?:see|cf\\.?)\\s+(?:page[s]?\\s+)?(\\d+)\\)', 1))
+              FROM c2),
+            resolved AS (
+              SELECT r.doc_id, r.src_chunk, r.ref_type, r.ref_value,
+                     CASE WHEN r.ref_type = 'page'
+                          THEN CAST(r.ref_value AS INT) END AS ref_page
+              FROM refs r),
+            page_index AS (
+              SELECT doc_id, page,
+                     string_agg(CAST(chunk_index AS VARCHAR), ','
+                                ORDER BY chunk_index) AS targets
+              FROM c2 GROUP BY 1, 2)
+            SELECT r.doc_id, r.src_chunk, r.ref_type, r.ref_value,
+                   coalesce(p.targets, '') AS targets
+            FROM resolved r
+            LEFT JOIN page_index p
+              ON p.doc_id = r.doc_id AND p.page = r.ref_page""",
         "table_parse_classify": """
             -- independently-derived expectations for the synthesized
             -- markdown/HTML tables (validates the full parse+classify chain)

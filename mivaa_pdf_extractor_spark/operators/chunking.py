@@ -402,16 +402,27 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
 
 
 # C8 cross-reference detection (unified_chunking_service.py:762-820): the
-# reference runs 6 regexes over chunk content ("see page 12", "refer to
-# table 3", ...) and resolves page references through a page -> chunk_ids
-# index. Spark form: regexp_extract_all + posexplode + a self-join on
-# (doc_id, page) — fully native, no UDF.
-# the reference's verb set and whitespace tolerance verbatim
-# (unified_chunking_service.py:762-820): 'shown in'/'described in' (not
-# 'on'), 'reference', 'detailed in', 'as in', optional plural 'pages',
-# \s+ between tokens (round-1 ADVICE divergence)
-XREF_PAGE_PATTERN = (r"(?:see|refer(?:ence)?|refer to|shown in|described in"
-                     r"|detailed in|as in)\s+page[s]?\s+(\d+)")
+# reference's 6 TYPED patterns verbatim ("see page 12", "refer to table 3",
+# "fig. 2-1", "section 1.2", "appendix A", "(see 12)"), matched
+# case-insensitively; only page references resolve through the
+# page -> chunk_ids index. Spark form: regexp_extract_all + explode per
+# pattern + a join on (doc_id, page) — fully native, no UDF.
+XREF_PATTERNS: list[tuple[str, str]] = [
+    (r"(?:see|refer(?:ence)?|refer to|shown in|described in|detailed in"
+     r"|as in)\s+page[s]?\s+(\d+)", "page"),
+    (r"(?:see|refer(?:ence)?|refer to|shown in|see also)\s+(?:the\s+)?"
+     r"(?:table|tbl\.?)\s+([\d\.\-]+)", "table"),
+    (r"(?:see|refer(?:ence)?|shown in|as in|refer to)\s+(?:the\s+)?"
+     r"(?:figure|fig\.?)\s+([\d\.\-]+)", "figure"),
+    (r"(?:see|refer to|described in|detailed in)\s+(?:the\s+)?"
+     r"(?:section|sec\.?)\s+([\d\.\-]+)", "section"),
+    (r"(?:see|refer to)\s+(?:the\s+)?(?:appendix|app\.?)\s+([A-Z\d]+)",
+     "appendix"),
+    (r"\((?:see|cf\.?)\s+(?:page[s]?\s+)?(\d+)\)", "page"),
+]
+
+# kept name for round-1 compatibility (the page pattern alone)
+XREF_PAGE_PATTERN = XREF_PATTERNS[0][0]
 
 
 def detect_cross_refs(chunks: DataFrame,
@@ -419,19 +430,28 @@ def detect_cross_refs(chunks: DataFrame,
                       doc_col: str = "doc_id",
                       page_col: str = "page",
                       chunk_id_col: str = "chunk_index") -> DataFrame:
-    """One row per (referencing chunk, referenced page) with the resolved
-    target chunk ids on that page (empty array when the page has none)."""
-    refs = (
-        chunks.select(
+    """One row per (referencing chunk, typed reference) with the resolved
+    target chunk ids for page references (empty array otherwise or when
+    the page has no chunks). Patterns apply case-insensitively ((?i), like
+    the reference's re.IGNORECASE) so e.g. 'Appendix A' keeps its case in
+    ref_value."""
+    branches = []
+    for pat, rtype in XREF_PATTERNS:
+        branches.append(chunks.select(
             F.col(doc_col), F.col(chunk_id_col).alias("src_chunk"),
+            F.lit(rtype).alias("ref_type"),
             # DSL form, not F.expr: a SQL string literal would swallow the
             # pattern's backslashes
             F.explode(F.regexp_extract_all(
-                F.lower(F.col(content_col)),
-                F.lit(XREF_PAGE_PATTERN), F.lit(1))).alias("ref_page_s"))
-        .withColumn("ref_page", F.col("ref_page_s").cast("int"))
-        .drop("ref_page_s")
-    )
+                F.col(content_col), F.lit("(?i)" + pat),
+                F.lit(1))).alias("ref_value")))
+    refs = branches[0]
+    for b in branches[1:]:
+        refs = refs.unionByName(b)
+    refs = refs.withColumn(
+        "ref_page",
+        F.when(F.col("ref_type") == "page",
+               F.col("ref_value").cast("int")))
     page_index = (
         chunks.groupBy(F.col(doc_col), F.col(page_col).alias("ref_page"))
         .agg(F.sort_array(F.collect_list(F.col(chunk_id_col)))
@@ -441,4 +461,4 @@ def detect_cross_refs(chunks: DataFrame,
             .withColumn("target_chunks",
                         F.coalesce("target_chunks",
                                    F.array().cast("array<int>")))
-            .orderBy(doc_col, "src_chunk", "ref_page"))
+            .orderBy(doc_col, "src_chunk", "ref_type", "ref_value"))

@@ -94,11 +94,18 @@ def test_word_overlap_and_seq_ratio(spark):
 def test_cross_refs_resolution(spark):
     from mivaa_pdf_extractor_spark.operators.chunking import detect_cross_refs
     chunks = spark.createDataFrame(
-        [("d1", 0, 1, "see page 2 and refer to page 9"),
-         ("d1", 1, 2, "target a"),
-         ("d1", 2, 2, "target b")],
+        [("d1", 0, 1, "see page 2 and refer to page 9, cf. Table 3-1"),
+         ("d1", 1, 2, "See the Figure 2.4 (see 1); refer to Appendix B"),
+         ("d1", 2, 2, "described in Section 7")],
         "doc_id string, chunk_index int, page int, content string")
-    out = {(r["src_chunk"], r["ref_page"]): list(r["target_chunks"])
-           for r in detect_cross_refs(chunks).collect()}
-    assert out[(0, 2)] == [1, 2]
-    assert out[(0, 9)] == []  # unresolvable page -> empty targets
+    rows = detect_cross_refs(chunks).collect()
+    out = {(r["src_chunk"], r["ref_type"], r["ref_value"]):
+           list(r["target_chunks"]) for r in rows}
+    assert out[(0, "page", "2")] == [1, 2]
+    assert out[(0, "page", "9")] == []  # unresolvable -> empty targets
+    assert out[(1, "figure", "2.4")] == []
+    assert out[(1, "page", "1")] == [0]  # parenthesized (see 1) resolves
+    assert out[(1, "appendix", "B")] == []
+    assert out[(2, "section", "7")] == []
+    # 'cf. Table 3-1' has no see/refer verb -> table pattern must NOT fire
+    assert (0, "table", "3-1") not in out
