@@ -77,9 +77,14 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound the Arrow batch so a batch of large documents fits in
-        # executor memory (SURVEY.md §4: manual-batching replacement)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Arrow boundary batch size: the kernel re-coalesces to ~4k docs
+        # anyway, so this only sets IPC granularity — 256 paid ~16% extra
+        # wall in per-batch transfer overhead at 1.92M docs (measured 25.1s
+        # vs 21.1s at 1024; 4096 was equal within noise). Normal-path docs
+        # are bounded by the skew threshold, so 1024 docs/batch stays small;
+        # giant docs never cross this boundary (they ride the exploded
+        # applyInPandas path).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # local mode: driver JVM == all executors; size the heap for the
         # task-slot count (32 slots x shuffle/cache state blows an 8g heap
