@@ -125,8 +125,13 @@ MAX_DOC_BYTES = 50 * 1024 * 1024
 # levels 1..MAX_HEADING_LEVEL.
 MAX_HEADING_LEVEL = 6
 
-# list detection (M4): leading bullet or enumerator
-LIST_MARKER_REGEX = r"^\s*([•\-\*]|\d+[.)])\s+"
+# list detection (M4): leading bullet or enumerator. The whitespace class
+# is written out explicitly (RE2's exact \s set) because Python re's \s
+# additionally matches \x1c-\x1f and unicode spaces — the fuzzer caught
+# 'text' "*\x1f" classifying as a list in the oracle (Python re) but not
+# in the engine (RE2). One explicit class keeps Python re, RE2, Java, and
+# the DuckDB twins (whose RE2 \s equals this class) in agreement.
+LIST_MARKER_REGEX = r"^[ \t\n\f\r]*([•\-\*]|\d+[.)])[ \t\n\f\r]+"
 
 # table minimums (G4; table_extraction.py:32-33)
 TABLE_MIN_ROWS = 2

@@ -81,6 +81,13 @@ _EDGE_DOCS = [
     [{"kind": "text;y=1;size=-4", "text": "neg", "media_ref": "", "offset": 0},
      {"kind": "text;y=2;size=-4", "text": "neg2", "media_ref": "", "offset": 0},
      {"kind": "text;y=3;size=10", "text": "big", "media_ref": "", "offset": 0}],
+    # list-marker whitespace class: \x1f is whitespace to Python re's \s
+    # but not to RE2 — the explicit class in LIST_MARKER_REGEX must make
+    # both classify "*\x1f" as TEXT (fuzz-found divergence, round 2)
+    [{"kind": "text", "text": "*\x1f", "media_ref": "", "offset": 0},
+     {"kind": "text", "text": "* real list item", "media_ref": "",
+      "offset": 0},
+     {"kind": "text", "text": "* nbsp", "media_ref": "", "offset": 0}],
 ]
 
 
