@@ -725,6 +725,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sharpness", "brightness")
     q["media_image_features"] = media_image_features
 
+    def media_dedup_hamming(spark, sf_dir):
+        # I5 Hamming tier (reference threshold <= 5, pdf_processor.py:47,
+        # :1156-1255): plant near-dup shadows (media_ref + '~dup', phash
+        # XOR 37 = 3 flipped bits) so the block-rotation join must find
+        # exactly the planted pairs; stray same-doc phashes are md5-random
+        # (E[hamming] = 32), so hamming <= 5 strays are ~impossible
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        media = synth_media_for_extracted(run_extract(spans))
+        feats = (extract_image_features(media)
+                 .select("doc_id", "media_ref", "phash64")
+                 .withColumn("layer", F.regexp_extract(
+                     "media_ref", r"/(img|region|full_render)", 1)))
+        shadow = feats.select(
+            "doc_id",
+            F.concat("media_ref", F.lit("~dup")).alias("media_ref"),
+            F.col("phash64").bitwiseXOR(F.lit(37)).alias("phash64"),
+            "layer")
+        return dd.phash_hamming_pairs(feats.unionByName(shadow),
+                                      max_hamming=5)
+    q["media_dedup_hamming"] = media_dedup_hamming
+
     def media_frame_sample(spark, sf_dir):
         spans = documents_to_spans(_docs(spark, sf_dir))
         media = synth_media_for_extracted(run_extract(spans)) \
@@ -1420,6 +1441,32 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(CAST(sx2 * 16 - sx * sx AS DOUBLE) / 256.0) / 128.0
                        AS brightness
             FROM by""",
+        "media_dedup_hamming": f"""
+            -- brute-force within-(doc, layer) Hamming twin of the engine's
+            -- block-rotation LSH (exact recall for hamming <= 5 with 6
+            -- blocks by pigeonhole, so the O(n^2)-per-bucket scan matches)
+            WITH {_DUCK_MEDIA_REFS},
+            feat AS (
+              SELECT doc_id, media_ref,
+                     CAST(CASE WHEN v >= 9223372036854775808
+                               THEN CAST(v AS HUGEINT) - 18446744073709551616
+                               ELSE CAST(v AS HUGEINT) END AS BIGINT) AS ph
+              FROM (SELECT doc_id, media_ref,
+                           CAST(('0x' || substring(md5(media_ref), 1, 16))
+                                AS UBIGINT) AS v
+                    FROM refs)),
+            unioned AS (
+              SELECT doc_id, media_ref, ph, 'img' AS layer FROM feat
+              UNION ALL
+              SELECT doc_id, media_ref || '~dup', xor(ph, 37), 'img'
+              FROM feat)
+            SELECT a.doc_id, a.layer, a.media_ref AS id_a,
+                   b.media_ref AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+            FROM unioned a JOIN unioned b
+              ON a.doc_id = b.doc_id AND a.layer = b.layer
+             AND a.media_ref < b.media_ref
+            WHERE bit_count(xor(a.ph, b.ph)) <= 5""",
         "media_frame_sample": f"""
             WITH {_DUCK_MEDIA_REFS}
             SELECT media_ref, doc_id,

@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from mivaa_pdf_extractor_spark.core.cache import release_cached  # noqa: E402
 from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed  # noqa: E402
 from mivaa_pdf_extractor_spark.session import build_session  # noqa: E402
 from mivaa_pdf_extractor_spark.sources.from_flat import with_synthetic_giants  # noqa: E402
@@ -34,6 +35,8 @@ BENCH_QUERIES = [
     "simhash_near_pairs", "embedding_topk_lsh", "embedding_near_dups",
     "sheet_clip_spans", "region_normalize", "media_image_features",
     "media_frame_sample", "size_gate", "doc_winnowing", "embedding_topk_ivf",
+    # round 3 additions
+    "media_dedup_hamming",
 ]
 
 
@@ -89,6 +92,9 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.time() - t0, 3)
+        # drop operator-internal persisted intermediates (bucketed corpora,
+        # signature tables) so a long query loop doesn't accumulate storage
+        release_cached()
 
     print(json.dumps({
         "metric": "extraction_wall_sec_and_query_suite",

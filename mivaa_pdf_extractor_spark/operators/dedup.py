@@ -26,8 +26,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
-from pyspark.storagelevel import StorageLevel
 
+from ..core.cache import track
 from .text_analysis import content_hash
 
 
@@ -69,9 +69,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_freq:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
-        sh = (sh.join(freq.filter(F.col("freq") <= max_shingle_freq),
-                      "shingle", "inner").select("id", "shingle"))
+        # the OVER-cap list is tiny (stop-shingles are by definition the few
+        # highest-frequency keys — Zipf head), so broadcast it into a
+        # left_anti instead of shuffling the full shingle table against the
+        # under-cap join (round-2 verdict item 9: same semantics, the big
+        # side no longer exchanges for the guard)
+        sh = track(sh)
+        stop = (sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+                .filter(F.col("freq") > max_shingle_freq).select("shingle"))
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti") \
+               .select("id", "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,8 +125,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # vs the full corpus) but referenced once per band per join side — an
     # unpersisted plan re-runs the shingle explode + groupBy-min
     # 2*num_bands times (plan-audit finding, round 2)
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(minhash_signatures(df, text_col, id_col, n, num_hashes))
     bands = []
     for b in range(num_hashes // band_size):
         cols = [f"sig_{b * band_size + j}" for j in range(band_size)]
@@ -194,7 +200,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     # persist: 8 bytes per doc, but the block union references it once per
     # block per join side — unpersisted, the Python simhash kernel re-runs
     # 2*(max_hamming+1) times over the corpus
-    sims = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sims = track(simhash(df, text_col, id_col))
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = []
@@ -221,3 +227,55 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return (cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def phash_hamming_pairs(features: DataFrame, max_hamming: int = 5,
+                        id_col: str = "media_ref",
+                        hash_col: str = "phash64",
+                        bucket_cols: tuple[str, ...] = ("doc_id", "layer"),
+                        ) -> DataFrame:
+    """I5 perceptual-hash Hamming tier: near-duplicate media pairs with
+    ``bit_count(xor(phash)) <= max_hamming``, bucketed like the reference —
+    dedup only WITHIN ``bucket_cols`` (the reference buckets per extraction
+    layer so cross-layer collisions are kept, pdf_processor.py:1184-1238;
+    threshold Hamming <= 5 at :47).
+
+    Same block-rotation pigeonhole as ``simhash_near_pairs``: 64 bits split
+    into ``max_hamming + 1`` disjoint blocks (widths differ by at most 1 and
+    cover all 64 bits) — any pair within distance shares at least one exact
+    block, so candidates come from equi-joins on (bucket, block, block_val),
+    never a within-bucket cross join. Exact recall; precision recovered by
+    the final bit_count filter."""
+    nblocks = max_hamming + 1
+    base_w, rem = divmod(64, nblocks)
+    bcols = list(bucket_cols)
+    slim = track(features.select(
+        *bcols, F.col(id_col).alias("id"), F.col(hash_col).alias("ph")))
+    blocks = []
+    shift = 0
+    for i in range(nblocks):
+        width = base_w + (1 if i < rem else 0)
+        # arithmetic shiftright + mask == logical shift on the low bits
+        blocks.append(slim.select(
+            *bcols, "id", "ph", F.lit(i).alias("block"),
+            F.shiftright(F.col("ph"), shift).bitwiseAND(
+                F.lit((1 << width) - 1)).alias("block_val")))
+        shift += width
+    allb = blocks[0]
+    for x in blocks[1:]:
+        allb = allb.unionByName(x)
+    a, b = allb.alias("a"), allb.alias("b")
+    cond = (F.col("a.block") == F.col("b.block")) \
+        & (F.col("a.block_val") == F.col("b.block_val")) \
+        & (F.col("a.id") < F.col("b.id"))
+    for c in bcols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (a.join(b, cond)
+            .select(*[F.col(f"a.{c}") for c in bcols],
+                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(*bcols, "id_a", "id_b", "hamming"))

@@ -20,6 +20,8 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..core.cache import track
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -85,14 +87,23 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     """Approximate top-k: candidates must share an SRP bucket in at least one
     of ``n_tables`` hash tables; exact cosine is computed only on candidates.
     Recall grows with n_tables; shuffle is bounded by bucket occupancy."""
+    # bucket tables carry IDS ONLY: a candidate that collides in several
+    # hash tables must dedup, and deduping rows that still carry the
+    # embedding payloads shuffles 512+ bytes per candidate (round-2 verdict
+    # item 3) — the id-pair exchange is ~16 bytes/row; vectors re-join from
+    # the persisted slim corpus after the distinct
+    qbase = queries.select(F.col(id_col).alias("query_id"),
+                           _as_double(F.col(vec_col)).alias("qv"))
+    cbase = track(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                _as_double(F.col(vec_col)).alias("cv")))
     qs, cs = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
         qs.append(queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.col(id_col).alias("query_id"),
             F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
         cs.append(corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+            F.col(id_col).alias("neighbor_id"),
             F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
     q = qs[0]
     for x in qs[1:]:
@@ -103,14 +114,15 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # persist the bucketed corpus: the SRP dot products (n_planes x dim
     # multiply-folds per row per table) are the expensive part; without
     # this the join re-derives them per side (plan-audit finding, round 2)
-    from pyspark.storagelevel import StorageLevel
-    c = c.persist(StorageLevel.MEMORY_AND_DISK)
-    cand = (c.join(F.broadcast(q), ["tbl", "bucket"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "qv", "cv")
-            .distinct()
+    c = track(c)
+    pairs = (c.join(F.broadcast(q), ["tbl", "bucket"])
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id")
+             .distinct())
+    cand = (pairs.join(cbase, "neighbor_id")
+            .join(F.broadcast(qbase), "query_id")
             .withColumn("sim", F.round(
-                cosine(_as_double(F.col("qv")), _as_double(F.col("cv"))), 6)))
+                cosine(F.col("qv"), F.col("cv")), 6)))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -177,12 +189,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     n_probe/n_centroids of the corpus instead of all of it. The assigned
     corpus is persisted (the argmax over centroid literals is the expensive
     per-row part and the candidate join must not re-derive it)."""
-    from pyspark.storagelevel import StorageLevel
-
-    c = (ivf_assign(
-            corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("cv")), centroids, "cv")
-         .persist(StorageLevel.MEMORY_AND_DISK))
+    c = track(ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")), centroids, "cv"))
     qsims = F.array(*[cosine(_as_double(F.col("qv")), _centroid_lit(x))
                       for x in centroids])
     qp = (queries.select(F.col(id_col).alias("query_id"),
@@ -212,28 +221,35 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              n_planes: int = 8, n_tables: int = 4,
                              dim: int = 64, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t) via
-    SRP-LSH candidate generation."""
+    SRP-LSH candidate generation. The candidate distinct runs over id pairs
+    only (~16 bytes/row); vectors re-join from the persisted slim base for
+    scoring (round-2 verdict item 3)."""
+    base = track(df.select(F.col(id_col).alias("id"),
+                           _as_double(F.col(vec_col)).alias("v")))
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
         tables.append(df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.col(id_col).alias("id"),
             F.lit(t).alias("tbl"),
             srp_bucket(F.col(vec_col), planes).alias("bucket")))
     allt = tables[0]
     for x in tables[1:]:
         allt = allt.unionByName(x)
     # self-join: both sides re-derive the SRP buckets without a persist
-    from pyspark.storagelevel import StorageLevel
-    allt = allt.persist(StorageLevel.MEMORY_AND_DISK)
+    allt = track(allt)
     a, b = allt.alias("a"), allt.alias("b")
-    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .distinct())
+    pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    cand = (pairs
+            .join(base.select(F.col("id").alias("id_a"),
+                              F.col("v").alias("va")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"),
+                              F.col("v").alias("vb")), "id_b"))
     return (cand.withColumn("sim", F.round(
-        cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6))
+        cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim"))
