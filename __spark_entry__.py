@@ -282,7 +282,13 @@ def _duck_layout_chunks_sql() -> str:
                             THEN '# ' || {norm}
                             ELSE {norm} END AS txt
                 FROM sp),
-        sp3 AS (SELECT doc_id, i, txt, length(txt) AS tl FROM sp2),
+        sp3 AS (SELECT doc_id, i, txt, length(txt) AS tl,
+                       CAST(i // 10 + 1 AS INT) AS page,
+                       CAST(coalesce(sum(length(txt)) OVER (
+                            PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS INT) AS off
+                FROM sp2),
         st AS (
           SELECT doc_id, CAST(-1 AS BIGINT) AS i,
                  CAST(-1 AS BIGINT) AS chunk_id, CAST(0 AS BIGINT) AS cur_len
@@ -303,12 +309,18 @@ def _duck_layout_chunks_sql() -> str:
             ON s.doc_id = st.doc_id AND s.i = st.i + 1),
         ch AS (SELECT s.doc_id, st.chunk_id,
                       string_agg(s.txt, chr(10) || chr(10) ORDER BY s.i)
-                          AS content
+                          AS content,
+                      CAST(min(s.page) AS INT) AS page,
+                      CAST(min(s.off) AS INT) AS start_offset,
+                      CAST(max(s.off + s.tl) AS INT) AS end_offset
                FROM sp3 s JOIN st
                  ON st.doc_id = s.doc_id AND st.i = s.i
                WHERE s.tl > 0
                GROUP BY s.doc_id, st.chunk_id),
         q AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_index, content,
+                     page, start_offset, end_offset,
+                     CAST(count(*) OVER (PARTITION BY doc_id) AS INT)
+                         AS total_chunks,
                      FALSE AS is_table,
                      round(0.20 * least(length(content) / 1000.0, 1.0)
                          + 0.30 * CASE WHEN regexp_matches(content,
@@ -322,7 +334,8 @@ def _duck_layout_chunks_sql() -> str:
                      md5(trim(regexp_replace(lower(content), '\\s+', ' ',
                          'g'))) AS h
               FROM ch)
-        SELECT doc_id, chunk_index, content, is_table, quality FROM q
+        SELECT doc_id, chunk_index, content, is_table, quality,
+               page, start_offset, end_offset, total_chunks FROM q
         QUALIFY row_number() OVER (PARTITION BY doc_id, h
                                    ORDER BY chunk_index) = 1"""
 
@@ -704,13 +717,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunks = chunk_documents(extracted, strategy="layout", dedup=False)
         agg = chunks.groupBy("doc_id", "content_hash").agg(
             F.min_by(F.struct("chunk_index", "content", "is_table",
-                              "quality"),
+                              "quality", "page", "start_offset",
+                              "end_offset", "total_chunks"),
                      F.col("chunk_index")).alias("c"))
         return agg.select(
             "doc_id", F.col("c.chunk_index").alias("chunk_index"),
             F.col("c.content").alias("content"),
             F.col("c.is_table").alias("is_table"),
-            F.col("c.quality").alias("quality"))
+            F.col("c.quality").alias("quality"),
+            F.col("c.page").alias("page"),
+            F.col("c.start_offset").alias("start_offset"),
+            F.col("c.end_offset").alias("end_offset"),
+            F.col("c.total_chunks").alias("total_chunks"))
     q["chunk_layout_spans"] = chunk_layout_spans
 
     def media_image_features(spark, sf_dir):

@@ -44,6 +44,10 @@ SPAN_OUT_STRUCT = T.StructType([
     T.StructField("text", T.StringType()),
     T.StructField("media_ref", T.StringType()),
     T.StructField("offset", T.IntegerType()),
+    # physical page of the span (the reference's chunks carry page_number,
+    # unified_chunking_service.py:51-61 — stamping it on the span lets the
+    # chunker derive positional metadata without re-parsing geometry)
+    T.StructField("page", T.IntegerType()),
 ])
 
 OUTPUT_SCHEMA = T.StructType([
@@ -590,8 +594,9 @@ def _reassemble(flat: pd.DataFrame, docs: pd.DataFrame,
         [pa.array(flat["out_kind"], type=pa.string()),
          pa.array(flat["out_text"], type=pa.string()),
          pa.array(flat["out_ref"], type=pa.string()),
-         pa.array(flat["offset"], type=pa.int32())],
-        names=["kind", "text", "media_ref", "offset"],
+         pa.array(flat["offset"], type=pa.int32()),
+         pa.array(flat["page"].to_numpy(dtype=np.int64), type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset", "page"],
     )
     spans = pa.ListArray.from_arrays(pa.array(offsets), struct).to_pylist()
 
@@ -671,8 +676,9 @@ def _reassemble_arrow(flat: pd.DataFrame, docs: pd.DataFrame,
         [pa.array(flat["out_kind"], type=pa.string()),
          pa.array(flat["out_text"], type=pa.string()),
          pa.array(flat["out_ref"], type=pa.string()),
-         pa.array(flat["offset"], type=pa.int32())],
-        names=["kind", "text", "media_ref", "offset"],
+         pa.array(flat["offset"], type=pa.int32()),
+         pa.array(flat["page"].to_numpy(dtype=np.int64), type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset", "page"],
     )
     spans = pa.ListArray.from_arrays(pa.array(offsets), struct)
 

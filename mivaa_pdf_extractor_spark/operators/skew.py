@@ -338,7 +338,8 @@ def _extract_giant(giant: DataFrame,
                 lambda x: F.struct(
                     x["kind"].alias("kind"), x["text"].alias("text"),
                     x["media_ref"].alias("media_ref"),
-                    x["offset"].alias("offset"))).alias("spans"),
+                    x["offset"].alias("offset"),
+                    x["page"].cast("int").alias("page"))).alias("spans"),
             F.count(F.lit(1)).cast("int").alias("n_spans"),
             F.sum("tlen").alias("n_chars"),
             F.max(F.col("tlen") > 0).alias("has_text"),

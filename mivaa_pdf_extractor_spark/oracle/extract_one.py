@@ -139,13 +139,14 @@ def extract_document(doc_id: str, spans: list[dict] | None) -> dict:
     for item in parsed:
         pages.setdefault(item[0].page, []).append(item)
 
-    out: list[tuple[str, str, str]] = []  # (kind, text, media_ref)
+    out: list[tuple[str, str, str, int]] = []  # (kind, text, media_ref, page)
     for page in sorted(pages):
-        out.extend(_extract_page(doc_id, page, pages[page], heading_map))
+        out.extend((k, t, r, page) for k, t, r
+                   in _extract_page(doc_id, page, pages[page], heading_map))
 
     if not out:
         status = C.STATUS_COMPLETED_EMPTY
-    elif any(t for _k, t, _r in out):
+    elif any(t for _k, t, _r, _p in out):
         status = C.STATUS_COMPLETED
     else:
         status = C.STATUS_NO_TEXT
@@ -320,11 +321,13 @@ def _assemble_table(
              grid_to_pipe_table(norm), "")]
 
 
-def _result(doc_id: str, out: list[tuple[str, str, str]], status: str) -> dict:
+def _result(doc_id: str, out: list[tuple[str, str, str, int]],
+            status: str) -> dict:
     spans = []
     offset = 0
-    for kind, text, ref in out:
-        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": offset})
+    for kind, text, ref, page in out:
+        spans.append({"kind": kind, "text": text, "media_ref": ref,
+                      "offset": offset, "page": page})
         offset += len(text)
     return {
         "doc_id": doc_id,

@@ -106,7 +106,7 @@ def run_pipeline(
         "doc_id",
         F.array().cast(
             "array<struct<kind:string,text:string,media_ref:string,"
-            "offset:int>>").alias("spans"),
+            "offset:int,page:int>>").alias("spans"),
         F.lit(0).alias("n_spans"),
         F.lit(0).cast("long").alias("n_chars"),
         F.lit(C.STATUS_OVERSIZE).alias("status"))

@@ -73,6 +73,50 @@ def test_layout_chunk_boundaries():
     assert [len(c["content"]) for c in chunks] == [82, 40]
 
 
+def test_layout_positional_metadata(spark):
+    """Round-3 verdict item 1: chunks carry page / start_offset /
+    end_offset / total_chunks (reference Chunk model,
+    unified_chunking_service.py:51-61,856-866) consistent with the span
+    offsets, and the layout chunks exactly tile the doc's char range
+    [0, n_chars) (kb_chunker.py:217-228 coverage invariant)."""
+    from mivaa_pdf_extractor_spark.operators.extract import run_extract
+    from mivaa_pdf_extractor_spark.sources.synthetic import (
+        corpus_to_spark_df, gen_corpus)
+
+    docs = gen_corpus(60, seed=7)
+    extracted = run_extract(corpus_to_spark_df(spark, docs), 8)
+    rows = {r["doc_id"]: r for r in extracted.collect()}
+    by_doc: dict[str, list] = {}
+    for c in chunk_documents(extracted, strategy="layout",
+                             dedup=False).collect():
+        by_doc.setdefault(c["doc_id"], []).append(c)
+
+    checked_chunks = 0
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c["chunk_index"])
+        r = rows[doc_id]
+        want = chunk_layout([
+            {"kind": s["kind"], "text": s["text"], "page": s["page"],
+             "offset": s["offset"]} for s in r["spans"]])
+        assert len(cs) == len(want), doc_id
+        for got, w in zip(cs, want):
+            assert got["content"] == w["content"]
+            assert got["page"] == w["page"]
+            assert got["start_offset"] == w["start_offset"]
+            assert got["end_offset"] == w["end_offset"]
+            assert got["total_chunks"] == len(want)
+            checked_chunks += 1
+        # coverage tiling in char space: contiguous, starts at 0, ends at
+        # n_chars (media spans contribute 0 chars so offsets stay tight)
+        assert cs[0]["start_offset"] == 0, doc_id
+        for a, b in zip(cs, cs[1:]):
+            assert a["end_offset"] == b["start_offset"], doc_id
+        assert cs[-1]["end_offset"] == r["n_chars"], doc_id
+        pages = [c["page"] for c in cs]
+        assert pages == sorted(pages), doc_id
+    assert checked_chunks > 50  # the corpus must actually exercise this
+
+
 def test_text_strategies_roundtrip(spark):
     text = ("Sentence one. Sentence two! Longer paragraph follows here.\n\n"
             + "word " * 300 + "\n\nfinal para.")
