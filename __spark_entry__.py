@@ -21,7 +21,9 @@ from mivaa_pdf_extractor_spark.core.constants import (GLYPH_REPLACEMENTS,
 from mivaa_pdf_extractor_spark.operators import dedup as dd
 from mivaa_pdf_extractor_spark.operators import similarity as sim
 from mivaa_pdf_extractor_spark.operators import text_analysis as ta
+from mivaa_pdf_extractor_spark.operators import chunking as ck
 from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
+                                                          classify_chunk_types,
                                                           detect_cross_refs)
 from mivaa_pdf_extractor_spark.operators.layout import (analyze_sheet_layout,
                                                         is_full_spread_image,
@@ -440,6 +442,98 @@ def _duck_topk_lsh_sql(k: int = 10, n_planes: int = 8, n_tables: int = 4,
           SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         WHERE rank <= {k}"""
+
+
+# golden fixtures for the C11 pattern classifier: one text per type in the
+# reference's precedence order, crafted to trip exactly one branch each
+# (chunk_type_classification_service.py:250-327); doc_id % 10 picks the text
+_CHUNK_TYPE_TEXTS = [
+    "ALUMA series design available in matte finish 15×38",
+    "specification: thickness 12 mm, high density • resistance tested",
+    "style aesthetic moodboard ![](img.jpg)",
+    "anna of the studio shares her inspiration and philosophy and"
+    " creative process",
+    "the collection comprises a range of pieces, featuring many works",
+    "table of contents ... 4",
+    "sustainable and recycled materials, responsibly eco-friendly",
+    "certified to ISO 9001 standard compliance",
+    "the quiet afternoon sun settled over the warehouse floor while folks"
+    " talked about lunch",
+    "ok then",
+]
+
+
+def _duck_chunk_type_sql() -> str:
+    """DuckDB twin of classify_chunk_types over the golden texts: the
+    predicates are generated from the SAME keyword tables as the Spark
+    expression (operators/chunking.py), so the two engines cannot drift."""
+    texts = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in _CHUNK_TYPE_TEXTS) + "]"
+
+    def kw(kws):
+        return "(" + " + ".join(
+            f"(CASE WHEN contains(lc, '{k}') THEN 1 ELSE 0 END)"
+            for k in kws) + ")"
+
+    upper = r"\b[A-Z]{2,}\b"
+    preds = {
+        "product_description": (
+            rf"regexp_matches(content, '{upper}') AND ({kw(ck.PRODUCT_KW)}"
+            r" >= 2 OR regexp_matches(content, '\d+\s*[×x]\s*\d+'))"),
+        "technical_specs": (
+            rf"{kw(ck.TECH_KW)} >= 2 OR (regexp_matches(content,"
+            r" '\d+\s*(mm|cm|m|kg|g|%|°C|°F)') AND (contains(content, '•')"
+            " OR contains(content, '-') OR contains(content, ':')))"),
+        "visual_showcase": (
+            rf"{kw(ck.VISUAL_KW)} >= 2 OR contains(content, '![')"
+            " OR contains(content, '<img') OR contains(lc, 'see image')"
+            " OR contains(lc, 'shown in')"),
+        "designer_story": (
+            rf"{kw(ck.DESIGNER_KW)} >= 3 OR ({kw(ck.DESIGNER_KW)} >= 2"
+            r" AND (regexp_matches(content,"
+            r" '\b[A-Z][a-z]+\s+[A-Z][a-z]+\b')"
+            " OR contains(lc, 'studio') OR contains(lc, 'design by')))"),
+        "collection_overview": (
+            rf"{kw(ck.COLLECTION_KW)} >= 2 OR ({kw(ck.COLLECTION_KW)} >= 1"
+            " AND (contains(content, '•') OR contains(content, '-')"
+            r" OR regexp_matches(lc, '\d+\s+(products|items|pieces)')))"),
+        "index_content": (
+            rf"(len(regexp_extract_all(content, '{upper}')) >= 3"
+            " AND len(list_filter(string_split(content, chr(10)),"
+            " l -> length(trim(l)) < 50 AND length(trim(l)) > 0)) >= 3)"
+            r" OR len(regexp_extract_all(content, 'by\s+[A-Z]+')) >= 3"
+            " OR contains(lc, 'collections index')"
+            " OR contains(lc, 'product index')"
+            r" OR (len(regexp_extract_all(content, '\d+[×x]\d+\s*cm')) >= 3"
+            r" AND len(list_filter(regexp_split_to_array(content, '\s+'),"
+            " x -> x <> '')) < 100)"
+            rf" OR {kw(ck.INDEX_KW)} >= 1"
+            r" OR regexp_matches(content, '\.\.\.\s*\d+')"
+            r" OR regexp_matches(content, '(?i)page\s+\d+')"
+            r" OR regexp_matches(trim(content), '^\d+\.')"
+            " OR contains(content, '...')"),
+        "sustainability_info": f"{kw(ck.SUSTAIN_KW)} >= 2",
+        "certification_info": (
+            rf"{kw(ck.CERT_KW)} >= 2 OR regexp_matches(content,"
+            r" '\b(ISO|CE|EN|ASTM|ANSI)\s*\d+')"),
+    }
+    whens = " ".join(f"WHEN ({p}) THEN '{name}'"
+                     for name, p in preds.items())
+    confs = " ".join(f"WHEN '{name}' THEN {conf}"
+                     for name, conf in ck.CHUNK_TYPE_CONFIDENCE.items())
+    return f"""
+        WITH c AS (SELECT doc_id,
+                          {texts}[CAST(doc_id % 10 AS INT) + 1] AS content
+                   FROM documents),
+        l AS (SELECT doc_id, content, lower(content) AS lc FROM c),
+        t AS (SELECT doc_id,
+                     CASE {whens}
+                          WHEN length(content) > 50 THEN 'supporting_content'
+                          ELSE 'unclassified' END AS chunk_type
+              FROM l)
+        SELECT doc_id, chunk_type,
+               round(CASE chunk_type {confs} END, 2) AS type_confidence
+        FROM t"""
 
 
 # media refs exactly as the extraction pipeline derives them from
@@ -927,6 +1021,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join("target_chunks", ",").alias("targets"))
     q["chunk_cross_refs"] = chunk_cross_refs
 
+    def chunk_type_classify(spark, sf_dir):
+        # C11 pattern tier over the golden per-type texts (the LLM
+        # escalation for ambiguous chunks is out of scope per SURVEY)
+        d = _docs(spark, sf_dir).select("doc_id")
+        content = F.element_at(
+            F.array(*[F.lit(t) for t in _CHUNK_TYPE_TEXTS]),
+            (F.col("doc_id") % 10 + 1).cast("int"))
+        chunks = d.select("doc_id", content.alias("content"))
+        return classify_chunk_types(chunks).select(
+            "doc_id", "chunk_type",
+            F.round("type_confidence", 2).alias("type_confidence"))
+    q["chunk_type_classify"] = chunk_type_classify
+
     def table_parse_classify(spark, sf_dir):
         # G1-G6 over synthesized table texts: half markdown, half HTML,
         # headers chosen by doc_id so every class appears
@@ -1259,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
             FROM resolved r
             LEFT JOIN page_index p
               ON p.doc_id = r.doc_id AND p.page = r.ref_page""",
+        "chunk_type_classify": _duck_chunk_type_sql(),
         "table_parse_classify": """
             -- independently-derived expectations for the synthesized
             -- markdown/HTML tables (validates the full parse+classify chain)

@@ -463,6 +463,149 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
     return out
 
 
+# ---------------------------------------------------------------------------
+# C11 chunk-type classification, pattern part
+# (chunk_type_classification_service.py:19-100,237-513). The LLM escalation
+# for ambiguous chunks (:102-141) is out of scope (non-deterministic); the
+# pattern tier below reproduces _analyze_content_patterns exactly: same
+# keyword tables, same thresholds, same precedence, same confidences.
+# Everything is a native Column expression (contains/regexp counts folded
+# into one when-chain) — no UDF.
+# ---------------------------------------------------------------------------
+
+PRODUCT_KW = [  # :337-341
+    "product", "design", "collection", "series", "line",
+    "available in", "comes in", "features", "includes",
+    "material", "finish", "color", "size", "dimension"]
+TECH_KW = [  # :355-360
+    "specification", "specs", "technical", "properties",
+    "dimensions", "weight", "capacity", "performance",
+    "material composition", "thickness", "density",
+    "resistance", "durability", "compliance"]
+VISUAL_KW = [  # :377-381
+    "image", "photo", "visual", "showcase", "gallery",
+    "moodboard", "style", "aesthetic", "look", "appearance",
+    "color palette", "texture", "pattern", "finish"]
+DESIGNER_KW = [  # :396-399
+    "designer", "design", "studio", "architect", "creative",
+    "inspiration", "philosophy", "vision", "concept",
+    "process", "approach", "methodology", "story"]
+COLLECTION_KW = [  # :416-419
+    "collection", "series", "line", "range", "family",
+    "overview", "introduction", "presents", "featuring",
+    "includes", "comprises", "consists of"]
+INDEX_KW = [  # :465-468
+    "table of contents", "index", "contents", "navigation",
+    "page", "section", "chapter", "part"]
+SUSTAIN_KW = [  # :486-490
+    "sustainability", "sustainable", "eco", "environmental",
+    "green", "renewable", "recycled", "recyclable",
+    "carbon footprint", "eco-friendly", "biodegradable",
+    "energy efficient", "responsible sourcing"]
+CERT_KW = [  # :502-505
+    "certification", "certified", "standard", "compliance",
+    "iso", "ce mark", "quality assurance", "tested",
+    "approved", "meets standards", "conforms to"]
+
+# (type, confidence) in the reference's precedence order (:250-327)
+CHUNK_TYPE_CONFIDENCE = {
+    "product_description": 0.85, "technical_specs": 0.90,
+    "visual_showcase": 0.80, "designer_story": 0.85,
+    "collection_overview": 0.80, "index_content": 0.95,
+    "sustainability_info": 0.90, "certification_info": 0.90,
+    "supporting_content": 0.60, "unclassified": 0.30,
+}
+
+
+def _kw_count(lc, kws):
+    c = lc.contains(kws[0]).cast("int")
+    for k in kws[1:]:
+        c = c + lc.contains(k).cast("int")
+    return c
+
+
+def chunk_type_predicates(content) -> dict[str, "F.Column"]:
+    """The 8 specific-type predicates of _analyze_content_patterns as
+    native boolean Columns, keyed by chunk_type value."""
+    lc = F.lower(content)
+    upper_word = r"\b[A-Z]{2,}\b"
+    # product (:329-348)
+    product = F.regexp_like(content, F.lit(upper_word)) & (
+        (_kw_count(lc, PRODUCT_KW) >= 2)
+        | F.regexp_like(content, F.lit(r"\d+\s*[×x]\s*\d+")))
+    # technical specs (:350-370)
+    has_meas = F.regexp_like(content, F.lit(r"\d+\s*(mm|cm|m|kg|g|%|°C|°F)"))
+    has_list = (content.contains("•") | content.contains("-")
+                | content.contains(":"))
+    tech = (_kw_count(lc, TECH_KW) >= 2) | (has_meas & has_list)
+    # visual showcase (:372-389)
+    img_refs = (content.contains("![") | content.contains("<img")
+                | lc.contains("see image") | lc.contains("shown in"))
+    visual = (_kw_count(lc, VISUAL_KW) >= 2) | img_refs
+    # designer story (:391-409)
+    dkw = _kw_count(lc, DESIGNER_KW)
+    dname = (F.regexp_like(content, F.lit(r"\b[A-Z][a-z]+\s+[A-Z][a-z]+\b"))
+             | lc.contains("studio") | lc.contains("design by"))
+    designer = (dkw >= 3) | ((dkw >= 2) & dname)
+    # collection overview (:411-428)
+    ckw = _kw_count(lc, COLLECTION_KW)
+    cstruct = (content.contains("•") | content.contains("-")
+               | F.regexp_like(lc, F.lit(r"\d+\s+(products|items|pieces)")))
+    collection = (ckw >= 2) | ((ckw >= 1) & cstruct)
+    # index content (:430-479)
+    lines = F.split(content, "\n")
+    short_lines = F.size(F.filter(
+        lines, lambda ln: (F.length(F.trim(ln)) < 50)
+        & (F.length(F.trim(ln)) > 0)))
+    many_upper = ((F.regexp_count(content, F.lit(upper_word)) >= 3)
+                  & (short_lines >= 3))
+    many_by = F.regexp_count(content, F.lit(r"by\s+[A-Z]+")) >= 3
+    idx_titles = (lc.contains("collections index")
+                  | lc.contains("product index"))
+    n_words = F.size(F.array_remove(F.split(content, r"\s+"), ""))
+    many_sizes = ((F.regexp_count(content, F.lit(r"\d+[×x]\d+\s*cm")) >= 3)
+                  & (n_words < 100))
+    page_nums = (F.regexp_like(content, F.lit(r"\.\.\.\s*\d+"))
+                 | F.regexp_like(content, F.lit(r"(?i)page\s+\d+")))
+    numbered = (F.regexp_like(F.trim(content), F.lit(r"^\d+\."))
+                | content.contains("..."))
+    index = (many_upper | many_by | idx_titles | many_sizes
+             | (_kw_count(lc, INDEX_KW) >= 1) | page_nums | numbered)
+    # sustainability (:481-495) / certification (:497-513)
+    sustain = _kw_count(lc, SUSTAIN_KW) >= 2
+    cert = ((_kw_count(lc, CERT_KW) >= 2)
+            | F.regexp_like(content, F.lit(r"\b(ISO|CE|EN|ASTM|ANSI)\s*\d+")))
+    return {
+        "product_description": product, "technical_specs": tech,
+        "visual_showcase": visual, "designer_story": designer,
+        "collection_overview": collection, "index_content": index,
+        "sustainability_info": sustain, "certification_info": cert,
+    }
+
+
+def classify_chunk_types(chunks: DataFrame,
+                         content_col: str = "content") -> DataFrame:
+    """Adds ``chunk_type`` + ``type_confidence`` columns — the C11 pattern
+    tier. Precedence and confidences follow _analyze_content_patterns
+    (:250-327): first matching specific type wins; otherwise
+    supporting_content for content longer than 50 chars, else
+    unclassified."""
+    content = F.col(content_col)
+    preds = chunk_type_predicates(content)
+    type_expr = None
+    for name, pred in preds.items():
+        type_expr = (F.when(pred, name) if type_expr is None
+                     else type_expr.when(pred, name))
+    type_expr = (type_expr
+                 .when(F.length(content) > 50, "supporting_content")
+                 .otherwise("unclassified"))
+    conf_map = F.create_map(*[
+        F.lit(x) for kv in CHUNK_TYPE_CONFIDENCE.items() for x in kv])
+    out = chunks.withColumn("chunk_type", type_expr)
+    return out.withColumn("type_confidence",
+                          conf_map[F.col("chunk_type")])
+
+
 # C8 cross-reference detection (unified_chunking_service.py:762-820): the
 # reference's 6 TYPED patterns verbatim ("see page 12", "refer to table 3",
 # "fig. 2-1", "section 1.2", "appendix A", "(see 12)"), matched

@@ -117,6 +117,47 @@ def test_layout_positional_metadata(spark):
     assert checked_chunks > 50  # the corpus must actually exercise this
 
 
+def test_chunk_type_classifier_golden(spark):
+    """C11 pattern tier: each golden text must classify to its intended
+    type (chunk_type_classification_service.py:250-327 precedence), so a
+    shared bug in the Spark expression and its DuckDB twin can't hide
+    behind cross-engine agreement."""
+    from mivaa_pdf_extractor_spark.operators.chunking import \
+        classify_chunk_types
+
+    cases = [
+        ("ALUMA series design available in matte finish 15×38",
+         "product_description", 0.85),
+        ("specification: thickness 12 mm, high density • resistance tested",
+         "technical_specs", 0.90),
+        ("style aesthetic moodboard ![](img.jpg)", "visual_showcase", 0.80),
+        ("anna of the studio shares her inspiration and philosophy and"
+         " creative process", "designer_story", 0.85),
+        ("the collection comprises a range of pieces, featuring many works",
+         "collection_overview", 0.80),
+        ("table of contents ... 4", "index_content", 0.95),
+        ("sustainable and recycled materials, responsibly eco-friendly",
+         "sustainability_info", 0.90),
+        ("certified to ISO 9001 standard compliance",
+         "certification_info", 0.90),
+        ("the quiet afternoon sun settled over the warehouse floor while"
+         " folks talked about lunch", "supporting_content", 0.60),
+        ("ok then", "unclassified", 0.30),
+        # precedence: product wins over tech even when both would match
+        ("SLABX specification dimensions 20×40 includes material finish",
+         "product_description", 0.85),
+        # index via the repeated "by DESIGNER" listing pattern
+        ("AZUL by ROSSI\nVERDE by BIANCHI\nROSSO by NERI",
+         "index_content", 0.95),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _ty, _c) in
+                                enumerate(cases)], ["id", "content"])
+    got = {r["id"]: r for r in classify_chunk_types(df).collect()}
+    for i, (_t, want_type, want_conf) in enumerate(cases):
+        assert got[i]["chunk_type"] == want_type, (i, got[i]["chunk_type"])
+        assert abs(got[i]["type_confidence"] - want_conf) < 1e-9
+
+
 def test_text_strategies_roundtrip(spark):
     text = ("Sentence one. Sentence two! Longer paragraph follows here.\n\n"
             + "word " * 300 + "\n\nfinal para.")
