@@ -40,7 +40,8 @@ def test_partial_then_resume_equals_single_run(spark, tmp_path, corpus):
     r1 = run_pipeline(spark, part, cat, run_id="r1")
     assert r1.docs_processed == 30
 
-    r2 = run_pipeline(spark, full, cat, run_id="r2")
+    # count_input is opt-in (full-scan metric; safe-at-scale default is off)
+    r2 = run_pipeline(spark, full, cat, run_id="r2", count_input=True)
     assert r2.docs_skipped == 30          # anti-join skipped completed docs
     assert r2.docs_processed == len(corpus) - 30
 
@@ -92,6 +93,18 @@ def test_catalog_upsert(spark, tmp_path):
     got = {(r["doc_id"], r["v"]) for r in cat.read("t").collect()}
     assert got == {("a", 1), ("b", 2), ("c", 2)}
 
+    # versioned-swap mechanics: pointer names v2, previous version retained
+    # for in-flight readers (atomic os.replace swap — no truncation window)
+    import os
+    root = str(tmp_path / "upsert" / "t")
+    with open(os.path.join(root, "_VERSION")) as f:
+        assert f.read().strip() == "v2"
+    assert os.path.isdir(os.path.join(root, "v1"))
+    df3 = spark.createDataFrame([("d", 3)], "doc_id string, v int")
+    cat.upsert(df3, "t")
+    assert not os.path.isdir(os.path.join(root, "v1"))  # GC'd (v2+v3 kept)
+    assert len({r["doc_id"] for r in cat.read("t").collect()}) == 4
+
 
 def test_oversize_gate(spark, tmp_path):
     """S1 size gate (pdf_processor.py:223): docs over the byte cap get the
@@ -110,7 +123,8 @@ def test_oversize_gate(spark, tmp_path):
     assert rows["big"]["status"] == "oversize"
     assert rows["big"]["spans"] == [] and rows["big"]["n_spans"] == 0
     # terminal: resume skips it (no reprocessing of oversize docs)
-    r2 = run_pipeline(spark, df, cat, run_id="r2", max_doc_bytes=100)
+    r2 = run_pipeline(spark, df, cat, run_id="r2", max_doc_bytes=100,
+                      count_input=True)
     assert r2.docs_skipped == 2 and r2.docs_processed == 0
 
 
