@@ -1,8 +1,9 @@
 """Vectorized extraction engine — the batched tokenize → block-classify →
 span-assemble pass.
 
-``extract_batch`` processes a pandas batch of documents (one row per doc,
-``spans`` as a list of structs) entirely with numpy/pandas column kernels:
+``extract_iter_arrow`` processes Arrow batches of documents (one row per
+doc, ``spans`` as a list of structs) entirely with numpy/Arrow column
+kernels:
 
 - flatten the batch to one flat span table (doc_idx, pos, kind, text, ...),
 - parse the kind grammar with vectorized ``str.extract``,
@@ -90,40 +91,6 @@ def _attrs_arrow(k: pd.Series, keys: list[str]) -> dict[str, pd.Series]:
         st = pc.extract_regex(arr, rf"(?:^|;){key}=(?P<v>[^;]*)")
         out[key] = pc.struct_field(st, "v").to_pandas()
     return out
-
-
-def _flatten(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Explode the batch into a flat span frame + a per-doc frame."""
-    spans_col = pdf["spans"]
-    lengths = np.array([0 if s is None else len(s) for s in spans_col],
-                       dtype=np.int64)
-    docs = pd.DataFrame({
-        "doc_idx": np.arange(len(pdf)),
-        "doc_id": pdf["doc_id"].to_numpy(),
-        "n_input": lengths,
-    })
-
-    kinds: list = []
-    texts: list = []
-    refs: list = []
-    for s in spans_col:
-        if s is None:
-            continue
-        for item in s:
-            kinds.append(item["kind"])
-            texts.append(item["text"])
-            refs.append(item["media_ref"])
-    total = int(lengths.sum())
-    flat = pd.DataFrame({
-        "doc_idx": np.repeat(np.arange(len(pdf)), lengths),
-        "doc_id": np.repeat(docs["doc_id"].to_numpy(), lengths),
-        "pos": (np.concatenate([np.arange(n) for n in lengths])
-                if total else np.array([], dtype=np.int64)),
-        "kind": pd.Series(kinds, dtype="object"),
-        "text": pd.Series(texts, dtype="object"),
-        "ref": pd.Series(refs, dtype="object"),
-    })
-    return flat, docs
 
 
 def parse_attrs(flat: pd.DataFrame) -> pd.DataFrame:
@@ -554,81 +521,6 @@ def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
     out["tlen"] = tlen
     out["offset"] = offset.astype(np.int32)
     return out
-
-
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Process one Arrow batch of documents. Returns OUTPUT_SCHEMA columns."""
-    flat, docs = _flatten(pdf)
-
-    # doc-level failure: any NULL kind -> status 'failed', no output spans
-    null_kind = flat["kind"].isna()
-    failed_docs = set(flat.loc[null_kind, "doc_idx"].unique())
-    if failed_docs:
-        flat = flat[~flat["doc_idx"].isin(failed_docs)]
-
-    flat = parse_attrs(flat)
-    # defer the boilerplate filter and fold it into the dedup filter: each
-    # boolean filter copies the whole frame, so the stages take a validity
-    # mask and the frame is taken ONCE
-    ok = ~flat["base"].isin(C.BOILERPLATE_KINDS).to_numpy()
-    headings = heading_levels(flat, ok)
-    sheet_dims = _sheet_ctx(flat, ok)  # sheet geometry is pre-dedup
-    flat = flat[ok & ~mark_media_dups(flat, ok).to_numpy()]
-    flat = remap_spreads(flat, sheet_dims)
-    flat = process_flat(flat, headings)
-    return _reassemble(flat, docs, failed_docs)
-
-
-def _reassemble(flat: pd.DataFrame, docs: pd.DataFrame,
-                failed_docs: set) -> pd.DataFrame:
-    """Arrow-native assembly of per-doc span arrays + statuses."""
-    n_docs = len(docs)
-    counts = np.zeros(n_docs, dtype=np.int64)
-    if len(flat):
-        vc = flat["doc_idx"].value_counts()
-        counts[vc.index.to_numpy()] = vc.to_numpy()
-    offsets = np.zeros(n_docs + 1, dtype=np.int32)
-    np.cumsum(counts, out=offsets[1:])
-
-    struct = pa.StructArray.from_arrays(
-        [pa.array(flat["out_kind"], type=pa.string()),
-         pa.array(flat["out_text"], type=pa.string()),
-         pa.array(flat["out_ref"], type=pa.string()),
-         pa.array(flat["offset"], type=pa.int32()),
-         pa.array(flat["page"].to_numpy(dtype=np.int64), type=pa.int32())],
-        names=["kind", "text", "media_ref", "offset", "page"],
-    )
-    spans = pa.ListArray.from_arrays(pa.array(offsets), struct).to_pylist()
-
-    n_chars = np.zeros(n_docs, dtype=np.int64)
-    has_text = np.zeros(n_docs, dtype=bool)
-    if len(flat):
-        per_doc = flat.groupby("doc_idx")["tlen"].agg(["sum", "max"])
-        n_chars[per_doc.index.to_numpy()] = per_doc["sum"].to_numpy()
-        has_text[per_doc.index.to_numpy()] = per_doc["max"].to_numpy() > 0
-
-    status = np.where(
-        docs["n_input"].to_numpy() == 0, C.STATUS_EMPTY,
-        np.where(has_text, C.STATUS_COMPLETED,
-                 np.where(counts > 0, C.STATUS_NO_TEXT, C.STATUS_COMPLETED_EMPTY)),
-    ).astype(object)
-    for d in failed_docs:
-        status[d] = C.STATUS_FAILED
-        spans[d] = []
-
-    return pd.DataFrame({
-        "doc_id": docs["doc_id"],
-        "spans": spans,
-        "n_spans": np.where(status == C.STATUS_FAILED, 0, counts).astype(np.int32),
-        "n_chars": np.where(status == C.STATUS_FAILED, 0, n_chars),
-        "status": status,
-    })
-
-
-def extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if len(pdf):
-            yield extract_batch(pdf)
 
 
 def _flatten_arrow(batch: "pa.RecordBatch") -> tuple[pd.DataFrame, pd.DataFrame]:

@@ -85,7 +85,16 @@ def _session_fn(gap_s: int):
                 n = 0
                 start_us = us
             n += 1
-            last_us = us
+            # rows are sorted within a batch, so only CROSS-BATCH late
+            # events can arrive with us < last_us; fold them into the open
+            # session without regressing its clock (a regressed last_us
+            # silently merged sessions the batch twin would split —
+            # ADVICE r2). start_us extends backwards so the session
+            # aggregate stays truthful; there is no event-time watermark
+            # here, so arbitrarily-late events join the open session.
+            last_us = us if last_us is None else max(last_us, us)
+            if start_us is not None and us < start_us:
+                start_us = us
         emit()
         state.update((sid, n, start_us, last_us))
         yield pd.DataFrame(out, columns=[f.name for f in

@@ -2,10 +2,11 @@
 order) between the vectorized engine and the pure-Python oracle, over the
 full deterministic fixture corpus (north rule / BASELINE.json:15)."""
 
-import pandas as pd
+import pyarrow as pa
 import pytest
 
-from mivaa_pdf_extractor_spark.operators.extract import extract_batch, run_extract
+from mivaa_pdf_extractor_spark.operators.extract import (extract_iter_arrow,
+                                                         run_extract)
 from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
 from mivaa_pdf_extractor_spark.oracle import extract_document
 from mivaa_pdf_extractor_spark.sources.synthetic import (corpus_to_spark_df,
@@ -25,13 +26,17 @@ def assert_equal(docs, rows_by_id):
 
 
 def test_engine_batch_equals_oracle_no_spark():
+    # drives the production Arrow kernel directly (no Spark session): the
+    # legacy pandas batch path was deleted in round 3 (verdict item 8)
     docs = gen_corpus(120, seed=7, giants=1)
-    pdf = pd.DataFrame({"doc_id": [d["doc_id"] for d in docs],
-                        "spans": [d["spans"] for d in docs]})
-    out = extract_batch(pdf)
-    rows = {r["doc_id"]: {"spans": r["spans"], "status": r["status"],
-                          "n_spans": r["n_spans"], "n_chars": r["n_chars"]}
-            for _, r in out.iterrows()}
+    batch = pa.RecordBatch.from_pydict({
+        "doc_id": [d["doc_id"] for d in docs],
+        "spans": [d["spans"] for d in docs]})
+    rows = {}
+    for b in extract_iter_arrow(iter([batch])):
+        for r in b.to_pylist():
+            rows[r["doc_id"]] = r
+    assert len(rows) == len(docs)
     assert_equal(docs, rows)
 
 
