@@ -119,7 +119,10 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id")
              .distinct())
-    cand = (pairs.join(cbase, "neighbor_id")
+    # shuffle_hash for the corpus-vector re-join: broadcasting a corpus of
+    # embeddings collects it to the driver (measured 2x cold-start cost at
+    # bench scale, and a driver OOM at 100 TB); the query side IS broadcast
+    cand = (pairs.join(cbase.hint("shuffle_hash"), "neighbor_id")
             .join(F.broadcast(qbase), "query_id")
             .withColumn("sim", F.round(
                 cosine(F.col("qv"), F.col("cv")), 6)))
@@ -244,11 +247,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                     & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
+    # shuffle_hash (not broadcast) for both vector re-joins: the base is
+    # the full corpus — see cosine_topk_lsh
     cand = (pairs
             .join(base.select(F.col("id").alias("id_a"),
-                              F.col("v").alias("va")), "id_a")
+                              F.col("v").alias("va"))
+                  .hint("shuffle_hash"), "id_a")
             .join(base.select(F.col("id").alias("id_b"),
-                              F.col("v").alias("vb")), "id_b"))
+                              F.col("v").alias("vb"))
+                  .hint("shuffle_hash"), "id_b"))
     return (cand.withColumn("sim", F.round(
         cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("sim") >= threshold)
