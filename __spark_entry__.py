@@ -128,7 +128,7 @@ _QUALITY_DUCK = (
 def _spark_quality_u(col):
     n = F.length(col)
     nw = ta.token_count_ws(col).cast("double")
-    sentences = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0))
+    sentences = F.regexp_count(col, F.lit(r"[.!?]+"))
     stop_hits = sum(ta.lang_hits(col, lang) for lang in _LANGS)
     score = (
         0.2 * F.least(n / F.lit(500.0), F.lit(1.0))

@@ -445,7 +445,9 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
         schema=CHUNK_SCHEMA)
 
     c = F.col("content")
-    sentences = F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0))
+    # regexp_count, not size(regexp_extract_all): same count, no match
+    # array materialized per chunk
+    sentences = F.regexp_count(c, F.lit(r"[.!?]+"))
     quality = (
         0.20 * F.least(F.length(c) / F.lit(float(max_size)), F.lit(1.0))
         + 0.30 * F.when(F.regexp_like(c, F.lit(r"[.!?]\s*$")), 1.0).otherwise(0.7)

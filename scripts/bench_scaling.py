@@ -146,6 +146,9 @@ def _controls() -> dict:
 
 def parent(sf_dir: str) -> None:
     results = {}
+    # bracket the job with controls so the "was the box quiet" pairing
+    # covers the job's own window, not just the aftermath
+    ctl_pre = _controls()
     for cpus in (8, 32):
         # pin the small run to `cpus` physical CPUs: an unpinned local[8]
         # on a 32-core box is NOT an 8-core cluster — its JVM shuffle/Arrow
@@ -167,6 +170,8 @@ def parent(sf_dir: str) -> None:
     tp32 = results[32]["docs_per_sec"]
     eff = (tp32 / tp8) / 4.0
     ctl = _controls()
+    ctl["cpu_pre"] = ctl_pre["cpu"]
+    ctl["membw_pre"] = ctl_pre["membw"]
     # the same box's hardware envelope: anything between the memory-
     # bandwidth floor and the pure-CPU ceiling is hardware-bound, not a
     # serial bottleneck in the plan. Normalizing against the CPU control

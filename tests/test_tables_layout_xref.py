@@ -109,3 +109,35 @@ def test_cross_refs_resolution(spark):
     assert out[(2, "section", "7")] == []
     # 'cf. Table 3-1' has no see/refer verb -> table pattern must NOT fire
     assert (0, "table", "3-1") not in out
+
+
+def test_cross_refs_over_engine_chunks(spark):
+    """Round-3 verdict item 1 (last clause): detect_cross_refs consumes the
+    engine's OWN page column — chunk_documents output wires in directly,
+    no caller-supplied page."""
+    from mivaa_pdf_extractor_spark.operators.chunking import (
+        chunk_documents, detect_cross_refs)
+    from mivaa_pdf_extractor_spark.operators.extract import run_extract
+    from mivaa_pdf_extractor_spark.sources.synthetic import (
+        corpus_to_spark_df, gen_corpus)
+    from pyspark.sql import functions as F
+
+    docs = gen_corpus(20, seed=13)
+    extracted = run_extract(corpus_to_spark_df(spark, docs), 4)
+    # plant a page reference into one doc's first text span so at least one
+    # ref resolves through the engine-derived page index
+    planted = extracted.withColumn(
+        "spans", F.transform("spans", lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            F.when((i == 0) & (s["text"] != ""),
+                   F.concat(s["text"], F.lit(" see page 1")))
+            .otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            s["page"].alias("page"))))
+    chunks = chunk_documents(planted, strategy="layout", dedup=False)
+    refs = detect_cross_refs(chunks)  # default page_col='page' = engine col
+    rows = refs.filter(F.col("ref_type") == "page").collect()
+    assert rows, "planted page refs must be detected"
+    resolved = [r for r in rows if list(r["target_chunks"])]
+    assert resolved, "page-1 refs must resolve via the engine page column"
