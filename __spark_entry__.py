@@ -801,28 +801,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = embedding_near_dups
 
     def chunk_layout_spans(spark, sf_dir):
-        # dedup as a DETERMINISTIC keep-lowest-index min_by aggregation:
-        # dropDuplicates keeps an arbitrary row (value-hash would not
-        # reproduce when a doc contains identical chunks), and a window
-        # would shuffle+sort the full chunk contents — min_by keeps
-        # map-side partial aggregation
+        # the C6 dedup runs IN the chunk kernel (per-document seen-set,
+        # keep-first-by-chunk_index — deterministic), so the plan has no
+        # chunk-content shuffle at all; round 2 needed a min_by aggregation
+        # here because dropDuplicates kept an arbitrary row
         spans = documents_to_spans(_docs(spark, sf_dir))
         extracted = run_extract(spans)
-        chunks = chunk_documents(extracted, strategy="layout", dedup=False)
-        agg = chunks.groupBy("doc_id", "content_hash").agg(
-            F.min_by(F.struct("chunk_index", "content", "is_table",
-                              "quality", "page", "start_offset",
-                              "end_offset", "total_chunks"),
-                     F.col("chunk_index")).alias("c"))
-        return agg.select(
-            "doc_id", F.col("c.chunk_index").alias("chunk_index"),
-            F.col("c.content").alias("content"),
-            F.col("c.is_table").alias("is_table"),
-            F.col("c.quality").alias("quality"),
-            F.col("c.page").alias("page"),
-            F.col("c.start_offset").alias("start_offset"),
-            F.col("c.end_offset").alias("end_offset"),
-            F.col("c.total_chunks").alias("total_chunks"))
+        chunks = chunk_documents(extracted, strategy="layout", dedup=True)
+        return chunks.select(
+            "doc_id", "chunk_index", "content", "is_table", "quality",
+            "page", "start_offset", "end_offset", "total_chunks")
     q["chunk_layout_spans"] = chunk_layout_spans
 
     def media_image_features(spark, sf_dir):

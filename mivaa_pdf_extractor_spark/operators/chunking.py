@@ -218,7 +218,7 @@ _TEXT_CHUNKERS = {
 }
 
 
-def _layout_chunks_arrow(batch, max_size: int):
+def _layout_chunks_arrow(batch, max_size: int, dedup: bool = False):
     """Arrow-native layout chunking, numpy-vectorized boundary scan: string
     bytes stay inside Arrow (``pc.take`` + ``pc.binary_join`` assembly), and
     the chunk boundaries are derived with segment arithmetic instead of a
@@ -359,11 +359,41 @@ def _layout_chunks_arrow(batch, max_size: int):
     else:
         page_arr = pa.nulls(n_chunks, pa.int32())
 
+    if dedup and n_chunks:
+        # C6 exact-dup filter IN the kernel: the reference's seen-set is
+        # per DOCUMENT (unified_chunking_service.py:690-751), so dedup
+        # needs no cross-partition shuffle at all — a dropDuplicates over
+        # (doc_id, content_hash) would exchange every chunk's content
+        # bytes. Keep-FIRST by chunk_index (deterministic, matching the
+        # reference's seen-set order). Equality key = the content_hash
+        # normalization (lower, collapse \s+, trim) without the md5 —
+        # pandas .duplicated hashes the strings in C. chunk_index /
+        # total_chunks keep their pre-dedup values (the reference indexes
+        # before filtering).
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(content), r"\s+", " "), " ")
+        dup = pd.DataFrame({
+            "d": chunk_doc,
+            "k": norm.to_pandas()}).duplicated().to_numpy()
+        if dup.any():
+            keep = np.flatnonzero(~dup)
+            keep_pa = pa.array(keep)
+            content = _arr(pc.take(content, keep_pa))
+            doc_id_arr = _arr(pc.take(doc_id_arr, keep_pa))
+            page_arr = _arr(pc.take(page_arr, keep_pa))
+            start_off = _arr(pc.take(start_off, keep_pa))
+            end_off = _arr(pc.take(end_off, keep_pa))
+            chunk_index = chunk_index[keep]
+            total_chunks = total_chunks[keep]
+            chunk_table = chunk_table[keep]
+            kinds_out = [kinds_out[i] for i in keep.tolist()]
+
     return (doc_id_arr, chunk_index, content, chunk_table, kinds_out,
             page_arr, start_off, end_off, total_chunks)
 
 
-def _chunk_arrow_iter(batches, strategy: str, max_size: int):
+def _chunk_arrow_iter(batches, strategy: str, max_size: int,
+                      dedup: bool = False):
     """mapInArrow chunking stage: spans arrive as a ListArray whose
     offsets/values we slice per doc — no dict-per-span materialization."""
     import numpy as np
@@ -374,7 +404,7 @@ def _chunk_arrow_iter(batches, strategy: str, max_size: int):
         if batch.num_rows == 0:
             continue
         if strategy == "layout":
-            out = _layout_chunks_arrow(batch, max_size)
+            out = _layout_chunks_arrow(batch, max_size, dedup)
             if out is None:
                 continue
             (doc_id_arr, chunk_index, content, is_table, kinds_out,
@@ -437,11 +467,17 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
                     quality_threshold: float | None = None,
                     dedup: bool = True) -> DataFrame:
     """Chunking plan over the extracted table: Arrow-batched chunkers →
-    native quality score (C5) → native per-doc exact dedup (C6) → optional
-    quality filter (C7)."""
+    native quality score (C5) → per-doc exact dedup (C6) → optional
+    quality filter (C7).
+
+    On the layout path the C6 dedup runs INSIDE the kernel (the
+    reference's seen-set is per document, so no shuffle is needed;
+    keep-first-by-chunk_index, deterministic); text strategies fall back
+    to dropDuplicates."""
     slim = extracted.select("doc_id", "spans")
+    kernel_dedup = dedup and strategy == "layout"
     chunks = slim.mapInArrow(
-        lambda it: _chunk_arrow_iter(it, strategy, max_size),
+        lambda it: _chunk_arrow_iter(it, strategy, max_size, kernel_dedup),
         schema=CHUNK_SCHEMA)
 
     c = F.col("content")
@@ -458,7 +494,7 @@ def chunk_documents(extracted: DataFrame, strategy: str = "layout",
     )
     out = chunks.withColumn("quality", F.round(quality, 6)) \
                 .withColumn("content_hash", content_hash(c))
-    if dedup:
+    if dedup and not kernel_dedup:
         out = out.dropDuplicates(["doc_id", "content_hash"])
     if quality_threshold is not None:
         out = out.filter(F.col("quality") >= quality_threshold)
