@@ -43,9 +43,9 @@ def main() -> int:
     ap.add_argument("--max-doc-mb", type=int, default=50)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--num-partitions", type=int, default=None)
-    ap.add_argument("--no-count-input", action="store_true",
-                    help="skip the docs_in count (full scan on non-columnar "
-                         "sources)")
+    ap.add_argument("--count-input", action="store_true",
+                    help="opt in to the docs_in/docs_skipped count (a full "
+                         "scan on non-columnar sources; off by default)")
     args = ap.parse_args()
 
     from mivaa_pdf_extractor_spark.plans.pipeline import run_pipeline
@@ -65,7 +65,7 @@ def main() -> int:
         skew_threshold=args.skew_threshold,
         num_partitions=args.num_partitions,
         max_doc_bytes=args.max_doc_mb * 1024 * 1024,
-        count_input=not args.no_count_input,
+        count_input=args.count_input,
     )
     print(json.dumps(result.__dict__))
     spark.stop()

@@ -13,4 +13,13 @@ def spark():
 
 
 def spans_tuples(spans):
-    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+    """Span-sequence equality key. The north rule pins (kind, text,
+    media_ref, order); round 3 added the page field to the output struct,
+    so it is pinned too (tolerating inputs that predate it)."""
+    def _page(s):
+        try:
+            return s["page"]
+        except (KeyError, ValueError, IndexError):
+            return None
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"], _page(s))
+            for s in spans]

@@ -69,7 +69,7 @@ def test_retryable_status_is_reprocessed(spark, tmp_path):
     latest = read_extracted_latest(cat).filter(F.col("doc_id") == "doc-x")
     row = latest.collect()[0]
     assert row["status"] == "completed"
-    assert spans_tuples(row["spans"]) == [("text", "hello", "", 0)]
+    assert spans_tuples(row["spans"]) == [("text", "hello", "", 0, 1)]
 
 
 def test_catalog_upsert(spark, tmp_path):
