@@ -1,0 +1,63 @@
+"""Stage-2 chunk indexing plan (SURVEY.md §3.1 step 7, §3.3).
+
+The reference's indexing entry (`rag_service.index_pdf_content`,
+rag_service.py:141-255) chunks the extracted pages, stamps ids and
+positional metadata, classifies each chunk, and writes the namespace
+idempotently — delete-then-insert per document (rag_service.py:271-309) so
+a re-chunk never leaves stale rows. The Spark restatement:
+
+    read extracted (latest state — the sink upserts, so a plain read)
+      -> chunk_documents (layout-aware kernel, in-kernel C6 dedup,
+         quality C5, positional metadata)
+      -> classify_chunk_types (C11 pattern tier)
+      -> chunk_id stamp ("{doc_id}_{chunk_index}", the reference's
+         sub-chunk id shape unified_chunking_service.py:568-576)
+      -> catalog.replace_namespace('chunks', key=doc_id)
+
+The embedding + vector-store steps of the reference are network services
+(out of scope per SURVEY §0); their data contract — a chunks table with
+stable ids and per-chunk metadata addressed by (doc_id, chunk_index) — is
+what this plan produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.chunking import chunk_documents, classify_chunk_types
+from ..sources.tables_io import Catalog
+from .pipeline import read_extracted_latest
+
+CHUNKS_TABLE = "chunks"
+
+
+def build_chunks(extracted: DataFrame, strategy: str = "layout",
+                 max_size: int = 1000,
+                 quality_threshold: float | None = None) -> DataFrame:
+    """The chunk table plan: chunker -> classifier -> id stamp."""
+    chunks = chunk_documents(extracted, strategy=strategy,
+                             max_size=max_size,
+                             quality_threshold=quality_threshold,
+                             dedup=True)
+    chunks = classify_chunk_types(chunks)
+    return chunks.withColumn(
+        "chunk_id",
+        F.concat_ws("_", F.col("doc_id"),
+                    F.col("chunk_index").cast("string")))
+
+
+def run_chunk_indexing(spark: SparkSession, catalog: Catalog,
+                       doc_ids: list[str] | None = None,
+                       strategy: str = "layout",
+                       max_size: int = 1000) -> int:
+    """Chunk the current extracted state (optionally scoped to ``doc_ids``
+    — partition pruning pushes the filter into the scan) and replace those
+    documents' chunk namespaces. Returns the number of chunks written."""
+    extracted = read_extracted_latest(catalog)
+    if doc_ids is not None:
+        extracted = extracted.filter(F.col("doc_id").isin(*doc_ids))
+    chunks = build_chunks(extracted, strategy=strategy, max_size=max_size)
+    catalog.replace_namespace(chunks, CHUNKS_TABLE, key="doc_id")
+    return catalog.read(CHUNKS_TABLE).count() if doc_ids is None else \
+        catalog.read(CHUNKS_TABLE).filter(
+            F.col("doc_id").isin(*doc_ids)).count()

@@ -134,3 +134,32 @@ class Catalog:
         kept = self.read(name).join(df.select(key).distinct(), key,
                                     "left_anti")
         self._write_version(kept.unionByName(df), name)
+
+    def replace_namespace(self, df: DataFrame, name: str,
+                          key: str = "doc_id") -> None:
+        """Delete-then-insert per key NAMESPACE (multiple rows per key):
+        every existing row whose ``key`` appears in ``df`` is replaced by
+        ``df``'s rows for that key — the reference's idempotent re-chunk
+        write (rag_service.py:271-309 deletes the (document, product)
+        namespace before inserting). Unlike ``upsert`` this is not
+        row-level: a doc that now yields fewer chunks leaves no stale
+        tail. Parquet: same anti-join + versioned atomic swap. Iceberg:
+        DELETE WHERE key IN (...) + append (MERGE can't express
+        multi-row-per-key replacement)."""
+        if self.use_iceberg:
+            table = f"local.db.{name}"
+            if not self.exists(name):
+                df.writeTo(table).create()
+                return
+            df.select(key).distinct().createOrReplaceTempView("__ns_keys")
+            self.spark.sql(
+                f"DELETE FROM {table} WHERE {key} IN "
+                f"(SELECT {key} FROM __ns_keys)")
+            df.writeTo(table).append()
+            return
+        if not self.exists(name):
+            self._write_version(df, name)
+            return
+        kept = self.read(name).join(df.select(key).distinct(), key,
+                                    "left_anti")
+        self._write_version(kept.unionByName(df), name)

@@ -98,3 +98,49 @@ def test_dedup_and_fingerprints_compose(spark, extracted):
         F.lower("content"), r"\s+", " "))) >= 8)
         .select("content_hash").distinct().count())
     assert fps.select("doc_id").distinct().count() == n_long
+
+
+def test_chunk_indexing_namespace_replace(spark, tmp_path):
+    """S5/J7 end to end: chunk indexing writes idempotently per document
+    namespace (rag_service.py:271-309 delete-then-insert) — re-chunking a
+    doc with different parameters replaces ALL its chunks with no stale
+    tail, and leaves every other doc's chunks untouched."""
+    from pyspark.sql import functions as F
+
+    from mivaa_pdf_extractor_spark.plans.chunk_pipeline import (
+        CHUNKS_TABLE, run_chunk_indexing)
+    from mivaa_pdf_extractor_spark.plans.pipeline import run_pipeline
+    from mivaa_pdf_extractor_spark.sources.synthetic import (
+        corpus_to_spark_df, gen_corpus)
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "chunkidx"))
+    docs = gen_corpus(25, seed=21)
+    run_pipeline(spark, corpus_to_spark_df(spark, docs), cat, run_id="c1")
+
+    n1 = run_chunk_indexing(spark, cat)
+    assert n1 > 0
+    all1 = {(r["doc_id"], r["chunk_index"]): r["content"]
+            for r in cat.read(CHUNKS_TABLE).collect()}
+    target = docs[0]["doc_id"]
+    before_other = {k: v for k, v in all1.items() if k[0] != target}
+    n_target_before = sum(1 for k in all1 if k[0] == target)
+    assert n_target_before > 0
+
+    # re-chunk ONE doc with a smaller size cap -> different chunk count
+    run_chunk_indexing(spark, cat, doc_ids=[target], max_size=120)
+    all2 = {(r["doc_id"], r["chunk_index"]): r["content"]
+            for r in cat.read(CHUNKS_TABLE).collect()}
+    after_other = {k: v for k, v in all2.items() if k[0] != target}
+    assert after_other == before_other  # untouched namespaces identical
+    n_target_after = sum(1 for k in all2 if k[0] == target)
+    assert n_target_after != n_target_before  # genuinely re-chunked
+    # no stale rows: indices are a contiguous 0..n-1 range
+    idxs = sorted(i for d, i in all2 if d == target)
+    assert idxs == list(range(n_target_after))
+    # classifier + id stamp present
+    row = cat.read(CHUNKS_TABLE).filter(
+        (F.col("doc_id") == target) & (F.col("chunk_index") == 0)
+    ).collect()[0]
+    assert row["chunk_id"] == f"{target}_0"
+    assert row["chunk_type"] is not None
