@@ -463,13 +463,10 @@ _CHUNK_TYPE_TEXTS = [
 ]
 
 
-def _duck_chunk_type_sql() -> str:
-    """DuckDB twin of classify_chunk_types over the golden texts: the
-    predicates are generated from the SAME keyword tables as the Spark
-    expression (operators/chunking.py), so the two engines cannot drift."""
-    texts = "[" + ", ".join(
-        "'" + t.replace("'", "''") + "'" for t in _CHUNK_TYPE_TEXTS) + "]"
-
+def _duck_type_preds() -> dict[str, str]:
+    """C11 predicates as SQL fragments over columns ``content``/``lc``,
+    generated from the SAME keyword tables as the Spark expression
+    (operators/chunking.py), so the two engines cannot drift."""
     def kw(kws):
         return "(" + " + ".join(
             f"(CASE WHEN contains(lc, '{k}') THEN 1 ELSE 0 END)"
@@ -517,8 +514,23 @@ def _duck_chunk_type_sql() -> str:
             rf"{kw(ck.CERT_KW)} >= 2 OR regexp_matches(content,"
             r" '\b(ISO|CE|EN|ASTM|ANSI)\s*\d+')"),
     }
+    return preds
+
+
+def _duck_type_case() -> str:
+    """The full CASE expression assigning chunk_type from content/lc."""
     whens = " ".join(f"WHEN ({p}) THEN '{name}'"
-                     for name, p in preds.items())
+                     for name, p in _duck_type_preds().items())
+    return (f"CASE {whens} WHEN length(content) > 50 "
+            "THEN 'supporting_content' ELSE 'unclassified' END")
+
+
+def _duck_chunk_type_sql() -> str:
+    """DuckDB twin of classify_chunk_types over the golden texts."""
+    texts = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in _CHUNK_TYPE_TEXTS) + "]"
+    whens = " ".join(f"WHEN ({p}) THEN '{name}'"
+                     for name, p in _duck_type_preds().items())
     confs = " ".join(f"WHEN '{name}' THEN {conf}"
                      for name, conf in ck.CHUNK_TYPE_CONFIDENCE.items())
     return f"""
@@ -812,6 +824,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "chunk_index", "content", "is_table", "quality",
             "page", "start_offset", "end_offset", "total_chunks")
     q["chunk_layout_spans"] = chunk_layout_spans
+
+    def chunks_indexed(spark, sf_dir):
+        # the full Stage-2 composition (plans/chunk_pipeline.build_chunks):
+        # extract -> layout chunker (kernel C6 dedup + positional metadata)
+        # -> C11 classifier -> chunk_id stamp
+        from mivaa_pdf_extractor_spark.plans.chunk_pipeline import \
+            build_chunks
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        out = build_chunks(run_extract(spans))
+        return out.select(
+            "doc_id", "chunk_id", "chunk_index", "content", "is_table",
+            "quality", "page", "start_offset", "end_offset",
+            "total_chunks", "chunk_type")
+    q["chunks_indexed"] = chunks_indexed
 
     def media_image_features(spark, sf_dir):
         # contract projection drops the raw array<float> feature column (it
@@ -1355,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN page_index p
               ON p.doc_id = r.doc_id AND p.page = r.ref_page""",
         "chunk_type_classify": _duck_chunk_type_sql(),
+        "chunks_indexed": f"""
+            WITH base AS ({_duck_layout_chunks_sql()}),
+            l AS (SELECT *, lower(content) AS lc FROM base)
+            SELECT doc_id,
+                   doc_id || '_' || CAST(chunk_index AS VARCHAR) AS chunk_id,
+                   chunk_index, content, is_table, quality, page,
+                   start_offset, end_offset, total_chunks,
+                   {_duck_type_case()} AS chunk_type
+            FROM l""",
         "table_parse_classify": """
             -- independently-derived expectations for the synthesized
             -- markdown/HTML tables (validates the full parse+classify chain)

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "sheet_clip_spans", "region_normalize", "media_image_features",
     "media_frame_sample", "size_gate", "doc_winnowing", "embedding_topk_ivf",
     # round 3 additions
-    "media_dedup_hamming", "chunk_type_classify",
+    "media_dedup_hamming", "chunk_type_classify", "chunks_indexed",
 ]
 
 
