@@ -346,33 +346,72 @@ def _assemble_tables(flat: pd.DataFrame) -> pd.DataFrame:
 
 def _column_split(flat: pd.DataFrame) -> pd.Series:
     """Column index (0/1) per span from the per-(doc,page) x-gap split over
-    text-like spans (excluding table-cell fallbacks, matching the oracle)."""
-    col = pd.Series(0, index=flat.index, dtype=np.int64)
-    textlike = flat[flat["base"].isin(C.TEXT_LIKE_KINDS) & ~flat["from_cell"]]
-    if textlike.empty:
-        return col
-    agg = textlike.groupby(["doc_idx", "page"])["x"].agg(["min", "max", "count"])
-    cand = agg[(agg["max"] - agg["min"] >= C.MIN_COLUMN_SPREAD)
-               & (agg["count"] >= 2 * C.MIN_SPANS_PER_COLUMN)]
-    if cand.empty:
-        return col
-    cand_keys = set(cand.index)
-    for key, grp in textlike.groupby(["doc_idx", "page"], sort=False):
-        if key not in cand_keys:
-            continue
-        xs = grp["x"].to_numpy()
-        uniq = np.unique(xs)
-        gaps = np.diff(uniq)
-        gi = int(np.argmax(gaps))  # argmax -> leftmost on ties
-        if gaps[gi] < C.MIN_COLUMN_GAP:
-            continue
-        mid = (uniq[gi] + uniq[gi + 1]) / 2.0
-        left = int((xs < mid).sum())
-        if left < C.MIN_SPANS_PER_COLUMN or len(xs) - left < C.MIN_SPANS_PER_COLUMN:
-            continue
-        page_rows = flat.index[(flat["doc_idx"] == key[0]) & (flat["page"] == key[1])]
-        col.loc[page_rows] = (flat.loc[page_rows, "x"] >= mid).astype(np.int64)
-    return col
+    text-like spans (excluding table-cell fallbacks, matching the oracle).
+
+    Fully vectorized (round 3): one lexsort of the text-like rows, then
+    segment arithmetic — max gap via ``np.maximum.at``, leftmost-tie index
+    via ``np.minimum.at``, and the qualifying (doc, page) -> mid mapping
+    applied to the whole frame with one ``searchsorted``. The previous
+    per-candidate-group loop re-scanned the WHOLE frame per group
+    (`flat["doc_idx"] == key[0]`) — O(rows x groups), profiled at 75% of
+    the kernel on multi-column corpora. Gap positions over the
+    duplicated sorted xs are equivalent to the oracle's unique-xs gaps
+    (duplicate-adjacent diffs are 0, never maximal vs MIN_COLUMN_GAP > 0,
+    and tie order is preserved)."""
+    n = len(flat)
+    col = np.zeros(n, dtype=np.int64)
+    tl_mask = (flat["base"].isin(C.TEXT_LIKE_KINDS).to_numpy()
+               & ~flat["from_cell"].to_numpy(dtype=bool))
+    if not tl_mask.any():
+        return pd.Series(col, index=flat.index)
+    d_all = flat["doc_idx"].to_numpy(dtype=np.int64)
+    p_all = flat["page"].to_numpy(dtype=np.int64)
+    x_all = flat["x"].to_numpy(dtype=np.float64)
+    # composite (doc, page) key; pages are parsed ints (offset keeps any
+    # negative attr value collision-free), doc_idx is batch-bounded
+    key_all = d_all * (1 << 33) + (p_all + (1 << 31))
+
+    k = key_all[tl_mask]
+    x = x_all[tl_mask]
+    order = np.lexsort((x, k))
+    ks = k[order]
+    xs = x[order]
+    seg_new = np.r_[True, ks[1:] != ks[:-1]]
+    starts = np.flatnonzero(seg_new)
+    ends = np.r_[starts[1:], len(ks)]
+    counts = ends - starts
+    nseg = len(starts)
+    seg_id = np.cumsum(seg_new) - 1
+
+    gaps = np.diff(xs)
+    gseg = seg_id[:-1]
+    valid = seg_id[:-1] == seg_id[1:]
+    segmax = np.full(nseg, -1.0)
+    np.maximum.at(segmax, gseg[valid], gaps[valid])
+    big = np.iinfo(np.int64).max
+    gidx = np.full(nseg, big)
+    ismax = valid & (gaps == segmax[gseg])
+    np.minimum.at(gidx, gseg[ismax], np.flatnonzero(ismax))
+
+    ok = ((xs[ends - 1] - xs[starts] >= C.MIN_COLUMN_SPREAD)
+          & (counts >= 2 * C.MIN_SPANS_PER_COLUMN)
+          & (segmax >= C.MIN_COLUMN_GAP)
+          & (gidx < big))
+    gsafe = np.clip(gidx, 0, max(len(xs) - 2, 0))
+    left = gsafe - starts + 1
+    ok &= ((left >= C.MIN_SPANS_PER_COLUMN)
+           & (counts - left >= C.MIN_SPANS_PER_COLUMN))
+    if not ok.any():
+        return pd.Series(col, index=flat.index)
+    mids = (xs[gsafe] + xs[gsafe + 1]) / 2.0
+    qual_keys = ks[starts[ok]]  # ascending (lexsort primary key)
+    qual_mids = mids[ok]
+
+    pos = np.searchsorted(qual_keys, key_all)
+    posc = np.clip(pos, 0, len(qual_keys) - 1)
+    hit = qual_keys[posc] == key_all
+    col[hit] = (x_all[hit] >= qual_mids[posc][hit]).astype(np.int64)
+    return pd.Series(col, index=flat.index)
 
 
 def process_flat(flat: pd.DataFrame, headings: pd.DataFrame) -> pd.DataFrame:
