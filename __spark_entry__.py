@@ -33,7 +33,8 @@ from mivaa_pdf_extractor_spark.operators.tables_op import \
     parse_and_classify_tables
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
 from mivaa_pdf_extractor_spark.operators.media import (
-    extract_image_features, sample_frames, synth_media_for_extracted)
+    extract_image_features, sample_audio_windows, sample_frames,
+    synth_media_for_extracted)
 from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
 from mivaa_pdf_extractor_spark.sources.from_flat import (documents_to_spans,
                                                          with_synthetic_giants)
@@ -880,6 +881,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_frames(media, every_ms=1000)
     q["media_frame_sample"] = media_frame_sample
 
+    def media_audio_windows(spark, sf_dir):
+        # overlapping STFT-style windows (2000 ms window, 1000 ms hop) over
+        # synthetic audio media; duration varies per doc so the window
+        # count math is exercised
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        media = synth_media_for_extracted(run_extract(spans)) \
+            .withColumn("mime", F.lit("audio/synthetic")) \
+            .withColumn("duration_ms",
+                        (F.conv(F.substring(F.md5("media_ref"), 1, 4),
+                                16, 10).cast("int") % 9000 + 500)
+                        .cast("int"))
+        return sample_audio_windows(media, window_ms=2000, hop_ms=1000)
+    q["media_audio_windows"] = media_audio_windows
+
     def text_similarity(spark, sf_dir):
         # T5 word-overlap over (original, shadow-dup) pairs; the shadow's
         # text gets a one-word suffix so similarities are nontrivial
@@ -1616,6 +1631,21 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.layer = b.layer
              AND a.media_ref < b.media_ref
             WHERE bit_count(xor(a.ph, b.ph)) <= 5""",
+        "media_audio_windows": f"""
+            WITH {_DUCK_MEDIA_REFS},
+            d AS (SELECT media_ref, doc_id,
+                         CAST(CAST(('0x' || substring(md5(media_ref), 1, 4))
+                              AS INTEGER) % 9000 + 500 AS INTEGER)
+                             AS duration_ms
+                  FROM refs)
+            SELECT media_ref, doc_id,
+                   CAST(i AS INTEGER) AS window_index,
+                   CAST(i * 1000 AS INTEGER) AS start_ms,
+                   CAST(i * 1000 + 2000 AS INTEGER) AS end_ms,
+                   media_ref || '/win' || CAST(i AS VARCHAR) AS window_ref
+            FROM d, unnest(generate_series(0,
+                 CAST(floor((greatest(duration_ms, 1) - 1) / 1000.0)
+                      AS BIGINT))) t(i)""",
         "media_frame_sample": f"""
             WITH {_DUCK_MEDIA_REFS}
             SELECT media_ref, doc_id,

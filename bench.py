@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "media_frame_sample", "size_gate", "doc_winnowing", "embedding_topk_ivf",
     # round 3 additions
     "media_dedup_hamming", "chunk_type_classify", "chunks_indexed",
+    "media_audio_windows",
 ]
 
 

@@ -128,6 +128,32 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                          F.col("frame_index")).alias("frame_ref")))
 
 
+def sample_audio_windows(media: DataFrame, window_ms: int = 2000,
+                         hop_ms: int = 1000) -> DataFrame:
+    """Overlapping analysis windows over audio media: one row per window at
+    ``start = 0, hop_ms, ...`` while ``start < duration`` (standard STFT
+    framing — windows may overrun the tail, mirroring frame libraries'
+    pad-last behavior), with a deterministic window_ref. Decode itself is
+    the stubbed step (no codecs in this environment); the plan is fully
+    native ``posexplode(sequence(...))`` like the video frame sampler."""
+    auds = media.filter(F.col("mime").startswith("audio/"))
+    dur = F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(1))
+    last = F.floor((dur - F.lit(1)) / F.lit(hop_ms)).cast("int")
+    return (auds
+            .select("media_ref", "doc_id",
+                    F.posexplode(F.sequence(F.lit(0), last))
+                    .alias("window_index", "_step"))
+            .select(
+                "media_ref", "doc_id",
+                F.col("window_index").cast("int").alias("window_index"),
+                (F.col("window_index") * hop_ms).cast("int")
+                .alias("start_ms"),
+                (F.col("window_index") * hop_ms + window_ms).cast("int")
+                .alias("end_ms"),
+                F.concat(F.col("media_ref"), F.lit("/win"),
+                         F.col("window_index")).alias("window_ref")))
+
+
 def synth_media_for_extracted(extracted: DataFrame) -> DataFrame:
     """Deterministic media table derived from the extracted span table's
     media_refs (content = utf8 bytes of the ref — a stable fake payload)."""
