@@ -89,13 +89,14 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
         except Exception:  # noqa: BLE001
             timings[name] = -1.0
-            continue
-        timings[name] = round(time.time() - t0, 3)
-        # drop operator-internal persisted intermediates (bucketed corpora,
-        # signature tables) so a long query loop doesn't accumulate storage
-        release_cached()
+        finally:
+            # drop operator-internal persisted intermediates (bucketed
+            # corpora, signature tables) so a long query loop doesn't
+            # accumulate storage — including when a query THROWS
+            release_cached()
 
     print(json.dumps({
         "metric": "extraction_wall_sec_and_query_suite",

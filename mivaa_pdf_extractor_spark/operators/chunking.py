@@ -266,12 +266,23 @@ def _layout_chunks_arrow(batch, max_size: int, dedup: bool = False):
     heading_code = (kind_names.index("heading")
                     if "heading" in kind_names else -1)
     span_fields = {f.name for f in values.type}
-    off_all = (pc.fill_null(values.field("offset"), 0).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-        if "offset" in span_fields else None)
-    page_all = (pc.fill_null(values.field("page"), 0).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-        if "page" in span_fields else None)
+    # keep per-span NULLS (value + mask): a null offset/page must surface
+    # as a null chunk attribute, exactly like the pure-Python spec — not
+    # as a fabricated 0 (code-review r3 finding)
+    if "offset" in span_fields:
+        f_off = values.field("offset")
+        off_all = pc.fill_null(f_off, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        off_null = pc.is_null(f_off).to_numpy(zero_copy_only=False)
+    else:
+        off_all = off_null = None
+    if "page" in span_fields:
+        f_pg = values.field("page")
+        page_all = pc.fill_null(f_pg, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        page_null = pc.is_null(f_pg).to_numpy(zero_copy_only=False)
+    else:
+        page_all = page_null = None
 
     # kept = chunkable spans (non-empty text); all boundary logic runs on
     # these compacted arrays
@@ -348,14 +359,19 @@ def _layout_chunks_arrow(batch, max_size: int, dedup: bool = False):
 
     if off_all is not None:
         off_k = off_all[kept]
-        start_off = pa.array(off_k[starts].astype(np.int32))
+        null_k = off_null[kept]
+        start_off = pa.array(off_k[starts].astype(np.int32),
+                             mask=null_k[starts])
         end_off = pa.array(
-            (off_k[ends - 1] + tl[ends - 1]).astype(np.int32))
+            (off_k[ends - 1] + tl[ends - 1]).astype(np.int32),
+            mask=null_k[ends - 1])
     else:
         start_off = pa.nulls(n_chunks, pa.int32())
         end_off = pa.nulls(n_chunks, pa.int32())
     if page_all is not None:
-        page_arr = pa.array(page_all[kept][starts].astype(np.int32))
+        pk = page_all[kept]
+        pn = page_null[kept]
+        page_arr = pa.array(pk[starts].astype(np.int32), mask=pn[starts])
     else:
         page_arr = pa.nulls(n_chunks, pa.int32())
 
@@ -370,8 +386,12 @@ def _layout_chunks_arrow(batch, max_size: int, dedup: bool = False):
         # pandas .duplicated hashes the strings in C. chunk_index /
         # total_chunks keep their pre-dedup values (the reference indexes
         # before filtering).
+        # explicit ASCII whitespace class, NOT \s: RE2's \s omits \x0B
+        # while the content_hash column's Java \s includes it — the pinned
+        # class keeps the kernel's dedup key and the emitted hash in exact
+        # agreement (same divergence class as the round-2 list-marker fix)
         norm = pc.utf8_trim(pc.replace_substring_regex(
-            pc.utf8_lower(content), r"\s+", " "), " ")
+            pc.utf8_lower(content), "[ \t\n\x0b\f\r]+", " "), " ")
         dup = pd.DataFrame({
             "d": chunk_doc,
             "k": norm.to_pandas()}).duplicated().to_numpy()

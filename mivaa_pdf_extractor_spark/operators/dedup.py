@@ -69,16 +69,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     sh = word_shingles(df, text_col, id_col, n)
     if max_shingle_freq:
-        # the OVER-cap list is tiny (stop-shingles are by definition the few
-        # highest-frequency keys — Zipf head), so broadcast it into a
-        # left_anti instead of shuffling the full shingle table against the
-        # under-cap join (round-2 verdict item 9: same semantics, the big
-        # side no longer exchanges for the guard)
+        # anti-join the OVER-cap stop-shingle list (much smaller than the
+        # under-cap set) instead of shuffling the full shingle table into
+        # the filter join (round-2 verdict item 9). No broadcast HINT: the
+        # over-cap count still grows ~T/cap with corpus size under Zipf, so
+        # forcing a driver collect would OOM at scale — AQE broadcasts it
+        # when its measured size is small (the common case) and falls back
+        # to a shuffled anti-join when it is not (code-review r3 finding)
         sh = track(sh)
         stop = (sh.groupBy("shingle").agg(F.count("*").alias("freq"))
                 .filter(F.col("freq") > max_shingle_freq).select("shingle"))
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti") \
-               .select("id", "shingle")
+        sh = sh.join(stop, "shingle", "left_anti").select("id", "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

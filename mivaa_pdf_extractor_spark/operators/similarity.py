@@ -94,8 +94,10 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # the persisted slim corpus after the distinct
     qbase = queries.select(F.col(id_col).alias("query_id"),
                            _as_double(F.col(vec_col)).alias("qv"))
-    cbase = track(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                _as_double(F.col(vec_col)).alias("cv")))
+    # NOT persisted: referenced exactly once (the post-distinct re-join) —
+    # a persist would materialize the full corpus vectors for no reuse
+    cbase = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          _as_double(F.col(vec_col)).alias("cv"))
     qs, cs = [], []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
@@ -111,10 +113,12 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     c = cs[0]
     for x in cs[1:]:
         c = c.unionByName(x)
-    # persist the bucketed corpus: the SRP dot products (n_planes x dim
-    # multiply-folds per row per table) are the expensive part; without
-    # this the join re-derives them per side (plan-audit finding, round 2)
-    c = track(c)
+    # no persist on the bucketed corpus either: unlike the near-dup
+    # SELF-join (where both sides derive from the same bucketed table and
+    # the persist prevents recomputing the SRP folds twice), here the
+    # corpus buckets appear on exactly one join side — the round-2 persist
+    # predates the id-only split and was pure materialization cost
+    # (code-review r3 finding)
     pairs = (c.join(F.broadcast(q), ["tbl", "bucket"])
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id")

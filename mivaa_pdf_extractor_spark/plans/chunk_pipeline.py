@@ -58,6 +58,8 @@ def run_chunk_indexing(spark: SparkSession, catalog: Catalog,
         extracted = extracted.filter(F.col("doc_id").isin(*doc_ids))
     chunks = build_chunks(extracted, strategy=strategy, max_size=max_size)
     catalog.replace_namespace(chunks, CHUNKS_TABLE, key="doc_id")
-    return catalog.read(CHUNKS_TABLE).count() if doc_ids is None else \
-        catalog.read(CHUNKS_TABLE).filter(
-            F.col("doc_id").isin(*doc_ids)).count()
+    # count only the namespaces THIS call wrote: a whole-table count would
+    # include stale namespaces of docs no longer in the extracted state
+    written = extracted.select("doc_id").distinct()
+    return (catalog.read(CHUNKS_TABLE)
+            .join(written, "doc_id", "left_semi").count())

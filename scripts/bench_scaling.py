@@ -183,7 +183,10 @@ def parent(sf_dir: str) -> None:
     # estimates what a real N->4N cluster (whose memory bandwidth scales
     # with node count) would deliver.
     summary = {
-        "metric": "scaling_efficiency_8_to_32_cores",
+        "metric": f"scaling_efficiency_{N_SMALL}_to_{4 * N_SMALL}_cores",
+        # key names are historical: local8/agg8 = the SMALL size (N),
+        # local32/agg32 = the LARGE size (4N) — see n_small
+        "label_note": "local8/agg8=N, local32/agg32=4N",
         "sf_dir": sf_dir,
         "docs": results[4 * N_SMALL]["docs"],
         "n_small": N_SMALL,

@@ -26,15 +26,21 @@ _KIND = st.sampled_from(
 
 def _mk_spans(items):
     spans, off = [], 0
-    for page, (kind, text) in enumerate(items):
+    for page, (kind, text, meta_mode) in enumerate(items):
+        # meta_mode exercises present-but-NULL positional attrs: the
+        # kernel must surface them as null chunk metadata exactly like the
+        # spec, never as a fabricated 0 (code-review r3 finding)
         spans.append({"kind": kind, "text": text, "media_ref": "",
-                      "offset": off, "page": page // 3 + 1})
+                      "offset": None if meta_mode >= 1 else off,
+                      "page": None if meta_mode == 2 else page // 3 + 1})
         off += len(text)
     return spans
 
 
 @settings(max_examples=300, deadline=None)
-@given(st.lists(st.lists(st.tuples(_KIND, _TEXT), max_size=12), max_size=6),
+@given(st.lists(st.lists(st.tuples(_KIND, _TEXT,
+                                   st.sampled_from([0, 0, 0, 1, 2])),
+                         max_size=12), max_size=6),
        st.integers(min_value=8, max_value=120))
 def test_layout_kernel_matches_spec(doc_items, max_size):
     docs = [(f"d{i}", _mk_spans(items)) for i, items in enumerate(doc_items)]
