@@ -45,7 +45,11 @@ def run_incremental(
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("ts", F.current_timestamp())
         )
-        catalog.append(extracted, EXTRACTED_TABLE)
+        # upsert, not append: the batch pipeline keys `extracted` on doc_id
+        # (one row per doc, no read-side compaction) — the streaming sink
+        # must preserve that invariant, and re-deliveries of a doc replace
+        # rather than duplicate
+        catalog.upsert(extracted, EXTRACTED_TABLE, key="doc_id")
 
     q = (
         stream.writeStream
