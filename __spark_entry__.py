@@ -1045,9 +1045,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("content"),
         )
         out = detect_cross_refs(chunks)
+        # deterministic presentation order lives HERE, not in the operator
+        # (round-3 verdict item 3): the contract output is bounded, the
+        # operator's isn't
         return out.select(
             "doc_id", "src_chunk", "ref_type", "ref_value",
-            F.array_join("target_chunks", ",").alias("targets"))
+            F.array_join("target_chunks", ",").alias("targets")
+        ).orderBy("doc_id", "src_chunk", "ref_type", "ref_value")
     q["chunk_cross_refs"] = chunk_cross_refs
 
     def chunk_type_classify(spark, sf_dir):

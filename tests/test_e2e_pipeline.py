@@ -118,7 +118,8 @@ def test_chunk_indexing_namespace_replace(spark, tmp_path):
     docs = gen_corpus(25, seed=21)
     run_pipeline(spark, corpus_to_spark_df(spark, docs), cat, run_id="c1")
 
-    n1 = run_chunk_indexing(spark, cat)
+    assert run_chunk_indexing(spark, cat) is None  # default: no post-read
+    n1 = run_chunk_indexing(spark, cat, count_written=True)
     assert n1 > 0
     all1 = {(r["doc_id"], r["chunk_index"]): r["content"]
             for r in cat.read(CHUNKS_TABLE).collect()}

@@ -93,17 +93,110 @@ def test_catalog_upsert(spark, tmp_path):
     got = {(r["doc_id"], r["v"]) for r in cat.read("t").collect()}
     assert got == {("a", 1), ("b", 2), ("c", 2)}
 
-    # versioned-swap mechanics: pointer names v2, previous version retained
-    # for in-flight readers (atomic os.replace swap — no truncation window)
+    # bucketed-manifest mechanics: the second upsert rewrote ONLY the
+    # buckets 'b' and 'c' hash into — any bucket holding only 'a' still
+    # points at its generation-1 dir (no full-table rewrite, round-3
+    # verdict item 2), and the manifest swap is atomic (os.replace)
+    import json
     import os
     root = str(tmp_path / "upsert" / "t")
-    with open(os.path.join(root, "_VERSION")) as f:
-        assert f.read().strip() == "v2"
-    assert os.path.isdir(os.path.join(root, "v1"))
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert m["version"] == 2
+    from pyspark.sql import functions as F
+    bucket_of = {r["doc_id"]: r["b"] for r in spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "doc_id string").select(
+        "doc_id", F.pmod(F.hash("doc_id"), F.lit(cat.num_buckets))
+        .alias("b")).collect()}
+    if bucket_of["a"] not in {bucket_of["b"], bucket_of["c"]}:
+        assert m["buckets"][str(bucket_of["a"])] == [f"b{bucket_of['a']}_g1"]
+    assert m["buckets"][str(bucket_of["b"])][0].endswith("_g2")
     df3 = spark.createDataFrame([("d", 3)], "doc_id string, v int")
     cat.upsert(df3, "t")
-    assert not os.path.isdir(os.path.join(root, "v1"))  # GC'd (v2+v3 kept)
     assert len({r["doc_id"] for r in cat.read("t").collect()}) == 4
+    # GC: dirs referenced by neither the current nor previous manifest are
+    # gone; 'd's bucket gained a g3 dir
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m3 = json.load(f)
+    live = {d for dl in m3["buckets"].values() for d in dl}
+    with open(os.path.join(root, "_MANIFEST.prev")) as f:
+        live |= {d for dl in json.load(f)["buckets"].values() for d in dl}
+    on_disk = {d for d in os.listdir(root)
+               if d.startswith("b") and os.path.isdir(os.path.join(root, d))}
+    assert on_disk == live
+
+
+def test_catalog_touched_bucket_rewrite_cost(spark, tmp_path):
+    """Round-3 verdict item 2: an incremental upsert must rewrite only the
+    buckets the update keys fall in — O(update), not O(table)."""
+    import json
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "buckets"), num_buckets=8)
+    base = spark.createDataFrame(
+        [(f"doc-{i}", i) for i in range(200)], "doc_id string, v int")
+    cat.upsert(base, "t")
+    root = str(tmp_path / "buckets" / "t")
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m1 = json.load(f)
+    # all 8 buckets populated at generation 1
+    assert len(m1["buckets"]) == 8
+
+    upd = spark.createDataFrame([("doc-7", 999)], "doc_id string, v int")
+    cat.upsert(upd, "t")
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m2 = json.load(f)
+    changed = [b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"][b]]
+    assert len(changed) == 1  # exactly one bucket rewritten
+    got = {r["doc_id"]: r["v"] for r in cat.read("t").collect()}
+    assert got["doc-7"] == 999 and got["doc-0"] == 0 and len(got) == 200
+
+
+def test_catalog_legacy_migration_and_schema_evolution(spark, tmp_path):
+    """ADVICE r3: first bucketed write over a plain append-log table folds
+    the old rows in and removes the orphaned root part files; upserting a
+    WIDER schema evolves (old rows surface null for the new column)."""
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    wh = str(tmp_path / "legacy")
+    old = spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    # simulate the pre-manifest append-log layout: root-level part files
+    old.write.mode("append").parquet(os.path.join(wh, "t"))
+    cat = Catalog(spark, wh)
+    assert cat.exists("t")
+    wider = spark.createDataFrame([("b", 2, "x"), ("c", 2, "y")],
+                                  "doc_id string, v int, extra string")
+    cat.upsert(wider, "t")
+    got = {r["doc_id"]: (r["v"], r["extra"]) for r in cat.read("t").collect()}
+    assert got == {"a": (1, None), "b": (2, "x"), "c": (2, "y")}
+    root = os.path.join(wh, "t")
+    assert not any(f.endswith(".parquet") for f in os.listdir(root)
+                   if os.path.isfile(os.path.join(root, f)))
+
+
+def test_replace_namespace_explicit_delete_keys(spark, tmp_path):
+    """ADVICE r3 (medium): a doc re-indexed to ZERO chunks must shed its
+    stale namespace rows when the caller passes the delete key-set."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ns"))
+    chunks1 = spark.createDataFrame(
+        [("a", 0, "a0"), ("a", 1, "a1"), ("b", 0, "b0")],
+        "doc_id string, chunk_index int, content string")
+    cat.replace_namespace(chunks1, "chunks")
+    # re-index both docs; 'a' now yields no chunks at all
+    chunks2 = spark.createDataFrame([("b", 0, "b0-new")],
+                                    "doc_id string, chunk_index int, "
+                                    "content string")
+    keys = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    cat.replace_namespace(chunks2, "chunks", delete_keys=keys)
+    got = {(r["doc_id"], r["chunk_index"]): r["content"]
+           for r in cat.read("chunks").collect()}
+    assert got == {("b", 0): "b0-new"}  # 'a' fully gone, no stale tail
 
 
 def test_oversize_gate(spark, tmp_path):
