@@ -29,8 +29,8 @@ from mivaa_pdf_extractor_spark.operators.layout import (analyze_sheet_layout,
                                                         is_full_spread_image,
                                                         normalize_regions,
                                                         spans_in_clip)
-from mivaa_pdf_extractor_spark.operators.tables_op import \
-    parse_and_classify_tables
+from mivaa_pdf_extractor_spark.operators.tables_op import (
+    mine_table_metadata, parse_and_classify_tables)
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
 from mivaa_pdf_extractor_spark.operators.media import (
     extract_image_features, sample_audio_windows, sample_frames,
@@ -1093,6 +1093,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "table_type", "headers", "num_rows", "num_cols")
     q["table_parse_classify"] = table_parse_classify
 
+    def table_metadata_mine(spark, sf_dir):
+        # G7 over doc_id-parameterized golden-shaped tables: the Italian
+        # combined catalog grid (dimensions AND packaging in one table),
+        # the split-axis English grid (token-matched axis columns), and
+        # the 3-col Property|Standard|Value spec table. Decimal values are
+        # quarters/halves so the mined doubles are exactly representable
+        # on both engines.
+        d = _docs(spark, sf_dir).select("doc_id").filter(
+            F.col("doc_id") % 10 == 0)
+        s = lambda c: c.cast("int").cast("string")  # noqa: E731
+        w = s(F.lit(30) + (F.col("doc_id") % 7) * 10)
+        h = s(F.lit(60) + (F.col("doc_id") % 5) * 20)
+        t = s(F.lit(8) + F.col("doc_id") % 3)
+        p = s(F.lit(2) + F.col("doc_id") % 4)
+        cov = s(F.lit(25) * (F.lit(1) + F.col("doc_id") % 3))
+        kg = s(F.lit(20) + F.col("doc_id") % 15)
+        bp = s(F.lit(30) + F.col("doc_id") % 20)
+        wa = s(F.col("doc_id") % 9)
+        slip = s(F.lit(10) + F.col("doc_id") % 4)
+        br = s(F.lit(35) + F.col("doc_id") % 10)
+        catalog = F.concat(
+            F.lit("| Formato | Spessore | Pz/Scatola | Mq/Scatola |"
+                  " Kg/Scatola | Scatole/Pallet |\n"
+                  "| --- | --- | --- | --- | --- | --- |\n| "),
+            w, F.lit("x"), h, F.lit(" cm | "), t, F.lit(" mm | "),
+            p, F.lit(" | 1,"), cov, F.lit(" | "), kg, F.lit(",5 | "),
+            bp, F.lit(" |"))
+        split = F.concat(
+            F.lit("| Width | Height | Thickness | Pcs/Box |\n"
+                  "| --- | --- | --- | --- |\n| "),
+            w, F.lit(" | "), h, F.lit(" | "), t, F.lit(" | "),
+            p, F.lit(" |"))
+        spec = F.concat(
+            F.lit("<table><tr><th>Caratteristica</th><th>Norma</th>"
+                  "<th>Valore</th></tr>"
+                  "<tr><td>Assorbimento <b>acqua</b></td>"
+                  "<td>ISO 10545-3</td><td>&lt; 0,"),
+            wa, F.lit("%</td></tr>"
+                      "<tr><td>Resistenza allo scivolamento</td>"
+                      "<td>DIN 51130</td><td>R"),
+            slip, F.lit("</td></tr>"
+                        "<tr><td>Resistenza alla flessione</td>"
+                        "<td>ISO 10545-4</td><td>"),
+            br, F.lit(" N/mm²</td></tr>"
+                      "<tr><td>Resistenza al gelo</td>"
+                      "<td>ISO 10545-12</td><td>Conforme</td></tr>"
+                      "</table>"))
+        texts = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, spec)
+            .when(F.col("doc_id") % 30 == 0, split)
+            .otherwise(catalog).alias("text"))
+        return mine_table_metadata(texts)
+    q["table_metadata_mine"] = table_metadata_mine
+
     return q
 
 
@@ -1420,6 +1475,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 30 = 0 THEN 'Size,Pack'
                         ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
+            FROM documents WHERE doc_id % 10 = 0""",
+        "table_metadata_mine": """
+            -- independently-derived expectations for the G7 mining over
+            -- the synthesized catalog/split-axis/spec tables
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN doc_id % 20 = 0 THEN 'specifications'
+                        ELSE 'dimensions' END AS table_type,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(30 + (doc_id % 7) * 10 AS VARCHAR)
+                             || 'x' ||
+                             CAST(60 + (doc_id % 5) * 20 AS VARCHAR)
+                             || ' cm' END AS sizes,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(8 + doc_id % 3 AS DOUBLE)
+                        END AS thickness_mm,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(2 + doc_id % 4 AS DOUBLE)
+                        END AS pieces_per_box,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN CAST(30 + doc_id % 20 AS DOUBLE)
+                        END AS boxes_per_pallet,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN CAST(20 + doc_id % 15 AS DOUBLE) + 0.5
+                        END AS weight_per_box_kg,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN 1 + 0.25 * (1 + doc_id % 3)
+                        END AS coverage_per_box_m2,
+                   CAST(NULL AS DOUBLE) AS pallet_weight_kg,
+                   CAST(NULL AS DOUBLE) AS pieces_per_m2,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN '< 0,' || CAST(doc_id % 9 AS VARCHAR) || '%'
+                        END AS water_absorption,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN 'R' || CAST(10 + doc_id % 4 AS VARCHAR)
+                        END AS slip_resistance,
+                   CASE WHEN doc_id % 20 = 0 THEN 'Conforme'
+                        END AS frost_resistance,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN CAST(35 + doc_id % 10 AS VARCHAR) || ' N/mm²'
+                        END AS breaking_strength,
+                   CAST(NULL AS VARCHAR) AS abrasion_resistance,
+                   CAST(NULL AS VARCHAR) AS chemical_resistance,
+                   CAST(NULL AS VARCHAR) AS fire_rating
             FROM documents WHERE doc_id % 10 = 0""",
         "image_doc_heuristic": """
             SELECT lang, avg_chars,

@@ -53,3 +53,59 @@ def parse_and_classify_tables(df: DataFrame, text_col: str = "text",
                 yield _parse_batch(pdf)
 
     return slim.mapInPandas(run, schema=TABLE_SCHEMA)
+
+
+# --- G7 table-metadata mining (core/table_metadata.py semantics) ---------
+
+_NUM_FIELDS = ("thickness_mm", "pieces_per_box", "boxes_per_pallet",
+               "weight_per_box_kg", "coverage_per_box_m2",
+               "pallet_weight_kg", "pieces_per_m2")
+_STR_FIELDS = ("water_absorption", "slip_resistance", "frost_resistance",
+               "breaking_strength", "abrasion_resistance",
+               "chemical_resistance", "fire_rating")
+
+MINED_SCHEMA = T.StructType(
+    [T.StructField("id", T.StringType()),
+     T.StructField("table_type", T.StringType()),
+     T.StructField("sizes", T.StringType())]      # sorted, comma-joined
+    + [T.StructField(f, T.DoubleType()) for f in _NUM_FIELDS]
+    + [T.StructField(f, T.StringType()) for f in _STR_FIELDS])
+
+
+def _mine_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..core.table_metadata import mine_table
+
+    rows = []
+    for i, text in zip(pdf["id"], pdf["text"]):
+        grid = parse_table_content(text)
+        if grid is None:
+            continue
+        rec = table_to_record(grid)
+        mined = mine_table(classify_table(grid), rec["headers"],
+                           rec["rows"])
+        rows.append((i, classify_table(grid),
+                     ",".join(mined["available_sizes"]) or None,
+                     mined["thickness_mm"],
+                     *[mined["packaging"].get(f)
+                       for f in _NUM_FIELDS if f != "thickness_mm"],
+                     *[mined["performance"].get(f) for f in _STR_FIELDS]))
+    return pd.DataFrame(rows, columns=[f.name for f in MINED_SCHEMA.fields])
+
+
+def mine_table_metadata(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """G7: parse + classify + mine each text as a table in ONE Arrow pass
+    (no re-parse between stages); one flat row per parseable table with
+    the mined dimensions/packaging/performance fields, null where the
+    table doesn't carry them. Per-product aggregation (the reference's
+    merge across a product's tables) is then a plain groupBy on the
+    caller's product key — native, no UDF."""
+    slim = df.selectExpr(f"cast({id_col} as string) as id",
+                         f"{text_col} as text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _mine_batch(pdf)
+
+    return slim.mapInPandas(run, schema=MINED_SCHEMA)

@@ -1,9 +1,11 @@
 """The reference's own golden table fixtures, mirrored (SURVEY §5.1:
 tests/unit/test_table_extraction.py:61-195 — the canonical Italian catalog
-markdown table and the 3-column spec HTML table). G7's metadata mining
-(dimensions/packaging number parsing) is out of scope per SURVEY; the
-parsing + classification semantics those fixtures pin are G1-G6 and must
-hold here verbatim."""
+markdown table and the 3-column spec HTML table). G1-G6 parse/classify
+semantics must hold verbatim; the G7 metadata-mining tests below pin the
+reference's three number bugs (size-column precedence over a spuriously
+token-matched axis column; IT/ES packaging abbreviations; spec value =
+last populated cell) plus the dimensions-AND-packaging independence of a
+combined catalog grid (test_table_extraction.py:136-195)."""
 
 from __future__ import annotations
 
@@ -70,3 +72,127 @@ def test_combined_catalog_table_classifies_as_dimensions():
 def test_italian_spec_table_classifies_as_specifications():
     grid = parse_table_content(SPEC_HTML)
     assert classify_table(grid) == "specifications"
+
+
+# ------------------------------------------------------- G7 metadata mining
+
+
+def _catalog_parts():
+    grid = parse_table_content(CATALOG_MARKDOWN)
+    rec = table_to_record(grid)
+    return rec["headers"], rec["rows"]
+
+
+def test_size_column_wins_over_a_spuriously_matched_axis_column():
+    """Pinned bug 1: the single-letter height keyword 'l' must not
+    substring-match 'Pz/Scatola' (60x120 recorded as 60x2)."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import (
+        dimensions_to_sizes, parse_dimensions_table)
+
+    headers, rows = _catalog_parts()
+    dims = parse_dimensions_table(headers, rows)
+    assert [(d["width"], d["height"]) for d in dims] == [(60.0, 120.0),
+                                                         (30.0, 60.0)]
+    assert all(d["thickness"] == 9.0 for d in dims)
+    assert dimensions_to_sizes(dims) == ["30x60 cm", "60x120 cm"]
+
+
+def test_italian_packaging_abbreviations_populate():
+    """Pinned bug 2: 'Pz' and 'Mq' column headers must populate
+    pieces-per-box and coverage."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import (
+        parse_packaging_table)
+
+    headers, rows = _catalog_parts()
+    assert parse_packaging_table(headers, rows) == {
+        "pieces_per_box": 2.0,
+        "boxes_per_pallet": 30.0,
+        "weight_per_box_kg": 31.5,
+        "coverage_per_box_m2": 1.44,
+    }
+
+
+def test_spec_value_is_the_measurement_not_the_standard():
+    """Pinned bug 3: Property | Standard | Value — the value is the last
+    populated cell, not row[1] (the ISO reference)."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import (
+        parse_specifications_table)
+
+    grid = parse_table_content(SPEC_HTML)
+    perf = parse_specifications_table(table_to_record(grid)["rows"])
+    assert perf["water_absorption"] == "< 0,5%"
+    assert perf["slip_resistance"] == "R10"
+    assert perf["frost_resistance"] == "Conforme"
+
+
+def test_split_axis_english_table_still_works():
+    """The axis-column fallback must survive the size-column precedence
+    fix (token matching: 'w'/'h' match whole tokens, long keywords match
+    substrings)."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import (
+        parse_dimensions_table, parse_packaging_table)
+
+    headers = ["Width", "Height", "Thickness", "Pcs/Box"]
+    rows = [["30", "60", "8", "10"]]
+    assert parse_dimensions_table(headers, rows) == [
+        {"width": 30.0, "height": 60.0, "thickness": 8.0, "unit": "cm"}]
+    assert parse_packaging_table(headers, rows)["pieces_per_box"] == 10.0
+
+
+def test_one_table_yields_both_dimensions_and_packaging():
+    """Pinned behavior 4: dimensions and packaging are mined
+    independently — a 'dimensions' label must not discard the packaging
+    half of the combined catalog grid."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import (
+        looks_like_dimensions, looks_like_packaging, mine_table)
+
+    headers, rows = _catalog_parts()
+    assert looks_like_dimensions(headers)
+    assert looks_like_packaging(headers)
+    mined = mine_table("dimensions", headers, rows)
+    assert mined["available_sizes"] == ["30x60 cm", "60x120 cm"]
+    assert mined["thickness_mm"] == 9.0
+    assert mined["packaging"]["pieces_per_box"] == 2.0
+    assert mined["packaging"]["coverage_per_box_m2"] == 1.44
+
+
+def test_generic_table_regex_sweep():
+    """Unclassified tables still yield dimensions/packaging via the regex
+    sweep (table_metadata_extractor.py:369-411)."""
+    from mivaa_pdf_extractor_spark.core.table_metadata import mine_table
+
+    headers = ["A", "B"]
+    rows = [["item one 45x90 cm", "4 pcs/box"], ["item two", "22,5 kg/box"]]
+    mined = mine_table("other", headers, rows)
+    assert mined["dimensions"][0]["width"] == 45.0
+    assert mined["packaging"]["pieces_per_box"] == 4.0
+    assert mined["packaging"]["weight_per_box_kg"] == 22.5
+
+
+def test_mine_table_metadata_spark_operator(spark):
+    """The Spark G7 stage: one flat mined row per parseable table, nulls
+    where a table doesn't carry a field."""
+    from mivaa_pdf_extractor_spark.operators.tables_op import (
+        mine_table_metadata)
+
+    df = spark.createDataFrame(
+        [("cat", CATALOG_MARKDOWN), ("spec", SPEC_HTML),
+         ("prose", "no table here")],
+        "doc_id string, text string")
+    rows = {r["id"]: r for r in mine_table_metadata(df).collect()}
+    assert set(rows) == {"cat", "spec"}  # prose: None is not a table
+    cat = rows["cat"]
+    assert cat["table_type"] == "dimensions"
+    assert cat["sizes"] == "30x60 cm,60x120 cm"
+    assert cat["thickness_mm"] == 9.0
+    assert cat["pieces_per_box"] == 2.0
+    assert cat["boxes_per_pallet"] == 30.0
+    assert cat["weight_per_box_kg"] == 31.5
+    assert cat["coverage_per_box_m2"] == 1.44
+    assert cat["water_absorption"] is None
+    spec = rows["spec"]
+    assert spec["table_type"] == "specifications"
+    assert spec["sizes"] is None
+    assert spec["water_absorption"] == "< 0,5%"
+    assert spec["slip_resistance"] == "R10"
+    assert spec["frost_resistance"] == "Conforme"
