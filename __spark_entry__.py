@@ -24,7 +24,8 @@ from mivaa_pdf_extractor_spark.operators import text_analysis as ta
 from mivaa_pdf_extractor_spark.operators import chunking as ck
 from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
                                                           classify_chunk_types,
-                                                          detect_cross_refs)
+                                                          detect_cross_refs,
+                                                          with_embedding_text)
 from mivaa_pdf_extractor_spark.operators.layout import (analyze_sheet_layout,
                                                         is_full_spread_image,
                                                         normalize_regions,
@@ -1093,6 +1094,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "table_type", "headers", "num_rows", "num_cols")
     q["table_parse_classify"] = table_parse_classify
 
+    def chunk_embedding_text(spark, sf_dir):
+        # C10 over synthesized chunks: headings update the running context
+        # at chunk 1 (# Setup) and chunk 3 (## Usage), chunk 2 inherits;
+        # even docs carry a title ("Doc N"), odd docs don't — exercising
+        # title-only, heading-only, and combined locations
+        d = _docs(spark, sf_dir).select("doc_id")
+        chunks = d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_index"),
+        ).select(
+            "doc_id", "chunk_index",
+            F.when(F.col("chunk_index") == 1, F.lit("# Setup\n\ninstall"))
+            .when(F.col("chunk_index") == 3,
+                  F.concat(F.lit("## Usage "), F.col("doc_id"),
+                           F.lit("\n\nrun it")))
+            .when(F.col("chunk_index") == 0, F.lit("intro paragraph"))
+            .otherwise(F.lit("more details")).alias("content"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("Doc "), F.col("doc_id")))
+            .alias("title"),
+        )
+        return with_embedding_text(chunks, title_col="title").select(
+            "doc_id", "chunk_index", "heading_context", "embedding_text")
+    q["chunk_embedding_text"] = chunk_embedding_text
+
     def table_metadata_mine(spark, sf_dir):
         # G7 over doc_id-parameterized golden-shaped tables: the Italian
         # combined catalog grid (dimensions AND packaging in one table),
@@ -1476,6 +1502,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
             FROM documents WHERE doc_id % 10 = 0""",
+        "chunk_embedding_text": """
+            -- independently-derived: the running heading context per
+            -- synthesized chunk (heading at 1 and 3, inherit at 2,
+            -- title only on even docs)
+            WITH c AS (
+                SELECT doc_id, i AS chunk_index,
+                       CASE i WHEN 1 THEN '# Setup' || chr(10) || chr(10)
+                                        || 'install'
+                              WHEN 3 THEN '## Usage ' ||
+                                        CAST(doc_id AS VARCHAR) || chr(10)
+                                        || chr(10) || 'run it'
+                              WHEN 0 THEN 'intro paragraph'
+                              ELSE 'more details' END AS content,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                            END AS title,
+                       CASE WHEN i >= 3 THEN 'Usage ' ||
+                                 CAST(doc_id AS VARCHAR)
+                            WHEN i >= 1 THEN 'Setup' END AS heading
+                FROM documents,
+                     unnest(generate_series(0, 3)) t(i)),
+            l AS (
+                SELECT doc_id, chunk_index, content,
+                       CASE WHEN title IS NOT NULL AND heading IS NOT NULL
+                            THEN title || ' › ' || heading
+                            WHEN heading IS NOT NULL THEN heading
+                            ELSE title END AS heading_context
+                FROM c)
+            SELECT doc_id, chunk_index, heading_context,
+                   CASE WHEN heading_context IS NOT NULL
+                        THEN heading_context || chr(10) || chr(10)
+                             || content
+                        ELSE content END AS embedding_text
+            FROM l""",
         "table_metadata_mine": """
             -- independently-derived expectations for the G7 mining over
             -- the synthesized catalog/split-axis/spec tables

@@ -672,6 +672,55 @@ def classify_chunk_types(chunks: DataFrame,
                           conf_map[F.col("chunk_type")])
 
 
+# C10 heading-context embedding text (kb_chunker.py:169-177,231-235): the
+# reference keeps a RUNNING section heading while chunking — a heading atom
+# updates the state, every chunk records the state at its first atom — and
+# the text handed to the embedder is "{location}\n\n{content}" where
+# location = "{title} › {heading}" (title-only / heading-only when the
+# other is empty). The engine's layout chunker starts a new chunk at every
+# heading span, so the running state is exactly "the last chunk-leading
+# '# ' marker at or before this chunk": a last_value(ignorenulls) window —
+# fully native, and an exact DuckDB twin exists.
+_HEADING_LINE_RE = r"^#{1,6} +([^\n]*)"
+
+
+def with_embedding_text(chunks: DataFrame,
+                        content_col: str = "content",
+                        doc_col: str = "doc_id",
+                        order_col: str = "chunk_index",
+                        title_col: str | None = None) -> DataFrame:
+    """Adds ``heading_context`` (the running "{title} › {heading}"
+    location, null when both are empty) and ``embedding_text``
+    ("{location}\\n\\n{content}", or plain content when there is no
+    location). ``title_col`` optionally names a per-row document title
+    column. One window over (doc, chunk order) — partition-local, no
+    global shuffle beyond the per-doc sort the chunk table already has."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(doc_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    own = F.nullif(
+        F.trim(F.regexp_extract(F.col(content_col), _HEADING_LINE_RE, 1)),
+        F.lit(""))
+    # a chunk whose content STARTS with a heading marker owns that heading
+    # (the marker is only emitted at chunk starts by the layout chunker);
+    # later chunks inherit it until the next heading chunk
+    running = F.last(own, ignorenulls=True).over(w)
+    title = (F.nullif(F.trim(F.col(title_col)), F.lit(""))
+             if title_col else F.lit(None).cast("string"))
+    loc = (F.when(title.isNotNull() & running.isNotNull(),
+                  F.concat(title, F.lit(" › "), running))
+           .when(running.isNotNull(), running)
+           .otherwise(title))
+    out = chunks.withColumn("heading_context", loc)
+    return out.withColumn(
+        "embedding_text",
+        F.when(F.col("heading_context").isNotNull(),
+               F.concat(F.col("heading_context"), F.lit("\n\n"),
+                        F.col(content_col)))
+        .otherwise(F.col(content_col)))
+
+
 # C8 cross-reference detection (unified_chunking_service.py:762-820): the
 # reference's 6 TYPED patterns verbatim ("see page 12", "refer to table 3",
 # "fig. 2-1", "section 1.2", "appendix A", "(see 12)"), matched

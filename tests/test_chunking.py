@@ -170,3 +170,56 @@ def test_text_strategies_roundtrip(spark):
                                dedup=False)
                .orderBy("chunk_index").collect()]
         assert got == fn(text, 200), strategy
+
+
+def test_embedding_text_running_heading(spark):
+    """C10 (kb_chunker.py:169-177,231-235): running heading state — a
+    heading chunk sets the context, later chunks inherit it across page
+    boundaries until the next heading; title-only / heading-only /
+    combined locations."""
+    from mivaa_pdf_extractor_spark.operators.chunking import (
+        with_embedding_text)
+
+    rows = [
+        # doc A has a title; headings at chunk 1 and 3 (page change at 3)
+        ("A", 0, "intro", "Guide"),
+        ("A", 1, "# Install\n\nsteps", "Guide"),
+        ("A", 2, "more steps", "Guide"),
+        ("A", 3, "## Run\n\ngo", "Guide"),
+        ("A", 4, "tail", "Guide"),
+        # doc B has no title and no leading heading
+        ("B", 0, "plain", None),
+        ("B", 1, "# Only\n\nbody", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, chunk_index int, content string, title string")
+    got = {(r["doc_id"], r["chunk_index"]):
+           (r["heading_context"], r["embedding_text"])
+           for r in with_embedding_text(df, title_col="title").collect()}
+    assert got[("A", 0)] == ("Guide", "Guide\n\nintro")
+    assert got[("A", 1)] == ("Guide › Install",
+                             "Guide › Install\n\n# Install\n\nsteps")
+    assert got[("A", 2)] == ("Guide › Install", "Guide › Install\n\nmore steps")
+    assert got[("A", 3)] == ("Guide › Run", "Guide › Run\n\n## Run\n\ngo")
+    assert got[("A", 4)] == ("Guide › Run", "Guide › Run\n\ntail")
+    assert got[("B", 0)] == (None, "plain")  # no location -> bare content
+    assert got[("B", 1)] == ("Only", "Only\n\n# Only\n\nbody")
+
+
+def test_embedding_text_over_engine_chunks(spark):
+    """with_embedding_text composes directly with chunk_documents output:
+    the layout chunker's '# ' chunk-leading markers are the heading
+    state."""
+    from mivaa_pdf_extractor_spark.operators.chunking import (
+        with_embedding_text)
+
+    df = spark.createDataFrame(
+        [("d", [sp("text", "intro"), sp("heading", "# Alpha"),
+                sp("text", "body one"), sp("heading", "# Beta"),
+                sp("text", "body two")])], schema=EXTRACTED_SCHEMA)
+    chunks = chunk_documents(df, strategy="layout", max_size=20, dedup=False)
+    got = [r["heading_context"] for r in
+           with_embedding_text(chunks).orderBy("chunk_index").collect()]
+    # chunk 0 precedes any heading -> null context
+    assert got[0] is None
+    assert "Alpha" in got[1] and "Beta" in got[-1]
