@@ -1094,6 +1094,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "table_type", "headers", "num_rows", "num_cols")
     q["table_parse_classify"] = table_parse_classify
 
+    def chunk_text_offsets(spark, sf_dir):
+        # positional metadata on the TEXT strategies (round-3 verdict item
+        # 5): fixed-strategy chunk_documents over sentence-free,
+        # space-free synthetic text, where the chunker's offsets reduce to
+        # exact window arithmetic (start = 50*i with max_size=150 and the
+        # default overlap 100; no boundary backoff can fire)
+        d = _docs(spark, sf_dir).select("doc_id").filter(
+            F.col("doc_id") % 5 == 0)
+        L = (F.lit(150) + (F.col("doc_id") % 10) * 73).cast("int")
+        text = F.substring(F.repeat(F.lit("abcdef"), 135), F.lit(1), L)
+        docs = d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(F.struct(
+                F.lit("text").alias("kind"), text.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"))).alias("spans"))
+        chunks = chunk_documents(docs, strategy="fixed", max_size=150,
+                                 dedup=False)
+        return chunks.select("doc_id", "chunk_index", "content",
+                             "start_offset", "end_offset", "total_chunks")
+    q["chunk_text_offsets"] = chunk_text_offsets
+
     def chunk_embedding_text(spark, sf_dir):
         # C10 over synthesized chunks: headings update the running context
         # at chunk 1 (# Setup) and chunk 3 (## Usage), chunk 2 inherits;
@@ -1502,6 +1524,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
             FROM documents WHERE doc_id % 10 = 0""",
+        "chunk_text_offsets": """
+            -- independently-derived window arithmetic: advance 50,
+            -- window 150, K = ceil((L-150)/50) extra chunks
+            WITH d AS (
+                SELECT doc_id,
+                       150 + (doc_id % 10) * 73 AS L,
+                       substring(repeat('abcdef', 135), 1,
+                                 CAST(150 + (doc_id % 10) * 73 AS INT))
+                           AS text
+                FROM documents WHERE doc_id % 5 = 0)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(i AS INT) AS chunk_index,
+                   substring(text, CAST(50 * i + 1 AS INT), 150) AS content,
+                   CAST(50 * i AS INT) AS start_offset,
+                   CAST(least(50 * i + 150, L) AS INT) AS end_offset,
+                   CAST(ceil((L - 150) / 50.0) + 1 AS INT) AS total_chunks
+            FROM d, unnest(generate_series(0,
+                     CAST(ceil((L - 150) / 50.0) AS BIGINT))) t(i)""",
         "chunk_embedding_text": """
             -- independently-derived: the running heading context per
             -- synthesized chunk (heading at 1 and 3, inherit at 2,

@@ -45,11 +45,16 @@ DEFAULT_MIN_SIZE = 100
 DEFAULT_OVERLAP = 100
 
 
-def chunk_fixed(text: str, max_size: int = DEFAULT_MAX_SIZE,
-                min_size: int = DEFAULT_MIN_SIZE,
-                overlap: int = DEFAULT_OVERLAP) -> list[str]:
-    """Char windows with sentence-boundary backoff and forced advance."""
-    chunks: list[str] = []
+def chunk_fixed_spans(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                      min_size: int = DEFAULT_MIN_SIZE,
+                      overlap: int = DEFAULT_OVERLAP,
+                      ) -> list[tuple[str, int, int]]:
+    """Char windows with sentence-boundary backoff and forced advance.
+    Returns (content, start_offset, end_offset) — EXACT offsets of the
+    stripped piece within ``text`` (the reference stamps
+    start/end_position on every strategy, unified_chunking_service.py:
+    478-507,856-866; the fixed path's positions are exact there too)."""
+    chunks: list[tuple[str, int, int]] = []
     start = 0
     n = len(text)
     while start < n:
@@ -63,9 +68,11 @@ def chunk_fixed(text: str, max_size: int = DEFAULT_MAX_SIZE,
                 ws = window.rfind(" ")
                 if ws >= min_size:
                     end = start + ws + 1
-        piece = text[start:end].strip()
+        raw = text[start:end]
+        piece = raw.strip()
         if piece:
-            chunks.append(piece)
+            lead = len(raw) - len(raw.lstrip())
+            chunks.append((piece, start + lead, start + lead + len(piece)))
         next_start = end - overlap
         if next_start <= start:  # forced advance guard
             next_start = start + max(1, max_size - overlap)
@@ -75,35 +82,90 @@ def chunk_fixed(text: str, max_size: int = DEFAULT_MAX_SIZE,
     return chunks
 
 
-def chunk_semantic(text: str, max_size: int = DEFAULT_MAX_SIZE,
-                   overlap: int = DEFAULT_OVERLAP) -> list[str]:
-    """Paragraph packing with trailing-overlap carry."""
-    paragraphs = [p.strip() for p in PARAGRAPH_RE.split(text) if p.strip()]
-    chunks: list[str] = []
+def _paragraph_spans(text: str) -> list[tuple[str, int, int]]:
+    """Non-empty stripped paragraphs with their exact source spans."""
+    out: list[tuple[str, int, int]] = []
+    pos = 0
+    bounds = [m.span() for m in PARAGRAPH_RE.finditer(text)]
+    for sep_start, sep_end in bounds + [(len(text), len(text))]:
+        seg = text[pos:sep_start]
+        piece = seg.strip()
+        if piece:
+            lead = len(seg) - len(seg.lstrip())
+            out.append((piece, pos + lead, pos + lead + len(piece)))
+        pos = sep_end
+    return out
+
+
+def chunk_semantic_spans(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                         overlap: int = DEFAULT_OVERLAP,
+                         ) -> list[tuple[str, int, int]]:
+    """Paragraph packing with trailing-overlap carry. Returns (content,
+    start_offset, end_offset): the SOURCE span covered by the chunk's own
+    paragraphs — start of its first non-carry paragraph to end of its
+    last. The overlap carry prefix duplicates previous-chunk text, so it
+    is excluded from the mapping; content equals text[start:end] only
+    when the source separators were exactly '\\n\\n' (the reference's
+    semantic positions are approximate running counters by design,
+    unified_chunking_service.py:856-866 'S2-6')."""
+    paragraphs = _paragraph_spans(text)
+    chunks: list[tuple[str, int, int]] = []
     current = ""
-    for p in paragraphs:
+    cur_start = cur_end = 0
+    for p, ps, pe in paragraphs:
         candidate = (current + "\n\n" + p) if current else p
         if len(candidate) <= max_size or not current:
+            if not current:
+                cur_start = ps
             current = candidate
+            cur_end = pe
         else:
-            chunks.append(current)
+            chunks.append((current, cur_start, cur_end))
             tail = current[-overlap:] if overlap else ""
             current = (tail + "\n\n" + p) if tail else p
+            cur_start, cur_end = ps, pe
     if current:
-        chunks.append(current)
+        chunks.append((current, cur_start, cur_end))
     return chunks
+
+
+def chunk_hybrid_spans(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                       min_size: int = DEFAULT_MIN_SIZE,
+                       overlap: int = DEFAULT_OVERLAP,
+                       ) -> list[tuple[str, int, int]]:
+    """Semantic first; oversized chunks re-split fixed. Re-split offsets
+    are the sub-piece's exact position within the chunk content shifted
+    by the chunk's source start — approximate in source space (the carry
+    prefix and join separators shift them), mirroring the reference's
+    relative-position hybrid (unified_chunking_service.py:515-576)."""
+    out: list[tuple[str, int, int]] = []
+    for c, s, e in chunk_semantic_spans(text, max_size, overlap):
+        if len(c) > max_size:
+            out.extend((sub, s + ss, s + ss + len(sub))
+                       for sub, ss, _se in
+                       chunk_fixed_spans(c, max_size, min_size, overlap))
+        else:
+            out.append((c, s, e))
+    return out
+
+
+def chunk_fixed(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                min_size: int = DEFAULT_MIN_SIZE,
+                overlap: int = DEFAULT_OVERLAP) -> list[str]:
+    return [c for c, _s, _e in chunk_fixed_spans(text, max_size, min_size,
+                                                 overlap)]
+
+
+def chunk_semantic(text: str, max_size: int = DEFAULT_MAX_SIZE,
+                   overlap: int = DEFAULT_OVERLAP) -> list[str]:
+    return [c for c, _s, _e in chunk_semantic_spans(text, max_size, overlap)]
 
 
 def chunk_hybrid(text: str, max_size: int = DEFAULT_MAX_SIZE,
                  min_size: int = DEFAULT_MIN_SIZE,
                  overlap: int = DEFAULT_OVERLAP) -> list[str]:
-    out: list[str] = []
-    for c in chunk_semantic(text, max_size, overlap):
-        if len(c) > max_size:
-            out.extend(chunk_fixed(c, max_size, min_size, overlap))
-        else:
-            out.append(c)
-    return out
+    return [c for c, _s, _e in chunk_hybrid_spans(text, max_size, min_size,
+                                                  overlap)]
 
 
 def chunk_layout(spans: list[dict], max_size: int = DEFAULT_MAX_SIZE,
@@ -212,9 +274,9 @@ CHUNK_SCHEMA = T.StructType([
 ])
 
 _TEXT_CHUNKERS = {
-    "fixed": chunk_fixed,
-    "semantic": chunk_semantic,
-    "hybrid": chunk_hybrid,
+    "fixed": chunk_fixed_spans,
+    "semantic": chunk_semantic_spans,
+    "hybrid": chunk_hybrid_spans,
 }
 
 
@@ -458,21 +520,23 @@ def _chunk_arrow_iter(batches, strategy: str, max_size: int,
         values = spans_col.flatten()
         texts_all = values.field("text").to_pylist()
 
-        out_doc, out_idx, out_content, out_table, out_kinds, out_total = \
-            [], [], [], [], [], []
+        (out_doc, out_idx, out_content, out_table, out_kinds, out_total,
+         out_start, out_end) = [], [], [], [], [], [], [], []
         start = 0
         for doc_id, n in zip(doc_ids, lengths):
             t = texts_all[start:start + n]
             start += n
             text = "\n\n".join(x for x in t if x)
-            results = [(c, False, "") for c in chunker(text, max_size)]
-            for i, (content, is_table, kinds) in enumerate(results):
+            results = chunker(text, max_size)
+            for i, (content, cs, ce) in enumerate(results):
                 out_doc.append(doc_id)
                 out_idx.append(i)
                 out_content.append(content)
-                out_table.append(is_table)
-                out_kinds.append(kinds)
+                out_table.append(False)
+                out_kinds.append("")
                 out_total.append(len(results))
+                out_start.append(cs)
+                out_end.append(ce)
         n_out = len(out_doc)
         yield pa.RecordBatch.from_arrays(
             [pa.array(out_doc, type=pa.string()),
@@ -481,11 +545,14 @@ def _chunk_arrow_iter(batches, strategy: str, max_size: int,
              pa.array(out_table, type=pa.bool_()),
              pa.array(out_kinds, type=pa.string()),
              pa.array([strategy] * n_out, type=pa.string()),
-             # text strategies chunk re-joined text, so span-space positions
-             # don't exist — positional metadata is layout-path-only
+             # text strategies chunk the re-joined doc text (no single
+             # source page), so page stays null; start/end offsets are
+             # positions in that re-joined text (round-3 verdict item 5;
+             # exact on the fixed path, paragraph-span on semantic —
+             # see chunk_*_spans docstrings)
              pa.nulls(n_out, pa.int32()),
-             pa.nulls(n_out, pa.int32()),
-             pa.nulls(n_out, pa.int32()),
+             pa.array(out_start, type=pa.int32()),
+             pa.array(out_end, type=pa.int32()),
              pa.array(out_total, type=pa.int32())],
             names=[f.name for f in CHUNK_SCHEMA.fields])
 

