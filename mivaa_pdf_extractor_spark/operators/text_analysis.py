@@ -56,11 +56,16 @@ def doc_fingerprint(col: Column) -> Column:
 
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 8, w: int = 4,
-                           max_chars: int = 400) -> DataFrame:
+                           max_chars: int | None = None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., the rolling-hash
     scheme MOSS/CommonCrawl-style dedup uses), fully native:
 
-    - normalize (lowercase, collapse whitespace), cap at ``max_chars``;
+    - normalize (lowercase, collapse whitespace); by default the FULL
+      text is fingerprinted (round-3 verdict item 6: the old silent
+      400-char cap made two documents identical after byte 400 invisible
+      to this tier). ``max_chars`` remains as an EXPLICIT opt-in bound —
+      callers that set it are trading tail coverage for cost, and the
+      operator's contract says so here rather than hiding it;
     - hash every character k-gram (md5 — engine-portable, so the DuckDB
       twin reproduces values exactly);
     - slide a window of ``w`` gram-hashes, keep the minimum per window
@@ -83,10 +88,10 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    t = F.substring(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS_COLLAPSE,
-                                " ")),
-        1, max_chars)
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), _WS_COLLAPSE,
+                                " "))
+    if max_chars is not None:
+        t = F.substring(t, 1, max_chars)
     base = (df.select(F.col(id_col), t.alias("__t"))
             .filter(F.length("__t") >= k))
     n_grams = F.length("__t") - F.lit(k - 1)
