@@ -38,7 +38,21 @@ BENCH_QUERIES = [
     # round 3 additions
     "media_dedup_hamming", "chunk_type_classify", "chunks_indexed",
     "media_audio_windows",
+    # round 4 additions
+    "table_metadata_mine", "chunk_embedding_text", "chunk_text_offsets",
 ]
+
+# queries whose single-shot wall is dominated by first-invocation JIT /
+# codegen (measured in BASELINE.md): these additionally get a steady-state
+# column — median of STEADY_REPEATS consecutive runs — so the PLAN is
+# graded, not the JIT (round-3 verdict item 7). Single-shot numbers stay
+# for cross-round comparability.
+STEADY_QUERIES = {
+    "chunk_layout_spans", "chunks_indexed", "embedding_topk_lsh",
+    "embedding_near_dups", "media_dedup_hamming", "doc_winnowing",
+    "dedup_ngram_jaccard", "sheet_clip_spans",
+}
+STEADY_REPEATS = int(os.environ.get("SPARK_GRAFT_STEADY_REPEATS", "3"))
 
 
 def run_extraction_bench(spark, sf_dir: str) -> tuple[float, int]:
@@ -81,15 +95,24 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {"extract_pipeline_skewed": round(wall, 3)}
+    steady: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
+        walls = []
+        reps = (STEADY_REPEATS if name in STEADY_QUERIES
+                and STEADY_REPEATS > 1 else 1)
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(reps):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                walls.append(time.time() - t0)
+                release_cached()
+            timings[name] = round(walls[0], 3)  # single-shot (comparable)
+            if reps > 1:
+                steady[name] = round(sorted(walls)[len(walls) // 2], 3)
         except Exception:  # noqa: BLE001
             timings[name] = -1.0
         finally:
@@ -103,6 +126,7 @@ def main() -> None:
         "value": round(wall, 3),
         "unit": "sec",
         "queries": timings,
+        "queries_steady": steady,
         "sf": sf,
         "docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 2),

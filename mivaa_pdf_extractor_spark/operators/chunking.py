@@ -513,20 +513,36 @@ def _chunk_arrow_iter(batches, strategy: str, max_size: int,
                 names=[f.name for f in CHUNK_SCHEMA.fields])
             continue
 
+        import pyarrow.compute as pc
+
         doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans")
         lengths = spans_col.value_lengths().to_numpy(zero_copy_only=False)
         lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
         values = spans_col.flatten()
-        texts_all = values.field("text").to_pylist()
+
+        # Arrow-side per-doc text assembly (round-3 verdict item 10): drop
+        # empty/null span texts and binary_join the rest per doc, so ONE
+        # string per document crosses into Python — not one per span
+        texts = values.field("text")
+        tlen = pc.fill_null(pc.utf8_length(texts), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_all = np.repeat(np.arange(len(lengths)), lengths)
+        kept = np.flatnonzero(tlen > 0)
+        counts = np.bincount(doc_all[kept], minlength=len(lengths))
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets),
+                                     pc.take(texts, pa.array(kept))),
+            pa.scalar("\n\n"))
+        doc_texts = joined.to_pylist()
 
         (out_doc, out_idx, out_content, out_table, out_kinds, out_total,
          out_start, out_end) = [], [], [], [], [], [], [], []
-        start = 0
-        for doc_id, n in zip(doc_ids, lengths):
-            t = texts_all[start:start + n]
-            start += n
-            text = "\n\n".join(x for x in t if x)
+        for doc_id, text in zip(doc_ids, doc_texts):
+            if not text:
+                continue
             results = chunker(text, max_size)
             for i, (content, cs, ce) in enumerate(results):
                 out_doc.append(doc_id)
