@@ -31,7 +31,8 @@ from mivaa_pdf_extractor_spark.operators.layout import (analyze_sheet_layout,
                                                         normalize_regions,
                                                         spans_in_clip)
 from mivaa_pdf_extractor_spark.operators.tables_op import (
-    mine_table_metadata, parse_and_classify_tables)
+    aggregate_product_metadata, mine_table_metadata,
+    parse_and_classify_tables)
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
 from mivaa_pdf_extractor_spark.operators.media import (
     extract_image_features, sample_audio_windows, sample_frames,
@@ -1197,12 +1198,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mine_table_metadata(texts)
     q["table_metadata_mine"] = table_metadata_mine
 
+    def product_metadata_agg(spark, sf_dir):
+        # G7 per-product merge: the mined tables grouped 5-per-product
+        # (floor(doc_id/50)), ordered by doc id — packaging first-non-null,
+        # specs last-non-null, sizes sorted-distinct union, modal thickness
+        mined = table_metadata_mine(spark, sf_dir)
+        keyed = mined.select(
+            F.floor(F.col("id").cast("bigint") / 50).alias("product_id"),
+            F.col("id").cast("bigint").alias("page"), "*")
+        return aggregate_product_metadata(keyed, "product_id", "page")
+    q["product_metadata_agg"] = product_metadata_agg
+
     return q
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — names/rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
+
+# independently-derived expectations for the G7 mining over the
+# synthesized catalog/split-axis/spec tables — shared by the per-table
+# query and the per-product aggregation twin
+_G7_MINE_SQL = """
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN doc_id % 20 = 0 THEN 'specifications'
+                        ELSE 'dimensions' END AS table_type,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(30 + (doc_id % 7) * 10 AS VARCHAR)
+                             || 'x' ||
+                             CAST(60 + (doc_id % 5) * 20 AS VARCHAR)
+                             || ' cm' END AS sizes,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(8 + doc_id % 3 AS DOUBLE)
+                        END AS thickness_mm,
+                   CASE WHEN doc_id % 20 = 0 THEN NULL
+                        ELSE CAST(2 + doc_id % 4 AS DOUBLE)
+                        END AS pieces_per_box,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN CAST(30 + doc_id % 20 AS DOUBLE)
+                        END AS boxes_per_pallet,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN CAST(20 + doc_id % 15 AS DOUBLE) + 0.5
+                        END AS weight_per_box_kg,
+                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
+                        THEN 1 + 0.25 * (1 + doc_id % 3)
+                        END AS coverage_per_box_m2,
+                   CAST(NULL AS DOUBLE) AS pallet_weight_kg,
+                   CAST(NULL AS DOUBLE) AS pieces_per_m2,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN '< 0,' || CAST(doc_id % 9 AS VARCHAR) || '%'
+                        END AS water_absorption,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN 'R' || CAST(10 + doc_id % 4 AS VARCHAR)
+                        END AS slip_resistance,
+                   CASE WHEN doc_id % 20 = 0 THEN 'Conforme'
+                        END AS frost_resistance,
+                   CASE WHEN doc_id % 20 = 0
+                        THEN CAST(35 + doc_id % 10 AS VARCHAR) || ' N/mm²'
+                        END AS breaking_strength,
+                   CAST(NULL AS VARCHAR) AS abrasion_resistance,
+                   CAST(NULL AS VARCHAR) AS chemical_resistance,
+                   CAST(NULL AS VARCHAR) AS fire_rating
+            FROM documents WHERE doc_id % 10 = 0"""
+
 
 def oracle_sql() -> dict[str, str]:
     hits = {lang: _duck_lang_hits(lang) for lang in _LANGS}
@@ -1577,49 +1635,51 @@ def oracle_sql() -> dict[str, str]:
                              || content
                         ELSE content END AS embedding_text
             FROM l""",
-        "table_metadata_mine": """
-            -- independently-derived expectations for the G7 mining over
-            -- the synthesized catalog/split-axis/spec tables
-            SELECT CAST(doc_id AS VARCHAR) AS id,
-                   CASE WHEN doc_id % 20 = 0 THEN 'specifications'
-                        ELSE 'dimensions' END AS table_type,
-                   CASE WHEN doc_id % 20 = 0 THEN NULL
-                        ELSE CAST(30 + (doc_id % 7) * 10 AS VARCHAR)
-                             || 'x' ||
-                             CAST(60 + (doc_id % 5) * 20 AS VARCHAR)
-                             || ' cm' END AS sizes,
-                   CASE WHEN doc_id % 20 = 0 THEN NULL
-                        ELSE CAST(8 + doc_id % 3 AS DOUBLE)
-                        END AS thickness_mm,
-                   CASE WHEN doc_id % 20 = 0 THEN NULL
-                        ELSE CAST(2 + doc_id % 4 AS DOUBLE)
-                        END AS pieces_per_box,
-                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
-                        THEN CAST(30 + doc_id % 20 AS DOUBLE)
-                        END AS boxes_per_pallet,
-                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
-                        THEN CAST(20 + doc_id % 15 AS DOUBLE) + 0.5
-                        END AS weight_per_box_kg,
-                   CASE WHEN doc_id % 20 != 0 AND doc_id % 30 != 0
-                        THEN 1 + 0.25 * (1 + doc_id % 3)
-                        END AS coverage_per_box_m2,
-                   CAST(NULL AS DOUBLE) AS pallet_weight_kg,
-                   CAST(NULL AS DOUBLE) AS pieces_per_m2,
-                   CASE WHEN doc_id % 20 = 0
-                        THEN '< 0,' || CAST(doc_id % 9 AS VARCHAR) || '%'
-                        END AS water_absorption,
-                   CASE WHEN doc_id % 20 = 0
-                        THEN 'R' || CAST(10 + doc_id % 4 AS VARCHAR)
-                        END AS slip_resistance,
-                   CASE WHEN doc_id % 20 = 0 THEN 'Conforme'
-                        END AS frost_resistance,
-                   CASE WHEN doc_id % 20 = 0
-                        THEN CAST(35 + doc_id % 10 AS VARCHAR) || ' N/mm²'
-                        END AS breaking_strength,
-                   CAST(NULL AS VARCHAR) AS abrasion_resistance,
-                   CAST(NULL AS VARCHAR) AS chemical_resistance,
-                   CAST(NULL AS VARCHAR) AS fire_rating
-            FROM documents WHERE doc_id % 10 = 0""",
+        "table_metadata_mine": _G7_MINE_SQL,
+        "product_metadata_agg": f"""
+            -- G7 per-product merge over the mined-table expectations:
+            -- first-non-null packaging (arg_min on a null-masked key),
+            -- last-non-null specs, sorted-distinct size union, modal
+            -- thickness with smallest-value tie-break
+            WITH m AS ({_G7_MINE_SQL}),
+            b AS (SELECT CAST(floor(CAST(id AS BIGINT) / 50) AS BIGINT)
+                             AS product_id,
+                         CAST(id AS BIGINT) AS ord, * FROM m),
+            sz AS (SELECT product_id,
+                          array_to_string(list_sort(list_distinct(flatten(
+                              list(str_split(sizes, ','))))), ',') AS sizes
+                   FROM b WHERE sizes IS NOT NULL GROUP BY 1),
+            th AS (SELECT product_id, thickness_mm FROM (
+                       SELECT product_id, thickness_mm, count(*) AS c
+                       FROM b WHERE thickness_mm IS NOT NULL GROUP BY 1, 2)
+                   QUALIFY row_number() OVER (
+                       PARTITION BY product_id
+                       ORDER BY c DESC, thickness_mm) = 1),
+            ag AS (SELECT product_id,
+                   {', '.join(
+                       f"arg_min({c}, CASE WHEN {c} IS NOT NULL THEN ord "
+                       f"END) AS {c}"
+                       for c in ('pieces_per_box', 'boxes_per_pallet',
+                                 'weight_per_box_kg', 'coverage_per_box_m2',
+                                 'pallet_weight_kg', 'pieces_per_m2'))},
+                   {', '.join(
+                       f"arg_max({c}, CASE WHEN {c} IS NOT NULL THEN ord "
+                       f"END) AS {c}"
+                       for c in ('water_absorption', 'slip_resistance',
+                                 'frost_resistance', 'breaking_strength',
+                                 'abrasion_resistance',
+                                 'chemical_resistance', 'fire_rating'))}
+                   FROM b GROUP BY 1)
+            SELECT ag.product_id, sz.sizes, th.thickness_mm,
+                   ag.pieces_per_box, ag.boxes_per_pallet,
+                   ag.weight_per_box_kg, ag.coverage_per_box_m2,
+                   ag.pallet_weight_kg, ag.pieces_per_m2,
+                   ag.water_absorption, ag.slip_resistance,
+                   ag.frost_resistance, ag.breaking_strength,
+                   ag.abrasion_resistance, ag.chemical_resistance,
+                   ag.fire_rating
+            FROM ag LEFT JOIN sz USING (product_id)
+                    LEFT JOIN th USING (product_id)""",
         "image_doc_heuristic": """
             SELECT lang, avg_chars,
                    CASE WHEN avg_chars < 250 THEN 'ocr_first'

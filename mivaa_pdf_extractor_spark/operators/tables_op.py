@@ -12,7 +12,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..core.tables import (classify_table, grid_to_pipe_table,
                            parse_table_content, table_to_record)
@@ -90,6 +90,56 @@ def _mine_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                        for f in _NUM_FIELDS if f != "thickness_mm"],
                      *[mined["performance"].get(f) for f in _STR_FIELDS]))
     return pd.DataFrame(rows, columns=[f.name for f in MINED_SCHEMA.fields])
+
+
+def aggregate_product_metadata(mined: DataFrame,
+                               product_col: str = "product_id",
+                               order_col: str = "page") -> DataFrame:
+    """The reference's per-product merge across a product's tables
+    (table_metadata_extractor.py:96-171), restated as ONE native groupBy
+    (plus a tiny thickness-mode aggregate) over ``mine_table_metadata``
+    output joined with a product key and a table order (page):
+
+    - packaging fields: FIRST non-null in table order ('may have multiple
+      packaging tables' — a later table never overwrites, :136-139);
+    - performance specs: LAST non-null (dict .update semantics, :148-149);
+    - sizes: sorted distinct union of every table's size strings (:163-165);
+    - thickness: modal value across tables, ties to the smallest
+      (deterministic version of :168-171).
+
+    No UDF, no window over the full table — min_by/max_by with
+    null-masked ordering keys do first/last-non-null inside the
+    aggregation."""
+    first_keys = [f for f in _NUM_FIELDS if f != "thickness_mm"]
+    o = F.col(order_col)
+
+    def first_nn(c: str):
+        col = F.col(c)
+        return F.min_by(col, F.when(col.isNotNull(), o)).alias(c)
+
+    def last_nn(c: str):
+        col = F.col(c)
+        return F.max_by(col, F.when(col.isNotNull(), o)).alias(c)
+
+    agg = mined.groupBy(product_col).agg(
+        F.array_join(F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list(F.split(F.col("sizes"), ","))))), ",")
+        .alias("sizes"),
+        *[first_nn(c) for c in first_keys],
+        *[last_nn(c) for c in _STR_FIELDS],
+    ).withColumn("sizes", F.nullif(F.col("sizes"), F.lit("")))
+
+    th = (mined.filter(F.col("thickness_mm").isNotNull())
+          .groupBy(product_col, "thickness_mm").count()
+          .groupBy(product_col)
+          .agg(F.max_by(
+              "thickness_mm",
+              # mode with deterministic ties: highest count, then the
+              # SMALLEST thickness — negate it in the ordering key
+              F.struct(F.col("count"), (-F.col("thickness_mm"))
+                       .alias("neg"))).alias("thickness_mm")))
+    return agg.join(th, product_col, "left").select(
+        product_col, "sizes", "thickness_mm", *first_keys, *_STR_FIELDS)
 
 
 def mine_table_metadata(df: DataFrame, text_col: str = "text",

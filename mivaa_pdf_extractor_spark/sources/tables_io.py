@@ -356,6 +356,34 @@ class Catalog:
             return
         self._merge_buckets(df, name, key, delete_keys=delete_keys)
 
+    def compact(self, name: str, max_dirs_per_bucket: int = 1) -> int:
+        """Rewrite buckets whose dir-list has grown past
+        ``max_dirs_per_bucket`` (blind appends extend the lists) down to a
+        single dir each — the Iceberg ``rewrite_data_files`` maintenance
+        analogue. Only oversize buckets are read or written; returns how
+        many were compacted. No-op on Iceberg (the runtime compacts)."""
+        if self.use_iceberg:
+            return 0
+        m = self._manifest(name)
+        if m is None:
+            return 0
+        fat = [int(b) for b, dl in m["buckets"].items()
+               if len(dl) > max_dirs_per_bucket]
+        if not fat:
+            return 0
+        old = self._read_buckets(name, m, fat)
+        gen = m["version"] + 1
+        staged = self._stage_buckets(old, name, m["key"], gen)
+        buckets = dict(m["buckets"])
+        for b in fat:
+            buckets[str(b)] = [staged[b]] if b in staged else []
+        self._swap_manifest(name, {
+            "version": gen, "key": m["key"],
+            "num_buckets": m["num_buckets"], "schema": m["schema"],
+            "buckets": buckets,
+        })
+        return len(fat)
+
     # -------------------------------------------------- merge (parquet)
 
     def _merge_buckets(self, df: DataFrame, name: str, key: str,

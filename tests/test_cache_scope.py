@@ -6,6 +6,7 @@ from mivaa_pdf_extractor_spark.core.cache import (cache_scope,
 
 
 def test_scope_releases_only_its_own(spark):
+    release_cached()  # drain frames other suites' operators tracked
     # NB: plans must differ semantically (not just by alias) — Spark's
     # cache manager canonicalizes away renames and would share one entry
     a = spark.range(10).selectExpr("id as x")
@@ -23,6 +24,7 @@ def test_scope_releases_only_its_own(spark):
 
 
 def test_nested_scopes(spark):
+    release_cached()
     outer = spark.range(5).selectExpr("id as o")
     inner = spark.range(6).selectExpr("id as i")
     with cache_scope():

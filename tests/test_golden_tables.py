@@ -196,3 +196,46 @@ def test_mine_table_metadata_spark_operator(spark):
     assert spec["water_absorption"] == "< 0,5%"
     assert spec["slip_resistance"] == "R10"
     assert spec["frost_resistance"] == "Conforme"
+
+
+def test_aggregate_product_metadata_merge_semantics(spark):
+    """The reference's per-product merge (table_metadata_extractor.py:
+    96-171): packaging first-non-null in table order, performance
+    dict-update (last wins), sizes sorted-distinct union, modal thickness
+    with smallest-value tie-break."""
+    from mivaa_pdf_extractor_spark.operators.tables_op import (
+        MINED_SCHEMA, aggregate_product_metadata)
+
+    cols = [f.name for f in MINED_SCHEMA.fields]
+
+    def row(page, **kw):
+        base = {c: None for c in cols}
+        base["id"] = str(page)
+        base.update(kw)
+        return ("p1", page, *[base[c] for c in cols])
+
+    mined = spark.createDataFrame(
+        [row(1, table_type="dimensions", sizes="60x120 cm",
+             thickness_mm=9.0, pieces_per_box=2.0),
+         row(2, table_type="packaging", pieces_per_box=6.0,   # later: loses
+             weight_per_box_kg=20.5),                         # first: wins
+         row(3, table_type="specifications", water_absorption="< 0,5%",
+             slip_resistance="R10"),
+         row(4, table_type="specifications",
+             water_absorption="< 0,1%"),                      # later: wins
+         row(5, table_type="dimensions", sizes="30x60 cm,60x120 cm",
+             thickness_mm=8.0),
+         row(6, table_type="dimensions", thickness_mm=8.0)],  # mode -> 8
+        "product_id string, page int, " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in MINED_SCHEMA.fields))
+    out = aggregate_product_metadata(mined).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sizes"] == "30x60 cm,60x120 cm"
+    assert r["thickness_mm"] == 8.0          # two 8.0 tables beat one 9.0
+    assert r["pieces_per_box"] == 2.0        # first non-null wins
+    assert r["weight_per_box_kg"] == 20.5
+    assert r["water_absorption"] == "< 0,1%" # last non-null wins
+    assert r["slip_resistance"] == "R10"
+    assert r["boxes_per_pallet"] is None

@@ -231,3 +231,30 @@ def test_lineage_is_consistent(spark, tmp_path, corpus):
     assert int(agg["docs"]) == res.docs_processed == len(corpus)
     ext = cat.read("extracted").filter(F.col("run_id") == "lin")
     assert int(agg["spans"]) == ext.agg(F.sum("n_spans")).collect()[0][0]
+
+
+def test_catalog_compact_appends(spark, tmp_path):
+    """Blind appends grow bucket dir-lists; compact() rewrites only the
+    oversize buckets down to one dir each, preserving all rows."""
+    import json
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cmp"), num_buckets=4)
+    for gen in range(3):
+        df = spark.createDataFrame(
+            [(f"d{gen}-{i}", gen) for i in range(40)],
+            "doc_id string, v int")
+        cat.append(df, "t")
+    root = str(tmp_path / "cmp" / "t")
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m = json.load(f)
+    assert any(len(dl) > 1 for dl in m["buckets"].values())
+    n = cat.compact("t")
+    assert n > 0
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        m2 = json.load(f)
+    assert all(len(dl) <= 1 for dl in m2["buckets"].values())
+    assert cat.read("t").count() == 120  # nothing lost
+    assert cat.compact("t") == 0  # idempotent
