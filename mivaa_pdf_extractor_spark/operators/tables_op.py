@@ -109,7 +109,13 @@ def aggregate_product_metadata(mined: DataFrame,
 
     No UDF, no window over the full table — min_by/max_by with
     null-masked ordering keys do first/last-non-null inside the
-    aggregation."""
+    aggregation. The mined input is referenced by two subplans (the main
+    merge and the thickness mode), so it is persisted through the
+    operator cache registry — release with ``release_cached()`` /
+    ``cache_scope()`` after materializing."""
+    from ..core.cache import track
+
+    mined = track(mined)
     first_keys = [f for f in _NUM_FIELDS if f != "thickness_mm"]
     o = F.col(order_col)
 
