@@ -224,7 +224,9 @@ def _sheet_ctx(flat: pd.DataFrame,
         flag = (m.groupby(["doc_idx", "page"])["full_img"].max()
                 .reset_index())
         d = d.merge(flag, on=["doc_idx", "page"], how="left")
-        d["is_spread"] &= ~d["full_img"].fillna(False).astype(bool)
+        # notna()&eq(True) instead of fillna(False): the object-dtype
+        # fillna downcast is deprecated in pandas 2.x
+        d["is_spread"] &= ~(d["full_img"].notna() & d["full_img"].eq(True))
     n_phys = np.where(d["is_spread"], 2, 1)
     d["first_phys"] = (pd.Series(n_phys).groupby(d["doc_idx"]).cumsum()
                        - n_phys + 1)
