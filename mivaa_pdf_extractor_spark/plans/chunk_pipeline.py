@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.chunking import chunk_documents, classify_chunk_types
+from ..operators.chunking import (chunk_documents, classify_chunk_types,
+                                  with_embedding_text)
 from ..sources.tables_io import Catalog
 from .pipeline import read_extracted_latest
 
@@ -34,12 +35,15 @@ CHUNKS_TABLE = "chunks"
 def build_chunks(extracted: DataFrame, strategy: str = "layout",
                  max_size: int = 1000,
                  quality_threshold: float | None = None) -> DataFrame:
-    """The chunk table plan: chunker -> classifier -> id stamp."""
+    """The chunk table plan: chunker -> classifier -> heading-context
+    embedding text (C10 — the reference builds it right before the
+    embedding call, kb_chunker.py:231-235) -> id stamp."""
     chunks = chunk_documents(extracted, strategy=strategy,
                              max_size=max_size,
                              quality_threshold=quality_threshold,
                              dedup=True)
     chunks = classify_chunk_types(chunks)
+    chunks = with_embedding_text(chunks)
     return chunks.withColumn(
         "chunk_id",
         F.concat_ws("_", F.col("doc_id"),

@@ -30,8 +30,16 @@ def run_incremental(
     catalog: Catalog,
     stream_checkpoint: str,
     skew_threshold: int = C.DEFAULT_SKEW_THRESHOLD,
+    index_chunks: bool = False,
+    chunk_max_size: int = 1000,
 ) -> None:
-    """Process all currently-available new document files, then stop."""
+    """Process all currently-available new document files, then stop.
+
+    With ``index_chunks`` the micro-batch also runs Stage-2 over exactly
+    the batch's documents and namespace-replaces their chunk rows — the
+    streaming twin of ``run_chunk_indexing``, incremental in the batch's
+    doc set (the chunks of untouched documents are never read or
+    rewritten thanks to the bucketed catalog)."""
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .parquet(source_path)
@@ -45,11 +53,27 @@ def run_incremental(
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("ts", F.current_timestamp())
         )
-        # upsert, not append: the batch pipeline keys `extracted` on doc_id
-        # (one row per doc, no read-side compaction) — the streaming sink
-        # must preserve that invariant, and re-deliveries of a doc replace
-        # rather than duplicate
-        catalog.upsert(extracted, EXTRACTED_TABLE, key="doc_id")
+        if index_chunks:
+            # both sinks consume the extraction output — run it once
+            extracted = extracted.persist()
+        try:
+            # upsert, not append: the batch pipeline keys `extracted` on
+            # doc_id (one row per doc, no read-side compaction) — the
+            # streaming sink must preserve that invariant, and
+            # re-deliveries of a doc replace rather than duplicate
+            catalog.upsert(extracted, EXTRACTED_TABLE, key="doc_id")
+            if index_chunks:
+                from ..plans.chunk_pipeline import CHUNKS_TABLE, build_chunks
+                chunks = build_chunks(extracted,
+                                      max_size=chunk_max_size)
+                # delete-set = the batch's docs, not the produced chunks:
+                # a doc re-delivered as failed/empty must shed stale rows
+                catalog.replace_namespace(
+                    chunks, CHUNKS_TABLE, key="doc_id",
+                    delete_keys=extracted.select("doc_id").distinct())
+        finally:
+            if index_chunks:
+                extracted.unpersist()
 
     q = (
         stream.writeStream

@@ -145,6 +145,9 @@ def test_chunk_indexing_namespace_replace(spark, tmp_path):
     ).collect()[0]
     assert row["chunk_id"] == f"{target}_0"
     assert row["chunk_type"] is not None
+    # C10 wired into Stage-2: the chunks table carries embedding_text
+    assert row["embedding_text"] is not None
+    assert row["embedding_text"].endswith(row["content"])
 
 
 def test_winnowing_sees_document_tails(spark):

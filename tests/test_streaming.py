@@ -152,3 +152,38 @@ def test_stateful_sessionize_matches_batch(spark, dirs):
                       .groupBy("user_id", "session_id")
                       .agg(F.count("*").alias("n"))).collect()}
     assert got == want and len(want) == 4
+
+
+def test_streaming_chunk_indexing(spark, dirs):
+    """X3 + Stage-2: with index_chunks, each micro-batch chunk-indexes
+    exactly its documents — the chunks table stays in lockstep with the
+    extracted table across incremental deliveries."""
+    from mivaa_pdf_extractor_spark.plans.chunk_pipeline import CHUNKS_TABLE
+
+    docs1 = gen_corpus(20, seed=31)
+    _write_files(spark, docs1, dirs["src"])
+    catalog = Catalog(spark, dirs["warehouse"])
+    run_incremental(spark, dirs["src"], catalog, dirs["stream_cp"],
+                    index_chunks=True)
+    chunks1 = {(r["doc_id"], r["chunk_index"]): r["content"]
+               for r in catalog.read(CHUNKS_TABLE).collect()}
+    extracted_ids = {r["doc_id"] for r in
+                     catalog.read("extracted").select("doc_id").collect()}
+    chunked_ids = {d for d, _i in chunks1}
+    assert chunked_ids  # non-empty
+    assert chunked_ids <= extracted_ids  # only extracted docs have chunks
+    # embedding_text flows through the streaming path too
+    row = catalog.read(CHUNKS_TABLE).limit(1).collect()[0]
+    assert row["embedding_text"]
+
+    # second delivery: only new docs' namespaces change
+    docs2 = [{**d, "doc_id": "s2-" + d["doc_id"]}
+             for d in gen_corpus(10, seed=32)]
+    _write_files(spark, docs2, dirs["src"])
+    run_incremental(spark, dirs["src"], catalog, dirs["stream_cp"],
+                    index_chunks=True)
+    chunks2 = {(r["doc_id"], r["chunk_index"]): r["content"]
+               for r in catalog.read(CHUNKS_TABLE).collect()}
+    old = {k: v for k, v in chunks2.items() if not k[0].startswith("s2-")}
+    assert old == chunks1  # batch-1 namespaces byte-identical
+    assert any(k[0].startswith("s2-") for k in chunks2)
