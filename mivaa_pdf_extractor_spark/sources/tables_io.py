@@ -164,10 +164,17 @@ class Catalog:
         so a later keyed merge knows bucket pruning is unsound on it."""
         return key if key is not None and key in df.columns else None
 
-    def _bucket_col(self, df: DataFrame, key: str | None):
+    def _bucket_col(self, df: DataFrame, key: str | None,
+                    num_buckets: int | None = None):
+        """Bucket id expression. ``num_buckets`` must be the TABLE's
+        established bucket count (its manifest value) for any write into
+        an existing table — a Catalog instance constructed with a
+        different ``num_buckets`` would otherwise scatter rows
+        inconsistently and break pruned merges."""
         cols = [F.col(key)] if key is not None else [
             F.col(c) for c in df.columns]
-        return F.pmod(F.hash(*cols), F.lit(self.num_buckets))
+        return F.pmod(F.hash(*cols),
+                      F.lit(num_buckets or self.num_buckets))
 
     def _merged_schema(self, old_json: str, df: DataFrame) -> T.StructType:
         old = T.StructType.fromJson(json.loads(old_json))
@@ -179,14 +186,15 @@ class Catalog:
                                      allowMissingColumns=True).schema
 
     def _stage_buckets(self, df: DataFrame, name: str, key: str | None,
-                       gen: int) -> dict[int, str]:
+                       gen: int,
+                       num_buckets: int | None = None) -> dict[int, str]:
         """One Spark job: write ``df`` hash-partitioned by bucket into a
         staging dir, then rename each bucket's output into place as
         ``b<i>_g<gen>``. Returns {bucket: dirname}."""
         root = self._path(name)
         os.makedirs(root, exist_ok=True)
         stage = os.path.join(root, f"_stage_g{gen}")
-        (df.withColumn("__bucket", self._bucket_col(df, key))
+        (df.withColumn("__bucket", self._bucket_col(df, key, num_buckets))
            .write.mode("overwrite").partitionBy("__bucket").parquet(stage))
         out: dict[int, str] = {}
         for d in os.listdir(stage):
@@ -221,9 +229,11 @@ class Catalog:
             self._scrub_legacy(name)
         self._swap_manifest(name, manifest)
 
-    def _touched_buckets(self, keys_df: DataFrame, key: str) -> list[int]:
-        rows = (keys_df.select(self._bucket_col(keys_df, key).alias("b"))
-                .distinct().collect())
+    def _touched_buckets(self, keys_df: DataFrame, key: str,
+                         num_buckets: int | None = None) -> list[int]:
+        rows = (keys_df.select(
+            self._bucket_col(keys_df, key, num_buckets).alias("b"))
+            .distinct().collect())
         return sorted(r["b"] for r in rows)
 
     def _read_buckets(self, name: str, manifest: dict,
@@ -281,7 +291,8 @@ class Catalog:
         # fully rather than pruning buckets unsoundly)
         eff_key = self._bucket_key(df, m["key"])
         gen = m["version"] + 1
-        staged = self._stage_buckets(df, name, eff_key, gen)
+        staged = self._stage_buckets(df, name, eff_key, gen,
+                                     m["num_buckets"])
         buckets = dict(m["buckets"])
         for b, d in staged.items():
             buckets[str(b)] = buckets.get(str(b), []) + [d]
@@ -373,7 +384,8 @@ class Catalog:
             return 0
         old = self._read_buckets(name, m, fat)
         gen = m["version"] + 1
-        staged = self._stage_buckets(old, name, m["key"], gen)
+        staged = self._stage_buckets(old, name, m["key"], gen,
+                                     m["num_buckets"])
         buckets = dict(m["buckets"])
         for b in fat:
             buckets[str(b)] = [staged[b]] if b in staged else []
@@ -406,7 +418,8 @@ class Catalog:
             if m["key"] == key:
                 # bucket-pruned path: only buckets holding update keys are
                 # read and rewritten
-                touched = self._touched_buckets(keys, key)
+                touched = self._touched_buckets(keys, key,
+                                                m["num_buckets"])
                 if not touched:
                     return
                 old = self._read_buckets(name, m, touched)
@@ -420,7 +433,8 @@ class Catalog:
                 kept = old.join(keys, key, "left_anti")
                 merged = kept.unionByName(df, allowMissingColumns=True)
             gen = m["version"] + 1
-            staged = self._stage_buckets(merged, name, key, gen)
+            staged = self._stage_buckets(merged, name, key, gen,
+                                         m["num_buckets"])
             buckets = dict(m["buckets"])
             for b in touched:
                 # empty result for a touched bucket = all its rows deleted

@@ -258,3 +258,28 @@ def test_catalog_compact_appends(spark, tmp_path):
     assert all(len(dl) <= 1 for dl in m2["buckets"].values())
     assert cat.read("t").count() == 120  # nothing lost
     assert cat.compact("t") == 0  # idempotent
+
+
+def test_catalog_num_buckets_mismatch_is_safe(spark, tmp_path):
+    """A Catalog constructed with a different num_buckets than the
+    table's manifest must keep using the TABLE's bucketing — otherwise a
+    pruned upsert reads the wrong buckets and duplicates keys."""
+    import json
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    wh = str(tmp_path / "nb")
+    cat8 = Catalog(spark, wh, num_buckets=8)
+    cat8.upsert(spark.createDataFrame(
+        [(f"d{i}", 1) for i in range(50)], "doc_id string, v int"), "t")
+
+    cat16 = Catalog(spark, wh, num_buckets=16)  # different instance config
+    cat16.upsert(spark.createDataFrame(
+        [("d7", 2), ("dX", 2)], "doc_id string, v int"), "t")
+    got = {r["doc_id"]: r["v"] for r in cat16.read("t").collect()}
+    assert got["d7"] == 2 and got["dX"] == 2 and len(got) == 51
+    with open(os.path.join(wh, "t", "_MANIFEST")) as f:
+        m = json.load(f)
+    assert m["num_buckets"] == 8  # table keeps its established bucketing
+    assert max(int(b) for b in m["buckets"]) < 8
