@@ -283,3 +283,27 @@ def test_catalog_num_buckets_mismatch_is_safe(spark, tmp_path):
         m = json.load(f)
     assert m["num_buckets"] == 8  # table keeps its established bucketing
     assert max(int(b) for b in m["buckets"]) < 8
+
+
+def test_catalog_orphan_dirs_are_gcd_and_reads_unaffected(spark, tmp_path):
+    """Crash between bucket staging and the manifest swap leaves orphan
+    b*-dirs: readers never see them (reads go through the manifest), and
+    the next successful swap garbage-collects them."""
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "crash"), num_buckets=4)
+    df = spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    cat.upsert(df, "t")
+    root = str(tmp_path / "crash" / "t")
+    # simulate a crashed writer: orphan bucket dir with bogus data
+    orphan = os.path.join(root, "b0_g99")
+    spark.createDataFrame([("zzz", 99)], "doc_id string, v int") \
+        .write.parquet(orphan)
+    got = {r["doc_id"] for r in cat.read("t").collect()}
+    assert got == {"a", "b"}  # orphan invisible to readers
+    cat.upsert(spark.createDataFrame([("c", 2)], "doc_id string, v int"),
+               "t")
+    assert not os.path.isdir(orphan)  # GC'd by the next swap
+    assert {r["doc_id"] for r in cat.read("t").collect()} == {"a", "b", "c"}
