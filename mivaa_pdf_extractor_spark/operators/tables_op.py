@@ -81,9 +81,9 @@ def _mine_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         if grid is None:
             continue
         rec = table_to_record(grid)
-        mined = mine_table(classify_table(grid), rec["headers"],
-                           rec["rows"])
-        rows.append((i, classify_table(grid),
+        ttype = classify_table(grid)
+        mined = mine_table(ttype, rec["headers"], rec["rows"])
+        rows.append((i, ttype,
                      ",".join(mined["available_sizes"]) or None,
                      mined["thickness_mm"],
                      *[mined["packaging"].get(f)

@@ -38,6 +38,7 @@ echo "{\"probe\": $(echo "$PROBE" | tail -1), \"load\": $LOAD}" >> /tmp/scaling_
 GATE=$(python3 -c "print(1 if float('$EFF') >= ${GATE_MIN:-0.75} and float('$LOAD') < ${LOAD_MAX:-4.0} else 0)")
 if [ "$GATE" = "1" ]; then
   echo "GATE OPEN membw_eff=$EFF load=$LOAD pair=($N,$((4*N))) — running"
+  SPARK_GRAFT_SCALING_N="$N" \
   SPARK_GRAFT_SCALING_MULT=${SPARK_GRAFT_SCALING_MULT:-384} \
   SPARK_GRAFT_SCALING_REPEATS=${SPARK_GRAFT_SCALING_REPEATS:-3} \
     python scripts/bench_scaling.py 2>/dev/null | grep -E '^\{' | tail -1 \
