@@ -1096,6 +1096,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "table_type", "headers", "num_rows", "num_cols")
     q["table_parse_classify"] = table_parse_classify
 
+    def dedup_components(spark, sf_dir):
+        # connected components over a synthesized pair graph: chains of
+        # 6 nodes (edges (d, d+1) for d%8 in 0..4), diameter 5 — the min
+        # label needs 5 propagation rounds, exercising the fixpoint loop
+        d = _docs(spark, sf_dir).select("doc_id")
+        pairs = d.filter(F.col("doc_id") % 8 < 5).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"))
+        return dd.connected_components(pairs)
+    q["dedup_components"] = dedup_components
+
+    def dedup_canonical_docs(spark, sf_dir):
+        # keep one doc per near-dup component (plus all unpaired docs)
+        d = _docs(spark, sf_dir).select("doc_id")
+        pairs = d.filter(F.col("doc_id") % 8 < 5).select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"))
+        return dd.dedup_canonical(d, pairs).select("doc_id")
+    q["dedup_canonical_docs"] = dedup_canonical_docs
+
     def chunk_text_offsets(spark, sf_dir):
         # positional metadata on the TEXT strategies (round-3 verdict item
         # 5): fixed-strategy chunk_documents over sentence-free,
@@ -1583,6 +1603,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
             FROM documents WHERE doc_id % 10 = 0""",
+        "dedup_components": """
+            -- reachability min-label via recursive CTE (independent of
+            -- the engine's label-propagation loop)
+            WITH RECURSIVE p AS (
+                SELECT doc_id AS a, doc_id + 1 AS b
+                FROM documents WHERE doc_id % 8 < 5),
+            e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            n AS (SELECT DISTINCT a AS id FROM e),
+            r AS (
+                SELECT id, id AS comp FROM n
+                UNION
+                SELECT e.a AS id, r.comp FROM e JOIN r ON e.b = r.id)
+            SELECT id, min(comp) AS comp FROM r GROUP BY id""",
+        "dedup_canonical_docs": """
+            -- chains cover d%8 in 0..5 with component min at d%8 = 0;
+            -- docs outside the graph (d%8 in 6,7) all survive
+            SELECT doc_id FROM documents
+            WHERE doc_id % 8 = 0 OR doc_id % 8 >= 6""",
         "chunk_text_offsets": """
             -- independently-derived window arithmetic: advance 50,
             -- window 150, K = ceil((L-150)/50) extra chunks

@@ -280,3 +280,65 @@ def phash_hamming_pairs(features: DataFrame, max_hamming: int = 5,
     return (cand.withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select(*bcols, "id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise LSH/simhash/jaccard output into dedup CLUSTERS
+    (CommonCrawl-style pipelines keep one canonical document per
+    component, not per pair: A~B and B~C must collapse A,B,C together
+    even though (A,C) was never emitted as a pair).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round a node takes the min of its label and its neighbors'
+    labels; converged when a round changes nothing (O(component
+    diameter) rounds — near-dup graphs are short chains/stars, so
+    typically < 5). Each round shuffles only (id, label) pairs — the
+    same ~16-byte-row discipline as the LSH candidate exchanges — and
+    the per-round driver action is a single count (sanctioned: iterative
+    fixpoint algorithms are the one place SURVEY allows a driver loop).
+    Lineage is cut with localCheckpoint every few rounds so the plan
+    doesn't grow unboundedly.
+
+    Returns (id, component) where component = the minimum id in the
+    node's component. Ids may be any orderable type."""
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct())
+    edges = track(edges)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for i in range(max_iter):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
+                   .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min,
+                                  labels["id"] == nbr_min["src"], "left")
+                      .select(labels["id"],
+                              F.least("comp", "nbr_comp").alias("comp")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") < F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "comp")
+
+
+def dedup_canonical(df: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id",
+                    a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Keep one canonical row per near-dup component: documents in the
+    pair graph survive only if they ARE their component's minimum id;
+    documents outside the graph (no near-dups) all survive. The join
+    against the component map broadcasts when the pair graph is small
+    relative to the corpus (the common case — AQE decides)."""
+    comp = connected_components(pairs, a_col, b_col)
+    joined = df.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+    return (joined.filter(F.col("comp").isNull()
+                          | (F.col("comp") == F.col(id_col)))
+            .drop("comp"))

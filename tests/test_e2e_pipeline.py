@@ -173,3 +173,40 @@ def test_winnowing_sees_document_tails(spark):
                  sorted(capped.collect(), key=lambda r: r["doc_id"]),
                  key=lambda r: r["doc_id"])}
     assert csets["a"] == csets["b"]  # the cap's documented blindness
+
+
+def test_connected_components_vs_union_find(spark):
+    """Label propagation must agree with a reference union-find on a
+    graph with chains, a cycle, a star, and duplicate/reversed edges."""
+    from mivaa_pdf_extractor_spark.operators.dedup import (
+        connected_components, dedup_canonical)
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1),        # cycle
+             (10, 11), (11, 12), (12, 13), (13, 14),  # chain, diam 4
+             (20, 21), (20, 22), (20, 23),          # star
+             (2, 1), (10, 11)]                      # reversed + dup
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r["id"]: r["comp"]
+           for r in connected_components(pairs).collect()}
+    assert got == want
+
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id int")
+    kept = {r["doc_id"] for r in dedup_canonical(docs, pairs).collect()}
+    graph_nodes = set(want)
+    mins = set(want.values())
+    assert kept == (set(range(25)) - graph_nodes) | mins
