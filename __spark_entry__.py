@@ -1096,6 +1096,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "table_type", "headers", "num_rows", "num_cols")
     q["table_parse_classify"] = table_parse_classify
 
+    def corpus_curate(spark, sf_dir):
+        # end-to-end curation composition: language gate -> quality gate
+        # (micro-unit scores, no float compares) -> exact-dedup keep-min
+        # — the standard pre-training corpus filter chain as ONE plan
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        scored = d.select(
+            "doc_id", "text",
+            ta.lang_id(F.col("text")).alias("lang"),
+            _spark_quality_u(F.col("text")).alias("quality_u"))
+        gated = scored.filter((F.col("lang") == "en")
+                              & (F.col("quality_u") >= 500000))
+        kept = dd.exact_dedup(gated, text_col="text", id_col="doc_id")
+        return (gated.join(kept.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id", "lang", "quality_u"))
+    q["corpus_curate"] = corpus_curate
+
     def dedup_components(spark, sf_dir):
         # connected components over a synthesized pair graph: chains of
         # 6 nodes (edges (d, d+1) for d%8 in 0..4), diameter 5 — the min
@@ -1603,6 +1619,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Property,Standard' END AS headers,
                    1 AS num_rows, 2 AS num_cols
             FROM documents WHERE doc_id % 10 = 0""",
+        "corpus_curate": rf"""
+            WITH s AS (SELECT doc_id, text, {lang_case} AS lang,
+                              {_QUALITY_DUCK} AS quality_u
+                       FROM documents),
+            g AS (SELECT * FROM s
+                  WHERE lang = 'en' AND quality_u >= 500000),
+            k AS (SELECT min(doc_id) AS doc_id FROM g
+                  GROUP BY md5(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g'))))
+            SELECT g.doc_id, g.lang, g.quality_u
+            FROM g JOIN k USING (doc_id)""",
         "dedup_components": """
             -- reachability min-label via recursive CTE (independent of
             -- the engine's label-propagation loop)

@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "media_audio_windows",
     # round 4 additions
     "table_metadata_mine", "chunk_embedding_text", "chunk_text_offsets",
-    "product_metadata_agg", "dedup_components",
+    "product_metadata_agg", "dedup_components", "corpus_curate",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
