@@ -73,7 +73,13 @@ class Catalog:
 
     ``num_buckets`` sizes the rewrite granularity: tests use the default
     16; a 100 TB warehouse would use O(thousands) so each bucket is a few
-    GB and an incremental upsert touches a handful of them."""
+    GB and an incremental upsert touches a handful of them.
+
+    Concurrency model: single writer per table (like Hive-style external
+    tables without a lock service), any number of readers — the atomic
+    manifest swap means readers always see a complete generation.
+    Concurrent WRITERS need the real Iceberg runtime (optimistic commit
+    on the catalog); this fallback does not arbitrate between them."""
 
     def __init__(self, spark: SparkSession, warehouse: str,
                  prefer_iceberg: bool = True, num_buckets: int = 16):

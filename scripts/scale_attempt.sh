@@ -35,7 +35,10 @@ EOF
 )
 EFF=$(echo "$PROBE" | tail -1 | python3 -c "import json,sys; print(json.load(sys.stdin)['membw_eff'])")
 echo "{\"probe\": $(echo "$PROBE" | tail -1), \"load\": $LOAD}" >> /tmp/scaling_attempts.jsonl
-GATE=$(python3 -c "print(1 if float('$EFF') >= ${GATE_MIN:-0.75} and float('$LOAD') < ${LOAD_MAX:-4.0} else 0)")
+# upper bound too: eff >> 1 means the small-N probe itself was starved
+# by a neighbor burst (observed 83.6 when agg_small ~ 0) — not a quiet
+# window, a broken measurement
+GATE=$(python3 -c "print(1 if ${GATE_MIN:-0.75} <= float('$EFF') <= ${GATE_MAX:-1.15} and float('$LOAD') < ${LOAD_MAX:-4.0} else 0)")
 if [ "$GATE" = "1" ]; then
   echo "GATE OPEN membw_eff=$EFF load=$LOAD pair=($N,$((4*N))) — running"
   SPARK_GRAFT_SCALING_N="$N" \
