@@ -307,3 +307,55 @@ def test_catalog_orphan_dirs_are_gcd_and_reads_unaffected(spark, tmp_path):
                "t")
     assert not os.path.isdir(orphan)  # GC'd by the next swap
     assert {r["doc_id"] for r in cat.read("t").collect()} == {"a", "b", "c"}
+
+
+def test_catalog_model_random_ops(spark, tmp_path):
+    """Model check: a random interleaving of upsert / append / namespace
+    replace / compact must leave the bucketed table equal to a plain
+    dict model (upsert: key->row; append: multiset add; replace: clear
+    namespace then add)."""
+    import random
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    rng = random.Random(4242)
+    cat = Catalog(spark, str(tmp_path / "model"), num_buckets=4)
+    model: dict[str, list[int]] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id string, v int")
+
+    for step in range(12):
+        op = rng.choice(["upsert", "append", "replace", "compact"])
+        keys = [f"k{rng.randrange(8)}" for _ in range(rng.randrange(1, 4))]
+        rows = [(k, step) for k in set(keys)]
+        if op == "upsert":
+            cat.upsert(df_of(rows), "t")
+            for k, v in rows:
+                model[k] = [v]
+        elif op == "append":
+            cat.append(df_of(rows), "t")
+            for k, v in rows:
+                model.setdefault(k, []).append(v)
+        elif op == "replace":
+            # one key may legitimately produce zero new rows
+            drop = rng.choice(sorted({k for k, _ in rows}))
+            kept_rows = [(k, v) for k, v in rows if k != drop]
+            cat.replace_namespace(
+                df_of(kept_rows) if kept_rows else
+                spark.createDataFrame([], "doc_id string, v int"),
+                "t", delete_keys=df_of(rows).select("doc_id"))
+            for k, _ in rows:
+                model.pop(k, None)
+            for k, v in kept_rows:
+                model[k] = [v]
+        else:
+            if cat.exists("t"):
+                cat.compact("t")
+            continue
+        got: dict[str, list[int]] = {}
+        for r in cat.read("t").collect():
+            got.setdefault(r["doc_id"], []).append(r["v"])
+        want = {k: sorted(v) for k, v in model.items() if v}
+        assert {k: sorted(v) for k, v in got.items()} == want, \
+            f"divergence at step {step} after {op}"
