@@ -110,12 +110,16 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 walls.append(time.time() - t0)
+                if len(walls) == 1:
+                    # record the comparable single-shot wall immediately so
+                    # a failure in a LATER steady repeat can't discard it
+                    timings[name] = round(walls[0], 3)
                 release_cached()
-            timings[name] = round(walls[0], 3)  # single-shot (comparable)
             if reps > 1:
                 steady[name] = round(sorted(walls)[len(walls) // 2], 3)
         except Exception:  # noqa: BLE001
-            timings[name] = -1.0
+            if not walls:
+                timings[name] = -1.0
         finally:
             # drop operator-internal persisted intermediates (bucketed
             # corpora, signature tables) so a long query loop doesn't

@@ -312,6 +312,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     edges = track(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id")))
+    converged = False
     for i in range(max_iter):
         nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
                    .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
@@ -325,7 +326,15 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                    .filter(F.col("n.comp") < F.col("o.comp")).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # min-label propagation needs O(component diameter) rounds; a
+        # silent early exit would return WRONG labels (dedup_canonical
+        # would then keep several "canonical" docs per component)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds — a component's diameter exceeds max_iter; raise it")
     return labels.select("id", "comp")
 
 

@@ -123,6 +123,13 @@ class Catalog:
             full = os.path.join(root, d)
             if d.startswith("b") and os.path.isdir(full) and d not in live:
                 shutil.rmtree(full, ignore_errors=True)
+        # legacy remnants (pre-manifest layouts) are scrubbed only AFTER a
+        # manifest is durably published: a crash anywhere earlier leaves the
+        # legacy table intact and readable, and a crash after the swap
+        # leaves remnants that the NEXT successful swap removes — this also
+        # covers overwrite() straight over a legacy layout
+        if self._legacy_path(name) is not None:
+            self._scrub_legacy(name)
 
     @staticmethod
     def _read_json(path: str) -> dict | None:
@@ -207,8 +214,16 @@ class Catalog:
             if d.startswith("__bucket="):
                 b = int(d.split("=", 1)[1])
                 dest = f"b{b}_g{gen}"
-                os.replace(os.path.join(stage, d),
-                           os.path.join(root, dest))
+                full_dest = os.path.join(root, dest)
+                if os.path.isdir(full_dest):
+                    # a writer that crashed after renaming this generation's
+                    # dirs but before publishing its manifest left same-named
+                    # orphans; gen exceeds every published manifest version,
+                    # so they are unreferenced — clear and retry (os.replace
+                    # onto a non-empty dir raises ENOTEMPTY otherwise,
+                    # wedging the table permanently)
+                    shutil.rmtree(full_dest)
+                os.replace(os.path.join(stage, d), full_dest)
                 out[b] = dest
         shutil.rmtree(stage, ignore_errors=True)
         return out
@@ -231,8 +246,9 @@ class Catalog:
             "schema": json.dumps(df.schema.jsonValue()),
             "buckets": {str(b): [d] for b, d in staged.items()},
         }
-        if legacy is not None:
-            self._scrub_legacy(name)
+        # _swap_manifest scrubs the legacy files AFTER the manifest is
+        # durably published — scrubbing first would destroy the table's
+        # only copy if the process died between scrub and swap
         self._swap_manifest(name, manifest)
 
     def _touched_buckets(self, keys_df: DataFrame, key: str,
@@ -394,7 +410,14 @@ class Catalog:
                                      m["num_buckets"])
         buckets = dict(m["buckets"])
         for b in fat:
-            buckets[str(b)] = [staged[b]] if b in staged else []
+            buckets[str(b)] = []
+        # unkeyed tables re-hash rows on the manifest's column order, which
+        # can differ from the order at original write time and move rows to
+        # buckets OUTSIDE `fat` — extend those buckets' dir lists instead of
+        # dropping the staged dirs (keyed tables always stage within `fat`,
+        # where this reduces to the plain [d] replacement)
+        for b, d in staged.items():
+            buckets[str(b)] = buckets.get(str(b), []) + [d]
         self._swap_manifest(name, {
             "version": gen, "key": m["key"],
             "num_buckets": m["num_buckets"], "schema": m["schema"],
@@ -414,18 +437,30 @@ class Catalog:
             return
         # the update subtree is evaluated up to three times (touched-bucket
         # collect, anti-join build, union write) — persist it so an
-        # expensive upstream plan (full extraction) runs once
-        df = df.persist()
+        # expensive upstream plan (full extraction) runs once. Only
+        # unpersist what THIS call persisted: a caller sharing one persisted
+        # frame across sinks (the streaming path) must not lose its cache
+        df_persisted = not df.is_cached
+        if df_persisted:
+            df = df.persist()
         keys = (delete_keys if delete_keys is not None
                 else df.select(key)).select(key).distinct()
-        if delete_keys is not None:
+        keys_persisted = delete_keys is not None and not keys.is_cached
+        if keys_persisted:
             keys = keys.persist()
         try:
             if m["key"] == key:
                 # bucket-pruned path: only buckets holding update keys are
-                # read and rewritten
-                touched = self._touched_buckets(keys, key,
-                                                m["num_buckets"])
+                # read and rewritten. `touched` must cover BOTH the delete
+                # keys and the incoming rows' keys — with an explicit
+                # delete_keys that misses a df key, staging would otherwise
+                # wholesale-replace an unread bucket's dir list (data loss)
+                touched_set = set(self._touched_buckets(
+                    keys, key, m["num_buckets"]))
+                if delete_keys is not None:
+                    touched_set |= set(self._touched_buckets(
+                        df.select(key).distinct(), key, m["num_buckets"]))
+                touched = sorted(touched_set)
                 if not touched:
                     return
                 old = self._read_buckets(name, m, touched)
@@ -455,6 +490,7 @@ class Catalog:
                 "buckets": buckets,
             })
         finally:
-            df.unpersist()
-            if delete_keys is not None:
+            if df_persisted:
+                df.unpersist()
+            if keys_persisted:
                 keys.unpersist()

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Background loop: attempt a gated scaling run every ~90s, but never while
+# the foreground session is doing heavy work (mutex: /tmp/dev_busy).
+cd /root/repo
+while true; do
+  if [ ! -f /tmp/dev_busy ]; then
+    echo "=== $(date +%H:%M:%S) attempt ===" >> /tmp/scale_loop.log
+    bash scripts/scale_attempt.sh >> /tmp/scale_loop.log 2>&1
+  fi
+  sleep 90
+done

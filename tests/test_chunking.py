@@ -244,8 +244,8 @@ def test_text_strategy_offsets():
     src = paras[0] + "\n\n" + paras[1] + "\n \n" + paras[2] + "\n\n" + paras[3]
     spans = chunk_semantic_spans(src, max_size=25, overlap=5)
     assert [c for c, _s, _e in spans] == [
-        "alpha one", "beta two three", "three\n\ngamma",  # 5-char carry
-        "gamma\n\ndelta five"][:len(spans)] or spans
+        "alpha one\n\nbeta two three",   # 25 chars == max_size: both fit
+        "three\n\ngamma\n\ndelta five"]  # 5-char carry prefix from overlap
     for _c, s, e in spans:
         # every chunk's source range starts at a paragraph start
         assert any(src[s:].startswith(p) for p in paras), (s, src[s:s+10])

@@ -359,3 +359,158 @@ def test_catalog_model_random_ops(spark, tmp_path):
         want = {k: sorted(v) for k, v in model.items() if v}
         assert {k: sorted(v) for k, v in got.items()} == want, \
             f"divergence at step {step} after {op}"
+
+def test_catalog_same_gen_orphan_collision(spark, tmp_path):
+    """A writer that crashed AFTER renaming its generation's bucket dirs
+    into the table root but BEFORE publishing the manifest leaves orphans
+    named with the very generation the next writer recomputes. The retry
+    must clear them and succeed (os.replace onto a non-empty dir raises
+    ENOTEMPTY otherwise, wedging every subsequent write)."""
+    import json
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wedge"), num_buckets=4)
+    cat.upsert(spark.createDataFrame([("a", 1), ("b", 1)],
+                                     "doc_id string, v int"), "t")
+    root = str(tmp_path / "wedge" / "t")
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        gen = json.load(f)["version"]
+    # crashed writer's leftovers for the NEXT generation, in every bucket
+    for b in range(4):
+        spark.createDataFrame([("zz", 9)], "doc_id string, v int") \
+            .write.parquet(os.path.join(root, f"b{b}_g{gen + 1}"))
+    cat.upsert(spark.createDataFrame([("c", 2)], "doc_id string, v int"),
+               "t")
+    got = {r["doc_id"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 1, "b": 1, "c": 2}  # no wedge, no phantom "zz"
+
+
+def test_catalog_legacy_scrub_only_after_manifest_publish(
+        spark, tmp_path, monkeypatch):
+    """Migrating a legacy table must not destroy its only copy: if the
+    manifest publish itself dies, the legacy files are still on disk and
+    readable, and the retry completes the migration."""
+    import os
+
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    wh = str(tmp_path / "migcrash")
+    old = spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    old.write.mode("append").parquet(os.path.join(wh, "t"))
+    cat = Catalog(spark, wh)
+
+    import pytest
+
+    def dying_swap(name, manifest):
+        raise RuntimeError("simulated crash during manifest swap")
+
+    monkeypatch.setattr(cat, "_swap_manifest", dying_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cat.upsert(spark.createDataFrame([("c", 2)],
+                                         "doc_id string, v int"), "t")
+    monkeypatch.undo()
+    # legacy data survived the crash and is still served
+    assert {r["doc_id"] for r in cat.read("t").collect()} == {"a", "b"}
+    # retry completes: rows merged, legacy root part files scrubbed
+    cat.upsert(spark.createDataFrame([("c", 2)], "doc_id string, v int"),
+               "t")
+    got = {r["doc_id"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 1, "b": 1, "c": 2}
+    root = os.path.join(wh, "t")
+    assert not any(f.endswith(".parquet") for f in os.listdir(root)
+                   if os.path.isfile(os.path.join(root, f)))
+
+
+def test_replace_namespace_delete_keys_missing_df_key(spark, tmp_path):
+    """delete_keys that does NOT cover every key in df: rows sharing a
+    bucket with the uncovered key must survive (previously the staged
+    bucket wholesale-replaced the unread bucket's dir list), and with an
+    EMPTY delete_keys the df rows must still be inserted."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "nsmiss"), num_buckets=2)
+    base = spark.createDataFrame([(f"k{i}", 0) for i in range(8)],
+                                 "doc_id string, v int")
+    cat.replace_namespace(base, "t")
+    upd = spark.createDataFrame([("k1", 7)], "doc_id string, v int")
+    only_k0 = spark.createDataFrame([("k0",)], "doc_id string")
+    cat.replace_namespace(upd, "t", delete_keys=only_k0)
+    got = {}
+    for r in cat.read("t").collect():
+        got.setdefault(r["doc_id"], []).append(r["v"])
+    # k0 deleted; k1 keeps its old row AND gains the new one (it was not
+    # in the delete set); every other key intact
+    assert "k0" not in got
+    assert sorted(got["k1"]) == [0, 7]
+    assert all(got[f"k{i}"] == [0] for i in range(2, 8))
+
+    empty_keys = spark.createDataFrame([], "doc_id string")
+    cat.replace_namespace(
+        spark.createDataFrame([("k9", 9)], "doc_id string, v int"),
+        "t", delete_keys=empty_keys)
+    got2 = {r["doc_id"] for r in cat.read("t").collect()}
+    assert "k9" in got2  # df not silently discarded on empty delete_keys
+
+
+def test_catalog_compact_unkeyed_column_order(spark, tmp_path):
+    """Unkeyed tables bucket rows by full-row hash in the INCOMING column
+    order; compaction re-reads in manifest order, which can move rows to
+    buckets outside the compacted set — none may be dropped."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "unkeyed"), num_buckets=4)
+    # gen 1 fills every bucket with ONE dir (non-fat) in (a, b) order
+    df1 = spark.createDataFrame([(f"e{i}", i) for i in range(40)],
+                                "a string, b int")
+    cat.append(df1, "log", key="doc_id")  # key absent -> unkeyed
+    # gen 2 adds a handful of rows in (b, a) order: only their buckets
+    # become fat; at compact time they re-hash in manifest (a, b) order
+    # and some land in buckets that were never compacted
+    df2 = spark.createDataFrame([(i, f"e{i}") for i in range(100, 108)],
+                                "b int, a string")
+    cat.append(df2, "log", key="doc_id")
+    before = {(r["a"], r["b"]) for r in cat.read("log").collect()}
+    assert len(before) == 48
+    assert cat.compact("log") > 0
+    after = {(r["a"], r["b"]) for r in cat.read("log").collect()}
+    assert after == before  # no row lost to bucket movement
+
+
+def test_merge_preserves_caller_persist(spark, tmp_path):
+    """upsert/replace_namespace must not unpersist a frame the CALLER
+    cached (the streaming path shares one persisted extraction across two
+    sinks)."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "persist"))
+    cat.upsert(spark.createDataFrame([("a", 1)], "doc_id string, v int"),
+               "t")
+    upd = spark.createDataFrame([("b", 2)], "doc_id string, v int").persist()
+    try:
+        assert upd.is_cached
+        cat.upsert(upd, "t")
+        assert upd.is_cached  # caller's cache untouched
+    finally:
+        upd.unpersist()
+
+
+def test_connected_components_non_convergence_raises(spark):
+    """A component whose diameter exceeds max_iter must raise, not return
+    silently wrong labels (dedup_canonical would keep several 'canonical'
+    docs from one component)."""
+    import pytest
+
+    from mivaa_pdf_extractor_spark.operators.dedup import (
+        connected_components)
+
+    chain = spark.createDataFrame(
+        [(f"d{i}", f"d{i + 1}") for i in range(6)],
+        "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    labels = {r["id"]: r["comp"]
+              for r in connected_components(chain, max_iter=10).collect()}
+    assert set(labels.values()) == {"d0"}
