@@ -1245,6 +1245,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return aggregate_product_metadata(keyed, "product_id", "page")
     q["product_metadata_agg"] = product_metadata_agg
 
+    def stuck_jobs(spark, sf_dir):
+        # X5 stuck-job detection shape (plans/tracking.py; reference
+        # checkpoint_recovery_service.py:338-368): job := user_id, its
+        # status := latest event type, its heartbeat := latest event ts;
+        # stuck == not terminal ('purchase') AND heartbeat older than the
+        # corpus max ts minus 12 h. The scalar "now" rides a broadcast
+        # one-row cross join — no driver round-trip inside the plan.
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        last = (ev.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id",
+                        F.col("event_type").alias("last_status"),
+                        F.col("ts").alias("last_heartbeat")))
+        now = ev.agg(F.max("ts").alias("now_ts"))
+        return (last.crossJoin(F.broadcast(now))
+                .filter((F.col("last_status") != "purchase")
+                        & (F.col("last_heartbeat")
+                           < F.col("now_ts") - F.expr("INTERVAL 12 HOURS")))
+                .select("user_id", "last_status", "last_heartbeat"))
+    q["stuck_jobs"] = stuck_jobs
+
     return q
 
 
@@ -1306,6 +1329,19 @@ def oracle_sql() -> dict[str, str]:
         for lang in _LANGS) + " END"
 
     return {
+        "stuck_jobs": """
+            WITH last AS (
+              SELECT user_id, event_type AS last_status,
+                     ts AS last_heartbeat
+              FROM events
+              QUALIFY row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) = 1
+            )
+            SELECT user_id, last_status, last_heartbeat
+            FROM last
+            WHERE last_status <> 'purchase'
+              AND last_heartbeat <
+                  (SELECT max(ts) FROM events) - INTERVAL 12 HOUR""",
         "reading_order_sort": """
             SELECT event_id, user_id,
                    row_number() OVER (PARTITION BY user_id
