@@ -1268,6 +1268,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("user_id", "last_status", "last_heartbeat"))
     q["stuck_jobs"] = stuck_jobs
 
+    def doc_repetition(spark, sf_dir):
+        # Gopher/MassiveText within-doc repetition battery — map-only
+        # native array expressions (operators/text_analysis.py)
+        return ta.repetition_metrics(_docs(spark, sf_dir))
+    q["doc_repetition"] = doc_repetition
+
+    def paragraph_dedup(spark, sf_dir):
+        # CCNet-style cross-corpus block dedup + per-doc reassembly
+        # (operators/dedup.py block_dedup)
+        return dd.block_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
+    q["paragraph_dedup"] = paragraph_dedup
+
     return q
 
 
@@ -1329,6 +1341,56 @@ def oracle_sql() -> dict[str, str]:
         for lang in _LANGS) + " END"
 
     return {
+        "paragraph_dedup": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text),
+                         '[ \t\r\n]+'), x -> x <> '') AS w
+              FROM documents
+            ), nb AS (
+              SELECT id, w,
+                     CAST(floor((len(w) - 1) / 10) + 1 AS INT) AS n_blocks
+              FROM base WHERE len(w) > 0
+            ), b AS (
+              SELECT id, n_blocks, i AS pos,
+                     array_to_string(w[i*10+1 : i*10+10], ' ') AS block
+              FROM nb, unnest(generate_series(0, n_blocks - 1)) t(i)
+            ), k AS (
+              SELECT * FROM b
+              QUALIFY row_number() OVER (PARTITION BY block
+                  ORDER BY id, pos) = 1
+            )
+            SELECT id AS doc_id,
+                   CAST(any_value(n_blocks) AS INT) AS n_blocks,
+                   count(*) AS n_kept,
+                   string_agg(block, ' ' ORDER BY pos) AS cleaned_text
+            FROM k GROUP BY id""",
+        "doc_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                         '[ \t\r\n]+'), x -> x <> '') AS w
+              FROM documents
+            ), base AS (
+              SELECT doc_id, w, len(w) AS n_words
+              FROM w WHERE len(w) >= 3
+            ), g AS (
+              SELECT doc_id, n_words, w,
+                     list_transform(generate_series(1, n_words - 1),
+                         i -> w[i] || ' ' || w[i+1]) AS bi,
+                     list_transform(generate_series(1, n_words - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+              FROM base
+            )
+            SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                   round((len(w) - len(list_distinct(w)))
+                         / CAST(len(w) AS DOUBLE), 6) AS dup_word_frac,
+                   round(list_max(list_transform(list_distinct(bi),
+                             x -> len(list_filter(bi, y -> y = x))))
+                         / CAST(len(bi) AS DOUBLE), 6) AS top_bigram_frac,
+                   round((len(tri) - len(list_distinct(tri)))
+                         / CAST(len(tri) AS DOUBLE), 6) AS dup_trigram_frac
+            FROM g""",
         "stuck_jobs": """
             WITH last AS (
               SELECT user_id, event_type AS last_status,

@@ -351,3 +351,51 @@ def dedup_canonical(df: DataFrame, pairs: DataFrame,
     return (joined.filter(F.col("comp").isNull()
                           | (F.col("comp") == F.col(id_col)))
             .drop("comp"))
+
+
+def block_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                block_words: int = 10) -> DataFrame:
+    """Cross-corpus paragraph-level dedup in the CCNet style (Wenzek et
+    al. 2020: hash every paragraph, keep each hash's first occurrence,
+    reassemble documents from surviving paragraphs), with "paragraph" :=
+    ``block_words`` consecutive words, since this corpus carries no
+    newline structure. "First" is the corpus order (id, pos), so the
+    result is deterministic.
+
+    Returns one row per document that kept at least one block:
+    ``(doc_id, n_blocks, n_kept, cleaned_text)``.
+
+    Scale design: one shuffle partitioned on the block hash (the
+    keep-first window — CCNet's hash-partitioned dedup step) and one on
+    doc_id (reassembly). Block text rides the first shuffle because
+    reassembly needs it — that is the inherent cost of emitting cleaned
+    text rather than just verdicts; the hash keys themselves are md5.
+    No cross join, no driver-side state.
+    """
+    bw = int(block_words)
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\r\n]+"),
+                 lambda x: x != "")
+    base = (df.select(F.col(id_col).alias("id"), w.alias("w"))
+            .filter(F.size("w") > 0)
+            .withColumn("n_blocks",
+                        (F.floor((F.size("w") - 1) / bw) + 1).cast("int")))
+    blocks = base.select(
+        "id", "n_blocks",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, n_blocks - 1), "
+            f"i -> array_join(slice(w, i*{bw}+1, {bw}), ' '))"
+        )).alias("pos", "block"))
+    win = Window.partitionBy(F.md5("block")).orderBy("id", "pos")
+    kept = (blocks.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1).drop("rn"))
+    return (kept.groupBy("id")
+            .agg(F.first("n_blocks").alias("n_blocks"),
+                 F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "block"))),
+                         lambda s: s["block"]),
+                     " ").alias("cleaned_text"))
+            .withColumnRenamed("id", id_col))

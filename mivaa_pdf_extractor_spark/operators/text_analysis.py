@@ -203,3 +203,59 @@ def sequence_ratio_pairs(pairs: DataFrame, a_col: str = "text_a",
     _ratio = pandas_udf(_ratio_fn, T.DoubleType())
 
     return pairs.withColumn("seq_ratio", _ratio(F.col(a_col), F.col(b_col)))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_words: int = 3) -> DataFrame:
+    """Within-document repetition filters in the Gopher / MassiveText
+    style (Rae et al. 2021, §A1.1): the standard battery a pre-training
+    corpus pipeline applies to drop degenerate, self-repeating documents.
+
+    Per document (>= ``min_words`` words; shorter docs carry no signal and
+    are dropped):
+
+    - ``dup_word_frac``     fraction of word occurrences that repeat an
+                            earlier occurrence (1 - distinct/total)
+    - ``top_bigram_frac``   fraction of word-bigram occurrences taken by
+                            the single most frequent bigram
+    - ``dup_trigram_frac``  fraction of word-trigram occurrences that are
+                            repeats
+
+    Scale design: every metric is a native array expression on the row —
+    the whole operator is a map-only projection with NO shuffle and no
+    explode (the most-frequent-bigram count folds a sorted bigram array
+    with ``aggregate``: max equal-run length == max multiplicity). At
+    100 TB this runs entirely inside whole-stage codegen against the scan.
+    """
+    # explicit ASCII whitespace class: RE2 (DuckDB twin) and Java regex
+    # disagree on `\s` (\x0B), and dedup-adjacent keys must agree exactly
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\r\n]+"),
+                 lambda x: x != "")
+    base = (df.select(F.col(id_col), w.alias("w"))
+            .filter(F.size("w") >= min_words))
+    grams = base.select(
+        id_col, F.size("w").alias("n_words"), "w",
+        F.expr("transform(sequence(0, size(w)-2), "
+               "i -> concat(w[i], ' ', w[i+1]))").alias("bi"),
+        F.expr("transform(sequence(0, size(w)-3), "
+               "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))").alias("tri"))
+    # max multiplicity of any bigram == longest equal run in the sorted
+    # array: one native fold, no per-doc groupBy
+    top_bi = F.expr(
+        "aggregate(array_sort(bi), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(x <=> acc.prev, acc.run + 1, 1), "
+        "  'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1))), "
+        "acc -> acc.best)")
+    dup_frac = lambda col: F.round(  # noqa: E731
+        (F.size(col) - F.size(F.array_distinct(col)))
+        / F.size(col).cast("double"), 6)
+    return grams.select(
+        id_col, "n_words",
+        dup_frac("w").alias("dup_word_frac"),
+        F.round(top_bi / F.size("bi").cast("double"),
+                6).alias("top_bigram_frac"),
+        dup_frac("tri").alias("dup_trigram_frac"))
