@@ -71,13 +71,50 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 def srp_bucket(vec_col, planes: np.ndarray):
     """Sign-random-projection bucket id as a native expression: for each
     plane, sign(dot(v, plane)) bit — computed with zip_with against literal
-    plane arrays, folded into a bigint."""
+    plane arrays, folded into a bigint.
+
+    Kept as the reference form (it is what the DuckDB twin transliterates),
+    but the query path uses ``srp_buckets_udf``: higher-order-function
+    folds are NOT whole-stage-codegen'd, and n_tables x n_planes of them
+    over 64-literal plane arrays made Catalyst analysis itself the
+    bottleneck — the LSH queries measured ~7 s at 500 rows AND at 5,000
+    rows (compile-bound, not data-bound)."""
     bucket = F.lit(0).cast("long")
     for row in planes:
         plane = F.array(*[F.lit(float(x)) for x in row])
         bit = (_dot(_as_double(vec_col), plane) > 0).cast("long")
         bucket = bucket * 2 + bit
     return bucket
+
+
+def srp_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
+    """Arrow-vectorized SRP bucketing: ONE pandas UDF returns every hash
+    table's bucket id for a vector (array<long>, length n_tables) via a
+    single numpy matmul against all n_tables*n_planes hyperplanes.
+
+    Replaces 2*n_tables separate fold-expression columns whose Catalyst
+    analysis + interpreted evaluation dominated the LSH query walls.
+    Bit semantics are identical to ``srp_bucket``: bit_i = dot(v,
+    plane_i) > 0, first plane = MSB; float64 matmul vs left-fold can
+    disagree only when |dot| is at rounding-noise scale (~1e-13), which
+    the contract's value-hash run exercises."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.vstack([_hyperplanes(dim, n_planes, seed + t)
+                        for t in range(n_tables)])  # (T*B, dim)
+    weights = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def _buckets(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(col.tolist(), dtype=np.float64)        # (n, dim)
+        bits = (x @ planes.T > 0).reshape(len(x), n_tables, n_planes)
+        return pd.Series(list(bits @ weights))              # (n, T)
+
+    _buckets.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, T.ArrayType(T.LongType()))
 
 
 def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
@@ -98,21 +135,15 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # a persist would materialize the full corpus vectors for no reuse
     cbase = corpus.select(F.col(id_col).alias("neighbor_id"),
                           _as_double(F.col(vec_col)).alias("cv"))
-    qs, cs = [], []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        qs.append(queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
-        cs.append(corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.lit(t).alias("tbl"), srp_bucket(F.col(vec_col), planes).alias("bucket")))
-    q = qs[0]
-    for x in qs[1:]:
-        q = q.unionByName(x)
-    c = cs[0]
-    for x in cs[1:]:
-        c = c.unionByName(x)
+    # one Arrow matmul per batch computes every table's bucket;
+    # posexplode's pos IS the table index (replaces an n_tables-way union)
+    buckets = srp_buckets_udf(n_planes, n_tables, dim, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
     # no persist on the bucketed corpus either: unlike the near-dup
     # SELF-join (where both sides derive from the same bucketed table and
     # the persist prevents recomputing the SRP folds twice), here the
@@ -137,10 +168,6 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
-def _centroid_lit(row) -> "F.Column":
-    return F.array(*[F.lit(float(x)) for x in row])
-
-
 def random_centroids(n_centroids: int = 8, dim: int = 64,
                      seed: int = 123) -> np.ndarray:
     """Deterministic seeded coarse quantizer (the 'pretrained centroids'
@@ -150,12 +177,34 @@ def random_centroids(n_centroids: int = 8, dim: int = 64,
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def centroid_sims_udf(centroids: np.ndarray):
+    """array<double> of cosine(vec, centroid_i) for every centroid via one
+    Arrow-batched numpy matmul — same rationale as ``srp_buckets_udf``:
+    n_centroids fold expressions over 64-literal centroid arrays were
+    analysis- and interpretation-bound, not data-bound."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+
+    def _sims(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(col.tolist(), dtype=np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        return pd.Series(list((x @ c.T) / (xn[:, None] * cn[None, :])))
+
+    _sims.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_sims, T.ArrayType(T.DoubleType()))
+
+
 def ivf_assign(df: DataFrame, centroids: np.ndarray,
                vec_col: str = "embedding") -> DataFrame:
     """Adds ``cluster`` = argmax cosine(vec, centroid) (first max on ties,
     matching SQL list_position semantics)."""
-    sims = F.array(*[cosine(_as_double(F.col(vec_col)), _centroid_lit(c))
-                     for c in centroids])
+    sims = centroid_sims_udf(centroids)(F.col(vec_col))
     return df.withColumn(
         "cluster", (F.array_position(sims, F.array_max(sims)) - 1)
         .cast("int"))
@@ -199,8 +248,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     c = track(ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cv")), centroids, "cv"))
-    qsims = F.array(*[cosine(_as_double(F.col("qv")), _centroid_lit(x))
-                      for x in centroids])
+    qsims = centroid_sims_udf(centroids)(F.col("qv"))
     qp = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("qv"))
           .select("query_id", "qv",
@@ -233,16 +281,10 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     scoring (round-2 verdict item 3)."""
     base = track(df.select(F.col(id_col).alias("id"),
                            _as_double(F.col(vec_col)).alias("v")))
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        tables.append(df.select(
-            F.col(id_col).alias("id"),
-            F.lit(t).alias("tbl"),
-            srp_bucket(F.col(vec_col), planes).alias("bucket")))
-    allt = tables[0]
-    for x in tables[1:]:
-        allt = allt.unionByName(x)
+    buckets = srp_buckets_udf(n_planes, n_tables, dim, seed)
+    allt = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
     # self-join: both sides re-derive the SRP buckets without a persist
     allt = track(allt)
     a, b = allt.alias("a"), allt.alias("b")
