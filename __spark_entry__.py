@@ -35,8 +35,8 @@ from mivaa_pdf_extractor_spark.operators.tables_op import (
     parse_and_classify_tables)
 from mivaa_pdf_extractor_spark.operators.extract import run_extract
 from mivaa_pdf_extractor_spark.operators.media import (
-    extract_image_features, sample_audio_windows, sample_frames,
-    synth_media_for_extracted)
+    extract_image_features, media_object_rows, sample_audio_windows,
+    sample_frames, synth_media_for_extracted)
 from mivaa_pdf_extractor_spark.operators.skew import run_extract_skewed
 from mivaa_pdf_extractor_spark.sources.from_flat import (documents_to_spans,
                                                          with_synthetic_giants)
@@ -1280,6 +1280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.block_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
     q["paragraph_dedup"] = paragraph_dedup
 
+    def media_object_store(spark, sf_dir):
+        # S7 object-storage sink derivation over the real extraction:
+        # page-indexed filenames, doc-organized keys, the upload path's
+        # page-number re-parse, and the md5 payload stand-in as hex
+        spans = documents_to_spans(_docs(spark, sf_dir))
+        return media_object_rows(run_extract(spans)).select(
+            "object_key", "doc_id", "media_ref", "filename", "page_number",
+            F.lower(F.hex("content")).alias("content_md5"))
+    q["media_object_store"] = media_object_store
+
     return q
 
 
@@ -1341,6 +1351,22 @@ def oracle_sql() -> dict[str, str]:
         for lang in _LANGS) + " END"
 
     return {
+        "media_object_store": f"""
+            WITH {_DUCK_MEDIA_REFS},
+            o AS (
+              SELECT doc_id, media_ref,
+                     'page_' || regexp_extract(media_ref,
+                         '/p(\\d+)/', 1)
+                     || '_image_' || regexp_extract(media_ref,
+                         '/(img)(\\d+)$', 2)
+                     || '.png' AS filename
+              FROM refs)
+            SELECT doc_id || '/' || filename AS object_key,
+                   doc_id, media_ref, filename,
+                   CAST(regexp_extract(filename, 'page[_-]?(\\d+)', 1)
+                        AS INT) AS page_number,
+                   md5(media_ref) AS content_md5
+            FROM o""",
         "paragraph_dedup": """
             WITH base AS (
               SELECT doc_id AS id,

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     # round 4 additions
     "table_metadata_mine", "chunk_embedding_text", "chunk_text_offsets",
     "product_metadata_agg", "dedup_components", "corpus_curate",
-    "stuck_jobs", "doc_repetition", "paragraph_dedup",
+    "stuck_jobs", "doc_repetition", "paragraph_dedup", "media_object_store",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

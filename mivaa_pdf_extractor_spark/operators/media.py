@@ -168,3 +168,71 @@ def synth_media_for_extracted(extracted: DataFrame) -> DataFrame:
         F.lit(64).alias("width"), F.lit(64).alias("height"),
         F.lit(0).alias("duration_ms"),
     )
+
+
+OBJECT_SINK_SCHEMA = T.StructType([
+    T.StructField("object_key", T.StringType(), False),
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("filename", T.StringType()),
+    T.StructField("page_number", T.IntegerType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+
+def media_object_rows(extracted: DataFrame,
+                      use_real_codecs: bool = False) -> DataFrame:
+    """S7: derive the image/object-storage rows for every media span —
+    the reference's page-indexed filename pattern
+    ``page_{page}_image_{idx}.{ext}`` (pdf_processor.py:1022-1027),
+    document-organized object keys, and its upload path's page-number
+    RE-PARSE from the filename via ``page[_-]?(\\d+)``
+    (pdf_processor.py:1604-1612) — pinned as behavior, not re-derived
+    from the span, so a filename-scheme drift would surface as a
+    page_number mismatch.
+
+    The payload bytes are the stubbed step (no codec libraries in this
+    container): deterministic ``unhex(md5(media_ref))`` unless
+    ``use_real_codecs`` (NotImplementedError, like the feature
+    extractor). Everything else — derivation, keys, upsert — is real.
+    """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image re-encode requires PIL/opencv, not present in "
+            "this environment; the sink plumbing (naming, keys, upsert) "
+            "is real — swap the md5 stand-in for the encoded bytes")
+    refs = (extracted.select("doc_id", F.explode("spans").alias("s"))
+            .filter(F.col("s.media_ref") != "")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref")))
+    page = F.regexp_extract("media_ref", r"/p(\d+)/", 1)
+    layer = F.regexp_extract("media_ref", r"/(img|region|full_render)(\d*)$", 1)
+    idx = F.regexp_extract("media_ref", r"/(img|region|full_render)(\d*)$", 2)
+    filename = (
+        F.when(layer == "img",
+               F.concat(F.lit("page_"), page, F.lit("_image_"), idx,
+                        F.lit(".png")))
+        .when(layer == "region",
+              F.concat(F.lit("page_"), page, F.lit("_region_"), idx,
+                       F.lit(".png")))
+        .otherwise(F.concat(F.lit("page_"), page, F.lit("_full.png"))))
+    return (refs
+            .withColumn("filename", filename)
+            .select(
+                F.concat("doc_id", F.lit("/"), "filename")
+                .alias("object_key"),
+                "doc_id", "media_ref", "filename",
+                F.regexp_extract("filename", r"page[_-]?(\d+)", 1)
+                .cast("int").alias("page_number"),
+                F.unhex(F.md5("media_ref")).alias("content")))
+
+
+def media_object_sink(extracted: DataFrame, catalog, table: str =
+                      "media_objects",
+                      use_real_codecs: bool = False) -> None:
+    """Write the object rows through the catalog keyed on object_key —
+    re-running a document's extraction REPLACES its objects (the
+    reference's upload-overwrite semantics), so the sink is idempotent.
+    Deliberately returns nothing: a written-count would cost a post-write
+    read of the table per call (the round-2 ``count_input`` finding)."""
+    catalog.upsert(media_object_rows(extracted, use_real_codecs),
+                   table, key="object_key")
