@@ -703,6 +703,40 @@ def source_partitions(df: DataFrame) -> int:
         return df.sparkSession.sparkContext.defaultParallelism
 
 
+# Bytes of source per extraction task when spreading a too-coarse source.
+# The kernel runs ~135 ms per source MiB, and a mapInArrow task costs
+# ~14 ms of Python round-trip (both measured on this box) — 2 MiB/task
+# keeps the per-task overhead under ~5% of its compute.
+_REPART_BYTES_PER_TASK = 2 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan (file-footprint-derived for
+    parquet/Iceberg scans). -1 when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # pragma: no cover - defensive
+        return -1
+
+
+def auto_partition_target(df: DataFrame) -> int:
+    """Decide whether (and how wide) to spread a too-coarse source before
+    the Arrow pass. Returns 0 for "leave the scan partitions alone", else
+    a pinned repartition count: ~one task per 2 MiB of source, capped at
+    3x parallelism, and never narrower than the scan already is. Sources
+    at least as wide as the cluster are never reshuffled (their splits
+    are size-balanced by maxPartitionBytes already)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = source_partitions(df)
+    if src >= par:
+        return 0
+    size = _plan_size_bytes(df)
+    target = 3 * par if size < 0 else min(
+        3 * par, max(1, -(-size // _REPART_BYTES_PER_TASK)))
+    return target if target > src else 0
+
+
 def run_extract(df: DataFrame, num_partitions: int | None = None,
                 auto_repartition: bool = True) -> DataFrame:
     """The physical extraction plan for non-skewed documents:
@@ -718,12 +752,17 @@ def run_extract(df: DataFrame, num_partitions: int | None = None,
         # time and, worse, a cost that does not scale with cores). Run the
         # kernel directly on the scan partitions (Iceberg/parquet splits
         # are already size-balanced by maxPartitionBytes); repartition only
-        # when the source is too coarse to use the cluster.
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if source_partitions(df) < par:
-            target = 3 * par
-            # pin the count: a bare repartition(col) is AQE-coalescible by
-            # bytes, and span rows are bytes-small but Python-compute-heavy
+        # when the source is too coarse to use the cluster, and size the
+        # spread by BYTES, not a fixed 3x-parallelism fan: at small inputs
+        # the fixed fan's per-task Python round-trips dominated the wall
+        # (96 near-empty Arrow tasks for a 15 KB source measured ~1.3 s).
+        # Unknown stats fall back to the 3x fan (Long.Max default ->
+        # target caps at 3*par, the prior behavior).
+        target = auto_partition_target(df)
+        if target > 0:
+            # pin the count: a bare repartition(col) is AQE-coalescible
+            # by bytes, and span rows are bytes-small but
+            # Python-compute-heavy
             df = df.repartition(target, F.col("doc_id"))
     # mapInArrow, not mapInPandas: the spans column is array<struct>, which
     # pandas conversion would materialize as a dict per span on BOTH

@@ -385,12 +385,10 @@ def run_extract_skewed(
     giant = df.filter(n > skew_threshold)
     if num_partitions is None or num_partitions <= 0:
         # probe the RAW source once (one extra plan compile total) instead
-        # of letting run_extract probe the filtered subplan per call
-        spark = df.sparkSession
-        par = spark.sparkContext.defaultParallelism
-        from .extract import source_partitions
-        if source_partitions(df) < par:
-            num_partitions = 3 * par
+        # of letting run_extract probe the filtered subplan per call;
+        # bytes-proportional sizing shared with run_extract
+        from .extract import auto_partition_target
+        num_partitions = auto_partition_target(df) or None
     return run_extract(normal, num_partitions,
                        auto_repartition=False).unionByName(
         _extract_giant(giant, spans_per_bucket))
