@@ -1290,6 +1290,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lower(F.hex("content")).alias("content_md5"))
     q["media_object_store"] = media_object_store
 
+    def url_ingest(spark, sf_dir):
+        # S2 PDF-from-URL source over the injectable-transport fake
+        # (sources/url_source.py): status taxonomy, warn-only
+        # content-type gate, deterministic error strings
+        from mivaa_pdf_extractor_spark.sources.url_source import (
+            deterministic_urls, fake_transport, fetch_documents_from_urls)
+        urls = deterministic_urls(_docs(spark, sf_dir))
+        # content_type_ok as nullable INT: a NULL BOOLEAN canonicalizes
+        # asymmetrically across the two engines' pandas bridges
+        return fetch_documents_from_urls(urls, fake_transport).select(
+            "doc_id", "url", "status",
+            F.col("content_type_ok").cast("int").alias("content_type_ok"),
+            "n_bytes", "error")
+    q["url_ingest"] = url_ingest
+
     return q
 
 
@@ -1351,6 +1366,38 @@ def oracle_sql() -> dict[str, str]:
         for lang in _LANGS) + " END"
 
     return {
+        "url_ingest": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://corpus.example/doc/'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 17 = 0 THEN '#ct=html'
+                             ELSE '.pdf' END
+                     || CASE WHEN doc_id % 13 = 0 THEN '#404'
+                             WHEN doc_id % 19 = 0 THEN '#boom'
+                             ELSE '' END AS url
+              FROM documents),
+            f AS (
+              SELECT doc_id, url,
+                     doc_id % 13 = 0 OR doc_id % 19 = 0 AS failed
+              FROM u)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, url,
+                   CASE WHEN failed THEN 'download_failed'
+                        ELSE 'fetched' END AS status,
+                   CASE WHEN failed THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 0
+                        ELSE 1 END AS content_type_ok,
+                   CASE WHEN failed THEN NULL
+                        ELSE CAST(length(url) AS BIGINT) END AS n_bytes,
+                   CASE WHEN doc_id % 13 = 0
+                        THEN 'Failed to download PDF from ' || url
+                             || ': HTTP 404'
+                        WHEN doc_id % 19 = 0
+                        THEN 'Failed to download PDF from ' || url
+                             || ': simulated transport failure for '
+                             || url
+                        END AS error
+            FROM f""",
         "media_object_store": f"""
             WITH {_DUCK_MEDIA_REFS},
             o AS (
