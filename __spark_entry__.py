@@ -22,6 +22,7 @@ from mivaa_pdf_extractor_spark.operators import dedup as dd
 from mivaa_pdf_extractor_spark.operators import similarity as sim
 from mivaa_pdf_extractor_spark.operators import text_analysis as ta
 from mivaa_pdf_extractor_spark.operators import chunking as ck
+from mivaa_pdf_extractor_spark.operators import packing as pk
 from mivaa_pdf_extractor_spark.operators.chunking import (chunk_documents,
                                                           classify_chunk_types,
                                                           detect_cross_refs,
@@ -1305,6 +1306,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_bytes", "error")
     q["url_ingest"] = url_ingest
 
+    def decontaminate(spark, sf_dir):
+        # benchmark decontamination (operators/dedup.py
+        # ngram_decontaminate): eval set := the 21-word excerpt (words
+        # 5..25) of every 17th doc; flag corpus docs sharing any word
+        # 8-gram with it. Bench shingle set is broadcast — the corpus
+        # side never shuffles.
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        ws = F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+        bench = (d.filter(F.col("doc_id") % 17 == 0)
+                 .select("doc_id",
+                         F.array_join(F.slice(ws, 5, 21), " ").alias("text")))
+        return dd.ngram_decontaminate(d, bench, n=8).select("id", "n_hits")
+    q["decontaminate"] = decontaminate
+
+    def pii_redact(spark, sf_dir):
+        # PII redaction tier (operators/text_analysis.py pii_redact) over
+        # deterministically PII-enriched text: the synthetic corpus
+        # carries no addresses of its own, so each doc gets an email, an
+        # IPv4, an SSN-shaped id, and a phone number derived from doc_id
+        # — identically synthesized in the oracle.
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        did = F.col("doc_id")
+        four = F.lpad((did % 10000).cast("string"), 4, "0")
+        enriched = d.withColumn("text", F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com at 10.0."),
+            (did % 256).cast("string"), F.lit("."),
+            (F.floor(did / 256) % 256).cast("string"),
+            F.lit(" ssn 123-45-"), four,
+            F.lit(" call +1 (555) 010-"), four))
+        return ta.pii_redact(enriched)
+    q["pii_redact"] = pii_redact
+
+    def pack_training_sequences(spark, sf_dir):
+        # next-fit token packing into 128-token training sequences over 8
+        # independent pack partitions (operators/packing.py) — the
+        # pad-free batching pass; sequences never span partitions
+        d = _docs(spark, sf_dir).select(
+            "doc_id", (F.col("doc_id") % 8).cast("int").alias("part"),
+            ta.token_count_ws(F.col("text")).alias("tokens"))
+        return pk.pack_sequences(d, budget=128)
+    q["pack_training_sequences"] = pack_training_sequences
+
     return q
 
 
@@ -2152,4 +2197,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i * 1000 AS INTEGER) AS ts_ms,
                    media_ref || '/frame' || CAST(i AS VARCHAR) AS frame_ref
             FROM refs, unnest(generate_series(0, 4)) t(i)""",
+        "decontaminate": """
+            -- benchmark decontamination twin: same 21-word excerpts of
+            -- every 17th doc, same word 8-grams, set-join + count
+            WITH w AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    x -> x <> '') AS ws
+                FROM documents),
+            bw AS (SELECT ws[5:25] AS ws FROM w WHERE doc_id % 17 = 0),
+            ds AS (SELECT DISTINCT doc_id AS id, shingle FROM (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 7, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' '
+                      || ws[i+6] || ' ' || ws[i+7])) AS shingle
+                FROM w)),
+            bs AS (SELECT DISTINCT shingle FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(ws) - 7, 0)),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' '
+                      || ws[i+6] || ' ' || ws[i+7])) AS shingle
+                FROM bw))
+            SELECT id, count(*) AS n_hits
+            FROM ds JOIN bs USING (shingle) GROUP BY id""",
+        "pii_redact": """
+            -- sequential four-tier redaction: each tier counts on the
+            -- text as left by the previous tier (the operator contract)
+            WITH e AS (
+                SELECT doc_id, text || ' contact user'
+                    || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST((doc_id // 256) % 256 AS VARCHAR)
+                    || ' ssn 123-45-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' call +1 (555) 010-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                CAST(len(regexp_extract_all(t0,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS INT) AS n_email,
+                regexp_replace(t0,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g') AS t1 FROM e),
+            s2 AS (SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t1,
+                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                    AS INT) AS n_ip,
+                regexp_replace(t1,
+                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                    '<IP>', 'g') AS t2 FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ip,
+                CAST(len(regexp_extract_all(t2,
+                    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INT) AS n_ssn,
+                regexp_replace(t2, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                    '<SSN>', 'g') AS t3 FROM s2),
+            s4 AS (SELECT doc_id, n_email, n_ip, n_ssn,
+                CAST(len(regexp_extract_all(t3,
+                    '\\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phone,
+                regexp_replace(t3, '\\+?[0-9][0-9 ()-]{6,}[0-9]',
+                    '<PHONE>', 'g') AS t4 FROM s3)
+            SELECT doc_id, t4 AS redacted_text,
+                   n_email, n_ip, n_ssn, n_phone FROM s4""",
+        "pack_training_sequences": """
+            -- independent next-fit re-derivation: recursive CTE carrying
+            -- (fill, seq_id) along each part's doc_id order
+            WITH RECURSIVE d AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INT) AS part,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS INT) AS tokens,
+                       row_number() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            r AS (
+                SELECT part, rn, doc_id, tokens,
+                       CAST(0 AS INT) AS seq_id, tokens AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.part, d.rn, d.doc_id, d.tokens,
+                       CAST(CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                            THEN r.seq_id + 1 ELSE r.seq_id END AS INT),
+                       CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                            THEN d.tokens ELSE r.fill + d.tokens END
+                FROM d JOIN r ON d.part = r.part AND d.rn = r.rn + 1)
+            SELECT doc_id, part, seq_id, tokens FROM r""",
     }

@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "table_metadata_mine", "chunk_embedding_text", "chunk_text_offsets",
     "product_metadata_agg", "dedup_components", "corpus_curate",
     "stuck_jobs", "doc_repetition", "paragraph_dedup", "media_object_store",
-    "url_ingest",
+    "url_ingest", "decontaminate", "pii_redact", "pack_training_sequences",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -399,3 +399,40 @@ def block_dedup(df: DataFrame, text_col: str = "text",
                          lambda s: s["block"]),
                      " ").alias("cleaned_text"))
             .withColumnRenamed("id", id_col))
+
+
+def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation-benchmark set (the GPT-3 appendix-C
+    / Llama / The-Pile protocol — exact 13-gram overlap at web scale;
+    ``n`` is a knob because the contract corpus has ~55-word documents).
+
+    Returns one row per CONTAMINATED document:
+    ``(id, n_hits, contaminated)`` where ``n_hits`` counts the distinct
+    offending n-grams. Clean documents are absent by design — at 100 TB
+    the overwhelmingly common outcome is "clean", and emitting a row per
+    clean doc would write the whole corpus back out to answer a set-
+    membership question; callers who need the survivor set anti-join on
+    the returned ids (exactly how the reference's resume path consumes
+    its checkpoint table, plans/pipeline.py).
+
+    Scale design: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are MBs against 100 TB), so it is explicitly
+    ``broadcast()`` — the corpus-side shingle explode then never
+    shuffles: scan -> explode -> broadcast-hash semi-join -> partial
+    count -> final count on id. Shingles cross the join as md5 hashes,
+    not gram text. No corpus-side self-join, no full-corpus shuffle of
+    gram strings.
+    """
+    doc_sh = (word_shingles(docs, text_col, id_col, n)
+              .select("id", F.md5("shingle").alias("h")))
+    bench_sh = (word_shingles(bench, bench_text_col, id_col, n)
+                .select(F.md5("shingle").alias("h")).distinct())
+    hits = (doc_sh.join(F.broadcast(bench_sh), "h")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_hits"))
+            .withColumn("contaminated", F.lit(True)))
+    return hits

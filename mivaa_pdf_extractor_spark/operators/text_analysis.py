@@ -259,3 +259,40 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         F.round(top_bi / F.size("bi").cast("double"),
                 6).alias("top_bigram_frac"),
         dup_frac("tri").alias("dup_trigram_frac"))
+
+
+# PII patterns (redaction tier). ASCII-explicit classes only: the DuckDB
+# oracle runs RE2 and the engine runs Java regex, and the two disagree on
+# shorthand classes (`\s` vs \x0B) — never on these. Order matters and is
+# part of the operator contract: each tier counts/redacts on the text as
+# left by the previous tier, so a digit run consumed by the SSN pattern is
+# not double-counted by the looser phone pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrub pass a training corpus runs before anything else sees the
+    text: regex-tier redaction of emails, IPv4s, SSN-shaped ids, and phone
+    numbers, with per-type match counts for pipeline metrics.
+
+    Returns ``(id_col, redacted_text, n_email, n_ip, n_ssn, n_phone)``.
+
+    Scale design: a single map-only projection — four nested
+    ``regexp_replace`` calls and four ``regexp_count`` calls, all native
+    Column expressions inside whole-stage codegen against the scan. No
+    shuffle, no UDF, no Python. (An ML-scored second tier — NER models —
+    is the reference's LLM-escalation analogue and out of scope for the
+    same reason C11's LLM tier is: non-deterministic.)
+    """
+    text = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        text = F.regexp_replace(text, pat, token)
+    return df.select(F.col(id_col), text.alias("redacted_text"), *counts)
