@@ -1350,6 +1350,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pk.pack_sequences(d, budget=128)
     q["pack_training_sequences"] = pack_training_sequences
 
+    def mixture_sample(spark, sf_dir):
+        # fixed-mixture down-sampling (operators/sampling.py): weights
+        # 2^(srcnum % 3) in {1,2,4} — powers of two keep every ratio and
+        # quota binary-exact across engines; exact (hash-rank) mode
+        from mivaa_pdf_extractor_spark.operators.sampling import (
+            mixture_sample as mix)
+        d = _docs(spark, sf_dir).select("doc_id", "source")
+        weights = (d.select("source").distinct()
+                   .select("source", F.expr(
+                       "cast(shiftleft(1, cast(substring(source, 4) as int)"
+                       " % 3) as double)").alias("weight")))
+        return mix(d, weights)
+    q["mixture_sample"] = mixture_sample
+
+    def corpus_mixture_stats(spark, sf_dir):
+        # mixing-report rollup: per (source, lang) cell plus source and
+        # grand totals in ONE pass (partial aggregation handles the
+        # rollup tiers map-side — no second scan per tier)
+        d = _docs(spark, sf_dir)
+        return (d.rollup("source", "lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.sum(ta.token_count_ws(F.col("text")).cast("bigint"))
+                      .alias("sum_tokens"))
+                .select(F.coalesce("source", F.lit("ALL")).alias("source"),
+                        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                        "n_docs", "sum_chars", "sum_tokens"))
+    q["corpus_mixture_stats"] = corpus_mixture_stats
+
     return q
 
 
@@ -2284,4 +2313,33 @@ def oracle_sql() -> dict[str, str]:
                             THEN d.tokens ELSE r.fill + d.tokens END
                 FROM d JOIN r ON d.part = r.part AND d.rn = r.rn + 1)
             SELECT doc_id, part, seq_id, tokens FROM r""",
+        "mixture_sample": """
+            -- fixed-mixture twin: T = min(n_s/w_s), quota_s =
+            -- floor(w_s*T), fill by md5(doc_id) rank. Weights are powers
+            -- of two so every double op is exact in both engines.
+            WITH counts AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source),
+            j AS (SELECT source, n,
+                     CAST(1 << (CAST(substring(source, 4) AS INT) % 3)
+                          AS DOUBLE) AS weight
+                  FROM counts),
+            t AS (SELECT min(n / weight) AS t FROM j),
+            quota AS (SELECT source,
+                             CAST(floor(weight * t.t) AS BIGINT) AS quota
+                      FROM j, t),
+            ranked AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+                       FROM documents)
+            SELECT doc_id, source FROM ranked JOIN quota USING (source)
+            WHERE rk <= quota""",
+        "corpus_mixture_stats": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x <> ''))) AS BIGINT) AS sum_tokens
+            FROM documents GROUP BY ROLLUP (source, lang)""",
     }

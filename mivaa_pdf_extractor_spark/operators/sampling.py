@@ -1,0 +1,69 @@
+"""Corpus mixture sampling.
+
+Pre-training runs fix a mixture over data sources (the Pile / DoReMi-style
+"mixing weights": web 50%, books 30%, code 20%, ...). Given the corpus and
+a weight per source, this operator down-samples each source so the output
+follows the target mixture exactly while keeping as much data as possible:
+the output size is T = min_s(n_s / w_s) weighted units — the corpus the
+LIMITING source can support — and each source contributes
+floor(w_s * T) documents.
+
+Selection within a source is by md5(doc_id) order, so the sample is
+deterministic, reproducible across runs and engines (the property every
+resume/audit path here relies on), and unbiased with respect to corpus
+order.
+
+Scale design — two modes:
+
+- ``exact=True``: per-source quota filled by hash-rank (row_number over a
+  window partitioned by source). One shuffle, partitioned on source; with
+  few huge sources that window is SKEWED (one task per source at the
+  extreme), so exact mode is for audits and contract verification, not
+  the 100 TB pass.
+- ``exact=False``: threshold mode — keep a document when the uniform
+  fraction derived from its md5 falls below quota_s/n_s. Map-only against
+  the scan after the tiny (source, threshold) table broadcasts; quotas
+  are hit in expectation with O(sqrt(n)) deviation, which is what a
+  production mixing pass accepts in exchange for zero corpus shuffle.
+
+Both modes compute the quota table from one small aggregate (a handful of
+rows — it broadcasts) and never collect corpus data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def mixture_sample(df: DataFrame, weights: DataFrame,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   exact: bool = True) -> DataFrame:
+    """Down-sample ``df`` to the target source mixture.
+
+    ``weights``: a tiny DataFrame ``(source_col, weight)`` — relative
+    mixing weights, any positive scale. Sources absent from ``weights``
+    are dropped (weight 0). Returns ``(id_col, source_col)`` — the kept
+    documents.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    j = counts.join(F.broadcast(weights), source_col)
+    t = j.agg(F.min(F.col("n") / F.col("weight")).alias("t"))
+    quota = (j.crossJoin(F.broadcast(t))
+             .select(source_col, "n",
+                     F.floor(F.col("weight") * F.col("t")).alias("quota")))
+    base = df.select(F.col(id_col), F.col(source_col))
+    if exact:
+        w = (Window.partitionBy(source_col)
+             .orderBy(F.md5(F.col(id_col).cast("string"))))
+        ranked = base.withColumn("rk", F.row_number().over(w))
+        return (ranked.join(F.broadcast(quota), source_col)
+                .filter(F.col("rk") <= F.col("quota"))
+                .select(id_col, source_col))
+    # threshold mode: md5's top 60 bits as a uniform fraction in [0, 1) —
+    # 15 hex chars keeps the conv() inside exact double range
+    frac = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                   16, 10).cast("double") / F.lit(float(1 << 60)))
+    return (base.withColumn("__frac", frac)
+            .join(F.broadcast(quota), source_col)
+            .filter(F.col("__frac") * F.col("n") < F.col("quota"))
+            .select(id_col, source_col))
