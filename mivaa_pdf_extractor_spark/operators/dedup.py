@@ -401,6 +401,32 @@ def block_dedup(df: DataFrame, text_col: str = "text",
             .withColumnRenamed("id", id_col))
 
 
+def word_shingles_flat(df: DataFrame, text_col: str, id_col: str,
+                       n: int = 5) -> DataFrame:
+    """Word n-gram shingles per document WITHOUT within-doc dedup,
+    structured for full-corpus scans: the word split is materialized
+    below a Generate (explode of the gram-index sequence), so Catalyst
+    cannot inline it into the per-gram expression — the regex split runs
+    once per document, not once per gram. ``word_shingles``'s
+    transform-lambda form re-runs the split per element (the same
+    O(len × grams) inlining trap documented at
+    text_analysis.winnowing_fingerprints), which is fine on the dedup
+    tier's small unions but dominates on a whole-corpus pass. Callers
+    that need distinctness fold it into their next aggregate (already a
+    shuffle) instead of paying a dedicated one here."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    base = (df.select(F.col(id_col).alias("id"), ws.alias("__w"))
+            # guard BEFORE the explode: Spark's sequence(1, k) is
+            # descending for k < 1, not empty
+            .filter(F.size("__w") >= n))
+    g = base.select(
+        "id", "__w",
+        F.explode(F.sequence(F.lit(1),
+                             F.size("__w") - F.lit(n - 1))).alias("i"))
+    return g.select(
+        "id", F.array_join(F.slice("__w", F.col("i"), n), " ").alias("shingle"))
+
+
 def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str = "text",
@@ -427,12 +453,16 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
     not gram text. No corpus-side self-join, no full-corpus shuffle of
     gram strings.
     """
-    doc_sh = (word_shingles(docs, text_col, id_col, n)
+    doc_sh = (word_shingles_flat(docs, text_col, id_col, n)
               .select("id", F.md5("shingle").alias("h")))
-    bench_sh = (word_shingles(bench, bench_text_col, id_col, n)
+    bench_sh = (word_shingles_flat(bench, bench_text_col, id_col, n)
                 .select(F.md5("shingle").alias("h")).distinct())
+    # countDistinct (not a pre-join per-doc dedup): the corpus side stays
+    # a straight scan->explode->broadcast-join map chain, and the dedup
+    # of repeated grams rides the final aggregate — which only ever sees
+    # the HITS, a vanishingly small row set at scale
     hits = (doc_sh.join(F.broadcast(bench_sh), "h")
             .groupBy("id")
-            .agg(F.count("*").alias("n_hits"))
+            .agg(F.countDistinct("h").alias("n_hits"))
             .withColumn("contaminated", F.lit(True)))
     return hits
