@@ -1379,6 +1379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "n_docs", "sum_chars", "sum_tokens"))
     q["corpus_mixture_stats"] = corpus_mixture_stats
 
+    def corpus_split(spark, sf_dir):
+        # deterministic train/val/test assignment (operators/sampling.py
+        # hash_split): binary-exact fractions so the accumulated
+        # thresholds (0.75, 0.875) are the same doubles both engines see
+        from mivaa_pdf_extractor_spark.operators.sampling import hash_split
+        return hash_split(_docs(spark, sf_dir).select("doc_id"),
+                          fractions={"train": 0.75, "val": 0.125,
+                                     "test": 0.125})
+    q["corpus_split"] = corpus_split
+
     return q
 
 
@@ -2342,4 +2352,17 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(text, '\\s+'),
                        x -> x <> ''))) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY ROLLUP (source, lang)""",
+        "corpus_split": """
+            -- same md5-top-60-bit uniform fraction, same binary-exact
+            -- thresholds; 1152921504606846976 = 2^60
+            SELECT doc_id,
+                   CASE WHEN frac < 0.75 THEN 'train'
+                        WHEN frac < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    CAST(CAST('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS UBIGINT) AS DOUBLE)
+                    / 1152921504606846976.0 AS frac
+                  FROM documents)""",
     }

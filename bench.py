@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "product_metadata_agg", "dedup_components", "corpus_curate",
     "stuck_jobs", "doc_repetition", "paragraph_dedup", "media_object_store",
     "url_ingest", "decontaminate", "pii_redact", "pack_training_sequences",
-    "mixture_sample", "corpus_mixture_stats",
+    "mixture_sample", "corpus_mixture_stats", "corpus_split",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

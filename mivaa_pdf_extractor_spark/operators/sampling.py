@@ -67,3 +67,33 @@ def mixture_sample(df: DataFrame, weights: DataFrame,
             .join(F.broadcast(quota), source_col)
             .filter(F.col("__frac") * F.col("n") < F.col("quota"))
             .select(id_col, source_col))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               fractions: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hashing —
+    the split step every corpus pipeline runs last. ``fractions`` maps
+    split name -> fraction (must sum to 1); default 80/10/10.
+
+    The assignment key is md5(id)'s top 60 bits as a uniform fraction,
+    so it is (a) stable across runs, engines, and corpus growth — a
+    document keeps its split when the corpus is re-built, which is what
+    prevents silent train/test leakage between dataset versions — and
+    (b) independent of corpus order. Map-only projection, no shuffle;
+    the division is by a power of two, so the double is exact in any
+    IEEE engine (the DuckDB twin hashes to the same bit).
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    frac = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                   16, 10).cast("double") / F.lit(float(1 << 60)))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        step = F.when(frac < F.lit(acc), F.lit(name))
+        expr = step if expr is None else expr.when(frac < F.lit(acc),
+                                                   F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.select(F.col(id_col), expr.alias("split"))

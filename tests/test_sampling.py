@@ -67,3 +67,27 @@ def test_threshold_mode_tracks_quota_approximately(spark):
     # binomial(n, quota/n) so allow generous slack
     assert abs(got.get("web", 0) - 100) < 40
     assert abs(got.get("books", 0) - 100) < 15
+
+
+def test_hash_split_deterministic_and_map_only(spark):
+    from mivaa_pdf_extractor_spark.operators.sampling import hash_split
+
+    df = _corpus(spark, {"web": 400}).select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b
+    # roughly 80/10/10 (binomial slack)
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert abs(counts["train"] - 0.8 * n) < 60
+    assert counts["train"] + counts["val"] + counts["test"] == n
+    # a document keeps its split when the corpus grows (stability is the
+    # anti-leakage property)
+    bigger = _corpus(spark, {"web": 800}).select("doc_id")
+    c = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hash_split(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
