@@ -180,6 +180,28 @@ FROM ({sh}) GROUP BY id
 # inverted-index fan-out guard ON; the twin applies the identical cap
 _SHINGLE_FREQ_CAP = 1000
 
+# shared next-fit recursion for the packing twins (pack_training_sequences
+# and packing_report): (fill, seq_id) carried along each part's doc_id order
+_DUCK_PACK_RECURSION = """d AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INT) AS part,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')) AS INT) AS tokens,
+                       row_number() OVER (PARTITION BY doc_id % 8
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            r AS (
+                SELECT part, rn, doc_id, tokens,
+                       CAST(0 AS INT) AS seq_id, tokens AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.part, d.rn, d.doc_id, d.tokens,
+                       CAST(CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                            THEN r.seq_id + 1 ELSE r.seq_id END AS INT),
+                       CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                            THEN d.tokens ELSE r.fill + d.tokens END
+                FROM d JOIN r ON d.part = r.part AND d.rn = r.rn + 1)"""
+
 _DUCK_SHINGLES_CAPPED = """
 SELECT id, shingle FROM ({sh})
 QUALIFY count(*) OVER (PARTITION BY shingle) <= {cap}
@@ -1389,6 +1411,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      "test": 0.125})
     q["corpus_split"] = corpus_split
 
+    def packing_report(spark, sf_dir):
+        # padding-efficiency rollup over the packed sequences: per part,
+        # how many sequences, docs, tokens, and wasted (padded) token
+        # slots the 128-token batching would cost. All-integer outputs —
+        # no float drift. An oversize singleton wastes 0 (greatest).
+        packed = q["pack_training_sequences"](spark, sf_dir)
+        per_seq = (packed.groupBy("part", "seq_id")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("tokens").alias("seq_tokens")))
+        return (per_seq.groupBy("part")
+                .agg(F.count("*").alias("n_seqs"),
+                     F.sum("n_docs").alias("n_docs"),
+                     F.sum("seq_tokens").alias("total_tokens"),
+                     F.sum(F.greatest(F.lit(128) - F.col("seq_tokens"),
+                                      F.lit(0))).alias("total_waste")))
+    q["packing_report"] = packing_report
+
     return q
 
 
@@ -2300,29 +2339,23 @@ def oracle_sql() -> dict[str, str]:
                     '<PHONE>', 'g') AS t4 FROM s3)
             SELECT doc_id, t4 AS redacted_text,
                    n_email, n_ip, n_ssn, n_phone FROM s4""",
-        "pack_training_sequences": """
+        "pack_training_sequences": f"""
             -- independent next-fit re-derivation: recursive CTE carrying
             -- (fill, seq_id) along each part's doc_id order
-            WITH RECURSIVE d AS (
-                SELECT doc_id, CAST(doc_id % 8 AS INT) AS part,
-                       CAST(len(list_filter(
-                           regexp_split_to_array(text, '\\s+'),
-                           x -> x <> '')) AS INT) AS tokens,
-                       row_number() OVER (PARTITION BY doc_id % 8
-                                          ORDER BY doc_id) AS rn
-                FROM documents),
-            r AS (
-                SELECT part, rn, doc_id, tokens,
-                       CAST(0 AS INT) AS seq_id, tokens AS fill
-                FROM d WHERE rn = 1
-                UNION ALL
-                SELECT d.part, d.rn, d.doc_id, d.tokens,
-                       CAST(CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
-                            THEN r.seq_id + 1 ELSE r.seq_id END AS INT),
-                       CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
-                            THEN d.tokens ELSE r.fill + d.tokens END
-                FROM d JOIN r ON d.part = r.part AND d.rn = r.rn + 1)
+            WITH RECURSIVE {_DUCK_PACK_RECURSION}
             SELECT doc_id, part, seq_id, tokens FROM r""",
+        "packing_report": f"""
+            WITH RECURSIVE {_DUCK_PACK_RECURSION},
+            per_seq AS (
+                SELECT part, seq_id, count(*) AS n_docs,
+                       sum(tokens) AS seq_tokens
+                FROM r GROUP BY part, seq_id)
+            SELECT part, count(*) AS n_seqs,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(greatest(128 - seq_tokens, 0)) AS BIGINT)
+                       AS total_waste
+            FROM per_seq GROUP BY part""",
         "mixture_sample": """
             -- fixed-mixture twin: T = min(n_s/w_s), quota_s =
             -- floor(w_s*T), fill by md5(doc_id) rank. Weights are powers
