@@ -55,7 +55,7 @@ BENCH_QUERIES = [
 STEADY_QUERIES = {
     "chunk_layout_spans", "chunks_indexed", "embedding_topk_lsh",
     "embedding_near_dups", "media_dedup_hamming", "doc_winnowing",
-    "dedup_ngram_jaccard", "sheet_clip_spans",
+    "dedup_ngram_jaccard", "sheet_clip_spans", "decontaminate",
 }
 STEADY_REPEATS = int(os.environ.get("SPARK_GRAFT_STEADY_REPEATS", "3"))
 
