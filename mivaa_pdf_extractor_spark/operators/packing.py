@@ -32,6 +32,27 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+def next_fit_bins(t: np.ndarray, budget: int) -> np.ndarray:
+    """The pure next-fit recurrence: bin index per item, in order.
+
+    A separate function so the property suite can fuzz it directly
+    against a naive reference without a Spark round-trip per example.
+    The ``fill > 0`` guard: an empty current sequence always accepts the
+    next item, even an oversize one (it gets the sequence to itself
+    rather than an empty sequence appearing in the output).
+    """
+    bins = np.zeros(len(t), dtype=np.int32)
+    fill = 0
+    b = 0
+    for i, x in enumerate(t):
+        if fill > 0 and fill + x > budget:
+            b += 1
+            fill = 0
+        fill += int(x)
+        bins[i] = b
+    return bins
+
+
 def pack_sequences(df: DataFrame, tokens_col: str = "tokens",
                    id_col: str = "doc_id", part_col: str = "part",
                    budget: int = 128) -> DataFrame:
@@ -61,18 +82,7 @@ def pack_sequences(df: DataFrame, tokens_col: str = "tokens",
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         t = pdf[tokens_col].to_numpy()
-        bins = np.zeros(len(t), dtype=np.int32)
-        fill = 0
-        b = 0
-        for i, x in enumerate(t):
-            # fill > 0 guard: an empty current sequence always accepts the
-            # next document, even an oversize one (it gets the sequence to
-            # itself rather than an empty sequence appearing in the output)
-            if fill > 0 and fill + x > budget:
-                b += 1
-                fill = 0
-            fill += int(x)
-            bins[i] = b
+        bins = next_fit_bins(t, budget)
         return pd.DataFrame({
             id_col: pdf[id_col].to_numpy(),
             part_col: pdf[part_col].to_numpy().astype(np.int32),

@@ -91,3 +91,40 @@ def test_hash_split_deterministic_and_map_only(spark):
     with redirect_stdout(buf):
         hash_split(df).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_next_fit_kernel_property():
+    """Fuzz the pure next-fit kernel against a naive bin simulation:
+    every bin's fill <= budget unless it is a lone oversize item, bins
+    are consecutive 0..k, and the greedy invariant holds (an item opens
+    a new bin ONLY if it would not fit the current one)."""
+    import numpy as np
+    from hypothesis import given, strategies as st
+
+    from mivaa_pdf_extractor_spark.operators.packing import next_fit_bins
+
+    @given(st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+           st.integers(min_value=1, max_value=40))
+    def check(tokens, budget):
+        t = np.asarray(tokens, dtype=np.int64)
+        bins = next_fit_bins(t, budget)
+        assert len(bins) == len(t)
+        if not len(t):
+            return
+        # consecutive bin ids starting at 0, non-decreasing
+        assert bins[0] == 0
+        assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
+        fills = {}
+        for x, b in zip(tokens, bins):
+            fills[b] = fills.get(b, 0) + x
+        members = {b: int((bins == b).sum()) for b in fills}
+        for b, f in fills.items():
+            assert f <= budget or members[b] == 1
+        # greedy: item i starts a new bin only when it would overflow
+        for i in range(1, len(t)):
+            if bins[i] != bins[i - 1]:
+                prev_fill = sum(x for x, b in zip(tokens[:i], bins[:i])
+                                if b == bins[i - 1])
+                assert prev_fill + tokens[i] > budget
+
+    check()
