@@ -1428,6 +1428,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       F.lit(0))).alias("total_waste")))
     q["packing_report"] = packing_report
 
+    def quality_resample(spark, sf_dir):
+        # importance resampling (operators/sampling.py): keep-probability
+        # = quality_u micro-units / 1e6, decided by a salted md5 fraction
+        # so it is independent of corpus_split's assignment hash
+        from mivaa_pdf_extractor_spark.operators.sampling import (
+            importance_resample)
+        d = _docs(spark, sf_dir).select(
+            "doc_id", _spark_quality_u(F.col("text")).alias("quality_u"))
+        return importance_resample(d, "quality_u")
+    q["quality_resample"] = quality_resample
+
     return q
 
 
@@ -2398,4 +2409,15 @@ def oracle_sql() -> dict[str, str]:
                          AS UBIGINT) AS DOUBLE)
                     / 1152921504606846976.0 AS frac
                   FROM documents)""",
+        "quality_resample": f"""
+            -- salted uniform fraction vs exact micro-unit score; both
+            -- sides exact doubles, same IEEE ops in both engines
+            SELECT doc_id, quality_u FROM (
+                SELECT doc_id, {_QUALITY_DUCK} AS quality_u,
+                       CAST(CAST('0x' || substring(
+                               md5('q|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS UBIGINT) AS DOUBLE)
+                       / 1152921504606846976.0 AS frac
+                FROM documents)
+            WHERE frac * 1000000.0 < quality_u""",
     }

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "stuck_jobs", "doc_repetition", "paragraph_dedup", "media_object_store",
     "url_ingest", "decontaminate", "pii_redact", "pack_training_sequences",
     "mixture_sample", "corpus_mixture_stats", "corpus_split",
-    "packing_report",
+    "packing_report", "quality_resample",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -39,7 +39,10 @@ def next_fit_bins(t: np.ndarray, budget: int) -> np.ndarray:
     against a naive reference without a Spark round-trip per example.
     The ``fill > 0`` guard: an empty current sequence always accepts the
     next item, even an oversize one (it gets the sequence to itself
-    rather than an empty sequence appearing in the output).
+    rather than an empty sequence appearing in the output). Corollary
+    (property-pinned): zero-token items never open a sequence, so an
+    oversize sequence holds exactly one NON-ZERO item but may carry
+    preceding zero-token riders.
     """
     bins = np.zeros(len(t), dtype=np.int32)
     fill = 0

@@ -97,3 +97,29 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
             else F.lit(names[-1]))
     return df.select(F.col(id_col), expr.alias("split"))
+
+
+def importance_resample(df: DataFrame, score_col: str,
+                        id_col: str = "doc_id",
+                        scale: int = 1_000_000,
+                        salt: str = "q|") -> DataFrame:
+    """Quality-weighted importance resampling: keep each row with
+    probability ``score/scale`` — the soft alternative to a hard quality
+    cutoff (CCNet keeps its middle-perplexity tercile; modern curation
+    instead samples in proportion to a quality score so borderline
+    documents survive at reduced rate instead of cliff-dropping).
+
+    Deterministic: the keep decision hashes ``salt + id`` (salted so it
+    is independent of other hash-derived decisions on the same corpus,
+    e.g. hash_split's), so reruns and engines agree bit-for-bit.
+    ``score_col`` is expected in integer ``scale``-units (micro-units by
+    default) — the comparison is frac*scale < score with both sides
+    exact doubles, no float-formula drift. Map-only, no shuffle.
+    """
+    frac = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(1 << 60)))
+    return (df.withColumn("__frac", frac)
+            .filter(F.col("__frac") * F.lit(float(scale))
+                    < F.col(score_col))
+            .drop("__frac"))

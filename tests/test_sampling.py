@@ -117,9 +117,14 @@ def test_next_fit_kernel_property():
         fills = {}
         for x, b in zip(tokens, bins):
             fills[b] = fills.get(b, 0) + x
-        members = {b: int((bins == b).sum()) for b in fills}
+        # an over-budget bin contains exactly ONE non-zero item (an
+        # oversize doc); zero-token docs are weightless riders that may
+        # share it — the fill>0 guard never opens a bin for them
+        nonzero = {}
+        for x, bb in zip(tokens, bins):
+            nonzero[bb] = nonzero.get(bb, 0) + (1 if x > 0 else 0)
         for b, f in fills.items():
-            assert f <= budget or members[b] == 1
+            assert f <= budget or nonzero[b] == 1
         # greedy: item i starts a new bin only when it would overflow
         for i in range(1, len(t)):
             if bins[i] != bins[i - 1]:
@@ -128,3 +133,25 @@ def test_next_fit_kernel_property():
                 assert prev_fill + tokens[i] > budget
 
     check()
+
+
+def test_importance_resample_rate_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from mivaa_pdf_extractor_spark.operators.sampling import (
+        importance_resample)
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # fixed 30% keep-probability in micro-units
+        F.lit(300000).alias("score"))
+    kept = importance_resample(df, "score")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    assert a == sorted(r["doc_id"] for r in kept.collect())
+    assert abs(len(a) - 300) < 60  # binomial slack
+    # score 0 -> nothing survives; score == scale -> everything does
+    zero = importance_resample(
+        df.withColumn("score", F.lit(0)), "score")
+    assert zero.count() == 0
+    full = importance_resample(
+        df.withColumn("score", F.lit(1000000)), "score")
+    assert full.count() == 1000
