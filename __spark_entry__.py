@@ -180,6 +180,10 @@ FROM ({sh}) GROUP BY id
 # inverted-index fan-out guard ON; the twin applies the identical cap
 _SHINGLE_FREQ_CAP = 1000
 
+# one budget for the packing query AND its waste report — the report's
+# greatest(budget - fill, 0) must use the same knob the packer packed to
+_PACK_BUDGET = 128
+
 # shared next-fit recursion for the packing twins (pack_training_sequences
 # and packing_report): (fill, seq_id) carried along each part's doc_id order
 _DUCK_PACK_RECURSION = """d AS (
@@ -196,9 +200,11 @@ _DUCK_PACK_RECURSION = """d AS (
                 FROM d WHERE rn = 1
                 UNION ALL
                 SELECT d.part, d.rn, d.doc_id, d.tokens,
-                       CAST(CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                       CAST(CASE WHEN r.fill > 0 AND d.tokens > 0
+                                      AND r.fill + d.tokens > 128
                             THEN r.seq_id + 1 ELSE r.seq_id END AS INT),
-                       CASE WHEN r.fill > 0 AND r.fill + d.tokens > 128
+                       CASE WHEN r.fill > 0 AND d.tokens > 0
+                                 AND r.fill + d.tokens > 128
                             THEN d.tokens ELSE r.fill + d.tokens END
                 FROM d JOIN r ON d.part = r.part AND d.rn = r.rn + 1)"""
 
@@ -1369,7 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf_dir).select(
             "doc_id", (F.col("doc_id") % 8).cast("int").alias("part"),
             ta.token_count_ws(F.col("text")).alias("tokens"))
-        return pk.pack_sequences(d, budget=128)
+        return pk.pack_sequences(d, budget=_PACK_BUDGET)
     q["pack_training_sequences"] = pack_training_sequences
 
     def mixture_sample(spark, sf_dir):
@@ -1424,7 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_seqs"),
                      F.sum("n_docs").alias("n_docs"),
                      F.sum("seq_tokens").alias("total_tokens"),
-                     F.sum(F.greatest(F.lit(128) - F.col("seq_tokens"),
+                     F.sum(F.greatest(F.lit(_PACK_BUDGET)
+                                      - F.col("seq_tokens"),
                                       F.lit(0))).alias("total_waste")))
     q["packing_report"] = packing_report
 
@@ -2397,15 +2404,18 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> ''))) AS BIGINT) AS sum_tokens
             FROM documents GROUP BY ROLLUP (source, lang)""",
         "corpus_split": """
-            -- same md5-top-60-bit uniform fraction, same binary-exact
-            -- thresholds; 1152921504606846976 = 2^60
+            -- same salted md5-top-60-bit uniform fraction ('split|', so
+            -- the split is independent of mixture_sample's selection
+            -- hash), same binary-exact thresholds; 1152921504606846976
+            -- = 2^60
             SELECT doc_id,
                    CASE WHEN frac < 0.75 THEN 'train'
                         WHEN frac < 0.875 THEN 'val'
                         ELSE 'test' END AS split
             FROM (SELECT doc_id,
                     CAST(CAST('0x' || substring(
-                            md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            md5('split|' || CAST(doc_id AS VARCHAR)),
+                            1, 15)
                          AS UBIGINT) AS DOUBLE)
                     / 1152921504606846976.0 AS frac
                   FROM documents)""",

@@ -39,16 +39,18 @@ def next_fit_bins(t: np.ndarray, budget: int) -> np.ndarray:
     against a naive reference without a Spark round-trip per example.
     The ``fill > 0`` guard: an empty current sequence always accepts the
     next item, even an oversize one (it gets the sequence to itself
-    rather than an empty sequence appearing in the output). Corollary
-    (property-pinned): zero-token items never open a sequence, so an
-    oversize sequence holds exactly one NON-ZERO item but may carry
-    preceding zero-token riders.
+    rather than an empty sequence appearing in the output). The ``x > 0``
+    guard (property-pinned): zero-token items NEVER open a sequence —
+    they ride the current one as weightless passengers (without the
+    guard, a zero-token item following an oversize sequence would open
+    an empty sequence of its own), so an oversize sequence holds exactly
+    one non-zero item plus any zero-token riders.
     """
     bins = np.zeros(len(t), dtype=np.int32)
     fill = 0
     b = 0
     for i, x in enumerate(t):
-        if fill > 0 and fill + x > budget:
+        if fill > 0 and x > 0 and fill + x > budget:
             b += 1
             fill = 0
         fill += int(x)

@@ -35,6 +35,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _uniform_frac(id_col: str, salt: str = "") -> "F.Column":
+    """md5(salt + id)'s top 60 bits as a uniform fraction in [0, 1).
+
+    15 hex chars keep the conv() inside exact double range, and the
+    division is by a power of two, so any IEEE engine reproduces the
+    value bit-for-bit (the DuckDB twins hash to the same double). Every
+    hash-derived decision in this module draws from this helper with a
+    DISTINCT salt, so the decisions are mutually independent — composing
+    the operators never correlates (e.g. a mixture-sampled corpus still
+    splits 80/10/10, not 100/0/0).
+    """
+    key = (F.concat(F.lit(salt), F.col(id_col).cast("string")) if salt
+           else F.col(id_col).cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60)))
+
+
 def mixture_sample(df: DataFrame, weights: DataFrame,
                    source_col: str = "source", id_col: str = "doc_id",
                    exact: bool = True) -> DataFrame:
@@ -59,10 +76,9 @@ def mixture_sample(df: DataFrame, weights: DataFrame,
         return (ranked.join(F.broadcast(quota), source_col)
                 .filter(F.col("rk") <= F.col("quota"))
                 .select(id_col, source_col))
-    # threshold mode: md5's top 60 bits as a uniform fraction in [0, 1) —
-    # 15 hex chars keeps the conv() inside exact double range
-    frac = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-                   16, 10).cast("double") / F.lit(float(1 << 60)))
+    # threshold mode: the unsalted fraction is this operator's OWN
+    # selection hash (exact mode ranks by the same unsalted md5)
+    frac = _uniform_frac(id_col)
     return (base.withColumn("__frac", frac)
             .join(F.broadcast(quota), source_col)
             .filter(F.col("__frac") * F.col("n") < F.col("quota"))
@@ -75,7 +91,10 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     the split step every corpus pipeline runs last. ``fractions`` maps
     split name -> fraction (must sum to 1); default 80/10/10.
 
-    The assignment key is md5(id)'s top 60 bits as a uniform fraction,
+    The assignment key is md5('split|' + id)'s top 60 bits as a uniform
+    fraction (salted, so it is independent of mixture_sample's unsalted
+    selection hash — a mixture-sampled corpus still splits at the target
+    rates instead of landing 100% in 'train'),
     so it is (a) stable across runs, engines, and corpus growth — a
     document keeps its split when the corpus is re-built, which is what
     prevents silent train/test leakage between dataset versions — and
@@ -84,16 +103,19 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     IEEE engine (the DuckDB twin hashes to the same bit).
     """
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
-    frac = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-                   16, 10).cast("double") / F.lit(float(1 << 60)))
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        # a silent non-1 sum mis-sizes every later split (train/eval
+        # contamination with no error) — fail loudly instead
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    frac = _uniform_frac(id_col, salt="split|")
     expr = None
     acc = 0.0
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        step = F.when(frac < F.lit(acc), F.lit(name))
-        expr = step if expr is None else expr.when(frac < F.lit(acc),
-                                                   F.lit(name))
+        expr = (F.when(frac < F.lit(acc), F.lit(name)) if expr is None
+                else expr.when(frac < F.lit(acc), F.lit(name)))
     expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
             else F.lit(names[-1]))
     return df.select(F.col(id_col), expr.alias("split"))
@@ -116,9 +138,7 @@ def importance_resample(df: DataFrame, score_col: str,
     default) — the comparison is frac*scale < score with both sides
     exact doubles, no float-formula drift. Map-only, no shuffle.
     """
-    frac = (F.conv(F.substring(F.md5(F.concat(
-        F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
-        16, 10).cast("double") / F.lit(float(1 << 60)))
+    frac = _uniform_frac(id_col, salt=salt)
     return (df.withColumn("__frac", frac)
             .filter(F.col("__frac") * F.lit(float(scale))
                     < F.col(score_col))

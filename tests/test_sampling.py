@@ -119,7 +119,10 @@ def test_next_fit_kernel_property():
             fills[b] = fills.get(b, 0) + x
         # an over-budget bin contains exactly ONE non-zero item (an
         # oversize doc); zero-token docs are weightless riders that may
-        # share it — the fill>0 guard never opens a bin for them
+        # share it — the x>0 guard means they NEVER open a bin
+        for i in range(1, len(t)):
+            if tokens[i] == 0:
+                assert bins[i] == bins[i - 1]
         nonzero = {}
         for x, bb in zip(tokens, bins):
             nonzero[bb] = nonzero.get(bb, 0) + (1 if x > 0 else 0)
