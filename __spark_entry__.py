@@ -1446,12 +1446,411 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return importance_resample(d, "quality_u")
     q["quality_resample"] = quality_resample
 
+    # --- search fusion / re-ranking (operators/search.py; reference
+    # weight_profiles.py, unified_search_service.py, rag_service.py,
+    # mmr_reranker.py) ---
+
+    def search_weight_profiles(spark, sf_dir):
+        # intent flags synthesized from doc_id arithmetic; the priority
+        # chain, the page carve-out weights, and the text->source fan-out
+        # all compile to literal CASE chains (map-only)
+        from mivaa_pdf_extractor_spark.operators import search as se
+        d = _docs(spark, sf_dir).select("doc_id")
+        parsed = d.select(
+            "doc_id",
+            (F.col("doc_id") % 11 == 0).alias("is_product_name"),
+            (F.col("doc_id") % 7 == 0).alias("has_dimensions"),
+            (F.col("doc_id") % 5 == 0).alias("has_colors"),
+            (F.col("doc_id") % 13 == 0).alias("has_finish"),
+            (F.col("doc_id") % 3 == 0).alias("has_pattern"),
+            (F.col("doc_id") % 17 == 0).alias("has_material"),
+            (F.col("doc_id") % 2 == 0).alias("has_style"),
+            (F.col("doc_id") % 19 == 0).alias("has_application"))
+        out = se.with_source_weights(
+            se.with_aspect_weights(se.select_weight_profile(parsed)))
+        return out.select(
+            "doc_id", "profile",
+            *[f"w_{a}" for a in se.EMBEDDING_ASPECTS],
+            "w_src_chunk", "w_src_product", "w_src_keyword")
+    q["search_weight_profiles"] = search_weight_profiles
+
+    def search_strategy_fusion(spark, sf_dir):
+        # three synthetic retrieval strategies (semantic on every doc,
+        # keyword on doc_id%3, visual on doc_id%5) with dyadic k/64
+        # scores, merged by the reference's dedup-and-mean semantics
+        from mivaa_pdf_extractor_spark.operators.search import (
+            fuse_strategy_results)
+        d = _docs(spark, sf_dir).select("doc_id")
+        rid = F.col("doc_id").cast("string").alias("result_id")
+
+        def leg(name, rank, mult, gate):
+            base = d.filter(gate) if gate is not None else d
+            return base.select(
+                rid, F.lit(name).alias("strategy"),
+                F.lit(rank).alias("strategy_rank"),
+                ((F.col("doc_id") * mult % 64).cast("double") / F.lit(64.0)
+                 ).alias("score"),
+                F.concat(F.lit(name[:3] + ":"),
+                         F.col("doc_id").cast("string")).alias("content"))
+
+        legs = (leg("semantic", 1, 7, None)
+                .unionByName(leg("keyword", 2, 11, F.col("doc_id") % 3 == 0))
+                .unionByName(leg("visual", 3, 13, F.col("doc_id") % 5 == 0)))
+        return fuse_strategy_results(legs)
+    q["search_strategy_fusion"] = search_strategy_fusion
+
+    def search_keyword_score(spark, sf_dir):
+        # weighted field-Jaccard + substring bonus against a constant
+        # query, over product fields synthesized from doc_id arithmetic
+        # (manufacturer exercises the ''-skip path via NULLIF)
+        from mivaa_pdf_extractor_spark.operators.search import (
+            keyword_text_score)
+        d = _docs(spark, sf_dir).select("doc_id")
+
+        def pick(options, mod):
+            return F.element_at(
+                F.array(*[F.lit(o) for o in options]),
+                (F.col("doc_id") % mod).cast("int") + 1)
+
+        products = d.select(
+            "doc_id",
+            F.concat(pick(["ceramic tile", "oak plank", "marble slab",
+                           "vinyl panel"], 4),
+                     F.lit(" "),
+                     F.col("doc_id").cast("string")).alias("name"),
+            F.nullif(pick(["Acme Ceramics", "TileWorks", "Not specified",
+                           ""], 4), F.lit("Not specified")
+                     ).alias("manufacturer"),
+            pick(["red blue", "grey white", ""], 3).alias("colors"),
+            F.concat(F.lit("durable "),
+                     pick(["ceramic", "wood", "stone"], 3),
+                     F.lit(" surface for modern spaces")
+                     ).alias("description"))
+        scored = keyword_text_score(
+            products, "modern ceramic tile red",
+            fields=[("name", 3.0), ("manufacturer", 3.0), ("colors", 1.5),
+                    ("description", 2.0)])
+        return scored.select("doc_id", "keyword_score")
+    q["search_keyword_score"] = search_keyword_score
+
+    def search_hybrid_fusion(spark, sf_dir):
+        # hybrid multi-source fusion with active-weight normalization and
+        # the adaptive threshold; dyadic scores (k/32) and weights (m/16)
+        # keep every sum binary-exact in both engines
+        from mivaa_pdf_extractor_spark.operators.search import hybrid_fuse
+        d = _docs(spark, sf_dir).select("doc_id")
+        pid = F.col("doc_id").cast("string").alias("product_id")
+
+        def leg(name, mult, gate):
+            base = d.filter(gate) if gate is not None else d
+            return base.select(
+                pid, F.lit(name).alias("source"),
+                ((F.col("doc_id") * mult % 32).cast("double") / F.lit(32.0)
+                 ).alias("score"))
+
+        legs = (leg("visual", 3, F.col("doc_id") % 2 == 0)
+                .unionByName(leg("chunk", 5, F.col("doc_id") % 3 == 0))
+                .unionByName(leg("understanding", 7,
+                                 F.col("doc_id") % 4 == 0))
+                .unionByName(leg("product", 11, F.col("doc_id") % 5 == 0))
+                .unionByName(leg("keyword", 13, None)))
+        weights = {"visual": 0.25, "chunk": 0.25, "understanding": 0.1875,
+                   "product": 0.1875, "keyword": 0.125}
+        return hybrid_fuse(legs, weights, similarity_threshold=0.25)
+    q["search_hybrid_fusion"] = search_hybrid_fusion
+
+    def search_mmr_rerank(spark, sf_dir):
+        # greedy MMR over 8 synthesized candidates per query doc
+        # (doc_id%50==0), k=4, lambda=0.75; integer-valued embedding
+        # components make every dot product exact, so cosine/mmr doubles
+        # are bit-identical to the oracle's chained-CTE greedy twin
+        from mivaa_pdf_extractor_spark.operators.search import mmr_rerank
+        d = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+        c = d.select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(7))).alias("ord"))
+        doc, ordc = F.col("doc_id"), F.col("ord")
+        cands = c.select(
+            doc.alias("query_id"), "ord",
+            (doc * 100 + ordc).alias("cand_id"),
+            (((doc + 7 * ordc) % 16).cast("double") / F.lit(16.0)
+             ).alias("rel"),
+            F.array(
+                (((doc + ordc) % 7) + 1).cast("double"),
+                ((doc * 2 + ordc * 3) % 11 - 5).cast("double"),
+                ((doc * 3 + ordc * 5) % 11 - 5).cast("double"),
+                ((doc + ordc * 7) % 11 - 5).cast("double")).alias("emb"))
+        out = mmr_rerank(cands, lambda_param=0.75, top_k=4)
+        return out.select("query_id", "rank", "cand_id", "relevance",
+                          "mmr_score", "diversity_gain")
+    q["search_mmr_rerank"] = search_mmr_rerank
+
     return q
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — names/rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
+
+
+def _duck_search_profiles_sql() -> str:
+    """Weight-profile twin generated from the SAME package constants the
+    Spark operator embeds, so every weight literal is the identical
+    double (repr round-trips, DuckDB parses to nearest)."""
+    from mivaa_pdf_extractor_spark.operators.search import (
+        EMBEDDING_ASPECTS, TEXT_SOURCE_SPLIT, WEIGHT_PROFILES)
+    aspect_cols = []
+    for a in EMBEDDING_ASPECTS:
+        whens = " ".join(f"WHEN '{n}' THEN {WEIGHT_PROFILES[n][a]!r}"
+                         for n in WEIGHT_PROFILES)
+        aspect_cols.append(f"CASE profile {whens} END AS w_{a}")
+    aspects = ",\n                   ".join(aspect_cols)
+    src = ",\n                   ".join(
+        f"w_text * {share!r} AS w_src_{s}"
+        for s, share in TEXT_SOURCE_SPLIT.items())
+    return f"""
+            WITH parsed AS (
+                SELECT doc_id,
+                       doc_id % 11 = 0 AS is_product_name,
+                       doc_id % 7 = 0 AS has_dimensions,
+                       doc_id % 5 = 0 AS has_colors,
+                       doc_id % 13 = 0 AS has_finish,
+                       doc_id % 3 = 0 AS has_pattern,
+                       doc_id % 17 = 0 AS has_material,
+                       doc_id % 2 = 0 AS has_style,
+                       doc_id % 19 = 0 AS has_application
+                FROM documents),
+            prof AS (
+                SELECT doc_id,
+                       CASE WHEN is_product_name THEN 'product_name'
+                            WHEN has_dimensions THEN 'specification'
+                            WHEN has_colors OR has_finish
+                                 THEN 'color_finish'
+                            WHEN has_pattern THEN 'texture_pattern'
+                            WHEN has_material THEN 'material_search'
+                            WHEN has_style OR has_application
+                                 THEN 'style_aesthetic'
+                            ELSE 'balanced' END AS profile
+                FROM parsed),
+            aw AS (
+                SELECT doc_id, profile,
+                   {aspects}
+                FROM prof)
+            SELECT doc_id, profile,
+                   {', '.join('w_' + a for a in EMBEDDING_ASPECTS)},
+                   {src}
+            FROM aw"""
+
+
+def _duck_kw_field(expr: str) -> str:
+    """Per-field keyword score for the search_keyword_score twin: Jaccard
+    of distinct lowercased word sets vs the constant query, plus
+    0.1 * (count of >3-char query words contained as substrings), capped
+    at 1.0 — rag_service.py:1520-1543 semantics, same op order as the
+    Spark operator."""
+    q_words = sorted({"modern", "ceramic", "tile", "red"})
+    q_list = "[" + ", ".join(f"'{w}'" for w in q_words) + "]"
+    long_words = [w for w in q_words if len(w) > 3]
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower({expr}), '{w}') THEN 1 ELSE 0 END)"
+        for w in long_words)
+    words = (f"list_distinct(list_filter(string_split(lower({expr}), ' '), "
+             f"x -> x <> ''))")
+    inter = f"len(list_intersect({words}, {q_list}))"
+    union = f"len(list_distinct(list_concat({words}, {q_list})))"
+    jacc = (f"(CASE WHEN {union} > 0 THEN CAST({inter} AS DOUBLE) "
+            f"/ CAST({union} AS DOUBLE) ELSE 0.0 END)")
+    return f"least(1.0, {jacc} + 0.1 * CAST({hits} AS DOUBLE))"
+
+
+def _duck_search_kw_sql() -> str:
+    fields = [("name", 3.0), ("manufacturer", 3.0), ("colors", 1.5),
+              ("description", 2.0)]
+    score_cols = ",\n                   ".join(
+        f"{c} IS NOT NULL AND {c} <> '' AS p_{c},\n"
+        f"                   {_duck_kw_field(c)} AS s_{c}"
+        for c, _ in fields)
+    ts = " + ".join(f"(CASE WHEN p_{c} THEN s_{c} * {w!r} ELSE 0.0 END)"
+                    for c, w in fields)
+    tw = " + ".join(f"(CASE WHEN p_{c} THEN {w!r} ELSE 0.0 END)"
+                    for c, w in fields)
+    return f"""
+            WITH products AS (
+                SELECT doc_id,
+                       (['ceramic tile', 'oak plank', 'marble slab',
+                         'vinyl panel'])[CAST(doc_id % 4 AS INT) + 1]
+                       || ' ' || CAST(doc_id AS VARCHAR) AS name,
+                       nullif((['Acme Ceramics', 'TileWorks',
+                                'Not specified', ''])
+                              [CAST(doc_id % 4 AS INT) + 1],
+                              'Not specified') AS manufacturer,
+                       (['red blue', 'grey white', ''])
+                       [CAST(doc_id % 3 AS INT) + 1] AS colors,
+                       'durable ' || (['ceramic', 'wood', 'stone'])
+                       [CAST(doc_id % 3 AS INT) + 1]
+                       || ' surface for modern spaces' AS description
+                FROM documents),
+            f AS (
+                SELECT doc_id,
+                   {score_cols}
+                FROM products),
+            t AS (SELECT doc_id, {ts} AS ts, {tw} AS tw FROM f)
+            SELECT doc_id,
+                   CASE WHEN tw > 0 THEN least(1.0, ts / tw)
+                        ELSE 0.0 END AS keyword_score
+            FROM t"""
+
+
+# weight CASE for the hybrid-fusion twin (dyadic weights, exact sums)
+_HYBRID_W = ("CASE source WHEN 'visual' THEN 0.25 WHEN 'chunk' THEN 0.25 "
+             "WHEN 'understanding' THEN 0.1875 WHEN 'product' THEN 0.1875 "
+             "WHEN 'keyword' THEN 0.125 ELSE 0.0 END")
+
+_HYBRID_SQL = f"""
+            WITH legs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS product_id,
+                       'visual' AS source,
+                       CAST(doc_id * 3 % 32 AS DOUBLE) / 32.0 AS score
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'chunk',
+                       CAST(doc_id * 5 % 32 AS DOUBLE) / 32.0
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'understanding',
+                       CAST(doc_id * 7 % 32 AS DOUBLE) / 32.0
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'product',
+                       CAST(doc_id * 11 % 32 AS DOUBLE) / 32.0
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'keyword',
+                       CAST(doc_id * 13 % 32 AS DOUBLE) / 32.0
+                FROM documents),
+            g AS (
+                SELECT product_id,
+                       sum(CASE WHEN score > 0 THEN score * {_HYBRID_W}
+                                ELSE 0.0 END) AS ws,
+                       sum(CASE WHEN score > 0 THEN {_HYBRID_W}
+                                ELSE 0.0 END) AS aw,
+                       CAST(sum(CASE WHEN score > 0 AND source IN
+                                ('visual', 'chunk', 'understanding',
+                                 'product') THEN 1 ELSE 0 END) AS INTEGER)
+                           AS active_embedding_sources,
+                       max(CASE WHEN source = 'visual' THEN score
+                                ELSE 0.0 END) AS visual_score,
+                       max(CASE WHEN source = 'chunk' THEN score
+                                ELSE 0.0 END) AS chunk_score,
+                       max(CASE WHEN source = 'understanding' THEN score
+                                ELSE 0.0 END) AS understanding_score,
+                       max(CASE WHEN source = 'product' THEN score
+                                ELSE 0.0 END) AS product_score,
+                       max(CASE WHEN source = 'keyword' THEN score
+                                ELSE 0.0 END) AS keyword_score
+                FROM legs GROUP BY product_id)
+            SELECT * FROM (
+                SELECT product_id, active_embedding_sources,
+                       visual_score, chunk_score, understanding_score,
+                       product_score, keyword_score,
+                       CASE WHEN aw > 0 THEN ws / aw ELSE 0.0 END AS score,
+                       CASE WHEN active_embedding_sources >= 2 THEN 0.25
+                            ELSE 0.25 * 0.3 END AS effective_threshold
+                FROM g)
+            WHERE score >= effective_threshold"""
+
+# greedy MMR twin: k=4 unrolled as chained CTEs — each step scores the
+# remaining candidates against the selected set (exact integer dot
+# products make cosine bit-identical to the kernel's numpy matmul),
+# picks argmax with the reference's earliest-wins tie-break
+_MMR_SQL = """
+            WITH cand AS (
+                SELECT doc_id AS query_id, c.ord,
+                       doc_id * 100 + c.ord AS cand_id,
+                       CAST((doc_id + 7 * c.ord) % 16 AS DOUBLE) / 16.0
+                           AS rel,
+                       CAST((doc_id + c.ord) % 7 + 1 AS DOUBLE) AS e0,
+                       CAST((doc_id * 2 + c.ord * 3) % 11 - 5 AS DOUBLE)
+                           AS e1,
+                       CAST((doc_id * 3 + c.ord * 5) % 11 - 5 AS DOUBLE)
+                           AS e2,
+                       CAST((doc_id + c.ord * 7) % 11 - 5 AS DOUBLE) AS e3
+                FROM documents, (SELECT unnest(range(8)) AS ord) c
+                WHERE doc_id % 50 = 0),
+            n AS (SELECT *, sqrt(e0*e0 + e1*e1 + e2*e2 + e3*e3) AS nm
+                  FROM cand),
+            sims AS (
+                SELECT a.query_id, a.ord AS i, b.ord AS j,
+                       (a.e0*b.e0 + a.e1*b.e1 + a.e2*b.e2 + a.e3*b.e3)
+                       / (a.nm * b.nm) AS sim
+                FROM n a JOIN n b ON a.query_id = b.query_id),
+            s1 AS (
+                SELECT query_id, ord, cand_id, rel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, ord) AS rn FROM n)
+                WHERE rn = 1),
+            r2 AS (
+                SELECT c.query_id, c.ord, c.cand_id, c.rel,
+                       1.0 - s.sim AS div,
+                       0.75 * c.rel + 0.25 * (1.0 - s.sim) AS mmr
+                FROM n c
+                JOIN s1 ON s1.query_id = c.query_id AND c.ord <> s1.ord
+                JOIN sims s ON s.query_id = c.query_id
+                    AND s.i = c.ord AND s.j = s1.ord),
+            s2 AS (
+                SELECT query_id, ord, cand_id, rel, div, mmr FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr DESC, ord) AS rn FROM r2)
+                WHERE rn = 1),
+            r3 AS (
+                SELECT c.query_id, c.ord, c.cand_id, c.rel,
+                       1.0 - greatest(sa.sim, sb.sim) AS div,
+                       0.75 * c.rel
+                       + 0.25 * (1.0 - greatest(sa.sim, sb.sim)) AS mmr
+                FROM n c
+                JOIN s1 ON s1.query_id = c.query_id
+                JOIN s2 ON s2.query_id = c.query_id
+                JOIN sims sa ON sa.query_id = c.query_id
+                    AND sa.i = c.ord AND sa.j = s1.ord
+                JOIN sims sb ON sb.query_id = c.query_id
+                    AND sb.i = c.ord AND sb.j = s2.ord
+                WHERE c.ord <> s1.ord AND c.ord <> s2.ord),
+            s3 AS (
+                SELECT query_id, ord, cand_id, rel, div, mmr FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr DESC, ord) AS rn FROM r3)
+                WHERE rn = 1),
+            r4 AS (
+                SELECT c.query_id, c.ord, c.cand_id, c.rel,
+                       1.0 - greatest(sa.sim, sb.sim, sc.sim) AS div,
+                       0.75 * c.rel
+                       + 0.25 * (1.0 - greatest(sa.sim, sb.sim, sc.sim))
+                           AS mmr
+                FROM n c
+                JOIN s1 ON s1.query_id = c.query_id
+                JOIN s2 ON s2.query_id = c.query_id
+                JOIN s3 ON s3.query_id = c.query_id
+                JOIN sims sa ON sa.query_id = c.query_id
+                    AND sa.i = c.ord AND sa.j = s1.ord
+                JOIN sims sb ON sb.query_id = c.query_id
+                    AND sb.i = c.ord AND sb.j = s2.ord
+                JOIN sims sc ON sc.query_id = c.query_id
+                    AND sc.i = c.ord AND sc.j = s3.ord
+                WHERE c.ord <> s1.ord AND c.ord <> s2.ord
+                  AND c.ord <> s3.ord),
+            s4 AS (
+                SELECT query_id, ord, cand_id, rel, div, mmr FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr DESC, ord) AS rn FROM r4)
+                WHERE rn = 1)
+            SELECT query_id, 1 AS rank, cand_id, rel AS relevance,
+                   rel AS mmr_score, 0.0 AS diversity_gain FROM s1
+            UNION ALL
+            SELECT query_id, 2, cand_id, rel, mmr, div FROM s2
+            UNION ALL
+            SELECT query_id, 3, cand_id, rel, mmr, div FROM s3
+            UNION ALL
+            SELECT query_id, 4, cand_id, rel, mmr, div FROM s4"""
+
 
 # independently-derived expectations for the G7 mining over the
 # synthesized catalog/split-axis/spec tables — shared by the per-table
@@ -2430,4 +2829,33 @@ def oracle_sql() -> dict[str, str]:
                        / 1152921504606846976.0 AS frac
                 FROM documents)
             WHERE frac * 1000000.0 < quality_u""",
+        "search_weight_profiles": _duck_search_profiles_sql(),
+        "search_strategy_fusion": """
+            -- dedup-and-mean strategy merge: first strategy (by rank)
+            -- supplies the payload; scores are dyadic k/64 so the mean's
+            -- sum is exact in any order
+            WITH legs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS result_id,
+                       'semantic' AS strategy, 1 AS strategy_rank,
+                       CAST(doc_id * 7 % 64 AS DOUBLE) / 64.0 AS score,
+                       'sem:' || CAST(doc_id AS VARCHAR) AS content
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'keyword', 2,
+                       CAST(doc_id * 11 % 64 AS DOUBLE) / 64.0,
+                       'key:' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), 'visual', 3,
+                       CAST(doc_id * 13 % 64 AS DOUBLE) / 64.0,
+                       'vis:' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 5 = 0)
+            SELECT result_id, avg(score) AS fused_score,
+                   CAST(count(*) AS INTEGER) AS strategies_found,
+                   arg_min(strategy, strategy_rank) AS first_strategy,
+                   arg_min(content, strategy_rank) AS content
+            FROM legs GROUP BY result_id""",
+        "search_keyword_score": _duck_search_kw_sql(),
+        "search_hybrid_fusion": _HYBRID_SQL,
+        "search_mmr_rerank": _MMR_SQL,
     }
