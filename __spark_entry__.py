@@ -1584,6 +1584,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "mmr_score", "diversity_gain")
     q["search_mmr_rerank"] = search_mmr_rerank
 
+    # --- entity-linking relevance joins (operators/linking.py;
+    # reference entity_linking_service.py) ---
+
+    def _link_products(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        pr = d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(1))).alias("p"))
+        doc, p = F.col("doc_id"), F.col("p")
+        return pr.select(
+            "doc_id", (doc * 10 + p).alias("product_id"),
+            F.when(p == 0, F.lit("alpha series by onset"))
+             .otherwise(F.lit("beta quartz")).alias("name"),
+            F.sequence(1 + (doc + p) % 4,
+                       1 + (doc + p) % 4 + p).alias("page_range"))
+
+    def entity_link_chunks(spark, sf_dir):
+        # sequential->original page mapping (short arrays exercise the
+        # fallback), page-proximity tiers + " by "-stripped mention,
+        # threshold 0.3 — per-doc equi-join, scores native
+        from mivaa_pdf_extractor_spark.operators.linking import (
+            link_chunks_to_products, with_original_page)
+        d = _docs(spark, sf_dir).select("doc_id")
+        ch = d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"))
+        doc, c = F.col("doc_id"), F.col("c")
+        chunks = ch.select(
+            "doc_id", (doc * 10 + c).alias("chunk_id"),
+            (c + 1).alias("page_number"),
+            F.sequence(doc % 5 + 1,
+                       doc % 5 + 1 + doc % 4).alias("product_pages"),
+            F.concat(F.lit("chunk "), (doc % 7).cast("string"),
+                     F.when((doc + c) % 3 == 0,
+                            F.lit(" featuring alpha series tiles"))
+                      .otherwise(F.lit(" plain survey text"))
+                     ).alias("content"))
+        chunks = with_original_page(chunks).select(
+            "doc_id", "chunk_id", "original_page", "content")
+        return link_chunks_to_products(chunks, _link_products(spark, sf_dir))
+    q["entity_link_chunks"] = entity_link_chunks
+
+    def entity_link_images(spark, sf_dir):
+        # fallback page/confidence formula + the vision-guided
+        # min(0.95, vc)-or-0.95 path; no threshold (all pairs ranked)
+        from mivaa_pdf_extractor_spark.operators.linking import (
+            link_images_to_products)
+        d = _docs(spark, sf_dir).select("doc_id")
+        im = d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"))
+        doc, i = F.col("doc_id"), F.col("i")
+        images = im.select(
+            "doc_id", (doc * 10 + i).alias("image_id"),
+            (1 + (doc + i) % 6).alias("page_number"),
+            F.when((doc + i) % 4 == 0, F.lit("vision_guided"))
+             .otherwise(F.element_at(
+                 F.array(F.lit("embedded"), F.lit("region_crop"),
+                         F.lit("full_render")),
+                 (i % 3).cast("int") + 1)).alias("extraction_layer"),
+            (((doc * 3 + i) % 8).cast("double") / F.lit(8.0)
+             ).alias("detection_confidence"),
+            F.when((doc + i) % 8 == 0, F.lit(0.0))
+             .when((doc + i) % 5 == 0, F.lit(0.99))
+             .otherwise(((doc + i * 5) % 16).cast("double") / F.lit(16.0))
+             .alias("vision_confidence"))
+        return link_images_to_products(images, _link_products(spark, sf_dir))
+    q["entity_link_images"] = entity_link_images
+
     return q
 
 
@@ -1757,6 +1823,17 @@ _HYBRID_SQL = f"""
                             ELSE 0.25 * 0.3 END AS effective_threshold
                 FROM g)
             WHERE score >= effective_threshold"""
+
+# synthesized per-doc product dimension shared by both entity-linking
+# twins (generate_series is inclusive, matching Spark's F.sequence)
+_LINK_PRODUCTS_SQL = """
+                SELECT doc_id, p.p, doc_id * 10 + p.p AS product_id,
+                       CASE WHEN p.p = 0 THEN 'alpha series by onset'
+                            ELSE 'beta quartz' END AS name,
+                       generate_series(1 + (doc_id + p.p) % 4,
+                                       1 + (doc_id + p.p) % 4 + p.p)
+                           AS page_range
+                FROM documents, (SELECT unnest(range(2)) AS p) p"""
 
 # greedy MMR twin: k=4 unrolled as chained CTEs — each step scores the
 # remaining candidates against the selected set (exact integer dot
@@ -2858,4 +2935,94 @@ def oracle_sql() -> dict[str, str]:
         "search_keyword_score": _duck_search_kw_sql(),
         "search_hybrid_fusion": _HYBRID_SQL,
         "search_mmr_rerank": _MMR_SQL,
+        "entity_link_chunks": f"""
+            -- chunk->product relevance twin: sequential->original page
+            -- mapping, proximity tiers + ' by '-stripped mention,
+            -- threshold 0.3
+            WITH ch AS (
+                SELECT doc_id, c.c, doc_id * 10 + c.c AS chunk_id,
+                       c.c + 1 AS page_number,
+                       generate_series(doc_id % 5 + 1,
+                                       doc_id % 5 + 1 + doc_id % 4)
+                           AS product_pages,
+                       'chunk ' || CAST(doc_id % 7 AS VARCHAR) ||
+                       CASE WHEN (doc_id + c.c) % 3 = 0
+                            THEN ' featuring alpha series tiles'
+                            ELSE ' plain survey text' END AS content
+                FROM documents, (SELECT unnest(range(4)) AS c) c),
+            chm AS (
+                SELECT doc_id, chunk_id, content,
+                       CASE WHEN len(product_pages) > 0
+                                 AND page_number >= 1
+                                 AND page_number <= len(product_pages)
+                            THEN product_pages[CAST(page_number AS INT)]
+                            ELSE page_number END AS original_page
+                FROM ch),
+            pr AS ({_LINK_PRODUCTS_SQL}),
+            j AS (
+                SELECT chm.doc_id, chunk_id, original_page, content,
+                       product_id, name, page_range,
+                       list_min(list_transform(page_range,
+                           q -> abs(original_page - q))) AS dist
+                FROM chm JOIN pr ON chm.doc_id = pr.doc_id),
+            s AS (
+                SELECT doc_id, chunk_id, product_id,
+                       (CASE WHEN len(page_range) = 0 THEN 0.0
+                             WHEN dist = 0 THEN 0.5
+                             WHEN dist = 1 THEN 0.25
+                             WHEN dist = 2 THEN 0.1
+                             ELSE 0.0 END)
+                       + (CASE WHEN contains(content, name)
+                               OR contains(content,
+                                   trim(string_split(name, ' by ')[1]))
+                               THEN 0.5 ELSE 0.0 END) AS raw
+                FROM j)
+            SELECT doc_id, chunk_id, product_id,
+                   'source' AS relationship_type,
+                   least(1.0, greatest(0.0, raw)) AS relevance_score
+            FROM s WHERE least(1.0, greatest(0.0, raw)) >= 0.3""",
+        "entity_link_images": f"""
+            -- image->product relevance twin: fallback page/confidence
+            -- formula + the vision-guided min(0.95, vc)-or-0.95 path
+            WITH im AS (
+                SELECT doc_id, i.i, doc_id * 10 + i.i AS image_id,
+                       1 + (doc_id + i.i) % 6 AS page_number,
+                       CASE WHEN (doc_id + i.i) % 4 = 0
+                            THEN 'vision_guided'
+                            ELSE (['embedded', 'region_crop',
+                                   'full_render'])
+                                 [CAST(i.i % 3 AS INT) + 1]
+                       END AS extraction_layer,
+                       CAST((doc_id * 3 + i.i) % 8 AS DOUBLE) / 8.0
+                           AS detection_confidence,
+                       CASE WHEN (doc_id + i.i) % 8 = 0 THEN 0.0
+                            WHEN (doc_id + i.i) % 5 = 0 THEN 0.99
+                            ELSE CAST((doc_id + i.i * 5) % 16 AS DOUBLE)
+                                 / 16.0
+                       END AS vision_confidence
+                FROM documents, (SELECT unnest(range(3)) AS i) i),
+            pr AS ({_LINK_PRODUCTS_SQL}),
+            j AS (
+                SELECT im.doc_id, image_id, extraction_layer,
+                       detection_confidence, vision_confidence,
+                       product_id, page_range,
+                       list_min(list_transform(page_range,
+                           q -> abs(page_number - q))) AS dist
+                FROM im JOIN pr ON im.doc_id = pr.doc_id)
+            SELECT doc_id, image_id, product_id, extraction_layer,
+                   CASE WHEN extraction_layer = 'vision_guided'
+                        THEN CASE WHEN vision_confidence IS NOT NULL
+                                       AND vision_confidence > 0
+                                  THEN least(0.95, vision_confidence)
+                                  ELSE 0.95 END
+                        ELSE least(1.0, greatest(0.0,
+                             (CASE WHEN len(page_range) = 0 THEN 0.0
+                                   WHEN dist = 0 THEN 0.4
+                                   WHEN dist = 1 THEN 0.2
+                                   WHEN dist = 2 THEN 0.1
+                                   ELSE 0.0 END)
+                             + detection_confidence * 0.4
+                             + detection_confidence * 0.2))
+                   END AS relevance_score
+            FROM j""",
     }
