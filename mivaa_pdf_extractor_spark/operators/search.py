@@ -177,6 +177,88 @@ def with_source_weights(df: DataFrame) -> DataFrame:
     return out
 
 
+#: The per-aspect image collections (weight_profiles.py:53).
+SPECIALIZED_ASPECTS: Tuple[str, ...] = ("color", "texture", "style",
+                                        "material")
+
+
+def normalize_weights(weights: Dict[str, float]) -> Dict[str, float]:
+    """Scale to sum 1.0 (ranking-safe; weight_profiles.py:150-161)."""
+    total = sum(weights.values())
+    if not total:
+        return dict(weights)
+    return {k: v / total for k, v in weights.items()}
+
+
+def profile_to_source_weights(aspect_weights: Dict[str, float]
+                              ) -> Dict[str, float]:
+    """Map an 8-aspect profile onto the 10-source result vocabulary.
+
+    ``text`` fans out across chunk/product/keyword per TEXT_SOURCE_SPLIT;
+    every other aspect maps 1:1; missing aspects fall back to the
+    balanced profile (weight_profiles.py:170-199). Driver-side config
+    math — the DataFrame operators embed the result as literals.
+    """
+    balanced = WEIGHT_PROFILES[DEFAULT_PROFILE]
+    text_w = aspect_weights.get("text", balanced["text"])
+    out = {
+        "visual": aspect_weights.get("visual", balanced["visual"]),
+        "understanding": aspect_weights.get("understanding",
+                                            balanced["understanding"]),
+        "page": aspect_weights.get("page", balanced["page"]),
+    }
+    for source, share in TEXT_SOURCE_SPLIT.items():
+        out[source] = text_w * share
+    for aspect in SPECIALIZED_ASPECTS:
+        out[aspect] = aspect_weights.get(aspect, balanced[aspect])
+    return out
+
+
+def image_only_weights(has_understanding: bool,
+                       specialized_types: Sequence[str]
+                       ) -> Dict[str, float]:
+    """Weights for an image-only fan-out (weight_profiles.py:202-237).
+
+    No text channel exists, so the balanced ``text`` share folds into
+    ``visual``; the full specialized pool splits evenly across the
+    aspect collections actually queried; channels not queried are
+    dropped and the rest renormalized. Because the page carve-out scaled
+    all seven base aspects by one common factor, the normalized output
+    is byte-identical to the pre-page constants (0.30 visual / 0.20
+    understanding / 0.50 specialized pool) — pinned in tests.
+    """
+    balanced = WEIGHT_PROFILES[DEFAULT_PROFILE]
+    weights = {"visual": balanced["text"] + balanced["visual"]}
+    if has_understanding:
+        weights["understanding"] = balanced["understanding"]
+    queried = [t for t in specialized_types if t in SPECIALIZED_ASPECTS]
+    if queried:
+        pool = sum(balanced[a] for a in SPECIALIZED_ASPECTS)
+        per_type = pool / len(queried)
+        for aspect in queried:
+            weights[aspect] = per_type
+    return normalize_weights(weights)
+
+
+def aspect_bias_weights(aspect: str) -> Dict[str, float]:
+    """Source weights when the user explicitly picks a specialized
+    aspect — that vector dominates at 0.55 and the result is normalized
+    (the hand-built dict summed to 1.075 pre-normalization;
+    weight_profiles.py:240-258). ``page`` stays small-but-nonzero.
+    """
+    if aspect not in SPECIALIZED_ASPECTS:
+        raise ValueError(
+            f"aspect must be one of {SPECIALIZED_ASPECTS}, got {aspect!r}")
+    weights = {
+        "visual": 0.10, "chunk": 0.05, "understanding": 0.15,
+        "product": 0.05, "keyword": 0.05,
+        "color": 0.025, "texture": 0.025, "style": 0.025,
+        "material": 0.025, "page": 0.05,
+    }
+    weights[aspect] = 0.55
+    return normalize_weights(weights)
+
+
 # ---------------------------------------------------------------------------
 # Strategy-result fusion (unified_search_service.py:351-388)
 # ---------------------------------------------------------------------------

@@ -65,6 +65,47 @@ def test_aspect_and_source_weights(spark):
     assert bal["w_understanding"] == pytest.approx(0.20 * 0.90)
 
 
+def test_profile_to_source_weights():
+    src = S.profile_to_source_weights(S.WEIGHT_PROFILES["product_name"])
+    # text fans out, everything else 1:1, total still 1.0
+    text_w = S.WEIGHT_PROFILES["product_name"]["text"]
+    assert src["chunk"] == pytest.approx(text_w * 0.40)
+    assert src["keyword"] == pytest.approx(text_w * 0.25)
+    assert src["page"] == S.WEIGHT_PROFILES["product_name"]["page"]
+    assert sum(src.values()) == pytest.approx(1.0)
+    # missing aspects fall back to balanced
+    src = S.profile_to_source_weights({})
+    bal = S.WEIGHT_PROFILES["balanced"]
+    assert src["visual"] == bal["visual"]
+    assert src["chunk"] == pytest.approx(bal["text"] * 0.40)
+
+
+def test_image_only_weights_match_pre_page_constants():
+    # full fan-out reproduces the pre-refactor constants: 0.30 visual,
+    # 0.20 understanding, 0.50 specialized pool split evenly — the page
+    # carve-out cancels under normalization (weight_profiles.py:202-237)
+    w = S.image_only_weights(True, S.SPECIALIZED_ASPECTS)
+    assert w["visual"] == pytest.approx(0.30)
+    assert w["understanding"] == pytest.approx(0.20)
+    for a in S.SPECIALIZED_ASPECTS:
+        assert w[a] == pytest.approx(0.125)
+    # subset: the whole pool splits across the queried aspects only
+    w = S.image_only_weights(False, ["color"])
+    assert set(w) == {"visual", "color"}
+    assert sum(w.values()) == pytest.approx(1.0)
+    assert w["color"] == pytest.approx(0.45 / 0.72)
+
+
+def test_aspect_bias_weights():
+    w = S.aspect_bias_weights("texture")
+    assert sum(w.values()) == pytest.approx(1.0)
+    # the chosen aspect dominates: 0.55 of the pre-normalized 1.075
+    assert w["texture"] == pytest.approx(0.55 / 1.075)
+    assert w["page"] > 0  # never silently zero
+    with pytest.raises(ValueError):
+        S.aspect_bias_weights("visual")
+
+
 # ---------------------------------------------------------------------------
 # strategy fusion
 # ---------------------------------------------------------------------------
