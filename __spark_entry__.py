@@ -1650,6 +1650,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_images_to_products(images, _link_products(spark, sf_dir))
     q["entity_link_images"] = entity_link_images
 
+    def url_quality_gate(spark, sf_dir):
+        # URL admission gate (operators/urls.py): scheme/host/literal-IP
+        # /extension/path tiers in reference precedence, plus the naive
+        # registered-domain grouping key. Map-only native classification.
+        from mivaa_pdf_extractor_spark.operators.urls import (
+            classify_urls, registered_domain)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        m = doc % 12
+        url = (
+            F.when(m == 0, F.concat(F.lit("https://example.com/media/p/"),
+                                    ds))
+            .when(m == 1, F.concat(F.lit("http://cdn.example.org/img/"),
+                                   ds, F.lit(".png")))
+            .when(m == 2, F.lit("ftp://example.com/file"))
+            .when(m == 3, F.lit("https://localhost/admin"))
+            .when(m == 4, F.lit("https://169.254.169.254/latest/meta-data"))
+            .when(m == 5, F.concat(F.lit("https://192.168."),
+                                   (doc % 256).cast("string"),
+                                   F.lit(".7/x")))
+            .when(m == 6, F.concat(F.lit("https://example.com/doc"), ds,
+                                   F.lit(".pdf?x=1")))
+            .when(m == 7, F.lit("https://example.com/"))
+            .when(m == 8, F.lit("https://example.com/app.js"))
+            .when(m == 9, F.concat(F.lit("https://10.0.0."),
+                                   (doc % 256).cast("string"),
+                                   F.lit("/internal")))
+            .when(m == 10,
+                  F.lit("https://metadata.google.internal/computeMetadata"))
+            .otherwise(F.concat(
+                F.lit("https://shop.example.co.uk/products/"), ds)))
+        out = classify_urls(d.withColumn("url", url))
+        return out.select(
+            "doc_id", "url", "url_status",
+            registered_domain(F.col("host")).alias("domain"))
+    q["url_quality_gate"] = url_quality_gate
+
     return q
 
 
@@ -1823,6 +1861,84 @@ _HYBRID_SQL = f"""
                             ELSE 0.25 * 0.3 END AS effective_threshold
                 FROM g)
             WHERE score >= effective_threshold"""
+
+def _duck_url_gate_sql() -> str:
+    """URL-gate twin: the classification is re-derived from the URL
+    string with the same RE2-safe regexes (not re-synthesized from the
+    modulo), so the twin genuinely tests the parse; the extension list
+    is generated from the package constant."""
+    from mivaa_pdf_extractor_spark.operators.urls import (
+        NON_CONTENT_EXTENSIONS)
+    ext_cond = " OR ".join(
+        f"ends_with(split_part(lower(url), '?', 1), '{e}')"
+        for e in NON_CONTENT_EXTENSIONS)
+    return rf"""
+            WITH u AS (
+                SELECT doc_id,
+                   CASE doc_id % 12
+                     WHEN 0 THEN 'https://example.com/media/p/'
+                                 || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN 'http://cdn.example.org/img/'
+                                 || CAST(doc_id AS VARCHAR) || '.png'
+                     WHEN 2 THEN 'ftp://example.com/file'
+                     WHEN 3 THEN 'https://localhost/admin'
+                     WHEN 4 THEN 'https://169.254.169.254/latest/meta-data'
+                     WHEN 5 THEN 'https://192.168.'
+                                 || CAST(doc_id % 256 AS VARCHAR) || '.7/x'
+                     WHEN 6 THEN 'https://example.com/doc'
+                                 || CAST(doc_id AS VARCHAR) || '.pdf?x=1'
+                     WHEN 7 THEN 'https://example.com/'
+                     WHEN 8 THEN 'https://example.com/app.js'
+                     WHEN 9 THEN 'https://10.0.0.'
+                                 || CAST(doc_id % 256 AS VARCHAR)
+                                 || '/internal'
+                     WHEN 10 THEN
+                        'https://metadata.google.internal/computeMetadata'
+                     ELSE 'https://shop.example.co.uk/products/'
+                          || CAST(doc_id AS VARCHAR)
+                   END AS url
+                FROM documents),
+            p AS (
+                SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)',
+                       1)) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path
+                FROM u),
+            ip AS (
+                SELECT *,
+                   regexp_matches(host,
+                       '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') AS is4,
+                   TRY_CAST(string_split(host, '.')[1] AS INT) AS o1,
+                   TRY_CAST(string_split(host, '.')[2] AS INT) AS o2,
+                   TRY_CAST(string_split(host, '.')[3] AS INT) AS o3,
+                   TRY_CAST(string_split(host, '.')[4] AS INT) AS o4
+                FROM p)
+            SELECT doc_id, url,
+               CASE WHEN scheme NOT IN ('http', 'https')
+                         THEN 'blocked_scheme'
+                    WHEN host = '' OR host IN ('localhost',
+                         'metadata.google.internal', 'metadata',
+                         'instance-data') THEN 'blocked_host'
+                    WHEN is4 AND (o1 > 255 OR o2 > 255 OR o3 > 255
+                         OR o4 > 255 OR o1 IN (0, 10, 127)
+                         OR (o1 = 169 AND o2 = 254)
+                         OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                         OR (o1 = 192 AND o2 = 168)
+                         OR o1 >= 224) THEN 'blocked_ip'
+                    WHEN {ext_cond} THEN 'non_content_ext'
+                    WHEN length(path) < 2 THEN 'trivial_path'
+                    ELSE 'ok' END AS url_status,
+               CASE WHEN len(string_split(host, '.')) >= 2
+                    THEN string_split(host, '.')[-2] || '.'
+                         || string_split(host, '.')[-1]
+                    ELSE host END AS domain
+            FROM ip"""
+
 
 # synthesized per-doc product dimension shared by both entity-linking
 # twins (generate_series is inclusive, matching Spark's F.sequence)
@@ -3025,4 +3141,5 @@ def oracle_sql() -> dict[str, str]:
                              + detection_confidence * 0.2))
                    END AS relevance_score
             FROM j""",
+        "url_quality_gate": _duck_url_gate_sql(),
     }
