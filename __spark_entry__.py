@@ -1688,6 +1688,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             registered_domain(F.col("host")).alias("domain"))
     q["url_quality_gate"] = url_quality_gate
 
+    def domain_cap_sample(spark, sf_dir):
+        # per-domain cap over the admitted URLs (exact hash-rank mode
+        # for the contract; threshold mode is the no-shuffle scale path)
+        from mivaa_pdf_extractor_spark.operators.urls import cap_per_domain
+        admitted = (q["url_quality_gate"](spark, sf_dir)
+                    .filter(F.col("url_status") == "ok")
+                    .select("doc_id", "domain"))
+        return cap_per_domain(admitted, cap=10, exact=True)
+    q["domain_cap_sample"] = domain_cap_sample
+
     return q
 
 
@@ -3142,4 +3152,15 @@ def oracle_sql() -> dict[str, str]:
                    END AS relevance_score
             FROM j""",
         "url_quality_gate": _duck_url_gate_sql(),
+        "domain_cap_sample": f"""
+            -- per-domain cap twin: same md5(doc_id) rank within the
+            -- admitted domains, cap 10
+            WITH gate AS ({_duck_url_gate_sql()}),
+            ranked AS (
+                SELECT doc_id, domain,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS rk
+                FROM gate WHERE url_status = 'ok')
+            SELECT doc_id, domain FROM ranked WHERE rk <= 10""",
     }

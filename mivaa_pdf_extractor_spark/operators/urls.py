@@ -28,7 +28,7 @@ file, not an algorithm; documented limitation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: ssrf_guard.py:22-27
 BLOCKED_HOSTNAMES = ("localhost", "metadata.google.internal", "metadata",
@@ -110,6 +110,35 @@ def registered_domain(host_col) -> F.Column:
     return F.when(n >= 2, F.concat_ws(
         ".", F.element_at(parts, -2), F.element_at(parts, -1))
     ).otherwise(host_col)
+
+
+def cap_per_domain(df: DataFrame, cap: int, domain_col: str = "domain",
+                   id_col: str = "doc_id", exact: bool = True) -> DataFrame:
+    """RefinedWeb-style per-domain document cap: keep at most ``cap``
+    documents per registered domain, selected by md5(id) order so the
+    sample is deterministic and independent of corpus order.
+
+    Two modes, the same trade documented in sampling.py:
+
+    - ``exact=True``: row_number over a domain-partitioned window —
+      exact cap, but a mega-domain's rows shuffle to one task (audit /
+      contract mode).
+    - ``exact=False``: threshold mode — one tiny (domain, n) aggregate
+      broadcasts, then a map-only keep when
+      ``uniform_frac(id) * n < cap``; hits the cap in expectation with
+      no corpus shuffle (the 100 TB mode).
+    """
+    if exact:
+        w = (Window.partitionBy(domain_col)
+             .orderBy(F.md5(F.col(id_col).cast("string")), id_col))
+        return (df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= cap).drop("_rk"))
+    from .sampling import _uniform_frac
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    return (df.join(F.broadcast(counts), domain_col)
+            .filter(_uniform_frac(id_col, salt="domcap|") * F.col("_n")
+                    < F.lit(float(cap)))
+            .drop("_n"))
 
 
 def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:

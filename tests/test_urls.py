@@ -81,6 +81,33 @@ def test_classify_matches_mirror(spark):
     assert got["https://user:pw@Example.COM:8443/Shop/Item"] == "ok"
 
 
+def test_cap_per_domain(spark):
+    import hashlib
+    rows = [Row(doc_id=i, domain="a.com" if i < 40 else "b.org")
+            for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = U.cap_per_domain(df, cap=5, exact=True).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    # exact cap per domain (b.org has 10 rows -> capped to 5 too)
+    assert len(by_dom["a.com"]) == 5 and len(by_dom["b.org"]) == 5
+    # selection = lowest md5(id) ranks, reproducible
+    exp = sorted(range(40),
+                 key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:5]
+    assert sorted(by_dom["a.com"]) == sorted(exp)
+
+    # threshold mode: deterministic, near the cap in expectation, and a
+    # per-domain subset independent of corpus order
+    t1 = {r["doc_id"] for r in U.cap_per_domain(df, cap=20,
+                                                exact=False).collect()}
+    t2 = {r["doc_id"] for r in U.cap_per_domain(df, cap=20,
+                                                exact=False).collect()}
+    assert t1 == t2
+    n_a = sum(1 for i in t1 if i < 40)
+    assert 10 <= n_a <= 30  # E[n_a] = 20, loose O(sqrt(n)) bound
+
+
 def test_registered_domain_and_stats(spark):
     df = spark.createDataFrame(
         [Row(url="https://a.shop.example.com/x/1"),
