@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "url_ingest", "decontaminate", "pii_redact", "pack_training_sequences",
     "mixture_sample", "corpus_mixture_stats", "corpus_split",
     "packing_report", "quality_resample",
+    # round 4 continuation: search fusion / linking / url curation
+    "search_weight_profiles", "search_strategy_fusion",
+    "search_keyword_score", "search_hybrid_fusion", "search_mmr_rerank",
+    "entity_link_chunks", "entity_link_images", "url_quality_gate",
+    "domain_cap_sample",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
