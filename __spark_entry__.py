@@ -1698,6 +1698,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cap_per_domain(admitted, cap=10, exact=True)
     q["domain_cap_sample"] = domain_cap_sample
 
+    def similarity_floor_stats(spark, sf_dir):
+        # per-query floor observability rollup (search.py
+        # similarity_floor_report); k/16 scores make round(_, 4) the
+        # identity so every rounding convention agrees
+        from mivaa_pdf_extractor_spark.operators.search import (
+            similarity_floor_report)
+        d = _docs(spark, sf_dir).select("doc_id")
+        c = d.select("doc_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(5))).alias("c"))
+        scores = c.select(
+            F.col("doc_id").alias("query_id"),
+            (((F.col("doc_id") * 5 + F.col("c") * 3) % 16).cast("double")
+             / F.lit(16.0)).alias("score"))
+        return similarity_floor_report(scores, floor=0.5)
+    q["similarity_floor_stats"] = similarity_floor_stats
+
     return q
 
 
@@ -3163,4 +3179,24 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                 FROM gate WHERE url_status = 'ok')
             SELECT doc_id, domain FROM ranked WHERE rk <= 10""",
+        "similarity_floor_stats": """
+            -- summarize_similarity_floor twin: inclusive floor, NULL
+            -- top_rejected when the floor did nothing
+            WITH s AS (
+                SELECT doc_id AS query_id,
+                       CAST((doc_id * 5 + c.c * 3) % 16 AS DOUBLE) / 16.0
+                           AS score
+                FROM documents, (SELECT unnest(range(6)) AS c) c)
+            SELECT query_id, round(0.5, 4) AS floor_value,
+                   CAST(count(*) AS INTEGER) AS candidates,
+                   CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS kept,
+                   CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS rejected,
+                   round(max(score), 4) AS best_score,
+                   round(min(CASE WHEN score >= 0.5 THEN score END), 4)
+                       AS worst_kept,
+                   round(max(CASE WHEN score < 0.5 THEN score END), 4)
+                       AS top_rejected
+            FROM s GROUP BY query_id""",
     }

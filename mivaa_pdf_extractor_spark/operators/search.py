@@ -425,6 +425,34 @@ def hybrid_fuse(scores: DataFrame, weights: Dict[str, float],
             .drop("_ws", "_aw"))
 
 
+def similarity_floor_report(scores: DataFrame, floor: float,
+                            query_col: str = "query_id",
+                            score_col: str = "score") -> DataFrame:
+    """Per-query report of what a similarity floor did to a result set.
+
+    Reference: rag_routes.py:5902-5923 (``summarize_similarity_floor``) —
+    ``kept``/``rejected`` counts, ``best_score``, ``worst_kept`` and the
+    diagnostic that matters, ``top_rejected`` (the best hit the floor
+    threw away; NULL when the floor did nothing). Values rounded to 4
+    like the reference (the reference uses Python banker's rounding;
+    here both engines round identically — exactly-tied 5s can differ
+    from Python, pinned in tests).
+
+    One partial-aggregated groupBy per query — conditional min/max/count
+    all combine map-side.
+    """
+    f = F.lit(float(floor))
+    s = F.col(score_col)
+    return (scores.groupBy(query_col).agg(
+        F.round(f, 4).alias("floor_value"),
+        F.count("*").cast("int").alias("candidates"),
+        F.sum(F.when(s >= f, 1).otherwise(0)).cast("int").alias("kept"),
+        F.sum(F.when(s < f, 1).otherwise(0)).cast("int").alias("rejected"),
+        F.round(F.max(s), 4).alias("best_score"),
+        F.round(F.min(F.when(s >= f, s)), 4).alias("worst_kept"),
+        F.round(F.max(F.when(s < f, s)), 4).alias("top_rejected")))
+
+
 # ---------------------------------------------------------------------------
 # MMR re-ranking (mmr_reranker.py:114-160)
 # ---------------------------------------------------------------------------

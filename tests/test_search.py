@@ -248,6 +248,24 @@ def test_hybrid_fuse_active_weight_normalization(spark):
     assert "p3" not in out
 
 
+def test_similarity_floor_report(spark):
+    # mirror of rag_routes.py summarize_similarity_floor on one result set
+    scores = [0.9, 0.7, 0.5, 0.3, 0.1]
+    rows = [Row(query_id=1, score=s) for s in scores] + \
+           [Row(query_id=2, score=0.95)]
+    df = spark.createDataFrame(rows)
+    out = {r["query_id"]: r
+           for r in S.similarity_floor_report(df, floor=0.5).collect()}
+    r1 = out[1]
+    assert (r1["candidates"], r1["kept"], r1["rejected"]) == (5, 3, 2)
+    assert r1["best_score"] == pytest.approx(0.9)
+    assert r1["worst_kept"] == pytest.approx(0.5)   # floor is inclusive
+    assert r1["top_rejected"] == pytest.approx(0.3)  # best hit thrown away
+    # floor did nothing for query 2 -> top_rejected is NULL
+    r2 = out[2]
+    assert r2["rejected"] == 0 and r2["top_rejected"] is None
+
+
 # ---------------------------------------------------------------------------
 # MMR — mirror of mmr_reranker.py:114-160
 # ---------------------------------------------------------------------------
