@@ -1771,6 +1771,11 @@ def _duck_search_profiles_sql() -> str:
             FROM aw"""
 
 
+def _duck_kw_words(expr: str) -> str:
+    return (f"list_distinct(list_filter(string_split(lower({expr}), ' '), "
+            f"x -> x <> ''))")
+
+
 def _duck_kw_field(expr: str) -> str:
     """Per-field keyword score for the search_keyword_score twin: Jaccard
     of distinct lowercased word sets vs the constant query, plus
@@ -1783,8 +1788,7 @@ def _duck_kw_field(expr: str) -> str:
     hits = " + ".join(
         f"(CASE WHEN contains(lower({expr}), '{w}') THEN 1 ELSE 0 END)"
         for w in long_words)
-    words = (f"list_distinct(list_filter(string_split(lower({expr}), ' '), "
-             f"x -> x <> ''))")
+    words = _duck_kw_words(expr)
     inter = f"len(list_intersect({words}, {q_list}))"
     union = f"len(list_distinct(list_concat({words}, {q_list})))"
     jacc = (f"(CASE WHEN {union} > 0 THEN CAST({inter} AS DOUBLE) "
@@ -1795,8 +1799,10 @@ def _duck_kw_field(expr: str) -> str:
 def _duck_search_kw_sql() -> str:
     fields = [("name", 3.0), ("manufacturer", 3.0), ("colors", 1.5),
               ("description", 2.0)]
+    # presence = non-empty word set, matching the operator (a
+    # whitespace-only field contributes neither score nor weight)
     score_cols = ",\n                   ".join(
-        f"{c} IS NOT NULL AND {c} <> '' AS p_{c},\n"
+        f"{c} IS NOT NULL AND len({_duck_kw_words(c)}) > 0 AS p_{c},\n"
         f"                   {_duck_kw_field(c)} AS s_{c}"
         for c, _ in fields)
     ts = " + ".join(f"(CASE WHEN p_{c} THEN s_{c} * {w!r} ELSE 0.0 END)"
@@ -1950,8 +1956,9 @@ def _duck_url_gate_sql() -> str:
                     WHEN host = '' OR host IN ('localhost',
                          'metadata.google.internal', 'metadata',
                          'instance-data') THEN 'blocked_host'
-                    WHEN is4 AND (o1 > 255 OR o2 > 255 OR o3 > 255
-                         OR o4 > 255 OR o1 IN (0, 10, 127)
+                    WHEN is4 AND (o1 IS NULL OR o2 IS NULL OR o3 IS NULL
+                         OR o4 IS NULL OR o1 > 255 OR o2 > 255
+                         OR o3 > 255 OR o4 > 255 OR o1 IN (0, 10, 127)
                          OR (o1 = 169 AND o2 = 254)
                          OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
                          OR (o1 = 192 AND o2 = 168)

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "search_weight_profiles", "search_strategy_fusion",
     "search_keyword_score", "search_hybrid_fusion", "search_mmr_rerank",
     "entity_link_chunks", "entity_link_images", "url_quality_gate",
-    "domain_cap_sample",
+    "domain_cap_sample", "similarity_floor_stats",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -288,9 +288,11 @@ def fuse_strategy_results(results: DataFrame,
 # Keyword text score (rag_service.py:1452-1549)
 # ---------------------------------------------------------------------------
 
-#: (column, weight) in the reference's field order — name/manufacturer 3.0,
-#: designer/collection 2.5, material_category/description 2.0, colors 1.5,
-#: flattened metadata 1.0 (rag_service.py:1470-1518).
+#: (column, weight) in the reference's APPEND order (rag_service.py:
+#: 1470-1518): name 3.0, manufacturer 3.0, designer 2.5, collection 2.5,
+#: material_category 2.0, colors 1.5, description 2.0, metadata 1.0 —
+#: description deliberately comes AFTER colors, as in the reference, so
+#: the float accumulation order matches.
 DEFAULT_SCORE_FIELDS: Tuple[Tuple[str, float], ...] = (
     ("name", 3.0), ("manufacturer", 3.0), ("designer", 2.5),
     ("collection", 2.5), ("material_category", 2.0), ("colors", 1.5),
@@ -332,8 +334,12 @@ def keyword_text_score(products: DataFrame, query: str,
     total_weight = F.lit(0.0)
     for col_name, weight in fields:
         col = F.col(col_name)
-        present = col.isNotNull() & (col != "")
         words = _word_set(col)
+        # a field participates only when its word set is non-empty — the
+        # reference skips falsy text AND empty splits ('if not text:
+        # continue' then 'if text_words:'), so a whitespace-only field
+        # contributes neither score nor weight
+        present = col.isNotNull() & (F.size(words) > 0)
         union = F.size(F.array_union(words, q_lit))
         jaccard = F.when(
             union > 0,
@@ -520,7 +526,14 @@ def mmr_rerank(cands: DataFrame, lambda_param: float = 0.7,
         E = np.stack(pdf[emb_col].to_numpy())
         G = E @ E.T
         norms = np.sqrt(np.diag(G))
-        sim = G / np.outer(norms, norms)
+        # a zero-norm vector (empty-text embedding) carries no diversity
+        # evidence: define its similarity as 0 rather than letting NaNs
+        # poison every comparison (the reference's TF-IDF path has the
+        # analogous guard — it falls back when vectorization fails)
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, G / np.where(denom > 0, denom, 1.0),
+                           0.0)
 
         # first pick: first index attaining max relevance
         first = int(np.argmax(rel))
@@ -535,6 +548,8 @@ def mmr_rerank(cands: DataFrame, lambda_param: float = 0.7,
                 score = lam * rel[i] + (1.0 - lam) * div
                 if score > best_mmr:
                     best_idx, best_mmr, best_div = i, score, div
+            if best_idx < 0:  # defensive: nothing selectable
+                break
             selected.append(best_idx)
             mmr_scores.append(best_mmr)
             gains.append(best_div)

@@ -63,11 +63,15 @@ def _ipv4_blocked(host: F.Column) -> F.Column:
     reference's ValueError path."""
     looks_ipv4 = host.rlike(_IPV4_RE)
     parts = F.split(host, r"\.")
-    o1 = F.element_at(parts, 1).cast("int")
-    o2 = F.element_at(parts, 2).cast("int")
-    o3 = F.element_at(parts, 3).cast("int")
-    o4 = F.element_at(parts, 4).cast("int")
-    out_of_range = (o1 > 255) | (o2 > 255) | (o3 > 255) | (o4 > 255)
+    # try_cast, not cast: a digit run past int range must classify as
+    # blocked (the reference's unparseable-IP rule), not throw under
+    # ANSI mode and kill the whole classification pass
+    o1 = F.element_at(parts, 1).try_cast("int")
+    o2 = F.element_at(parts, 2).try_cast("int")
+    o3 = F.element_at(parts, 3).try_cast("int")
+    o4 = F.element_at(parts, 4).try_cast("int")
+    out_of_range = (o1.isNull() | o2.isNull() | o3.isNull() | o4.isNull()
+                    | (o1 > 255) | (o2 > 255) | (o3 > 255) | (o4 > 255))
     blocked = (
         (o1 == 0) | (o1 == 10) | (o1 == 127)
         | ((o1 == 169) & (o2 == 254))

@@ -350,6 +350,32 @@ def test_mmr_tie_break_earliest_wins(spark):
     assert [g[0] for g in got] == [e[0] for e in exp]
 
 
+def test_mmr_zero_norm_embedding_does_not_poison_group(spark):
+    # a zero-norm vector must not NaN-poison the greedy loop (review
+    # finding): sims involving it are defined as 0, so it competes on
+    # relevance + full diversity credit, and the job completes
+    cands = [(10, 0.9, [0.0, 0.0]), (11, 0.5, [1.0, 0.0]),
+             (12, 0.4, [0.0, 1.0])]
+    got = _run_mmr(spark, cands, lam=0.7, top_k=2)
+    assert [g[0] for g in got] == [10, 11]
+    # step 2: both remaining have sim 0 to the zero vector -> div 1.0,
+    # pure-relevance order decides
+    assert got[1][3] == pytest.approx(1.0)
+
+
+def test_keyword_score_whitespace_only_field_excluded(spark):
+    # review finding: a whitespace-only field must contribute neither
+    # score nor weight (the reference's empty-word-set skip)
+    query = "alpha beta"
+    df = spark.createDataFrame([Row(pid=1, name="alpha beta", colors=" ")])
+    got = S.keyword_text_score(
+        df, query, [("name", 3.0), ("colors", 1.5)]).collect()[0]
+    assert got["keyword_score"] == pytest.approx(
+        _mirror_text_score(query, [("alpha beta", 3.0), (" ", 1.5)]),
+        abs=1e-12)
+    assert got["keyword_score"] == 1.0
+
+
 def test_mmr_short_circuit_paths(spark):
     cands = _mmr_fixture()
     # n <= top_k: input order, mmr == rel, zero gains (reference

@@ -55,6 +55,7 @@ URLS = [
     "https://240.1.2.3/reserved",
     "https://0.0.0.0/zero",
     "https://999.1.2.3/badoctet",
+    "https://3000000000.1.1.1/overflow-octet",  # > int32: must block, not throw
     "https://8.8.8.8/public-ip-ok",
     "https://example.com/report.pdf",
     "https://example.com/app.js?v=3",
