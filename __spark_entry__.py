@@ -1714,6 +1714,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity_floor_report(scores, floor=0.5)
     q["similarity_floor_stats"] = similarity_floor_stats
 
+    # --- page-embedding ledger (operators/pages.py; reference
+    # page_embedding_service.py, pinned by test_page_embeddings.py) ---
+
+    def _page_docs(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        return d.select(
+            "doc_id",
+            F.when(doc % 13 == 0, F.lit(None).cast("string"))
+             .when(doc % 11 == 0, F.lit("ws_other"))
+             .otherwise(F.lit("ws_main")).alias("workspace_id"),
+            (1 + doc % 7).cast("int").alias("total_pages"))
+
+    def _page_ledger(spark, sf_dir):
+        d = (_docs(spark, sf_dir).select("doc_id")
+             .filter(F.col("doc_id") % 3 == 0))
+        led = d.select("doc_id",
+                       F.explode(F.sequence(F.lit(1), F.lit(2)))
+                        .alias("page_number"))
+        doc, p = F.col("doc_id"), F.col("page_number")
+        return led.select(
+            "doc_id", p.cast("int").alias("page_number"),
+            F.when((doc + p) % 2 == 0, F.lit("embedded"))
+             .otherwise(F.lit("skipped")).alias("cache_status"),
+            F.when(doc % 6 == 0, F.lit(1)).otherwise(F.lit(2))
+             .cast("int").alias("schema_version"))
+
+    def page_embed_plan(spark, sf_dir):
+        # tenant fail-closed gate + reported cap + stale-schema re-embed
+        from mivaa_pdf_extractor_spark.operators.pages import (
+            plan_page_targets)
+        return plan_page_targets(_page_docs(spark, sf_dir),
+                                 _page_ledger(spark, sf_dir),
+                                 caller_workspace="ws_main",
+                                 max_pages=4, schema_version=2)
+    q["page_embed_plan"] = page_embed_plan
+
+    def _page_side_effects(spark, sf_dir):
+        pending = (page_embed_plan(spark, sf_dir)
+                   .filter(F.col("decision") == "pending")
+                   .select("doc_id", "page_number"))
+        doc, pg = F.col("doc_id"), F.col("page_number")
+        return pending.select(
+            "doc_id", "page_number",
+            ((doc + pg) % 17 != 0).alias("render_ok"),
+            F.when((doc * 5 + pg) % 19 == 0, F.lit(None).cast("int"))
+             .when((doc + pg) % 5 == 0,
+                   (700 + ((doc + pg) % 4) * 500).cast("int"))
+             .otherwise((3000 + ((doc * 3 + pg) % 40) * 100).cast("int"))
+             .alias("render_bytes"),
+            F.when((doc + pg) % 4 == 0, F.lit(" "))
+             .otherwise(F.concat(F.lit("text of page "),
+                                 pg.cast("string"))).alias("page_text"),
+            ((doc * 3 + pg) % 23 == 0).alias("provider_empty"),
+            ((doc + pg * 7) % 29 == 0).alias("upsert_refused"))
+
+    def page_embed_outcomes_q(spark, sf_dir):
+        # _embed_one_page outcome ladder: blank-and-textless -> skipped,
+        # refused upsert is NEVER recorded embedded
+        from mivaa_pdf_extractor_spark.operators.pages import (
+            page_embed_outcomes)
+        return page_embed_outcomes(_page_side_effects(spark, sf_dir))
+    q["page_embed_outcomes"] = page_embed_outcomes_q
+
+    def page_embed_summary_q(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators.pages import (
+            page_embed_outcomes, page_embed_summary)
+        plan = page_embed_plan(spark, sf_dir)
+        out = page_embed_outcomes(_page_side_effects(spark, sf_dir))
+        return page_embed_summary(plan, out)
+    q["page_embed_summary"] = page_embed_summary_q
+
+    # --- Gopher document-rule battery (operators/text_analysis.py) ---
+
+    def gopher_quality(spark, sf_dir):
+        # full Rae et al. 2021 Table A1 battery, map-only native
+        return ta.gopher_rules(_docs(spark, sf_dir))
+    q["gopher_quality"] = gopher_quality
+
+    # --- stupid-backoff n-gram LM (operators/lm.py; CCNet-style) ---
+
+    def ngram_lm_counts(spark, sf_dir):
+        # corpus n-gram model counts (n=1..3); contract emits the
+        # cnt >= 5 slice (the full table is the perplexity query's input)
+        from mivaa_pdf_extractor_spark.operators import lm
+        return lm.ngram_counts(_docs(spark, sf_dir)).filter(
+            F.col("cnt") >= 5)
+    q["ngram_lm_counts"] = ngram_lm_counts
+
+    def ngram_lm_perplexity(spark, sf_dir):
+        # per-doc stupid-backoff scores; integer micro-unit log-prob sum
+        # keeps the cross-engine aggregate float-associativity-free
+        from mivaa_pdf_extractor_spark.operators import lm
+        d = _docs(spark, sf_dir)
+        return lm.lm_doc_scores(d, lm.ngram_counts(d))
+    q["ngram_lm_perplexity"] = ngram_lm_perplexity
+
     return q
 
 
@@ -2122,6 +2219,107 @@ _G7_MINE_SQL = """
                    CAST(NULL AS VARCHAR) AS chemical_resistance,
                    CAST(NULL AS VARCHAR) AS fire_rating
             FROM documents WHERE doc_id % 10 = 0"""
+
+
+# Shared CTE bodies for the page-embedding ledger oracles: the same
+# deterministic doc/ledger synthesis as the Spark queries, the fail-closed
+# tenant gate, the reported cap (rank over the FULL page list, before the
+# already-filter), and the current-schema decided set.
+_DUCK_PAGE_CTES = """docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN NULL
+                            WHEN doc_id % 11 = 0 THEN 'ws_other'
+                            ELSE 'ws_main' END AS workspace_id,
+                       CAST(1 + doc_id % 7 AS INT) AS total_pages
+                FROM documents),
+            ledger AS (
+                SELECT doc_id, CAST(t.p AS INT) AS page_number,
+                       CASE WHEN (doc_id + t.p) % 2 = 0 THEN 'embedded'
+                            ELSE 'skipped' END AS cache_status,
+                       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 2 END
+                           AS INT) AS schema_version
+                FROM documents, generate_series(1, 2) AS t(p)
+                WHERE doc_id % 3 = 0),
+            refused AS (
+                SELECT doc_id, CAST(NULL AS INT) AS page_number,
+                       CASE WHEN workspace_id IS NULL
+                                 OR trim(workspace_id) = ''
+                            THEN 'refused_no_workspace'
+                            ELSE 'refused_tenant' END AS decision
+                FROM docs
+                WHERE workspace_id IS NULL OR trim(workspace_id) = ''
+                      OR workspace_id <> 'ws_main'),
+            pages AS (
+                SELECT doc_id, CAST(p AS INT) AS page_number,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY p) AS page_rank
+                FROM (SELECT d.doc_id,
+                             unnest(generate_series(1,
+                                 CAST(d.total_pages AS BIGINT))) AS p
+                      FROM docs d
+                      WHERE d.workspace_id IS NOT NULL
+                            AND trim(d.workspace_id) <> ''
+                            AND d.workspace_id = 'ws_main')),
+            decided AS (
+                SELECT DISTINCT doc_id, page_number FROM ledger
+                WHERE cache_status IN ('embedded', 'skipped')
+                      AND coalesce(schema_version, 0) >= 2),
+            planned AS (
+                SELECT p.doc_id, p.page_number,
+                       CASE WHEN p.page_rank > 4 THEN 'over_cap'
+                            WHEN dd.doc_id IS NOT NULL THEN 'already'
+                            ELSE 'pending' END AS decision
+                FROM pages p LEFT JOIN decided dd
+                  ON p.doc_id = dd.doc_id
+                 AND p.page_number = dd.page_number)"""
+
+# Deterministic side-effect synthesis over the pending pages (same
+# arithmetic as the Spark _page_side_effects helper).
+_DUCK_PAGE_FX_CTE = """fx AS (
+                SELECT doc_id, page_number,
+                       (doc_id + page_number) % 17 <> 0 AS render_ok,
+                       CASE WHEN (doc_id * 5 + page_number) % 19 = 0
+                                THEN NULL
+                            WHEN (doc_id + page_number) % 5 = 0
+                                THEN CAST(700 + ((doc_id + page_number)
+                                     % 4) * 500 AS INT)
+                            ELSE CAST(3000 + ((doc_id * 3 + page_number)
+                                 % 40) * 100 AS INT)
+                       END AS render_bytes,
+                       CASE WHEN (doc_id + page_number) % 4 = 0 THEN ' '
+                            ELSE 'text of page '
+                                 || CAST(page_number AS VARCHAR)
+                       END AS page_text,
+                       (doc_id * 3 + page_number) % 23 = 0
+                           AS provider_empty,
+                       (doc_id + page_number * 7) % 29 = 0
+                           AS upsert_refused
+                FROM planned WHERE decision = 'pending')"""
+
+# Corpus n-gram counts (n = 1..3) over the ASCII-whitespace token stream —
+# the stupid-backoff model's count tables.
+_DUCK_NGRAM_COUNTS_CTE = """docs_w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '[ \t\r\n]+'), x -> x <> '') AS w
+                FROM documents),
+            g1 AS (SELECT 1 AS n, unnest(w) AS gram FROM docs_w),
+            g2 AS (SELECT 2 AS n,
+                          unnest(list_transform(
+                              generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1])) AS gram
+                   FROM docs_w),
+            g3 AS (SELECT 3 AS n,
+                          unnest(list_transform(
+                              generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i + 1] || ' '
+                                   || w[i + 2])) AS gram
+                   FROM docs_w),
+            counts AS (
+                SELECT n, gram, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+                      UNION ALL SELECT * FROM g3)
+                GROUP BY n, gram)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3206,4 +3404,196 @@ def oracle_sql() -> dict[str, str]:
                    round(max(CASE WHEN score < 0.5 THEN score END), 4)
                        AS top_rejected
             FROM s GROUP BY query_id""",
+        "page_embed_plan": f"""
+            WITH {_DUCK_PAGE_CTES}
+            SELECT doc_id, page_number, decision FROM planned
+            UNION ALL SELECT doc_id, page_number, decision FROM refused""",
+        "page_embed_outcomes": f"""
+            WITH {_DUCK_PAGE_CTES},
+            {_DUCK_PAGE_FX_CTE}
+            SELECT doc_id, page_number,
+                CASE WHEN NOT render_ok THEN 'failed'
+                     WHEN render_bytes IS NULL THEN 'failed'
+                     WHEN render_bytes < 3000 AND trim(substr(
+                         coalesce(page_text, ''), 1, 8000)) = ''
+                         THEN 'skipped'
+                     WHEN provider_empty THEN 'failed'
+                     WHEN upsert_refused THEN 'failed'
+                     ELSE 'embedded' END AS cache_status,
+                CASE WHEN NOT render_ok THEN 'render raised'
+                     WHEN render_bytes IS NULL
+                         THEN 'render returned nothing'
+                     WHEN render_bytes < 3000 AND trim(substr(
+                         coalesce(page_text, ''), 1, 8000)) = ''
+                         THEN NULL
+                     WHEN provider_empty
+                         THEN 'embedding provider returned nothing'
+                     WHEN upsert_refused THEN 'vecs upsert refused'
+                     ELSE NULL END AS error,
+                CASE WHEN render_ok AND render_bytes IS NOT NULL
+                          AND NOT (render_bytes < 3000 AND trim(substr(
+                              coalesce(page_text, ''), 1, 8000)) = '')
+                     THEN 'extracted/' || CAST(doc_id AS VARCHAR)
+                          || '/pages/page-' || printf('%04d', page_number)
+                          || '.png' END AS storage_path,
+                trim(substr(coalesce(page_text, ''), 1, 8000)) <> ''
+                    AS has_text
+            FROM fx""",
+        "page_embed_summary": f"""
+            WITH {_DUCK_PAGE_CTES},
+            {_DUCK_PAGE_FX_CTE},
+            outc AS (
+                SELECT doc_id,
+                    CASE WHEN NOT render_ok THEN 'failed'
+                         WHEN render_bytes IS NULL THEN 'failed'
+                         WHEN render_bytes < 3000 AND trim(substr(
+                             coalesce(page_text, ''), 1, 8000)) = ''
+                             THEN 'skipped'
+                         WHEN provider_empty THEN 'failed'
+                         WHEN upsert_refused THEN 'failed'
+                         ELSE 'embedded' END AS cache_status
+                FROM fx),
+            uni AS (
+                SELECT doc_id,
+                       CASE WHEN cache_status = 'embedded' THEN 1 ELSE 0
+                           END AS embedded,
+                       CASE WHEN cache_status = 'skipped' THEN 1 ELSE 0
+                           END AS skipped_blank,
+                       CASE WHEN cache_status = 'failed' THEN 1 ELSE 0
+                           END AS failed,
+                       0 AS already, 0 AS over_cap,
+                       CAST(NULL AS VARCHAR) AS refusal
+                FROM outc
+                UNION ALL
+                SELECT doc_id, 0, 0, 0,
+                       CASE WHEN decision = 'already' THEN 1 ELSE 0 END,
+                       CASE WHEN decision = 'over_cap' THEN 1 ELSE 0 END,
+                       CASE WHEN decision LIKE 'refused%' THEN decision
+                           END
+                FROM (SELECT doc_id, decision FROM planned
+                      UNION ALL SELECT doc_id, decision FROM refused)
+                WHERE decision <> 'pending')
+            SELECT doc_id,
+                   CAST(sum(embedded) AS BIGINT) AS n_embedded,
+                   CAST(sum(skipped_blank) AS BIGINT) AS n_skipped_blank,
+                   CAST(sum(failed) AS BIGINT) AS n_failed,
+                   CAST(sum(already) AS BIGINT) AS n_already,
+                   CAST(sum(over_cap) AS BIGINT) AS n_over_cap,
+                   max(refusal) AS refusal
+            FROM uni GROUP BY doc_id""",
+        "gopher_quality": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '[ \t\r\n]+'), x -> x <> '') AS w,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                    len(w) AS n_words, len(lines) AS n_lines,
+                    round(CAST(coalesce(list_sum(list_transform(w,
+                        x -> length(x))), 0) AS DOUBLE)
+                        / greatest(len(w), 1), 6) AS mean_word_len,
+                    round(CAST(len(list_filter(w, x -> contains(x, '#')))
+                        + len(list_filter(w, x -> contains(x, '...')))
+                        AS DOUBLE) / greatest(len(w), 1), 6)
+                        AS symbol_word_ratio,
+                    round(CAST(len(list_filter(lines,
+                        x -> starts_with(x, '-') OR starts_with(x, '*')
+                        OR starts_with(x, '•'))) AS DOUBLE)
+                        / greatest(len(lines), 1), 6) AS bullet_line_frac,
+                    round(CAST(len(list_filter(lines,
+                        x -> ends_with(x, '...') OR ends_with(x, '…')))
+                        AS DOUBLE) / greatest(len(lines), 1), 6)
+                        AS ellipsis_line_frac,
+                    round(CAST(len(list_filter(w,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                        / greatest(len(w), 1), 6) AS alpha_word_frac,
+                    len(list_filter(['the', 'be', 'to', 'of', 'and',
+                        'that', 'have', 'with'],
+                        s -> list_contains(w, s))) AS n_stopwords
+                FROM base)
+            SELECT doc_id, n_words, n_lines, mean_word_len,
+                   symbol_word_ratio, bullet_line_frac,
+                   ellipsis_line_frac, alpha_word_frac, n_stopwords,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS ok_word_len,
+                   symbol_word_ratio <= 0.1 AS ok_symbols,
+                   bullet_line_frac <= 0.9 AS ok_bullets,
+                   ellipsis_line_frac <= 0.3 AS ok_ellipsis,
+                   alpha_word_frac >= 0.8 AS ok_alpha,
+                   n_stopwords >= 2 AS ok_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stopwords >= 2) AS gopher_keep
+            FROM m""",
+        "ngram_lm_counts": f"""
+            WITH {_DUCK_NGRAM_COUNTS_CTE}
+            SELECT n, gram, cnt FROM counts WHERE cnt >= 5""",
+        "ngram_lm_perplexity": f"""
+            WITH {_DUCK_NGRAM_COUNTS_CTE},
+            total AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS n_tokens
+                FROM counts WHERE n = 1),
+            tri AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+                FROM (SELECT doc_id, w,
+                             unnest(generate_series(1, len(w) - 2)) AS i
+                      FROM docs_w WHERE len(w) >= 3)),
+            j AS (
+                SELECT t.doc_id, c3.cnt AS c3, c2ctx.cnt AS c2ctx,
+                       c2.cnt AS c2, c1ctx.cnt AS c1ctx, c1.cnt AS c1,
+                       total.n_tokens
+                FROM tri t
+                LEFT JOIN counts c3 ON c3.n = 3
+                    AND c3.gram = t.w1 || ' ' || t.w2 || ' ' || t.w3
+                LEFT JOIN counts c2ctx ON c2ctx.n = 2
+                    AND c2ctx.gram = t.w1 || ' ' || t.w2
+                LEFT JOIN counts c2 ON c2.n = 2
+                    AND c2.gram = t.w2 || ' ' || t.w3
+                LEFT JOIN counts c1ctx ON c1ctx.n = 1
+                    AND c1ctx.gram = t.w2
+                LEFT JOIN counts c1 ON c1.n = 1 AND c1.gram = t.w3
+                CROSS JOIN total),
+            s AS (
+                SELECT doc_id,
+                    CASE WHEN c3 IS NOT NULL THEN 'tri'
+                         WHEN c2 IS NOT NULL THEN 'bi'
+                         WHEN c1 IS NOT NULL THEN 'uni'
+                         ELSE 'oov' END AS level,
+                    CAST(round(log10(
+                        CASE WHEN c3 IS NOT NULL
+                                 THEN c3 / CAST(c2ctx AS DOUBLE)
+                             WHEN c2 IS NOT NULL
+                                 THEN CAST(0.4 AS DOUBLE)
+                                      * (c2 / CAST(c1ctx AS DOUBLE))
+                             WHEN c1 IS NOT NULL
+                                 THEN (CAST(0.4 AS DOUBLE)
+                                       * CAST(0.4 AS DOUBLE))
+                                      * (c1 / n_tokens)
+                             ELSE (CAST(0.4 AS DOUBLE)
+                                   * CAST(0.4 AS DOUBLE)) / n_tokens
+                        END) * 1e6, 0) AS BIGINT) AS micro
+                FROM j)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tri,
+                   CAST(sum(CASE WHEN level = 'tri' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_tri_hits,
+                   CAST(sum(CASE WHEN level = 'bi' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_bi_backoff,
+                   CAST(sum(CASE WHEN level = 'uni' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_uni_backoff,
+                   CAST(sum(CASE WHEN level = 'oov' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov,
+                   CAST(sum(micro) AS BIGINT) AS logprob_micro,
+                   round(pow(10, -CAST(sum(micro) AS DOUBLE) / 1e6
+                             / count(*)), 4) AS ppl
+            FROM s GROUP BY doc_id""",
     }

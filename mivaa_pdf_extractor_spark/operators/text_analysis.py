@@ -296,3 +296,79 @@ def pii_redact(df: DataFrame, text_col: str = "text",
         counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
         text = F.regexp_replace(text, pat, token)
     return df.select(F.col(id_col), text.alias("redacted_text"), *counts)
+
+
+# Gopher / MassiveText document-level rule battery (Rae et al. 2021,
+# Table A1). The eight "required" English stopwords are part of the
+# published rule, not a tunable.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """The full Gopher document-quality rule battery (Rae et al. 2021,
+    §A1.1 / Table A1) — the standard pre-training heuristic filter, as
+    one map-only native projection.
+
+    Per document: the raw metrics, one boolean per rule, and the final
+    ``gopher_keep`` conjunction. Rules (document is KEPT when all hold):
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    - <= 90% of lines start with a bullet (``-``, ``*``, ``•``)
+    - <= 30% of lines end with an ellipsis (``...`` or ``…``)
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct stopwords from the published 8-word list
+
+    Scale design: every metric is an array/regexp expression on the row —
+    no shuffle, no UDF, whole-stage codegen against the scan. Every
+    fraction is a single division of two integers (never a float sum), so
+    the DuckDB oracle twin hash-matches bit-for-bit.
+    """
+    t = F.col(text_col)
+    w = F.filter(F.split(F.lower(t), r"[ \t\r\n]+"), lambda x: x != "")
+    lines = F.filter(F.transform(F.split(t, r"\n"),
+                                 lambda x: F.trim(x)), lambda x: x != "")
+    nw = F.size(w)
+    nl = F.size(lines)
+    sum_len = F.aggregate(w, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    n_symbols = (F.size(F.filter(w, lambda x: x.contains("#")))
+                 + F.size(F.filter(w, lambda x: x.contains("..."))))
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.startswith("-") | x.startswith("*")
+        | x.startswith("•")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+    n_alpha = F.size(F.filter(
+        w, lambda x: F.regexp_like(x, F.lit("[a-z]"))))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+
+    frac = lambda k, n: F.round(  # noqa: E731
+        k.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6)
+    m = df.select(
+        F.col(id_col), nw.alias("n_words"), nl.alias("n_lines"),
+        frac(sum_len, nw).alias("mean_word_len"),
+        frac(n_symbols, nw).alias("symbol_word_ratio"),
+        frac(n_bullet, nl).alias("bullet_line_frac"),
+        frac(n_ellipsis, nl).alias("ellipsis_line_frac"),
+        frac(n_alpha, nw).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"))
+    rules = {
+        "ok_word_count": (F.col("n_words") >= 50)
+                         & (F.col("n_words") <= 100_000),
+        "ok_word_len": (F.col("mean_word_len") >= 3.0)
+                       & (F.col("mean_word_len") <= 10.0),
+        "ok_symbols": F.col("symbol_word_ratio") <= 0.1,
+        "ok_bullets": F.col("bullet_line_frac") <= 0.9,
+        "ok_ellipsis": F.col("ellipsis_line_frac") <= 0.3,
+        "ok_alpha": F.col("alpha_word_frac") >= 0.8,
+        "ok_stopwords": F.col("n_stopwords") >= 2,
+    }
+    out = m.select("*", *[c.alias(n) for n, c in rules.items()])
+    keep = None
+    for n in rules:
+        keep = F.col(n) if keep is None else keep & F.col(n)
+    return out.withColumn("gopher_keep", keep)
