@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "search_keyword_score", "search_hybrid_fusion", "search_mmr_rerank",
     "entity_link_chunks", "entity_link_images", "url_quality_gate",
     "domain_cap_sample", "similarity_floor_stats",
+    # round 4 continuation: page ledger / gopher / n-gram LM
+    "page_embed_plan", "page_embed_outcomes", "page_embed_summary",
+    "gopher_quality", "ngram_lm_counts", "ngram_lm_perplexity",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
@@ -61,6 +64,7 @@ STEADY_QUERIES = {
     "chunk_layout_spans", "chunks_indexed", "embedding_topk_lsh",
     "embedding_near_dups", "media_dedup_hamming", "doc_winnowing",
     "dedup_ngram_jaccard", "sheet_clip_spans", "decontaminate",
+    "ngram_lm_perplexity",
 }
 STEADY_REPEATS = int(os.environ.get("SPARK_GRAFT_STEADY_REPEATS", "3"))
 
