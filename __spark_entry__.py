@@ -1811,6 +1811,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm.lm_doc_scores(d, lm.ngram_counts(d))
     q["ngram_lm_perplexity"] = ngram_lm_perplexity
 
+    # --- cascading job deletion + orphan sweep (operators/cascade.py;
+    # reference cleanup_service.py delete_job_completely) ---
+
+    def _cuuid(col):
+        h = F.md5(col)
+        return F.concat_ws(
+            "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+            F.substring(h, 13, 4), F.substring(h, 17, 4),
+            F.substring(h, 21, 12))
+
+    def _cascade_tables(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators.cascade import (
+            IMAGE_CHILD_KINDS, PRODUCT_CHILD_KINDS)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        jobs = (d.filter(doc % 4 < 2).select(
+            F.concat(F.lit("job_"), ds).alias("job_id"),
+            F.when(doc % 8 == 1, F.lit(None).cast("string"))
+             .otherwise(ds).alias("document_id")))
+        pr = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(1)))
+                      .alias("p"))
+        p = F.col("p")
+        products = pr.select(
+            F.when((doc + p) % 5 == 0,
+                   F.concat(F.lit("product_"), ds, F.lit("_"),
+                            p.cast("string")))
+             .otherwise(_cuuid(F.concat(F.lit("p"),
+                                        (doc * 2 + p).cast("string"))))
+             .alias("product_id"),
+            F.when(p == 0, F.concat(F.lit("job_"), ds))
+             .alias("source_job_id"),
+            F.when(p == 1, ds).alias("source_document_id"))
+        im = (d.filter(doc % 2 == 0)
+              .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(1)))
+                      .alias("i")))
+        i = F.col("i")
+        images = im.select(
+            _cuuid(F.concat(F.lit("i"), (doc * 2 + i).cast("string")))
+             .alias("image_id"),
+            F.when(i == 0,
+                   _cuuid(F.concat(F.lit("p"), (doc * 2).cast("string"))))
+             .alias("product_id"),
+            F.when(i == 1, ds).alias("document_id"))
+        ck = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                      .alias("c"))
+        c = F.col("c")
+        chunks = ck.select(
+            F.concat(F.lit("ch_"), ds, F.lit("_"), c.cast("string"))
+             .alias("chunk_id"),
+            F.when(c == 0, ds).alias("document_id"),
+            F.when(c == 1,
+                   _cuuid(F.concat(F.lit("p"), (doc * 2).cast("string"))))
+             .when(c == 2, F.concat(F.lit("product_"), ds, F.lit("_0")))
+             .alias("product_id"))
+        em = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(1)))
+                      .alias("e"))
+        e = F.col("e")
+        embeddings = em.select(
+            F.when(e == 0,
+                   _cuuid(F.concat(F.lit("i"), (doc * 2).cast("string"))))
+             .otherwise(_cuuid(F.concat(F.lit("e"), ds)))
+             .alias("embedding_id"),
+            F.when(e == 1, ds).alias("meta_document_id"))
+        ick = (d.filter(doc % 2 == 0)
+               .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3)))
+                       .alias("k")))
+        k = F.col("k")
+        image_children = ick.select(
+            F.concat(F.lit("ic_"), ds, F.lit("_"), k.cast("string"))
+             .alias("row_id"),
+            F.when(k < 3,
+                   _cuuid(F.concat(F.lit("i"),
+                                   (doc * 2 + k % 2).cast("string"))))
+             .otherwise(_cuuid(F.concat(F.lit("x"), ds)))
+             .alias("image_id"),
+            F.element_at(F.array(*[F.lit(s) for s in IMAGE_CHILD_KINDS]),
+                         (k % 4).cast("int") + 1).alias("kind"))
+        pck = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                       .alias("k"))
+        product_children = pck.select(
+            F.concat(F.lit("pc_"), ds, F.lit("_"), k.cast("string"))
+             .alias("row_id"),
+            F.when(k < 2,
+                   _cuuid(F.concat(F.lit("p"),
+                                   (doc * 2 + k).cast("string"))))
+             .otherwise(_cuuid(F.concat(F.lit("y"), ds)))
+             .alias("product_id"),
+            F.element_at(F.array(*[F.lit(s) for s in PRODUCT_CHILD_KINDS]),
+                         (k % 3).cast("int") + 1).alias("kind"))
+        pps = (d.filter(doc % 4 < 3).select(
+            F.concat(F.lit("job_"), ds).alias("job_id"),
+            F.concat(F.lit("product_"), ds, F.lit("_PPS"))
+             .alias("product_key")))
+        documents = d.select(ds.alias("document_id"))
+        return dict(jobs=jobs, products=products, images=images,
+                    chunks=chunks, embeddings=embeddings,
+                    image_children=image_children,
+                    product_children=product_children, pps=pps,
+                    documents=documents)
+
+    def cascade_scope(spark, sf_dir):
+        # product set via source_job_id OR source_document_id,
+        # UUID-validated (business keys excluded); image set via those
+        # products or the job's document
+        from mivaa_pdf_extractor_spark.operators.cascade import (
+            resolve_job_scope)
+        t = _cascade_tables(spark, sf_dir)
+        return resolve_job_scope(t["jobs"], t["products"], t["images"])
+    q["cascade_scope"] = cascade_scope
+
+    def cascade_wipe_stats(spark, sf_dir):
+        # FULL_WIPE delete-key plan rolled up per (job, table):
+        # children before parents, embeddings by image PK with the
+        # metadata fallback only for image-less jobs
+        from mivaa_pdf_extractor_spark.operators.cascade import (
+            cascade_delete_plan, cascade_delete_stats, resolve_job_scope)
+        t = _cascade_tables(spark, sf_dir)
+        scope = resolve_job_scope(t["jobs"], t["products"], t["images"])
+        plan = cascade_delete_plan(
+            scope, t["jobs"], t["chunks"], t["embeddings"],
+            t["image_children"], t["product_children"], t["pps"])
+        return cascade_delete_stats(plan)
+    q["cascade_wipe_stats"] = cascade_wipe_stats
+
+    def orphan_scan_q(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators.cascade import orphan_scan
+        t = _cascade_tables(spark, sf_dir)
+        return orphan_scan(t["documents"], t["products"], t["images"],
+                           t["chunks"], t["embeddings"],
+                           t["image_children"], t["product_children"])
+    q["orphan_scan"] = orphan_scan_q
+
     return q
 
 
@@ -2295,6 +2428,140 @@ _DUCK_PAGE_FX_CTE = """fx AS (
                        (doc_id + page_number * 7) % 29 = 0
                            AS upsert_refused
                 FROM planned WHERE decision = 'pending')"""
+
+def _duck_uuid(expr: str) -> str:
+    """Canonical dashed-hex uuid derived from md5 — the twin of the
+    Spark-side _cuuid synthesis helper."""
+    m = "md5(" + expr + ")"
+    return ("(substr(" + m + ", 1, 8) || '-' || substr(" + m
+            + ", 9, 4) || '-' || substr(" + m + ", 13, 4) || '-' || substr("
+            + m + ", 17, 4) || '-' || substr(" + m + ", 21, 12))")
+
+
+# Cascading-deletion twin: the same deterministic table synthesis as the
+# Spark _cascade_tables helper, then scope resolution with the UUID
+# validation and the OR-of-two-sources product reachability.
+_DUCK_CASCADE_CTES = ("""djobs AS (
+                SELECT 'job_' || CAST(doc_id AS VARCHAR) AS job_id,
+                       CASE WHEN doc_id % 8 = 1 THEN NULL
+                            ELSE CAST(doc_id AS VARCHAR) END AS document_id
+                FROM documents WHERE doc_id % 4 < 2),
+            dproducts AS (
+                SELECT CASE WHEN (doc_id + p) % 5 = 0
+                            THEN 'product_' || CAST(doc_id AS VARCHAR)
+                                 || '_' || CAST(p AS VARCHAR)
+                            ELSE """
+                      + _duck_uuid("'p' || CAST(doc_id * 2 + p AS VARCHAR)")
+                      + """ END AS product_id,
+                       CASE WHEN p = 0 THEN 'job_' || CAST(doc_id AS VARCHAR)
+                           END AS source_job_id,
+                       CASE WHEN p = 1 THEN CAST(doc_id AS VARCHAR)
+                           END AS source_document_id
+                FROM documents, (SELECT unnest(range(2)) AS p) pp),
+            dimages AS (
+                SELECT """
+                      + _duck_uuid("'i' || CAST(doc_id * 2 + i AS VARCHAR)")
+                      + """ AS image_id,
+                       CASE WHEN i = 0 THEN """
+                      + _duck_uuid("'p' || CAST(doc_id * 2 AS VARCHAR)")
+                      + """ END AS product_id,
+                       CASE WHEN i = 1 THEN CAST(doc_id AS VARCHAR)
+                           END AS document_id
+                FROM documents, (SELECT unnest(range(2)) AS i) ii
+                WHERE doc_id % 2 = 0),
+            dchunks AS (
+                SELECT 'ch_' || CAST(doc_id AS VARCHAR) || '_'
+                           || CAST(c AS VARCHAR) AS chunk_id,
+                       CASE WHEN c = 0 THEN CAST(doc_id AS VARCHAR)
+                           END AS document_id,
+                       CASE WHEN c = 1 THEN """
+                      + _duck_uuid("'p' || CAST(doc_id * 2 AS VARCHAR)")
+                      + """
+                            WHEN c = 2 THEN 'product_'
+                                || CAST(doc_id AS VARCHAR) || '_0'
+                           END AS product_id
+                FROM documents, (SELECT unnest(range(3)) AS c) cc),
+            dembeddings AS (
+                SELECT CASE WHEN e = 0 THEN """
+                      + _duck_uuid("'i' || CAST(doc_id * 2 AS VARCHAR)")
+                      + """
+                            ELSE """
+                      + _duck_uuid("'e' || CAST(doc_id AS VARCHAR)")
+                      + """ END AS embedding_id,
+                       CASE WHEN e = 1 THEN CAST(doc_id AS VARCHAR)
+                           END AS meta_document_id
+                FROM documents, (SELECT unnest(range(2)) AS e) ee),
+            dimage_children AS (
+                SELECT 'ic_' || CAST(doc_id AS VARCHAR) || '_'
+                           || CAST(k AS VARCHAR) AS row_id,
+                       CASE WHEN k < 3 THEN """
+                      + _duck_uuid(
+                          "'i' || CAST(doc_id * 2 + k % 2 AS VARCHAR)")
+                      + """
+                            ELSE """
+                      + _duck_uuid("'x' || CAST(doc_id AS VARCHAR)")
+                      + """ END AS image_id,
+                       ['image_product_associations',
+                        'chunk_image_relationships',
+                        'image_metafield_values',
+                        'image_validations'][CAST(k % 4 AS INT) + 1]
+                           AS kind
+                FROM documents, (SELECT unnest(range(4)) AS k) kk
+                WHERE doc_id % 2 = 0),
+            dproduct_children AS (
+                SELECT 'pc_' || CAST(doc_id AS VARCHAR) || '_'
+                           || CAST(k AS VARCHAR) AS row_id,
+                       CASE WHEN k < 2 THEN """
+                      + _duck_uuid(
+                          "'p' || CAST(doc_id * 2 + k AS VARCHAR)")
+                      + """
+                            ELSE """
+                      + _duck_uuid("'y' || CAST(doc_id AS VARCHAR)")
+                      + """ END AS product_id,
+                       ['product_layout_regions', 'product_tables',
+                        'product_enrichments'][CAST(k % 3 AS INT) + 1]
+                           AS kind
+                FROM documents, (SELECT unnest(range(3)) AS k) kk),
+            dpps AS (
+                SELECT 'job_' || CAST(doc_id AS VARCHAR) AS job_id,
+                       'product_' || CAST(doc_id AS VARCHAR) || '_PPS'
+                           AS product_key
+                FROM documents WHERE doc_id % 4 < 3),
+            ddocs AS (
+                SELECT CAST(doc_id AS VARCHAR) AS document_id
+                FROM documents),
+            scope_products AS (
+                SELECT DISTINCT job_id, key FROM (
+                    SELECT j.job_id, p.product_id AS key
+                    FROM djobs j JOIN dproducts p
+                      ON p.source_job_id = j.job_id
+                    UNION ALL
+                    SELECT j.job_id, p.product_id AS key
+                    FROM djobs j JOIN dproducts p
+                      ON j.document_id IS NOT NULL
+                         AND p.source_document_id = j.document_id)
+                WHERE regexp_matches(key,
+                    '^([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"""
+                      + """[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"""
+                      + """|[0-9a-fA-F]{32})$')),
+            scope_images AS (
+                SELECT DISTINCT job_id, key FROM (
+                    SELECT sp.job_id, i.image_id AS key
+                    FROM scope_products sp JOIN dimages i
+                      ON i.product_id = sp.key
+                    UNION ALL
+                    SELECT j.job_id, i.image_id AS key
+                    FROM djobs j JOIN dimages i
+                      ON j.document_id IS NOT NULL
+                         AND i.document_id = j.document_id)),
+            scope AS (
+                SELECT job_id, 'document' AS kind, document_id AS key
+                FROM djobs WHERE document_id IS NOT NULL
+                UNION ALL
+                SELECT job_id, 'product' AS kind, key FROM scope_products
+                UNION ALL
+                SELECT job_id, 'image' AS kind, key FROM scope_images)""")
+
 
 # Corpus n-gram counts (n = 1..3) over the ASCII-whitespace token stream —
 # the stupid-backoff model's count tables.
@@ -3596,4 +3863,98 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(10, -CAST(sum(micro) AS DOUBLE) / 1e6
                              / count(*)), 4) AS ppl
             FROM s GROUP BY doc_id""",
+        "cascade_scope": f"""
+            WITH {_DUCK_CASCADE_CTES}
+            SELECT job_id, kind, key FROM scope""",
+        "cascade_wipe_stats": f"""
+            WITH {_DUCK_CASCADE_CTES},
+            plan AS (
+                SELECT job_id, 'background_jobs' AS table_name,
+                       job_id AS key
+                FROM djobs
+                UNION ALL
+                SELECT j.job_id, 'product_processing_status' AS table_name,
+                       s.product_key AS key
+                FROM dpps s JOIN djobs j ON s.job_id = j.job_id
+                UNION ALL
+                SELECT DISTINCT job_id,
+                       'document_chunks' AS table_name, chunk_id AS key
+                FROM (
+                    SELECT j.job_id, ch.chunk_id
+                    FROM djobs j JOIN dchunks ch
+                      ON j.document_id IS NOT NULL
+                         AND ch.document_id = j.document_id
+                    UNION ALL
+                    SELECT sp.job_id, ch.chunk_id
+                    FROM scope_products sp JOIN dchunks ch
+                      ON ch.product_id = sp.key)
+                UNION ALL
+                SELECT DISTINCT job_id, 'embeddings' AS table_name,
+                       embedding_id AS key
+                FROM (
+                    SELECT si.job_id, em.embedding_id
+                    FROM scope_images si JOIN dembeddings em
+                      ON em.embedding_id = si.key
+                    UNION ALL
+                    SELECT j.job_id, em.embedding_id
+                    FROM djobs j JOIN dembeddings em
+                      ON j.document_id IS NOT NULL
+                         AND em.meta_document_id = j.document_id
+                    WHERE j.job_id NOT IN
+                        (SELECT job_id FROM scope_images))
+                UNION ALL
+                SELECT si.job_id, ic.kind AS table_name, ic.row_id AS key
+                FROM scope_images si JOIN dimage_children ic
+                  ON ic.image_id = si.key
+                UNION ALL
+                SELECT job_id, 'document_images' AS table_name, key
+                FROM scope_images
+                UNION ALL
+                SELECT sp.job_id, pc.kind AS table_name, pc.row_id AS key
+                FROM scope_products sp JOIN dproduct_children pc
+                  ON pc.product_id = sp.key
+                UNION ALL
+                SELECT job_id, 'products' AS table_name, key
+                FROM scope_products
+                UNION ALL
+                SELECT job_id, 'documents' AS table_name,
+                       document_id AS key
+                FROM djobs WHERE document_id IS NOT NULL)
+            SELECT job_id, table_name,
+                   CAST(count(*) AS BIGINT) AS n_deleted,
+                   'FULL_WIPE' AS mode
+            FROM plan GROUP BY job_id, table_name""",
+        "orphan_scan": f"""
+            WITH {_DUCK_CASCADE_CTES}
+            SELECT 'embeddings' AS table_name, embedding_id AS key,
+                   'no_image_for_pk' AS reason
+            FROM dembeddings
+            WHERE embedding_id NOT IN (SELECT image_id FROM dimages)
+            UNION ALL
+            SELECT 'document_chunks' AS table_name, chunk_id AS key,
+                   'no_document_or_product' AS reason
+            FROM dchunks
+            WHERE (document_id IS NOT NULL OR product_id IS NOT NULL)
+              AND (document_id IS NULL OR document_id NOT IN
+                   (SELECT document_id FROM ddocs))
+              AND (product_id IS NULL OR product_id NOT IN
+                   (SELECT product_id FROM dproducts))
+            UNION ALL
+            SELECT kind AS table_name, row_id AS key,
+                   'no_image' AS reason
+            FROM dimage_children
+            WHERE image_id NOT IN (SELECT image_id FROM dimages)
+            UNION ALL
+            SELECT kind AS table_name, row_id AS key,
+                   'no_product' AS reason
+            FROM dproduct_children
+            WHERE product_id NOT IN (SELECT product_id FROM dproducts)
+            UNION ALL
+            SELECT 'document_images' AS table_name, image_id AS key,
+                   'no_product_or_document' AS reason
+            FROM dimages
+            WHERE product_id IS NOT NULL
+              AND product_id NOT IN (SELECT product_id FROM dproducts)
+              AND (document_id IS NULL OR document_id NOT IN
+                   (SELECT document_id FROM ddocs))""",
     }

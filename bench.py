@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # round 4 continuation: page ledger / gopher / n-gram LM
     "page_embed_plan", "page_embed_outcomes", "page_embed_summary",
     "gopher_quality", "ngram_lm_counts", "ngram_lm_perplexity",
+    # round 4 continuation: cascade deletion / orphan sweep
+    "cascade_scope", "cascade_wipe_stats", "orphan_scan",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
