@@ -1944,6 +1944,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            t["image_children"], t["product_children"])
     q["orphan_scan"] = orphan_scan_q
 
+    # --- LLM-metadata post-processing (operators/metadata_post.py;
+    # reference dynamic_metadata_extractor.py deterministic tail) ---
+
+    def _ai_responses(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        good = F.concat(
+            F.lit('```json\n{"critical": {"material_category": '
+                  '{"value": "porcelain_tile", "confidence": 0.9, '
+                  '"source": "auto_detected"}, "factory_name": '
+                  '{"value": "Acme Ceramics '),
+            ds,
+            F.lit('", "confidence": 0.8, "source": "ai"}}}\n```'))
+        short_name = F.lit(
+            '``` {"critical": {"material_category": {"value": '
+            '"wall_tile", "confidence": 0.7, "source": "ai"}, '
+            '"factory_name": {"value": "AB", "confidence": 0.5, '
+            '"source": "ai"}}} ```')
+        missing = F.lit(
+            '{"critical": {"material_category": {"value": '
+            '"hardwood", "confidence": 0.6, "source": "ai"}}}')
+        garbage = F.concat(F.lit("not json at all "), ds)
+        empty_fence = F.lit("```json\nnothing here\n```")
+        resp = (F.when(doc % 5 == 0, good)
+                .when(doc % 5 == 1, short_name)
+                .when(doc % 5 == 2, missing)
+                .when(doc % 5 == 3, garbage)
+                .otherwise(empty_fence))
+        return d.select("doc_id", resp.alias("response"))
+
+    def metadata_postprocess(spark, sf_dir):
+        # fence-extract -> parse -> admin overrides -> validate; errors
+        # joined to a string (schema order) for hash stability
+        from mivaa_pdf_extractor_spark.operators.metadata_post import (
+            apply_overrides, parse_ai_metadata, validate_critical)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        overrides = (d.filter((doc % 9 == 0) | (doc % 7 == 0))
+                     .select("doc_id",
+                             F.when(doc % 9 == 0, F.lit("factory_name"))
+                              .otherwise(F.lit("bogus_field"))
+                              .alias("field"),
+                             F.lit("OVERRIDE GmbH").alias("value")))
+        parsed = parse_ai_metadata(_ai_responses(spark, sf_dir))
+        out = validate_critical(apply_overrides(parsed, overrides))
+        return out.select(
+            "doc_id", "parse_error",
+            "material_category_value", "material_category_confidence",
+            "material_category_source",
+            "factory_name_value", "factory_name_confidence",
+            "factory_name_source",
+            "factory_group_name_value",
+            F.concat_ws("; ", F.col("errors")).alias("errors"),
+            "valid")
+    q["metadata_postprocess"] = metadata_postprocess
+
+    def metadata_fallback_extract(spark, sf_dir):
+        # pattern fallback: first-match-wins, conf 0.7, pattern_match;
+        # material_category defines keywords (not patterns) -> skipped
+        from mivaa_pdf_extractor_spark.operators.metadata_post import (
+            fallback_extract)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        text = (F.when(doc % 4 == 0,
+                       F.concat(F.lit("Intro.\nManufacturer: Tile Co "),
+                                ds, F.lit("\nCompany: Shadowed Inc\n"
+                                          "Group: Tile Group")))
+                .when(doc % 4 == 1,
+                      F.concat(F.lit("made by: lower co "), ds))
+                .when(doc % 4 == 2,
+                      F.lit("Holdings: Big Holdings\nno factory line"))
+                .otherwise(F.lit("plain text, nothing to mine")))
+        out = fallback_extract(d.select("doc_id", text.alias("text")))
+        return out.select(
+            "doc_id", "factory_name_value", "factory_name_confidence",
+            "factory_name_source", "factory_group_name_value",
+            "material_category_value")
+    q["metadata_fallback_extract"] = metadata_fallback_extract
+
+    def property_categories(spark, sf_dir):
+        # key -> category via hint membership in declaration order,
+        # then the _custom_ prefix, then other
+        from mivaa_pdf_extractor_spark.operators.metadata_post import (
+            property_category)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        keys = F.array(
+            F.lit("thickness"), F.lit("color"), F.lit("fire_rating"),
+            F.lit("sku"), F.lit("designer"), F.lit("grade"),
+            F.lit("composition"), F.lit("recommended_use"),
+            F.lit("certifications"), F.lit("_custom_foo"),
+            F.lit("unknown_key"), F.lit("rating"))
+        key = F.element_at(keys, (doc % 12).cast("int") + 1)
+        return d.select("doc_id", key.alias("property_key"),
+                        property_category(key).alias("category"))
+    q["property_categories"] = property_categories
+
     return q
 
 
@@ -2561,6 +2660,20 @@ _DUCK_CASCADE_CTES = ("""djobs AS (
                 SELECT job_id, 'product' AS kind, key FROM scope_products
                 UNION ALL
                 SELECT job_id, 'image' AS kind, key FROM scope_images)""")
+
+
+def _duck_property_case() -> str:
+    """Property-key -> category CASE generated from the shared constant
+    (declaration order IS the lookup order)."""
+    from mivaa_pdf_extractor_spark.operators.metadata_post import (
+        METADATA_CATEGORY_HINTS)
+    parts = []
+    for cat, hints in METADATA_CATEGORY_HINTS.items():
+        lst = ", ".join("'" + h + "'" for h in hints)
+        parts.append(f"WHEN list_contains([{lst}], k) THEN '{cat}'")
+    return ("CASE " + " ".join(parts)
+            + " WHEN starts_with(k, '_custom_') THEN 'custom'"
+            + " ELSE 'other' END")
 
 
 # Corpus n-gram counts (n = 1..3) over the ASCII-whitespace token stream —
@@ -3957,4 +4070,167 @@ def oracle_sql() -> dict[str, str]:
               AND product_id NOT IN (SELECT product_id FROM dproducts)
               AND (document_id IS NULL OR document_id NOT IN
                    (SELECT document_id FROM ddocs))""",
+        "metadata_postprocess": r"""
+            WITH resp AS (
+                SELECT doc_id,
+                    CASE
+                      WHEN doc_id % 5 = 0 THEN '```json' || chr(10)
+                        || '{"critical": {"material_category": '
+                        || '{"value": "porcelain_tile", "confidence": '
+                        || '0.9, "source": "auto_detected"}, '
+                        || '"factory_name": {"value": "Acme Ceramics '
+                        || CAST(doc_id AS VARCHAR)
+                        || '", "confidence": 0.8, "source": "ai"}}}'
+                        || chr(10) || '```'
+                      WHEN doc_id % 5 = 1 THEN
+                        '``` {"critical": {"material_category": '
+                        || '{"value": "wall_tile", "confidence": 0.7, '
+                        || '"source": "ai"}, "factory_name": {"value": '
+                        || '"AB", "confidence": 0.5, "source": "ai"}}} ```'
+                      WHEN doc_id % 5 = 2 THEN
+                        '{"critical": {"material_category": {"value": '
+                        || '"hardwood", "confidence": 0.6, '
+                        || '"source": "ai"}}}'
+                      WHEN doc_id % 5 = 3 THEN 'not json at all '
+                        || CAST(doc_id AS VARCHAR)
+                      ELSE '```json' || chr(10) || 'nothing here'
+                        || chr(10) || '```'
+                    END AS response
+                FROM documents),
+            ext AS (
+                SELECT doc_id,
+                    CASE WHEN contains(response, '```json')
+                         THEN coalesce(nullif(regexp_extract(response,
+                              '(?s)```json\s*(\{.*?\})\s*```', 1), ''),
+                              response)
+                         WHEN contains(response, '```')
+                         THEN coalesce(nullif(regexp_extract(response,
+                              '(?s)```\s*(\{.*?\})\s*```', 1), ''),
+                              response)
+                         ELSE response END AS j
+                FROM resp),
+            parsed AS (
+                SELECT doc_id,
+                       CASE WHEN json_valid(j) THEN j END AS jj
+                FROM ext),
+            fields AS (
+                SELECT doc_id,
+                    CASE WHEN jj IS NULL THEN 'json_parse_error'
+                        END AS parse_error,
+                    json_extract_string(jj,
+                        '$.critical.material_category.value') AS mc_value,
+                    CAST(json_extract(jj,
+                        '$.critical.material_category.confidence')
+                        AS DOUBLE) AS mc_conf,
+                    json_extract_string(jj,
+                        '$.critical.material_category.source') AS mc_src,
+                    json_extract_string(jj,
+                        '$.critical.factory_name.value') AS fn_value,
+                    CAST(json_extract(jj,
+                        '$.critical.factory_name.confidence')
+                        AS DOUBLE) AS fn_conf,
+                    json_extract_string(jj,
+                        '$.critical.factory_name.source') AS fn_src,
+                    json_extract_string(jj,
+                        '$.critical.factory_group_name.value') AS fg_value
+                FROM parsed),
+            ov AS (
+                SELECT doc_id, 'OVERRIDE GmbH' AS v
+                FROM documents WHERE doc_id % 9 = 0),
+            merged AS (
+                SELECT f.doc_id, f.parse_error,
+                    f.mc_value AS material_category_value,
+                    f.mc_conf AS material_category_confidence,
+                    f.mc_src AS material_category_source,
+                    coalesce(o.v, f.fn_value) AS factory_name_value,
+                    CASE WHEN o.v IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                         ELSE f.fn_conf END AS factory_name_confidence,
+                    CASE WHEN o.v IS NOT NULL THEN 'manual_override'
+                         ELSE f.fn_src END AS factory_name_source,
+                    f.fg_value AS factory_group_name_value
+                FROM fields f LEFT JOIN ov o ON f.doc_id = o.doc_id),
+            val AS (
+                SELECT *,
+                    list_filter([
+                        CASE WHEN material_category_value IS NULL
+                                  OR material_category_value = ''
+                             THEN 'Missing required field: '
+                                  || 'material_category'
+                             WHEN length(material_category_value) < 1
+                             THEN 'Invalid value for field: '
+                                  || 'material_category' END,
+                        CASE WHEN factory_name_value IS NULL
+                                  OR factory_name_value = ''
+                             THEN 'Missing required field: factory_name'
+                             WHEN length(factory_name_value) < 3
+                             THEN 'Invalid value for field: factory_name'
+                            END], x -> x IS NOT NULL) AS errl
+                FROM merged)
+            SELECT doc_id, parse_error, material_category_value,
+                   material_category_confidence, material_category_source,
+                   factory_name_value, factory_name_confidence,
+                   factory_name_source, factory_group_name_value,
+                   coalesce(array_to_string(errl, '; '), '') AS errors,
+                   len(errl) = 0 AS valid
+            FROM val""",
+        "metadata_fallback_extract": r"""
+            WITH t AS (
+                SELECT doc_id,
+                    CASE
+                      WHEN doc_id % 4 = 0 THEN 'Intro.' || chr(10)
+                        || 'Manufacturer: Tile Co '
+                        || CAST(doc_id AS VARCHAR) || chr(10)
+                        || 'Company: Shadowed Inc' || chr(10)
+                        || 'Group: Tile Group'
+                      WHEN doc_id % 4 = 1 THEN 'made by: lower co '
+                        || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 4 = 2 THEN
+                        'Holdings: Big Holdings' || chr(10)
+                        || 'no factory line'
+                      ELSE 'plain text, nothing to mine'
+                    END AS text
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                    coalesce(
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Manufacturer:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Made by:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Producer:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Factory:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Company:\s*(.+)', 1)), ''))
+                        AS factory_name_value,
+                    coalesce(
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Group:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Parent Company:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Corporation:\s*(.+)', 1)), ''),
+                        nullif(trim(regexp_extract(text,
+                            '(?i)Holdings:\s*(.+)', 1)), ''))
+                        AS factory_group_name_value
+                FROM t)
+            SELECT doc_id, factory_name_value,
+                   CASE WHEN factory_name_value IS NOT NULL THEN 0.7
+                       END AS factory_name_confidence,
+                   CASE WHEN factory_name_value IS NOT NULL
+                        THEN 'pattern_match' END AS factory_name_source,
+                   factory_group_name_value,
+                   CAST(NULL AS VARCHAR) AS material_category_value
+            FROM m""",
+        "property_categories": f"""
+            SELECT doc_id, k AS property_key,
+                   {_duck_property_case()} AS category
+            FROM (SELECT doc_id,
+                         (['thickness', 'color', 'fire_rating', 'sku',
+                           'designer', 'grade', 'composition',
+                           'recommended_use', 'certifications',
+                           '_custom_foo', 'unknown_key', 'rating'])
+                             [CAST(doc_id % 12 AS INT) + 1] AS k
+                  FROM documents)""",
     }

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "gopher_quality", "ngram_lm_counts", "ngram_lm_perplexity",
     # round 4 continuation: cascade deletion / orphan sweep
     "cascade_scope", "cascade_wipe_stats", "orphan_scan",
+    # round 4 continuation: LLM-metadata post-processing
+    "metadata_postprocess", "metadata_fallback_extract",
+    "property_categories",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
