@@ -2043,6 +2043,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         property_category(key).alias("category"))
     q["property_categories"] = property_categories
 
+    # --- smart section extraction (operators/sections.py; reference
+    # dynamic_metadata_extractor.py:379-453 LLM context budgeting) ---
+
+    def _long_docs(spark, sf_dir):
+        # pad to put a dimension pattern inside the index area for
+        # doc%5==0 and push 1/3 of docs past the 100k budget
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        doc = F.col("doc_id")
+        long_text = F.concat(
+            F.repeat(F.lit("pad "), 3500),
+            F.when(doc % 5 == 0, F.lit(" 120 x 60 cm "))
+             .otherwise(F.lit(" no dims here ")),
+            F.lit(" Packaging details. installation notes. "),
+            F.repeat(F.lit("filler "), (doc % 3).cast("int") * 12000),
+            F.col("text"))
+        return d.select("doc_id", long_text.alias("text"))
+
+    def section_header_hits_q(spark, sf_dir):
+        # native regexp_count tier (ASCII word boundaries: Java and RE2
+        # agree; the Greek terms only match in the Python-re UDF tier)
+        from mivaa_pdf_extractor_spark.operators.sections import (
+            section_header_hits)
+        return section_header_hits(_long_docs(spark, sf_dir))
+    q["section_header_hits"] = section_header_hits_q
+
+    def smart_sections(spark, sf_dir):
+        # full multi-match window extraction (mapInPandas; match
+        # POSITIONS are not SQL-expressible -> rows-only, pytest-pinned);
+        # content pinned through its md5
+        from mivaa_pdf_extractor_spark.operators.sections import (
+            smart_extract_sections)
+        out = smart_extract_sections(_long_docs(spark, sf_dir))
+        return out.select("doc_id", "n_chars_in", "n_chars_out",
+                          F.md5("extracted_text").alias("content_md5"))
+    q["smart_sections"] = smart_sections
+
     return q
 
 
@@ -2660,6 +2696,35 @@ _DUCK_CASCADE_CTES = ("""djobs AS (
                 SELECT job_id, 'product' AS kind, key FROM scope_products
                 UNION ALL
                 SELECT job_id, 'image' AS kind, key FROM scope_images)""")
+
+
+def _duck_section_hits_sql() -> str:
+    """section_header_hits twin, generated from the shared pattern
+    constants (no transcription drift; patterns are quote- and
+    brace-free so direct embedding is safe)."""
+    from mivaa_pdf_extractor_spark.operators.sections import (
+        DIMENSION_PATTERN, INDEX_END, INDEX_START, SECTION_PATTERNS)
+    fams = ",\n                   ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{name}"
+        for name, pat in SECTION_PATTERNS.items())
+    return f"""
+            WITH t AS (
+                SELECT doc_id,
+                    repeat('pad ', 3500)
+                    || CASE WHEN doc_id % 5 = 0 THEN ' 120 x 60 cm '
+                            ELSE ' no dims here ' END
+                    || ' Packaging details. installation notes. '
+                    || repeat('filler ', CAST(doc_id % 3 AS INT) * 12000)
+                    || text AS text
+                FROM documents)
+            SELECT doc_id, length(text) AS n_chars,
+                   length(text) > 100000 AS needs_smart_extraction,
+                   {fams},
+                   (length(text) > {INDEX_END}) AND
+                   regexp_matches(lower(substr(text, {INDEX_START} + 1,
+                       {INDEX_END} - {INDEX_START})),
+                       '{DIMENSION_PATTERN}') AS index_has_dimensions
+            FROM t"""
 
 
 def _duck_property_case() -> str:
@@ -4233,4 +4298,5 @@ def oracle_sql() -> dict[str, str]:
                            '_custom_foo', 'unknown_key', 'rating'])
                              [CAST(doc_id % 12 AS INT) + 1] AS k
                   FROM documents)""",
+        "section_header_hits": _duck_section_hits_sql(),
     }

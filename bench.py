@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     # round 4 continuation: LLM-metadata post-processing
     "metadata_postprocess", "metadata_fallback_extract",
     "property_categories",
+    # round 4 continuation: smart section extraction
+    "section_header_hits", "smart_sections",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
