@@ -2079,6 +2079,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.md5("extracted_text").alias("content_md5"))
     q["smart_sections"] = smart_sections
 
+    # --- facet canonicalization (operators/facets.py; reference
+    # facet_canonicalizer.py / facet_whitelist.py chokepoint) ---
+
+    def facet_collect_raw(spark, sf_dir):
+        # lossless attributes_raw: whitelist gate, trim, drop empties,
+        # dedup per (product, key)
+        from mivaa_pdf_extractor_spark.operators.facets import (
+            collect_raw_attributes)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        m = doc % 5
+        key = (F.when(m == 0, F.lit("color"))
+               .when(m == 1, F.lit("sku"))
+               .when(m == 2, F.lit("_private"))
+               .when(m == 3, F.lit("finish"))
+               .otherwise(F.lit("material")))
+        val = (F.when(m == 0, F.lit("  Blue  "))
+               .when(m == 1, F.lit("X-99"))
+               .when(m == 2, F.lit("secret"))
+               .when(m == 3, F.lit("   "))
+               .otherwise(F.lit(None).cast("string")))
+        rows = d.select(doc.alias("product_id"), key.alias("facet_key"),
+                        val.alias("raw_value"))
+        dupes = rows.filter(doc % 10 == 0)
+        return collect_raw_attributes(rows.unionByName(dupes))
+    q["facet_collect_raw"] = facet_collect_raw
+
+    def _facet_canon(spark):
+        return spark.createDataFrame(
+            [("color", "deep blue", ["navy", "blu"], [1.0, 0.0, 0.0, 0.0]),
+             ("color", "light grey", ["gray"], [0.0, 1.0, 0.0, 0.0]),
+             ("finish", "matte", [], [0.0, 0.0, 1.0, 0.0]),
+             ("finish", "polished", ["gloss"], [0.0, 0.0, 0.0, 1.0])],
+            "facet_key string, canonical_value string, "
+            "aliases array<string>, embedding array<double>")
+
+    def facet_resolve(spark, sf_dir):
+        # whitelist chokepoint decision tree: ascii gate -> tier-1
+        # exact/alias -> tier-2 cosine merge at 0.92 -> new; canonical
+        # table broadcast (dimension)
+        from mivaa_pdf_extractor_spark.operators.facets import (
+            resolve_facets)
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        m = doc % 6
+        key = F.when(m.isin(3, 4), F.lit("finish")).otherwise(
+            F.lit("color"))
+        raw = (F.when(m == 0, F.lit("Navy"))
+               .when(m == 1, F.lit("Deep-Blue"))
+               .when(m == 2, F.lit("café"))
+               .when(m == 3, F.lit("matt"))
+               .when(m == 4, F.lit("hammered"))
+               .otherwise(F.lit("crimson")))
+        # dyadic components: squares and sums are exact in float, so the
+        # fold order (Spark aggregate vs DuckDB list_sum) cannot matter
+        emb = (F.when(m == 3, F.array(F.lit(0.0), F.lit(0.0),
+                                      F.lit(0.9375), F.lit(0.25)))
+               .when(m == 4, F.array(F.lit(0.0), F.lit(0.0),
+                                     F.lit(0.5), F.lit(0.75))))
+        values = d.select(doc.alias("product_id"), key.alias("facet_key"),
+                          raw.alias("raw_value"), emb.alias("embedding"))
+        return resolve_facets(values, _facet_canon(spark))
+    q["facet_resolve"] = facet_resolve
+
     return q
 
 
@@ -2725,6 +2789,17 @@ def _duck_section_hits_sql() -> str:
                        {INDEX_END} - {INDEX_START})),
                        '{DIMENSION_PATTERN}') AS index_has_dimensions
             FROM t"""
+
+
+def _duck_facet_gate(key: str = "facet_key") -> str:
+    """is_canonicalizable twin generated from the shared whitelist
+    constants."""
+    from mivaa_pdf_extractor_spark.operators.facets import (
+        CANONICALIZABLE_FACETS, NON_CANONICAL_FACETS)
+    wl = ", ".join("'" + k + "'" for k in CANONICALIZABLE_FACETS)
+    nc = ", ".join("'" + k + "'" for k in NON_CANONICAL_FACETS)
+    return (f"(substr({key}, 1, 1) <> '_' AND {key} NOT IN ({nc}) "
+            f"AND {key} IN ({wl}))")
 
 
 def _duck_property_case() -> str:
@@ -4299,4 +4374,117 @@ def oracle_sql() -> dict[str, str]:
                              [CAST(doc_id % 12 AS INT) + 1] AS k
                   FROM documents)""",
         "section_header_hits": _duck_section_hits_sql(),
+        "facet_collect_raw": f"""
+            WITH rows0 AS (
+                SELECT doc_id AS product_id,
+                    CASE doc_id % 5 WHEN 0 THEN 'color'
+                        WHEN 1 THEN 'sku' WHEN 2 THEN '_private'
+                        WHEN 3 THEN 'finish' ELSE 'material'
+                        END AS facet_key,
+                    CASE doc_id % 5 WHEN 0 THEN '  Blue  '
+                        WHEN 1 THEN 'X-99' WHEN 2 THEN 'secret'
+                        WHEN 3 THEN '   ' ELSE NULL END AS raw_value
+                FROM documents),
+            rows AS (
+                SELECT * FROM rows0
+                UNION ALL
+                SELECT * FROM rows0 WHERE product_id % 10 = 0)
+            SELECT DISTINCT product_id, facet_key,
+                   trim(raw_value) AS raw_value
+            FROM rows
+            WHERE {_duck_facet_gate()} AND raw_value IS NOT NULL
+                  AND trim(raw_value) <> ''""",
+        "facet_resolve": """
+            WITH canon AS (
+                SELECT * FROM (VALUES
+                    ('color', 'deep blue', ['navy', 'blu'],
+                     [1.0, 0.0, 0.0, 0.0]),
+                    ('color', 'light grey', ['gray'],
+                     [0.0, 1.0, 0.0, 0.0]),
+                    ('finish', 'matte', []::VARCHAR[],
+                     [0.0, 0.0, 1.0, 0.0]),
+                    ('finish', 'polished', ['gloss'],
+                     [0.0, 0.0, 0.0, 1.0]))
+                    AS t(facet_key, canonical_value, aliases, embedding)),
+            vals AS (
+                SELECT doc_id AS product_id,
+                    CASE WHEN doc_id % 6 IN (3, 4) THEN 'finish'
+                         ELSE 'color' END AS facet_key,
+                    CASE doc_id % 6 WHEN 0 THEN 'Navy'
+                        WHEN 1 THEN 'Deep-Blue' WHEN 2 THEN 'café'
+                        WHEN 3 THEN 'matt' WHEN 4 THEN 'hammered'
+                        ELSE 'crimson' END AS raw_value,
+                    CASE doc_id % 6
+                        WHEN 3 THEN [0.0, 0.0, 0.9375, 0.25]
+                        WHEN 4 THEN [0.0, 0.0, 0.5, 0.75]
+                        END AS embedding
+                FROM documents),
+            normed AS (
+                SELECT *,
+                    trim(regexp_replace(lower(trim(raw_value)),
+                        '[ \t\r\n\\-_/]+', ' ', 'g')) AS normalized
+                FROM vals),
+            cand AS (
+                SELECT n.product_id, n.facet_key, n.raw_value,
+                    n.normalized,
+                    CASE WHEN c.canonical_value = n.normalized THEN 0
+                         WHEN list_contains(coalesce(c.aliases,
+                                 []::VARCHAR[]), n.normalized)
+                           OR list_contains(coalesce(c.aliases,
+                                 []::VARCHAR[]), n.raw_value) THEN 1
+                        END AS t1,
+                    c.canonical_value AS cand,
+                    coalesce(
+                        CASE WHEN n.embedding IS NOT NULL
+                                  AND c.embedding IS NOT NULL
+                             THEN list_sum(list_transform(
+                                      generate_series(1, 4),
+                                      i -> n.embedding[i]
+                                           * c.embedding[i]))
+                                  / (sqrt(list_sum(list_transform(
+                                         n.embedding, x -> x * x)))
+                                     * sqrt(list_sum(list_transform(
+                                         c.embedding, x -> x * x))))
+                            END, -2.0) AS cos
+                FROM normed n LEFT JOIN canon c
+                  ON n.facet_key = c.facet_key),
+            agg AS (
+                SELECT product_id, facet_key, raw_value, normalized,
+                       min(CASE WHEN t1 = 0 THEN cand END) AS t1_exact,
+                       min(CASE WHEN t1 = 1 THEN cand END) AS t1_alias,
+                       max(cos) AS best_s
+                FROM cand
+                GROUP BY product_id, facet_key, raw_value, normalized),
+            best AS (
+                SELECT c.product_id, c.facet_key, c.raw_value,
+                       max(c.cand) AS best_c
+                FROM cand c JOIN agg a
+                  ON c.product_id = a.product_id
+                 AND c.facet_key = a.facet_key
+                 AND c.raw_value = a.raw_value
+                 AND c.cos = a.best_s
+                GROUP BY c.product_id, c.facet_key, c.raw_value)
+            SELECT a.product_id, a.facet_key, a.raw_value, a.normalized,
+                CASE WHEN NOT regexp_matches(a.normalized,
+                         '^[\\x00-\\x7f]+$') THEN NULL
+                     WHEN coalesce(a.t1_exact, a.t1_alias) IS NOT NULL
+                         THEN coalesce(a.t1_exact, a.t1_alias)
+                     WHEN a.best_s >= -1.0 AND a.best_s >= 0.92
+                         THEN b.best_c END AS canonical,
+                CASE WHEN NOT regexp_matches(a.normalized,
+                         '^[\\x00-\\x7f]+$')
+                         THEN 'rejected_non_english'
+                     WHEN coalesce(a.t1_exact, a.t1_alias) IS NOT NULL
+                         THEN 'exact_alias'
+                     WHEN a.best_s >= -1.0 AND a.best_s >= 0.92
+                         THEN 'embedding_merge'
+                     ELSE 'new' END AS action,
+                CASE WHEN regexp_matches(a.normalized, '^[\\x00-\\x7f]+$')
+                          AND coalesce(a.t1_exact, a.t1_alias) IS NULL
+                          AND a.best_s >= -1.0
+                     THEN round(a.best_s, 6) END AS similarity
+            FROM agg a JOIN best b
+              ON a.product_id = b.product_id
+             AND a.facet_key = b.facet_key
+             AND a.raw_value = b.raw_value""",
     }

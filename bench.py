@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "property_categories",
     # round 4 continuation: smart section extraction
     "section_header_hits", "smart_sections",
+    # round 4 continuation: facet canonicalization
+    "facet_collect_raw", "facet_resolve",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
