@@ -2143,6 +2143,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resolve_facets(values, _facet_canon(spark))
     q["facet_resolve"] = facet_resolve
 
+    # --- checkpoint recovery audit (operators/checkpoints.py;
+    # reference checkpoint_recovery_service.py) ---
+
+    _CKPT_NOW = 1_700_000_000.0
+
+    def _ckpt_history(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        m = doc % 8
+        stage = (F.when(m == 0, F.lit("chunks_created"))
+                 .when(m == 1, F.lit("chunks_created"))
+                 .when(m == 2, F.lit("chunks_created"))
+                 .when(m == 3, F.lit("text_embeddings_generated"))
+                 .when(m == 4, F.lit("images_extracted"))
+                 .when(m == 5, F.lit("warmup_started"))
+                 .when(m == 6, F.lit("warmup_complete"))
+                 .otherwise(F.lit("bogus_stage")))
+        ck_ids = F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.concat(F.lit("ck_"), ds, F.lit("_"),
+                               i.cast("string")))
+        empty = F.array().cast("array<string>")
+        chunk_ids = (F.when(m.isin(0, 3), ck_ids)
+                     .when(m.isin(1, 2), empty))
+        image_ids = F.when(
+            m == 4,
+            F.array(F.concat(F.lit("im_"), ds, F.lit("_0")),
+                    F.concat(F.lit("im_"), ds, F.lit("_1"))))
+        created = (F.when(doc % 7 == 0, F.lit(None).cast("double"))
+                   .when(doc % 5 == 0, F.lit(_CKPT_NOW - 200000.0))
+                   .otherwise(F.lit(_CKPT_NOW) - 3600.0
+                              - (doc % 10).cast("double") * 60.0))
+        real = d.select(
+            F.concat(F.lit("job_"), ds).alias("job_id"),
+            F.lit(2).alias("seq"), stage.alias("stage"),
+            chunk_ids.alias("chunk_ids"), image_ids.alias("image_ids"),
+            F.when(m == 1, F.lit(0)).otherwise(F.lit(3))
+             .alias("chunks_created"),
+            F.when(m == 2,
+                   F.when(doc % 10 == 2,
+                          F.concat(F.lit("nodoc_"), ds)).otherwise(ds))
+             .alias("document_id"),
+            F.when(m == 5,
+                   F.when(doc % 10 == 5, empty)
+                    .otherwise(F.array(F.lit("e1"), F.lit("e2"))))
+             .alias("endpoints_to_warmup"),
+            F.when(m == 6, (doc % 3).cast("int")).alias("total_ready"),
+            F.when(m == 6,
+                   F.when(doc % 6 == 0, F.array(F.lit("x")))
+                    .otherwise(empty)).alias("endpoints_failed"),
+            created.alias("created_at"))
+        decoy = d.select(
+            F.concat(F.lit("job_"), ds).alias("job_id"),
+            F.lit(1).alias("seq"), F.lit("initialized").alias("stage"),
+            F.lit(None).cast("array<string>").alias("chunk_ids"),
+            F.lit(None).cast("array<string>").alias("image_ids"),
+            F.lit(0).alias("chunks_created"),
+            F.lit(None).cast("string").alias("document_id"),
+            F.lit(None).cast("array<string>")
+             .alias("endpoints_to_warmup"),
+            F.lit(None).cast("int").alias("total_ready"),
+            F.lit(None).cast("array<string>").alias("endpoints_failed"),
+            F.lit(_CKPT_NOW - 7200.0).alias("created_at"))
+        return real.unionByName(decoy)
+
+    def _ckpt_catalog(spark, sf_dir):
+        d = _docs(spark, sf_dir).select("doc_id")
+        doc = F.col("doc_id")
+        ds = doc.cast("string")
+        ck = d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(2)))
+                       .alias("i"))
+        i = F.col("i")
+        chunks = (ck.filter((i != 2) | (doc % 6 != 0))
+                  .select(F.concat(F.lit("ck_"), ds, F.lit("_"),
+                                   i.cast("string")).alias("chunk_id"),
+                          ds.alias("document_id"),
+                          ((i != 1) | (doc % 9 != 3))
+                          .alias("has_embedding")))
+        im = d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(1)))
+                       .alias("i"))
+        images = (im.filter((F.col("i") != 1) | (doc % 5 != 4))
+                  .select(F.concat(F.lit("im_"), ds, F.lit("_"),
+                                   F.col("i").cast("string"))
+                          .alias("image_id")))
+        return chunks, images
+
+    def checkpoint_resume(spark, sf_dir):
+        # last stage_history entry per job -> 24h/known-stage gate
+        from mivaa_pdf_extractor_spark.operators.checkpoints import (
+            last_checkpoints, resume_eligibility)
+        last = last_checkpoints(_ckpt_history(spark, sf_dir))
+        return resume_eligibility(last, _CKPT_NOW)
+    q["checkpoint_resume"] = checkpoint_resume
+
+    def checkpoint_audit(spark, sf_dir):
+        # verify_checkpoint_data as one batch plan: claimed-id joins,
+        # by-document fallbacks, the 10% embedding tolerance
+        from mivaa_pdf_extractor_spark.operators.checkpoints import (
+            audit_checkpoints, last_checkpoints)
+        last = last_checkpoints(_ckpt_history(spark, sf_dir))
+        chunks, images = _ckpt_catalog(spark, sf_dir)
+        return audit_checkpoints(last, chunks, images)
+    q["checkpoint_audit"] = checkpoint_audit
+
     return q
 
 
@@ -2789,6 +2896,80 @@ def _duck_section_hits_sql() -> str:
                        {INDEX_END} - {INDEX_START})),
                        '{DIMENSION_PATTERN}') AS index_has_dimensions
             FROM t"""
+
+
+# Checkpoint-audit twin: the same deterministic stage-history + catalog
+# synthesis as the Spark _ckpt_history/_ckpt_catalog helpers, with the
+# last-entry window.
+_DUCK_CKPT_CTES = """hist AS (
+                SELECT 'job_' || CAST(doc_id AS VARCHAR) AS job_id,
+                    2 AS seq,
+                    CASE doc_id % 8
+                        WHEN 0 THEN 'chunks_created'
+                        WHEN 1 THEN 'chunks_created'
+                        WHEN 2 THEN 'chunks_created'
+                        WHEN 3 THEN 'text_embeddings_generated'
+                        WHEN 4 THEN 'images_extracted'
+                        WHEN 5 THEN 'warmup_started'
+                        WHEN 6 THEN 'warmup_complete'
+                        ELSE 'bogus_stage' END AS stage,
+                    CASE WHEN doc_id % 8 IN (0, 3)
+                         THEN list_transform(generate_series(0, 2),
+                              i -> 'ck_' || CAST(doc_id AS VARCHAR)
+                                   || '_' || CAST(i AS VARCHAR))
+                         WHEN doc_id % 8 IN (1, 2) THEN []::VARCHAR[]
+                        END AS chunk_ids,
+                    CASE WHEN doc_id % 8 = 4
+                         THEN ['im_' || CAST(doc_id AS VARCHAR) || '_0',
+                               'im_' || CAST(doc_id AS VARCHAR) || '_1']
+                        END AS image_ids,
+                    CASE WHEN doc_id % 8 = 1 THEN 0 ELSE 3
+                        END AS chunks_created,
+                    CASE WHEN doc_id % 8 = 2 THEN
+                        CASE WHEN doc_id % 10 = 2
+                             THEN 'nodoc_' || CAST(doc_id AS VARCHAR)
+                             ELSE CAST(doc_id AS VARCHAR) END
+                        END AS document_id,
+                    CASE WHEN doc_id % 8 = 5 THEN
+                        CASE WHEN doc_id % 10 = 5 THEN []::VARCHAR[]
+                             ELSE ['e1', 'e2'] END
+                        END AS endpoints_to_warmup,
+                    CASE WHEN doc_id % 8 = 6
+                         THEN CAST(doc_id % 3 AS INT)
+                        END AS total_ready,
+                    CASE WHEN doc_id % 8 = 6 THEN
+                        CASE WHEN doc_id % 6 = 0 THEN ['x']
+                             ELSE []::VARCHAR[] END
+                        END AS endpoints_failed,
+                    CASE WHEN doc_id % 7 = 0 THEN NULL
+                         WHEN doc_id % 5 = 0 THEN 1700000000.0 - 200000.0
+                         ELSE 1700000000.0 - 3600.0
+                              - CAST(doc_id % 10 AS DOUBLE) * 60.0
+                        END AS created_at
+                FROM documents
+                UNION ALL
+                SELECT 'job_' || CAST(doc_id AS VARCHAR), 1,
+                    'initialized', NULL, NULL, 0, NULL, NULL, NULL,
+                    NULL, 1700000000.0 - 7200.0
+                FROM documents),
+            last AS (
+                SELECT * FROM hist
+                QUALIFY row_number() OVER (PARTITION BY job_id
+                    ORDER BY seq DESC) = 1),
+            cat_chunks AS (
+                SELECT 'ck_' || CAST(doc_id AS VARCHAR) || '_'
+                           || CAST(i AS VARCHAR) AS chunk_id,
+                       CAST(doc_id AS VARCHAR) AS document_id,
+                       (i <> 1 OR doc_id % 9 <> 3) AS has_embedding
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 2)) AS i) ii
+                WHERE i <> 2 OR doc_id % 6 <> 0),
+            cat_images AS (
+                SELECT 'im_' || CAST(doc_id AS VARCHAR) || '_'
+                           || CAST(i AS VARCHAR) AS image_id
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 1)) AS i) ii
+                WHERE i <> 1 OR doc_id % 5 <> 4)"""
 
 
 def _duck_facet_gate(key: str = "facet_key") -> str:
@@ -4487,4 +4668,134 @@ def oracle_sql() -> dict[str, str]:
               ON a.product_id = b.product_id
              AND a.facet_key = b.facet_key
              AND a.raw_value = b.raw_value""",
+        "checkpoint_resume": f"""
+            WITH {_DUCK_CKPT_CTES}
+            SELECT job_id, stage, created_at,
+                (created_at IS NOT NULL
+                 AND 1700000000.0 - created_at <= 24 * 3600.0
+                 AND stage IN ('initialized', 'warmup_started',
+                     'warmup_complete', 'pdf_pages_numbered',
+                     'pdf_extracted', 'chunks_created',
+                     'text_embeddings_generated', 'images_extracted',
+                     'image_embeddings_generated', 'products_detected',
+                     'products_created', 'relationships_created',
+                     'document_entities_created', 'metadata_extracted',
+                     'completed')) AS can_resume,
+                CASE WHEN created_at IS NOT NULL
+                          AND 1700000000.0 - created_at <= 24 * 3600.0
+                          AND stage IN ('initialized', 'warmup_started',
+                              'warmup_complete', 'pdf_pages_numbered',
+                              'pdf_extracted', 'chunks_created',
+                              'text_embeddings_generated',
+                              'images_extracted',
+                              'image_embeddings_generated',
+                              'products_detected', 'products_created',
+                              'relationships_created',
+                              'document_entities_created',
+                              'metadata_extracted', 'completed')
+                     THEN stage END AS resume_stage,
+                CASE WHEN created_at IS NULL THEN 'no_checkpoint'
+                     WHEN NOT (1700000000.0 - created_at <= 24 * 3600.0)
+                         THEN 'too_old'
+                     WHEN stage NOT IN ('initialized', 'warmup_started',
+                         'warmup_complete', 'pdf_pages_numbered',
+                         'pdf_extracted', 'chunks_created',
+                         'text_embeddings_generated', 'images_extracted',
+                         'image_embeddings_generated',
+                         'products_detected', 'products_created',
+                         'relationships_created',
+                         'document_entities_created',
+                         'metadata_extracted', 'completed')
+                         THEN 'unknown_stage' END AS refusal_reason
+            FROM last""",
+        "checkpoint_audit": f"""
+            WITH {_DUCK_CKPT_CTES},
+            chunk_found AS (
+                SELECT job_id, count(*) AS n FROM
+                    (SELECT job_id, unnest(chunk_ids) AS id FROM last) l
+                JOIN cat_chunks c ON c.chunk_id = l.id
+                GROUP BY job_id),
+            emb_found AS (
+                SELECT job_id, count(*) AS n FROM
+                    (SELECT job_id, unnest(chunk_ids) AS id FROM last) l
+                JOIN cat_chunks c
+                  ON c.chunk_id = l.id AND c.has_embedding
+                GROUP BY job_id),
+            img_found AS (
+                SELECT job_id, count(*) AS n FROM
+                    (SELECT job_id, unnest(image_ids) AS id FROM last) l
+                JOIN cat_images c ON c.image_id = l.id
+                GROUP BY job_id),
+            by_doc AS (
+                SELECT document_id, count(*) AS n_doc_chunks,
+                       sum(CASE WHEN has_embedding THEN 1 ELSE 0 END)
+                           AS n_doc_embs
+                FROM cat_chunks GROUP BY document_id),
+            j AS (
+                SELECT l.*,
+                    coalesce(len(l.chunk_ids), 0) AS n_chunk_ids,
+                    coalesce(len(l.image_ids), 0) AS n_image_ids,
+                    coalesce(cf.n, 0) AS chunks_found,
+                    coalesce(ef.n, 0) AS embs_found,
+                    coalesce(imf.n, 0) AS imgs_found,
+                    coalesce(bd.n_doc_chunks, 0) AS doc_chunks,
+                    coalesce(bd.n_doc_embs, 0) AS doc_embs
+                FROM last l
+                LEFT JOIN chunk_found cf ON cf.job_id = l.job_id
+                LEFT JOIN emb_found ef ON ef.job_id = l.job_id
+                LEFT JOIN img_found imf ON imf.job_id = l.job_id
+                LEFT JOIN by_doc bd ON bd.document_id = l.document_id),
+            r AS (
+                SELECT job_id, stage,
+                    CASE WHEN stage = 'warmup_started' THEN
+                            CASE WHEN coalesce(len(endpoints_to_warmup),
+                                     0) > 0 THEN 'valid'
+                                 ELSE 'invalid_no_endpoints' END
+                         WHEN stage = 'warmup_complete' THEN
+                            CASE WHEN coalesce(total_ready, 0) = 0
+                                      AND coalesce(len(endpoints_failed),
+                                          0) > 0
+                                 THEN 'invalid_nothing_ready'
+                                 ELSE 'valid' END
+                         WHEN stage = 'chunks_created' THEN
+                            CASE WHEN chunks_created = 0
+                                      AND n_chunk_ids = 0
+                                 THEN 'valid_no_chunks'
+                                 WHEN n_chunk_ids = 0
+                                      AND document_id IS NOT NULL THEN
+                                    CASE WHEN doc_chunks > 0
+                                         THEN 'valid_by_document'
+                                         ELSE 'invalid_no_doc_chunks'
+                                        END
+                                 WHEN n_chunk_ids = 0
+                                     THEN 'invalid_no_ids'
+                                 WHEN chunks_found = n_chunk_ids
+                                     THEN 'valid_ids'
+                                 ELSE 'invalid_count_mismatch' END
+                         WHEN stage = 'text_embeddings_generated' THEN
+                            CASE WHEN n_chunk_ids = 0
+                                      AND document_id IS NOT NULL THEN
+                                    CASE WHEN doc_embs > 0
+                                              OR chunks_created = 0
+                                         THEN 'valid_by_document'
+                                         ELSE 'invalid_no_doc_embeddings'
+                                        END
+                                 WHEN n_chunk_ids = 0
+                                     THEN 'invalid_no_ids'
+                                 WHEN CAST(embs_found AS DOUBLE)
+                                      >= CAST(n_chunk_ids AS DOUBLE)
+                                         * 0.9
+                                     THEN 'valid_ids'
+                                 ELSE 'invalid_too_many_missing' END
+                         WHEN stage = 'images_extracted' THEN
+                            CASE WHEN n_image_ids = 0
+                                 THEN 'valid_no_images'
+                                 WHEN imgs_found = n_image_ids
+                                     THEN 'valid_ids'
+                                 ELSE 'invalid_count_mismatch' END
+                         ELSE 'valid_no_data_contract' END AS reason
+                FROM j)
+            SELECT job_id, stage, reason,
+                   starts_with(reason, 'valid') AS valid
+            FROM r""",
     }

@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "section_header_hits", "smart_sections",
     # round 4 continuation: facet canonicalization
     "facet_collect_raw", "facet_resolve",
+    # round 4 continuation: checkpoint recovery audit
+    "checkpoint_resume", "checkpoint_audit",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
