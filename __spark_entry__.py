@@ -1797,17 +1797,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ngram_lm_counts(spark, sf_dir):
         # corpus n-gram model counts (n=1..3); contract emits the
-        # cnt >= 5 slice (the full table is the perplexity query's input)
+        # cnt >= 5 slice (the full table is the perplexity query's
+        # input). Repartition before the explode: the tiny parquet scan
+        # is ~1 split, and the map-side gram fan-out is the heavy part
         from mivaa_pdf_extractor_spark.operators import lm
-        return lm.ngram_counts(_docs(spark, sf_dir)).filter(
-            F.col("cnt") >= 5)
+        d = _docs(spark, sf_dir).repartition(32, "doc_id")
+        return lm.ngram_counts(d).filter(F.col("cnt") >= 5)
     q["ngram_lm_counts"] = ngram_lm_counts
 
     def ngram_lm_perplexity(spark, sf_dir):
         # per-doc stupid-backoff scores; integer micro-unit log-prob sum
         # keeps the cross-engine aggregate float-associativity-free
         from mivaa_pdf_extractor_spark.operators import lm
-        d = _docs(spark, sf_dir)
+        d = _docs(spark, sf_dir).repartition(32, "doc_id")
         return lm.lm_doc_scores(d, lm.ngram_counts(d))
     q["ngram_lm_perplexity"] = ngram_lm_perplexity
 
@@ -2048,15 +2050,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _long_docs(spark, sf_dir):
         # pad to put a dimension pattern inside the index area for
-        # doc%5==0 and push 1/3 of docs past the 100k budget
-        d = _docs(spark, sf_dir).select("doc_id", "text")
+        # doc%5==0; push ~1/31 of docs past the 100k budget (enough to
+        # exercise every branch without synthesizing hundreds of MB of
+        # regex input at bench scale)
+        # repartition BEFORE the synthetic expansion: the parquet scan
+        # is ~1 partition (the file is tiny pre-repeat), and the regex
+        # work downstream is proportional to the EXPANDED size — without
+        # this the whole corpus regexes on one thread
+        d = (_docs(spark, sf_dir).select("doc_id", "text")
+             .repartition(32, "doc_id"))
         doc = F.col("doc_id")
+        reps = (F.when(doc % 31 == 1, F.lit(24000))
+                .otherwise((doc % 3).cast("int") * 3000))
         long_text = F.concat(
             F.repeat(F.lit("pad "), 3500),
             F.when(doc % 5 == 0, F.lit(" 120 x 60 cm "))
              .otherwise(F.lit(" no dims here ")),
             F.lit(" Packaging details. installation notes. "),
-            F.repeat(F.lit("filler "), (doc % 3).cast("int") * 12000),
+            F.repeat(F.lit("filler "), reps),
             F.col("text"))
         return d.select("doc_id", long_text.alias("text"))
 
@@ -2249,6 +2260,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunks, images = _ckpt_catalog(spark, sf_dir)
         return audit_checkpoints(last, chunks, images)
     q["checkpoint_audit"] = checkpoint_audit
+
+    def table_profile(spark, sf_dir):
+        # one-pass ANALYZE-style column statistics over documents (nulls
+        # injected so null_frac exercises); exact distinct for the
+        # contract, approx_count_distinct is the labeled scale path
+        from mivaa_pdf_extractor_spark.operators.profile import (
+            profile_table)
+        d = _docs(spark, sf_dir)
+        doc = F.col("doc_id")
+        probe = d.select(
+            "doc_id", "text",
+            F.when(doc % 9 == 0, F.lit(None).cast("string"))
+             .otherwise(F.col("lang")).alias("lang"),
+            "source", "n_chars")
+        return profile_table(probe)
+    q["table_profile"] = table_profile
 
     return q
 
@@ -2885,7 +2912,10 @@ def _duck_section_hits_sql() -> str:
                     || CASE WHEN doc_id % 5 = 0 THEN ' 120 x 60 cm '
                             ELSE ' no dims here ' END
                     || ' Packaging details. installation notes. '
-                    || repeat('filler ', CAST(doc_id % 3 AS INT) * 12000)
+                    || repeat('filler ',
+                              CASE WHEN doc_id % 31 = 1 THEN 24000
+                                   ELSE CAST(doc_id % 3 AS INT) * 3000
+                                  END)
                     || text AS text
                 FROM documents)
             SELECT doc_id, length(text) AS n_chars,
@@ -4798,4 +4828,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT job_id, stage, reason,
                    starts_with(reason, 'valid') AS valid
             FROM r""",
+        "table_profile": """
+            WITH probe AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 9 = 0 THEN NULL
+                            ELSE lang END AS lang,
+                       source, n_chars
+                FROM documents),
+            p AS (
+                SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+                    CAST(count(1) AS BIGINT) AS n_rows,
+                    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_nulls,
+                    CAST(count(DISTINCT doc_id) AS BIGINT)
+                        AS n_distinct,
+                    CAST(NULL AS VARCHAR) AS min_str,
+                    CAST(NULL AS VARCHAR) AS max_str,
+                    round(CAST(min(doc_id) AS DOUBLE), 6) AS min_num,
+                    round(CAST(max(doc_id) AS DOUBLE), 6) AS max_num,
+                    CAST(NULL AS BIGINT) AS sum_len,
+                    CAST(NULL AS BIGINT) AS n_str
+                FROM probe
+                UNION ALL
+                SELECT 'text', 'string', CAST(count(1) AS BIGINT),
+                    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                    CAST(count(DISTINCT text) AS BIGINT),
+                    min(text), max(text),
+                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                    CAST(sum(length(text)) AS BIGINT),
+                    CAST(count(text) AS BIGINT)
+                FROM probe
+                UNION ALL
+                SELECT 'lang', 'string', CAST(count(1) AS BIGINT),
+                    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                    CAST(count(DISTINCT lang) AS BIGINT),
+                    min(lang), max(lang),
+                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                    CAST(sum(length(lang)) AS BIGINT),
+                    CAST(count(lang) AS BIGINT)
+                FROM probe
+                UNION ALL
+                SELECT 'source', 'string', CAST(count(1) AS BIGINT),
+                    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                    CAST(count(DISTINCT source) AS BIGINT),
+                    min(source), max(source),
+                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                    CAST(sum(length(source)) AS BIGINT),
+                    CAST(count(source) AS BIGINT)
+                FROM probe
+                UNION ALL
+                SELECT 'n_chars', 'bigint', CAST(count(1) AS BIGINT),
+                    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT),
+                    CAST(count(DISTINCT n_chars) AS BIGINT),
+                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                    round(CAST(min(n_chars) AS DOUBLE), 6),
+                    round(CAST(max(n_chars) AS DOUBLE), 6),
+                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                FROM probe)
+            SELECT "column", dtype, n_rows, n_nulls,
+                   round(CAST(n_nulls AS DOUBLE)
+                         / greatest(n_rows, 1), 6) AS null_frac,
+                   n_distinct, min_str, max_str, min_num, max_num,
+                   CASE WHEN n_str > 0
+                        THEN round(CAST(sum_len AS DOUBLE)
+                                   / CAST(n_str AS DOUBLE), 6)
+                       END AS avg_len
+            FROM p""",
     }

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "facet_collect_raw", "facet_resolve",
     # round 4 continuation: checkpoint recovery audit
     "checkpoint_resume", "checkpoint_audit",
+    # round 4 continuation: table profiler
+    "table_profile",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -132,3 +132,34 @@ class TestAudit:
     def test_stages_without_data_contract_are_valid(self, spark):
         out = _audit(spark, [_row(stage="pdf_extracted")])
         assert out["j1"].reason == "valid_no_data_contract"
+
+
+class TestTableProfile:
+    def test_one_pass_stats(self, spark):
+        from mivaa_pdf_extractor_spark.operators.profile import (
+            profile_table)
+        df = spark.createDataFrame(
+            [(1, "ab", None), (2, "cdef", 5.0), (2, None, 7.5)],
+            "id bigint, s string, x double")
+        out = {r.column: r for r in profile_table(df).collect()}
+        assert out["id"].n_rows == 3 and out["id"].n_distinct == 2
+        assert out["id"].min_num == 1.0 and out["id"].max_num == 2.0
+        assert out["s"].n_nulls == 1
+        assert out["s"].null_frac == round(1 / 3, 6)
+        assert out["s"].min_str == "ab" and out["s"].max_str == "cdef"
+        assert out["s"].avg_len == 3.0  # (2+4)/2 non-null strings
+        assert out["x"].n_nulls == 1 and out["x"].max_num == 7.5
+        assert out["x"].min_str is None and out["x"].avg_len is None
+
+    def test_approx_mode_is_single_pass(self, spark):
+        from mivaa_pdf_extractor_spark.operators.profile import (
+            profile_table)
+        df = spark.createDataFrame([(i, str(i)) for i in range(100)],
+                                   "id bigint, s string")
+        out = {r.column: r
+               for r in profile_table(df, exact=False).collect()}
+        # HLL++ within its error bound on tiny input
+        assert abs(out["id"].n_distinct - 100) <= 5
+        plan = profile_table(df, exact=False)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Expand" not in plan  # no distinct expansion in approx
