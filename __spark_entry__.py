@@ -44,7 +44,17 @@ from mivaa_pdf_extractor_spark.sources.from_flat import (documents_to_spans,
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The testdata documents table is a single-row-group ~1.5 MB parquet
+    # file: it scans as ONE task, and minPartitionNum can't split below
+    # row-group granularity — so any query whose per-row work dwarfs the
+    # scanned bytes would run single-threaded until its first shuffle
+    # (measured: winnowing 4.3 -> 1.4 s, the section regex tier
+    # 117 -> 9 s once distributed). One tiny hash repartition here fixes
+    # every consumer; a production table has >= cores splits and skips
+    # this (extraction sizes its own repartition on source bytes).
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "doc_id"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +62,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same single-row-group trap as _docs: the per-row vector math in
+    # the similarity tier dwarfs the ~0.8 MB scan
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "vec_id"))
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,15 +1815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input). Repartition before the explode: the tiny parquet scan
         # is ~1 split, and the map-side gram fan-out is the heavy part
         from mivaa_pdf_extractor_spark.operators import lm
-        d = _docs(spark, sf_dir).repartition(32, "doc_id")
-        return lm.ngram_counts(d).filter(F.col("cnt") >= 5)
+        return lm.ngram_counts(_docs(spark, sf_dir)).filter(
+            F.col("cnt") >= 5)
     q["ngram_lm_counts"] = ngram_lm_counts
 
     def ngram_lm_perplexity(spark, sf_dir):
         # per-doc stupid-backoff scores; integer micro-unit log-prob sum
         # keeps the cross-engine aggregate float-associativity-free
         from mivaa_pdf_extractor_spark.operators import lm
-        d = _docs(spark, sf_dir).repartition(32, "doc_id")
+        d = _docs(spark, sf_dir)
         return lm.lm_doc_scores(d, lm.ngram_counts(d))
     q["ngram_lm_perplexity"] = ngram_lm_perplexity
 
@@ -2053,12 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc%5==0; push ~1/31 of docs past the 100k budget (enough to
         # exercise every branch without synthesizing hundreds of MB of
         # regex input at bench scale)
-        # repartition BEFORE the synthetic expansion: the parquet scan
-        # is ~1 partition (the file is tiny pre-repeat), and the regex
-        # work downstream is proportional to the EXPANDED size — without
-        # this the whole corpus regexes on one thread
-        d = (_docs(spark, sf_dir).select("doc_id", "text")
-             .repartition(32, "doc_id"))
+        # _docs repartitions the single-row-group scan, so the 100x
+        # synthetic expansion below runs distributed
+        d = _docs(spark, sf_dir).select("doc_id", "text")
         doc = F.col("doc_id")
         reps = (F.when(doc % 31 == 1, F.lit(24000))
                 .otherwise((doc % 3).cast("int") * 3000))
