@@ -2288,6 +2288,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return profile_table(probe)
     q["table_profile"] = table_profile
 
+    # ---- price-monitoring stack (reference tracked-price services) ----
+    def _price_history(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.synth_price_history(_events(spark, sf_dir))
+
+    def price_market_stats(spark, sf_dir):
+        # trimmed-median market summary per tracked product
+        # (_compute_market_stats, price_monitoring_routes.py:664-706)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.market_stats(_price_history(spark, sf_dir))
+    q["price_market_stats"] = price_market_stats
+
+    def price_sanity_flags(spark, sf_dir):
+        # rolling-median anomaly band over the latest refresh run
+        # (check_sanity, price_monitoring_notifications/service.py:153-218)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.sanity_flags(_price_history(spark, sf_dir))
+    q["price_sanity_flags"] = price_sanity_flags
+
+    def price_volatility(spark, sf_dir):
+        # max %-move latest-vs-prior per query + cadence tier
+        # (_max_pct_price_change, tracked_queries_service.py:79-122)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.max_pct_change(_price_history(spark, sf_dir))
+    q["price_volatility"] = price_volatility
+
+    def price_current_snapshot(spark, sf_dir):
+        # cheapest verified-first hit of the latest run per query
+        # (_select_cheapest, tracked_queries_service.py:22-37)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.current_snapshot(_price_history(spark, sf_dir))
+    q["price_current_snapshot"] = price_current_snapshot
+
+    def price_drop_alerts(spark, sf_dir):
+        # W/W median drop >= 10% per (query, retailer domain)
+        # (_detect_price_drops, service.py:330-)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.price_drops(_price_history(spark, sf_dir))
+    q["price_drop_alerts"] = price_drop_alerts
+
+    def price_brand_index(spark, sf_dir):
+        # (brand, retailer, country) hit counts
+        # (_upsert_brand_retailer_index, tracked_queries_service.py:50-76)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.brand_retailer_index(_price_history(spark, sf_dir))
+    q["price_brand_index"] = price_brand_index
+
     return q
 
 
@@ -3070,6 +3117,22 @@ def oracle_sql() -> dict[str, str]:
     lang_case = "CASE WHEN " + greatest_hits + " = 0 THEN 'und' " + " ".join(
         f"WHEN {hits[lang]} = {greatest_hits} THEN '{lang}'"
         for lang in _LANGS) + " END"
+
+    # price-monitoring twins: shared synthetic history + sorted-array
+    # median arithmetic (kept in expression-lockstep with operators/prices)
+    from mivaa_pdf_extractor_spark.operators.prices import (
+        SYNTH_PRICE_HISTORY_SQL as _ph_sql)
+
+    def _dmed(v: str) -> str:
+        return (f"CASE WHEN len({v}) % 2 = 1 THEN {v}[len({v})//2 + 1] "
+                f"ELSE ({v}[len({v})//2] + {v}[len({v})//2 + 1]) / 2.0 END")
+
+    _ph_dom = ("regexp_replace(nullif(lower(regexp_extract("
+               "trim(product_url), '(?i)^https?://([^/]+)', 1)), ''), "
+               "'^www\\.', '')")
+    _ph_h = (f"SELECT ph.*, date_diff('day', DATE '1970-01-01', "
+             f"CAST(scraped_at AS DATE)) AS run_day, {_ph_dom} AS dom "
+             f"FROM ph")
 
     return {
         "url_ingest": """
@@ -4909,4 +4972,195 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n_str AS DOUBLE), 6)
                        END AS avg_len
             FROM p""",
+        "price_market_stats": f"""
+            WITH ph AS ({_ph_sql}),
+            b AS (SELECT *,
+                    price IS NOT NULL
+                      AND (match_kind IS NULL OR match_kind = 'exact')
+                      AND (availability IS NULL
+                           OR availability <> 'out_of_stock') AS is_stat
+                  FROM ph),
+            agg AS (SELECT query_id, count(*) AS n_hits,
+                           count(price) AS n_priced,
+                           count(CASE WHEN price IS NOT NULL AND verified
+                                 THEN 1 END) AS n_verified,
+                           list_sort(list(price) FILTER (WHERE is_stat))
+                             AS vals
+                    FROM b GROUP BY query_id),
+            p1 AS (SELECT *, {_dmed('vals')} AS prov FROM agg),
+            p2 AS (SELECT *, CASE WHEN len(vals) >= 4 THEN
+                       list_filter(vals, v -> v >= prov / 3.0
+                                          AND v <= prov * 3.0)
+                     ELSE vals END AS trimmed FROM p1),
+            u AS (SELECT *, CASE WHEN len(trimmed) > 0 THEN trimmed
+                                 ELSE vals END AS use_vals FROM p2),
+            modal AS (SELECT query_id, currency FROM (
+                        SELECT query_id, currency,
+                               row_number() OVER (PARTITION BY query_id
+                                   ORDER BY count(*) DESC, currency ASC)
+                                 AS rn
+                        FROM b WHERE is_stat AND currency IS NOT NULL
+                        GROUP BY query_id, currency) WHERE rn = 1)
+            SELECT u.query_id,
+                   CASE WHEN n_priced = 0 THEN n_hits ELSE n_priced END
+                     AS hit_count,
+                   CASE WHEN n_priced = 0 THEN 0 ELSE n_verified END
+                     AS verified_count,
+                   CASE WHEN len(vals) > 0 THEN use_vals[1] END
+                     AS min_price,
+                   CASE WHEN len(vals) > 0 THEN use_vals[-1] END
+                     AS max_price,
+                   CASE WHEN len(vals) > 0 THEN {_dmed('use_vals')} END
+                     AS median_price,
+                   CASE WHEN len(vals) > 0 THEN modal.currency END
+                     AS currency
+            FROM u LEFT JOIN modal ON u.query_id = modal.query_id""",
+        "price_sanity_flags": f"""
+            WITH ph AS ({_ph_sql}),
+            h AS ({_ph_h}),
+            latest AS (SELECT query_id, max(run_day) AS cur_day
+                       FROM h GROUP BY query_id),
+            nt AS (SELECT max(scraped_at) AS now_ts FROM ph),
+            hist AS (SELECT h.query_id, dom, count(*) AS samples,
+                            list_sort(list(price)) AS vals
+                     FROM h JOIN latest ON h.query_id = latest.query_id
+                     CROSS JOIN nt
+                     WHERE run_day < cur_day
+                       AND scraped_at >= now_ts - INTERVAL 7 DAY
+                       AND coalesce(lower(match_kind), '') <> 'family'
+                       AND price IS NOT NULL AND dom IS NOT NULL
+                     GROUP BY h.query_id, dom),
+            hm AS (SELECT query_id, dom, samples, {_dmed('vals')} AS med
+                   FROM hist),
+            cur AS (SELECT h.* FROM h JOIN latest
+                      ON h.query_id = latest.query_id
+                     AND h.run_day = latest.cur_day),
+            j AS (SELECT cur.*, hm.samples, hm.med FROM cur LEFT JOIN hm
+                    ON cur.query_id = hm.query_id AND cur.dom = hm.dom)
+            SELECT query_id, event_id, dom AS retailer_domain, price,
+              CASE WHEN price IS NULL OR price <= 0 OR dom IS NULL
+                     THEN false
+                   WHEN coalesce(samples, 0) < 3 THEN false
+                   WHEN med <= 0 THEN false
+                   WHEN price / med < 0.33 THEN true
+                   WHEN price / med > 3.0 THEN true
+                   ELSE false END AS is_anomaly,
+              CASE WHEN price IS NULL OR price <= 0 OR dom IS NULL
+                     THEN NULL
+                   WHEN coalesce(samples, 0) < 3 THEN NULL
+                   ELSE med END AS rolling_median,
+              CASE WHEN price IS NULL OR price <= 0 OR dom IS NULL THEN 0
+                   ELSE coalesce(samples, 0) END AS history_samples,
+              CASE WHEN price IS NULL OR price <= 0 OR dom IS NULL
+                     THEN NULL
+                   WHEN coalesce(samples, 0) < 3
+                     THEN 'insufficient_history'
+                   WHEN med <= 0 THEN 'zero_median'
+                   WHEN price / med < 0.33 THEN 'too_low'
+                   WHEN price / med > 3.0 THEN 'too_high' END AS reason
+            FROM j""",
+        "price_volatility": f"""
+            WITH ph AS ({_ph_sql}),
+            h AS ({_ph_h}),
+            latest AS (SELECT query_id, max(run_day) AS cur_day
+                       FROM h GROUP BY query_id),
+            nr AS (SELECT query_id, product_url, price AS new_price FROM (
+                     SELECT h.query_id, product_url, price,
+                            row_number() OVER (
+                                PARTITION BY h.query_id, product_url
+                                ORDER BY scraped_at DESC, event_id DESC)
+                              AS rn
+                     FROM h JOIN latest ON h.query_id = latest.query_id
+                     WHERE run_day = cur_day
+                       AND coalesce(lower(match_kind), '') <> 'family'
+                       AND product_url IS NOT NULL AND price > 0)
+                   WHERE rn = 1),
+            pr AS (SELECT query_id, product_url, price AS old_price FROM (
+                     SELECT h.query_id, product_url, price,
+                            row_number() OVER (
+                                PARTITION BY h.query_id, product_url
+                                ORDER BY scraped_at DESC, event_id DESC)
+                              AS rn
+                     FROM h JOIN latest ON h.query_id = latest.query_id
+                     WHERE run_day < cur_day AND price IS NOT NULL)
+                   WHERE rn = 1),
+            mx AS (SELECT nr.query_id,
+                          max(abs(new_price - old_price) / old_price
+                              * 100.0) AS m
+                   FROM nr JOIN pr ON nr.query_id = pr.query_id
+                                  AND nr.product_url = pr.product_url
+                   WHERE old_price > 0 GROUP BY nr.query_id)
+            SELECT q.query_id, coalesce(m, 0.0) AS max_pct_change,
+                   CASE WHEN coalesce(m, 0.0) >= 10.0 THEN 6
+                        WHEN coalesce(m, 0.0) >= 2.0 THEN 24
+                        ELSE 48 END AS refresh_interval_hours
+            FROM (SELECT DISTINCT query_id FROM ph) q
+            LEFT JOIN mx ON q.query_id = mx.query_id""",
+        "price_current_snapshot": f"""
+            WITH ph AS ({_ph_sql}),
+            h AS ({_ph_h}),
+            latest AS (SELECT query_id, max(run_day) AS cur_day
+                       FROM h GROUP BY query_id),
+            cand AS (SELECT h.* FROM h JOIN latest
+                       ON h.query_id = latest.query_id
+                      AND h.run_day = latest.cur_day
+                     WHERE price IS NOT NULL
+                       AND coalesce(lower(match_kind), '') <> 'family')
+            SELECT query_id, price AS current_price,
+                   currency AS current_currency,
+                   availability AS current_availability,
+                   original_price AS current_original_price,
+                   verified AS current_price_verified,
+                   retailer_name, product_url
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY verified DESC, price ASC,
+                             product_url ASC NULLS FIRST, event_id ASC)
+                      AS rn
+                  FROM cand) WHERE rn = 1""",
+        "price_drop_alerts": f"""
+            WITH ph AS ({_ph_sql}),
+            nt AS (SELECT max(scraped_at) AS now_ts FROM ph),
+            h0 AS (SELECT ph.*, now_ts, {_ph_dom} AS dom
+                   FROM ph CROSS JOIN nt),
+            h AS (SELECT * FROM h0
+                  WHERE price IS NOT NULL AND dom IS NOT NULL),
+            cur AS (SELECT query_id, dom,
+                           list_sort(list(price)) AS vals,
+                           min(retailer_name) AS retailer_name
+                    FROM h WHERE scraped_at >= now_ts - INTERVAL 7 DAY
+                    GROUP BY query_id, dom),
+            prev AS (SELECT query_id, dom,
+                            list_sort(list(price)) AS vals
+                     FROM h
+                     WHERE scraped_at >= now_ts - INTERVAL 14 DAY
+                       AND scraped_at < now_ts - INTERVAL 7 DAY
+                     GROUP BY query_id, dom),
+            cm AS (SELECT query_id, dom, retailer_name,
+                          {_dmed('vals')} AS current_median FROM cur),
+            pm AS (SELECT query_id, dom,
+                          {_dmed('vals')} AS previous_median FROM prev),
+            j AS (SELECT cm.query_id, cm.dom, cm.retailer_name,
+                         current_median, previous_median
+                  FROM cm JOIN pm ON cm.query_id = pm.query_id
+                                 AND cm.dom = pm.dom
+                  WHERE previous_median > 0
+                    AND current_median IS NOT NULL)
+            SELECT query_id, dom AS retailer_domain,
+                   coalesce(retailer_name, dom) AS retailer_name,
+                   current_median, previous_median,
+                   (previous_median - current_median) / previous_median
+                     * 100.0 AS delta_pct
+            FROM j
+            WHERE (previous_median - current_median) / previous_median
+                    * 100.0 >= 10.0""",
+        "price_brand_index": f"""
+            WITH ph AS ({_ph_sql}),
+            h AS (SELECT ph.*, {_ph_dom} AS dom FROM ph)
+            SELECT brand, dom AS retailer_domain, country_code,
+                   count(*) AS hit_count
+            FROM h
+            WHERE coalesce(lower(match_kind), '')
+                    NOT IN ('family', 'mismatch')
+              AND dom IS NOT NULL
+            GROUP BY brand, dom, country_code""",
     }

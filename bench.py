@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "checkpoint_resume", "checkpoint_audit",
     # round 4 continuation: table profiler
     "table_profile",
+    # round 4 continuation: price-monitoring stack
+    "price_market_stats", "price_sanity_flags", "price_volatility",
+    "price_current_snapshot", "price_drop_alerts", "price_brand_index",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

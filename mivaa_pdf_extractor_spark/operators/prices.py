@@ -1,0 +1,445 @@
+"""Price-monitoring analytics: market stats, anomaly banding, volatility,
+snapshots, W/W drop detection, and the brand→retailer index.
+
+Re-expresses the reference's tracked-price stack as batch DataFrame plans:
+
+- ``market_stats``       — app/api/price_monitoring_routes.py:664-706
+  (``_compute_market_stats``: trimmed-median market summary per product)
+- ``sanity_flags``       — app/modules/price_monitoring_notifications/
+  service.py:153-218 (``check_sanity``: trailing-7d rolling-median band,
+  min 3 samples, anomaly when price < 0.33× or > 3× the median)
+- ``max_pct_change``     — app/services/integrations/
+  tracked_queries_service.py:79-122 (``_max_pct_price_change``: volatility
+  input for the refresh cadence)
+- ``current_snapshot``   — tracked_queries_service.py:22-37
+  (``_select_cheapest``: cheapest non-anomaly non-family hit, verified
+  first — the denormalized ``current_*`` card)
+- ``price_drops``        — service.py:330-… (``_detect_price_drops``:
+  trailing-7d vs prior-7d median per retailer, fire at ≥ 10% drop)
+- ``brand_retailer_index`` — tracked_queries_service.py:50-76
+  (``_upsert_brand_retailer_index``: (brand, domain, country) hit counts)
+
+The reference runs these per tracked query against Postgres, one id at a
+time; here each is ONE whole-corpus plan keyed by the tracked-query id, so
+a 10^9-row price-history table computes every product's stats in a single
+shuffle on the group key. All medians are explicit sorted-array arithmetic
+(never an engine ``median()``), so Spark and DuckDB agree bit-for-bit;
+nothing sums floats across rows (only sort / pick / single-pair ratio
+arithmetic, which is order-independent IEEE).
+
+Documented deviations from the reference (each pinned in tests):
+- modal currency ties break by lexicographically-smallest currency — the
+  reference's ``max(set(...), key=count)`` is Python-set-iteration-order
+  nondeterministic (price_monitoring_routes.py:696);
+- ``_max_pct_price_change``'s ``limit(50)`` on prior history is a REST
+  pagination artifact, not a semantic bound — the batch plan compares
+  against ALL prior runs' latest per-URL price;
+- per-(query,url) "latest" picks are tie-broken by event id, where the
+  reference inherits Postgres result order;
+- the drop alert's retailer display name is ``min(retailer_name)`` per
+  domain, where the reference keeps the first row encountered in dict
+  order (service.py:363-371).
+
+Scale notes: every operator is groupBy/window on (query_id) or
+(query_id, domain) — map-side-combinable aggregates plus one shuffle on
+the natural key; the only collect_list gathers one product's price list,
+bounded by hits-per-product (the same row-sized bound the reference's
+in-memory ``List[PriceHit]`` imposes). No driver-side loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+SANITY_WINDOW_DAYS = 7     # service.py:54
+SANITY_MIN_SAMPLES = 3     # service.py:55
+SANITY_LOW_RATIO = 0.33    # service.py:56
+SANITY_HIGH_RATIO = 3.0    # service.py:57
+PRICE_DROP_THRESHOLD_PCT = 10.0  # service.py:60
+
+# Volatility → refresh-cadence tiers. The reference delegates to a
+# ``update_tracked_query_cadence`` SQL helper that is not in the repo
+# (tracked_queries_service.py:929-934 passes max_pct to it); these tiers
+# are OUR extension, chosen to mirror its described intent (volatile
+# products refresh faster, stable ones back off), and are pinned by tests
+# as our own contract.
+CADENCE_TIERS = ((10.0, 6), (2.0, 24), (0.0, 48))  # (min_pct, hours)
+
+
+def synth_price_history(events: DataFrame) -> DataFrame:
+    """Deterministic price-history table derived from the ``events``
+    testdata (the reference's ``tracked_query_price_history``,
+    tracked_queries_service.py:838-879): 30 days of observations → one
+    refresh run per (query, day). Every column is a pure expression of
+    (event_id, user_id, ts, value), so the DuckDB oracle rebuilds the
+    identical table; prices are ``value + 1.0`` (no rounding — exact IEEE
+    in both engines). Nulls/zeros are seeded on small moduli so every
+    guard branch in the consumers sees traffic."""
+    e = F.col("event_id")
+    rid = (e % 5).cast("string")
+    price = (F.when(e % 11 == 0, None)
+             .when(e % 17 == 0, F.lit(0.0))
+             .otherwise(F.col("value") + 1.0))
+    return events.select(
+        (F.col("user_id") % 40).alias("query_id"),
+        e.alias("event_id"),
+        F.when(e % 13 == 0, None).otherwise(
+            F.concat(F.lit("https://www.r"), rid, F.lit(".example.com/p/"),
+                     (F.col("user_id") % 40).cast("string")))
+        .alias("product_url"),
+        F.concat(F.lit("Retailer "), rid).alias("retailer_name"),
+        price.alias("price"),
+        F.when(e % 6 == 0, price * 1.25).cast("double")
+        .alias("original_price"),
+        F.when(e % 6 < 3, F.lit("EUR")).when(e % 6 < 5, F.lit("USD"))
+        .otherwise(F.lit(None)).alias("currency"),
+        (e % 3 == 0).alias("verified"),
+        F.when(e % 7 == 0, F.lit("family")).when(e % 7 == 1, F.lit("fuzzy"))
+        .when(e % 7 == 2, F.lit(None)).otherwise(F.lit("exact"))
+        .alias("match_kind"),
+        F.when(e % 4 == 0, F.lit("out_of_stock"))
+        .when(e % 4 == 1, F.lit(None)).otherwise(F.lit("in_stock"))
+        .alias("availability"),
+        F.concat(F.lit("B"), (F.col("user_id") % 8).cast("string"))
+        .alias("brand"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("GR"))
+        .when(F.col("user_id") % 3 == 1, F.lit("DE")).otherwise(F.lit("US"))
+        .alias("country_code"),
+        F.col("ts").alias("scraped_at"))
+
+
+# DuckDB twin of synth_price_history — MUST stay in expression-lockstep
+# with the Column derivations above (the contract oracles CTE this).
+SYNTH_PRICE_HISTORY_SQL = """
+    SELECT user_id % 40 AS query_id,
+           event_id,
+           CASE WHEN event_id % 13 = 0 THEN NULL
+                ELSE 'https://www.r' || CAST(event_id % 5 AS VARCHAR)
+                     || '.example.com/p/' || CAST(user_id % 40 AS VARCHAR)
+           END AS product_url,
+           'Retailer ' || CAST(event_id % 5 AS VARCHAR) AS retailer_name,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                WHEN event_id % 17 = 0 THEN 0.0
+                ELSE value + 1.0 END AS price,
+           CASE WHEN event_id % 6 = 0 THEN
+                (CASE WHEN event_id % 11 = 0 THEN NULL
+                      WHEN event_id % 17 = 0 THEN 0.0
+                      ELSE value + 1.0 END) * 1.25
+           END AS original_price,
+           CASE WHEN event_id % 6 < 3 THEN 'EUR'
+                WHEN event_id % 6 < 5 THEN 'USD' END AS currency,
+           event_id % 3 = 0 AS verified,
+           CASE WHEN event_id % 7 = 0 THEN 'family'
+                WHEN event_id % 7 = 1 THEN 'fuzzy'
+                WHEN event_id % 7 = 2 THEN NULL
+                ELSE 'exact' END AS match_kind,
+           CASE WHEN event_id % 4 = 0 THEN 'out_of_stock'
+                WHEN event_id % 4 = 1 THEN NULL
+                ELSE 'in_stock' END AS availability,
+           'B' || CAST(user_id % 8 AS VARCHAR) AS brand,
+           CASE WHEN user_id % 3 = 0 THEN 'GR'
+                WHEN user_id % 3 = 1 THEN 'DE'
+                ELSE 'US' END AS country_code,
+           ts AS scraped_at
+    FROM events
+"""
+
+
+def domain_of(url: Column) -> Column:
+    """``_domain_of`` (tracked_queries_service.py:39-46): hostname of the
+    URL, lowercased, leading ``www.`` stripped; NULL when not a URL."""
+    host = F.lower(F.regexp_extract(F.trim(url), r"(?i)^https?://([^/]+)", 1))
+    host = F.when(host == "", None).otherwise(host)
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def _sorted_median(vals: str) -> str:
+    """SQL expr: median of a sorted array<double> named ``vals`` —
+    ``values[n//2]`` if odd else mean of the middle two
+    (price_monitoring_routes.py:694, service.py:114-120). Explicit
+    arithmetic so both engines interpolate identically."""
+    mid1 = f"CAST(size({vals}) DIV 2 + 1 AS INT)"
+    mid0 = f"CAST(size({vals}) DIV 2 AS INT)"
+    return (f"CASE WHEN size({vals}) % 2 = 1 "
+            f"THEN element_at({vals}, {mid1}) "
+            f"ELSE (element_at({vals}, {mid0}) "
+            f"      + element_at({vals}, {mid1})) / 2.0 END")
+
+
+def _is_stat_hit() -> Column:
+    """Stat-eligible hit (price_monitoring_routes.py:669-673): priced,
+    match_kind None-or-'exact', and not out of stock. NULL availability
+    passes (Python ``None != "out_of_stock"`` is True)."""
+    return (F.col("price").isNotNull()
+            & (F.col("match_kind").isNull() | (F.col("match_kind") == "exact"))
+            & (F.col("availability").isNull()
+               | (F.col("availability") != "out_of_stock")))
+
+
+def market_stats(hits: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """Per-product market summary — ``_compute_market_stats``
+    (price_monitoring_routes.py:664-706).
+
+    Branches, in the reference's order: no priced hits → (count=all hits,
+    verified=0, no stats); no stat-eligible hits → (count=priced,
+    verified count, no stats); else trimmed-median stats: with ≥ 4 values
+    a provisional median sets the [med/3, med×3] outlier band and the
+    trim applies only if it keeps ≥ 1 value (lines 682-690)."""
+    q = F.col(query_col)
+    base = hits.withColumn("__stat", _is_stat_hit())
+    agg = (base.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.count(F.col("price")).alias("n_priced"),
+        F.count(F.when(F.col("price").isNotNull()
+                       & F.col("verified"), 1)).alias("n_verified"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("__stat"), F.col("price")))).alias("vals")))
+    prov = _sorted_median("vals")
+    agg = agg.withColumn("__trimmed", F.expr(
+        f"CASE WHEN size(vals) >= 4 THEN "
+        f"filter(vals, v -> v >= ({prov}) / 3.0 AND v <= ({prov}) * 3.0) "
+        f"ELSE vals END"))
+    agg = agg.withColumn("use_vals", F.expr(
+        "IF(size(__trimmed) > 0, __trimmed, vals)"))
+    med = _sorted_median("use_vals")
+
+    # modal currency over stat hits (line 696); ties → smallest currency
+    cur_counts = (base.filter(F.col("__stat") & F.col("currency").isNotNull())
+                  .groupBy(query_col, "currency").count())
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("count").desc(), F.col("currency").asc())
+    modal = (cur_counts.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).select(query_col, "currency"))
+
+    has_stat = F.size("vals") > 0
+    out = (agg.join(modal, query_col, "left").select(
+        q.alias(query_col),
+        F.when(F.col("n_priced") == 0, F.col("n_hits"))
+         .otherwise(F.col("n_priced")).alias("hit_count"),
+        F.when(F.col("n_priced") == 0, F.lit(0))
+         .otherwise(F.col("n_verified")).alias("verified_count"),
+        F.when(has_stat, F.expr("element_at(use_vals, 1)"))
+         .alias("min_price"),
+        F.when(has_stat, F.expr("element_at(use_vals, -1)"))
+         .alias("max_price"),
+        F.when(has_stat, F.expr(med)).alias("median_price"),
+        F.when(has_stat, F.col("currency")).alias("currency")))
+    return out
+
+
+def _with_run_day(history: DataFrame) -> DataFrame:
+    """Refresh-run key: the reference groups rows by a uuid
+    ``refresh_run_id`` stamped per refresh call
+    (tracked_queries_service.py:837); the batch twin derives one run per
+    (query, calendar day) of ``scraped_at`` — deterministic and
+    monotone, which is all the latest-vs-prior comparisons need."""
+    return history.withColumn(
+        "__run_day",
+        F.datediff(F.to_date("scraped_at"), F.lit("1970-01-01")))
+
+
+def _anomaly_clean(df: DataFrame) -> Column:
+    """``is_anomaly = false`` filter where the column exists; tables that
+    predate sanity stamping are all-clean."""
+    if "is_anomaly" in df.columns:
+        return ~F.coalesce(F.col("is_anomaly"), F.lit(False))
+    return F.lit(True)
+
+
+def sanity_flags(history: DataFrame) -> DataFrame:
+    """Rolling-median sanity band over the LATEST refresh run —
+    ``check_sanity`` (service.py:153-218), re-shaped from per-row RPC to
+    one windowed batch plan.
+
+    For each latest-run row: trailing-``SANITY_WINDOW_DAYS`` history
+    (strictly before the latest run, non-anomalous, match_kind != family,
+    same retailer domain) yields a per-(query, domain) sample list; the
+    verdict ladder is the reference's: unpriced/非positive → clean with
+    0 samples; < 3 samples → 'insufficient_history'; median ≤ 0 →
+    'zero_median'; ratio < 0.33 → 'too_low'; > 3.0 → 'too_high'; else
+    clean. Reason strings become stable codes (the reference formats
+    display sentences, service.py:206-213)."""
+    h = _with_run_day(history).withColumn(
+        "__domain", domain_of(F.col("product_url")))
+    latest = h.groupBy("query_id").agg(
+        F.max("__run_day").alias("__cur_day"))
+    now = h.agg(F.max("scraped_at").alias("__now"))
+    # latest is one row per tracked query: small today, unbounded at
+    # corpus scale — no broadcast hint, AQE picks the strategy
+    h = h.join(latest, "query_id").crossJoin(F.broadcast(now))
+
+    hist = (h.filter(
+        (F.col("__run_day") < F.col("__cur_day"))
+        & (F.col("scraped_at")
+           >= F.col("__now") - F.expr(f"INTERVAL {SANITY_WINDOW_DAYS} DAYS"))
+        & _anomaly_clean(h)
+        & (F.coalesce(F.lower(F.col("match_kind")), F.lit("")) != "family")
+        & F.col("price").isNotNull() & F.col("__domain").isNotNull())
+        .groupBy("query_id", "__domain")
+        .agg(F.count(F.lit(1)).alias("samples"),
+             F.sort_array(F.collect_list("price")).alias("vals")))
+    hist = hist.withColumn("rolling_median", F.expr(_sorted_median("vals")))
+
+    cur = h.filter(F.col("__run_day") == F.col("__cur_day"))
+    joined = cur.join(hist, ["query_id", "__domain"], "left")
+    samples = F.coalesce(F.col("samples"), F.lit(0))
+    med = F.col("rolling_median")
+    ratio = F.col("price") / med
+    unpriced = (F.col("price").isNull() | (F.col("price") <= 0)
+                | F.col("__domain").isNull())
+    verdict = (F.when(unpriced, F.struct(
+                   F.lit(False).alias("a"), F.lit(None).cast("double").alias("m"),
+                   F.lit(0).alias("n"), F.lit(None).cast("string").alias("r")))
+               .when(samples < SANITY_MIN_SAMPLES, F.struct(
+                   F.lit(False).alias("a"), F.lit(None).cast("double").alias("m"),
+                   samples.cast("int").alias("n"),
+                   F.lit("insufficient_history").alias("r")))
+               .when(med <= 0, F.struct(
+                   F.lit(False).alias("a"), med.alias("m"),
+                   samples.cast("int").alias("n"),
+                   F.lit("zero_median").alias("r")))
+               .when(ratio < SANITY_LOW_RATIO, F.struct(
+                   F.lit(True).alias("a"), med.alias("m"),
+                   samples.cast("int").alias("n"), F.lit("too_low").alias("r")))
+               .when(ratio > SANITY_HIGH_RATIO, F.struct(
+                   F.lit(True).alias("a"), med.alias("m"),
+                   samples.cast("int").alias("n"), F.lit("too_high").alias("r")))
+               .otherwise(F.struct(
+                   F.lit(False).alias("a"), med.alias("m"),
+                   samples.cast("int").alias("n"),
+                   F.lit(None).cast("string").alias("r"))))
+    return (joined.withColumn("__v", verdict).select(
+        "query_id", "event_id",
+        F.col("__domain").alias("retailer_domain"), "price",
+        F.col("__v.a").alias("is_anomaly"),
+        F.col("__v.m").alias("rolling_median"),
+        F.col("__v.n").alias("history_samples"),
+        F.col("__v.r").alias("reason")))
+
+
+def max_pct_change(history: DataFrame) -> DataFrame:
+    """Per-query volatility: largest |Δ%| between the latest run's price
+    and the most recent prior price per URL — ``_max_pct_price_change``
+    (tracked_queries_service.py:79-122) — plus OUR cadence-tier mapping
+    (the reference's SQL helper is not in its repo; see CADENCE_TIERS).
+
+    Latest-run rows drop family matches (and anomalies when stamped) and
+    non-positive prices (lines 88-94); prior prices take each URL's most
+    recent earlier reading (lines 110-114). Queries with no comparable
+    pair volatility 0.0 (line 87/97)."""
+    h = _with_run_day(history)
+    latest = h.groupBy("query_id").agg(F.max("__run_day").alias("__cur_day"))
+    h = h.join(latest, "query_id")
+
+    recent_w = (Window.partitionBy("query_id", "product_url")
+                .orderBy(F.col("scraped_at").desc(), F.col("event_id").desc()))
+    new_rows = (h.filter(
+        (F.col("__run_day") == F.col("__cur_day")) & _anomaly_clean(h)
+        & (F.coalesce(F.lower(F.col("match_kind")), F.lit("")) != "family")
+        & F.col("product_url").isNotNull() & (F.col("price") > 0))
+        .withColumn("__rn", F.row_number().over(recent_w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "product_url", F.col("price").alias("new_price")))
+    prior = (h.filter((F.col("__run_day") < F.col("__cur_day"))
+                      & F.col("price").isNotNull())
+             .withColumn("__rn", F.row_number().over(recent_w))
+             .filter(F.col("__rn") == 1)
+             .select("query_id", "product_url",
+                     F.col("price").alias("old_price")))
+
+    pct = (new_rows.join(prior, ["query_id", "product_url"])
+           .filter(F.col("old_price") > 0)
+           .withColumn("__pct", F.abs(F.col("new_price") - F.col("old_price"))
+                       / F.col("old_price") * 100.0)
+           .groupBy("query_id").agg(F.max("__pct").alias("max_pct_change")))
+    out = (history.select("query_id").distinct()
+           .join(pct, "query_id", "left")
+           .withColumn("max_pct_change",
+                       F.coalesce(F.col("max_pct_change"), F.lit(0.0))))
+    cadence = F.when(F.col("max_pct_change") >= CADENCE_TIERS[0][0],
+                     F.lit(CADENCE_TIERS[0][1]))
+    for lo, hours in CADENCE_TIERS[1:]:
+        cadence = cadence.when(F.col("max_pct_change") >= lo, F.lit(hours))
+    return out.withColumn("refresh_interval_hours", cadence)
+
+
+def current_snapshot(history: DataFrame) -> DataFrame:
+    """Cheapest non-anomaly, non-family, priced hit of the latest run per
+    query, verified hits first — ``_select_cheapest``
+    (tracked_queries_service.py:22-37; sort key ``(not verified, price)``
+    line 36) feeding the denormalized ``current_*`` snapshot
+    (lines 901-930). Ties break on (product_url, event_id)."""
+    h = _with_run_day(history)
+    latest = h.groupBy("query_id").agg(F.max("__run_day").alias("__cur_day"))
+    cand = (h.join(latest, "query_id")
+            .filter((F.col("__run_day") == F.col("__cur_day"))
+                    & F.col("price").isNotNull() & _anomaly_clean(h)
+                    & (F.coalesce(F.lower(F.col("match_kind")), F.lit(""))
+                       != "family")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("verified").desc(), F.col("price").asc(),
+        F.col("product_url").asc(), F.col("event_id").asc())
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id",
+                    F.col("price").alias("current_price"),
+                    F.col("currency").alias("current_currency"),
+                    F.col("availability").alias("current_availability"),
+                    F.col("original_price").alias("current_original_price"),
+                    F.col("verified").alias("current_price_verified"),
+                    "retailer_name", "product_url"))
+
+
+def price_drops(history: DataFrame,
+                threshold_pct: float = PRICE_DROP_THRESHOLD_PCT) -> DataFrame:
+    """Week-over-week median drop per (query, retailer domain) —
+    ``_detect_price_drops`` (service.py:330-…): trailing-7d median vs the
+    prior-7d median over non-anomalous priced rows, alert when
+    ``(prev - cur) / prev * 100 ≥ threshold``. 'Now' is the corpus max
+    ``scraped_at`` (the reference uses wall clock)."""
+    now = history.agg(F.max("scraped_at").alias("__now"))
+    h = (history.crossJoin(F.broadcast(now))
+         .withColumn("__domain", domain_of(F.col("product_url")))
+         .filter(_anomaly_clean(history) & F.col("price").isNotNull()
+                 & F.col("__domain").isNotNull()))
+    cur_lo = F.col("__now") - F.expr("INTERVAL 7 DAYS")
+    prev_lo = F.col("__now") - F.expr("INTERVAL 14 DAYS")
+    cur = (h.filter(F.col("scraped_at") >= cur_lo)
+           .groupBy("query_id", "__domain")
+           .agg(F.sort_array(F.collect_list("price")).alias("vals"),
+                F.min("retailer_name").alias("retailer_name"))
+           .withColumn("current_median", F.expr(_sorted_median("vals"))))
+    prev = (h.filter((F.col("scraped_at") >= prev_lo)
+                     & (F.col("scraped_at") < cur_lo))
+            .groupBy("query_id", "__domain")
+            .agg(F.sort_array(F.collect_list("price")).alias("vals"))
+            .withColumn("previous_median", F.expr(_sorted_median("vals"))))
+    joined = (cur.join(prev.select("query_id", "__domain", "previous_median"),
+                       ["query_id", "__domain"])
+              .filter((F.col("previous_median") > 0)
+                      & F.col("current_median").isNotNull()))
+    return (joined.withColumn(
+        "delta_pct",
+        (F.col("previous_median") - F.col("current_median"))
+        / F.col("previous_median") * 100.0)
+        .filter(F.col("delta_pct") >= threshold_pct)
+        .select("query_id", F.col("__domain").alias("retailer_domain"),
+                F.coalesce(F.col("retailer_name"), F.col("__domain"))
+                .alias("retailer_name"),
+                "current_median", "previous_median", "delta_pct"))
+
+
+def brand_retailer_index(history: DataFrame) -> DataFrame:
+    """(brand, retailer_domain, country_code) → hit count, excluding
+    family/mismatch rows — ``_upsert_brand_retailer_index``
+    (tracked_queries_service.py:50-76). The reference upserts per refresh;
+    the batch twin is the whole-corpus groupBy the upserts converge to."""
+    h = history.withColumn("__domain", domain_of(F.col("product_url")))
+    return (h.filter(
+        (~F.coalesce(F.lower(F.col("match_kind")), F.lit(""))
+         .isin("family", "mismatch"))
+        & F.col("__domain").isNotNull())
+        .groupBy(F.col("brand"), F.col("__domain").alias("retailer_domain"),
+                 F.col("country_code"))
+        .agg(F.count(F.lit(1)).alias("hit_count")))
