@@ -2335,6 +2335,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prices.brand_retailer_index(_price_history(spark, sf_dir))
     q["price_brand_index"] = price_brand_index
 
+    # ---- per-domain template removal (corpus-level boilerplate) ----
+    def _lined_docs(spark, sf_dir):
+        # the corpus text has no newline structure, so synthesize a
+        # lined web page per doc: always-on header/footer (template),
+        # a ~2/3-frequency promo line (template at the 50% threshold),
+        # a rare per-variant notice and the unique body (both kept)
+        d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+        doc = F.col("doc_id")
+        return d.select(
+            "doc_id", "source",
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("Home | Products | About - "),
+                         F.col("source")),
+                F.when(doc % 3 != 0, F.concat(
+                    F.lit("Subscribe to the "), F.col("source"),
+                    F.lit(" newsletter"))),
+                F.when(doc % 5 == 0, F.concat(
+                    F.lit("Special notice "), (doc % 7).cast("string"))),
+                F.substring("text", 1, 120),
+                F.concat(F.lit("(c) 2024 "), F.col("source"),
+                         F.lit(" - all rights reserved"))).alias("text"))
+
+    def template_strip(spark, sf_dir):
+        # per-domain document-frequency boilerplate removal, cleaned
+        # text reassembled in original line order (operators/dedup.py)
+        return dd.strip_template_lines(_lined_docs(spark, sf_dir))
+    q["template_strip"] = template_strip
+
+    def template_stats(spark, sf_dir):
+        # per-domain template share: the monitoring rollup
+        return dd.template_line_stats(_lined_docs(spark, sf_dir))
+    q["template_stats"] = template_stats
+
     return q
 
 
@@ -3133,6 +3167,24 @@ def oracle_sql() -> dict[str, str]:
     _ph_h = (f"SELECT ph.*, date_diff('day', DATE '1970-01-01', "
              f"CAST(scraped_at AS DATE)) AS run_day, {_ph_dom} AS dom "
              f"FROM ph")
+
+    # lined-docs synthesizer for the template-removal twins — must stay
+    # in lockstep with _lined_docs in queries() (concat_ws skips NULLs
+    # in both engines, so the conditional lines drop out identically)
+    _lined_docs_sql = """
+        SELECT doc_id, source,
+               concat_ws(chr(10),
+                   'Home | Products | About - ' || source,
+                   CASE WHEN doc_id % 3 <> 0 THEN
+                       'Subscribe to the ' || source || ' newsletter' END,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                       'Special notice ' || CAST(doc_id % 7 AS VARCHAR)
+                   END,
+                   substring(text, 1, 120),
+                   '(c) 2024 ' || source || ' - all rights reserved')
+                 AS text
+        FROM documents
+    """
 
     return {
         "url_ingest": """
@@ -5163,4 +5215,53 @@ def oracle_sql() -> dict[str, str]:
                     NOT IN ('family', 'mismatch')
               AND dom IS NOT NULL
             GROUP BY brand, dom, country_code""",
+        "template_strip": f"""
+            WITH d AS ({_lined_docs_sql}),
+            l AS (SELECT doc_id, domain, unnest(ls) AS line,
+                         generate_subscripts(ls, 1) AS pos
+                  FROM (SELECT doc_id, source AS domain,
+                               string_split(text, chr(10)) AS ls FROM d)),
+            lk AS (SELECT *, md5(lower(trim(line))) AS key FROM l),
+            dd AS (SELECT source AS domain,
+                          count(DISTINCT doc_id) AS n_docs
+                   FROM d GROUP BY source),
+            fr AS (SELECT domain, key, count(*) AS doc_freq
+                   FROM (SELECT DISTINCT domain, key, doc_id FROM lk)
+                   GROUP BY domain, key),
+            bo AS (SELECT fr.domain, key FROM fr JOIN dd
+                     ON fr.domain = dd.domain
+                   WHERE n_docs >= 5 AND doc_freq >= 2
+                     AND doc_freq * 100 >= 50 * n_docs),
+            kept AS (SELECT lk.* FROM lk LEFT JOIN bo
+                       ON lk.domain = bo.domain AND lk.key = bo.key
+                     WHERE bo.key IS NULL),
+            pd AS (SELECT doc_id, count(*) AS n_lines
+                   FROM lk GROUP BY doc_id),
+            rb AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(line, chr(10) ORDER BY pos)
+                            AS cleaned_text
+                   FROM kept GROUP BY doc_id)
+            SELECT pd.doc_id, n_lines, coalesce(n_kept, 0) AS n_kept,
+                   coalesce(cleaned_text, '') AS cleaned_text
+            FROM pd LEFT JOIN rb ON pd.doc_id = rb.doc_id""",
+        "template_stats": f"""
+            WITH d AS ({_lined_docs_sql}),
+            l AS (SELECT doc_id, domain, unnest(ls) AS line
+                  FROM (SELECT doc_id, source AS domain,
+                               string_split(text, chr(10)) AS ls FROM d)),
+            lk AS (SELECT doc_id, domain,
+                          md5(lower(trim(line))) AS key FROM l),
+            dd AS (SELECT source AS domain,
+                          count(DISTINCT doc_id) AS n_docs
+                   FROM d GROUP BY source),
+            fr AS (SELECT domain, key, count(*) AS doc_freq
+                   FROM (SELECT DISTINCT domain, key, doc_id FROM lk)
+                   GROUP BY domain, key)
+            SELECT fr.domain, min(n_docs) AS n_docs,
+                   count(*) AS n_distinct_lines,
+                   count(CASE WHEN n_docs >= 5 AND doc_freq >= 2
+                              AND doc_freq * 100 >= 50 * n_docs
+                         THEN 1 END) AS n_template_lines
+            FROM fr JOIN dd ON fr.domain = dd.domain
+            GROUP BY fr.domain""",
     }

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # round 4 continuation: price-monitoring stack
     "price_market_stats", "price_sanity_flags", "price_volatility",
     "price_current_snapshot", "price_drop_alerts", "price_brand_index",
+    # round 4 continuation: per-domain template removal
+    "template_strip", "template_stats",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -466,3 +466,101 @@ def ngram_decontaminate(docs: DataFrame, bench: DataFrame,
             .agg(F.countDistinct("h").alias("n_hits"))
             .withColumn("contaminated", F.lit(True)))
     return hits
+
+
+def strip_template_lines(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         domain_col: str = "source",
+                         min_domain_docs: int = 5,
+                         ratio_pct: int = 50) -> DataFrame:
+    """Frequency-based per-domain template removal — the CORPUS-level
+    complement to the per-document header/footer strip (S9,
+    operators/extract.py): a line is boilerplate for a domain when it
+    appears in >= ``ratio_pct``% of that domain's documents (domains with
+    >= ``min_domain_docs`` docs; a line seen in one doc is never
+    boilerplate). Classic template detection by document frequency
+    (Gibson/Punera/Tomkins 2005) as CCNet applies it per-snapshot
+    (Wenzek et al. 2020) — nav bars, cookie banners and footers repeat
+    across a site; body text doesn't.
+
+    Returns one row per document: ``(doc_id, n_lines, n_kept,
+    cleaned_text)`` with surviving lines rejoined in original order.
+    Documents whose every line is template still emit a row
+    (n_kept = 0, empty text) so downstream quality gates see them.
+
+    The threshold compares with INTEGER cross-multiplication
+    (``doc_freq * 100 >= ratio_pct * domain_docs``) — no float ratio, so
+    the DuckDB twin agrees exactly.
+
+    Scale design: one shuffle on (domain, line-md5) for the document-
+    frequency count (map-side combinable after the per-doc distinct),
+    one tiny per-domain doc count joined back un-hinted (a domain
+    dimension — AQE broadcasts it), one equi-join of lines to the
+    boilerplate key set (id+hash only on the build side), and one
+    shuffle on doc id for reassembly. Line text rides only the
+    reassembly shuffle. No cross join, no driver-side state.
+    """
+    lines = (docs.select(
+        F.col(id_col).alias("id"), F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        .withColumn("key", F.md5(F.lower(F.trim(F.col("line"))))))
+
+    domain_docs = (docs.groupBy(F.col(domain_col).alias("domain"))
+                   .agg(F.countDistinct(id_col).alias("n_docs")))
+    # doc-frequency per (domain, line): distinct docs, not occurrences
+    freq = (lines.select("domain", "key", "id").distinct()
+            .groupBy("domain", "key")
+            .agg(F.count(F.lit(1)).alias("doc_freq")))
+    boiler = (freq.join(domain_docs, "domain")
+              .filter((F.col("n_docs") >= min_domain_docs)
+                      & (F.col("doc_freq") >= 2)
+                      & (F.col("doc_freq") * 100
+                         >= F.lit(int(ratio_pct)) * F.col("n_docs")))
+              .select("domain", "key"))
+
+    kept = lines.join(boiler, ["domain", "key"], "left_anti")
+    per_doc = (lines.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_lines")))
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n")
+                    .alias("cleaned_text")))
+    return (per_doc.join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col), "n_lines",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+                    F.coalesce(F.col("cleaned_text"), F.lit(""))
+                    .alias("cleaned_text")))
+
+
+def template_line_stats(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        domain_col: str = "source",
+                        min_domain_docs: int = 5,
+                        ratio_pct: int = 50) -> DataFrame:
+    """Per-domain observability twin of ``strip_template_lines``: how
+    much of each domain is template. Returns ``(domain, n_docs,
+    n_distinct_lines, n_template_lines)`` — the monitoring rollup a
+    100 TB curation run reads instead of re-scanning cleaned text."""
+    lines = (docs.select(
+        F.col(id_col).alias("id"), F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+        .withColumn("key", F.md5(F.lower(F.trim(F.col("line"))))))
+    domain_docs = (docs.groupBy(F.col(domain_col).alias("domain"))
+                   .agg(F.countDistinct(id_col).alias("n_docs")))
+    freq = (lines.select("domain", "key", "id").distinct()
+            .groupBy("domain", "key")
+            .agg(F.count(F.lit(1)).alias("doc_freq")))
+    return (freq.join(domain_docs, "domain")
+            .groupBy("domain")
+            .agg(F.first("n_docs").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_distinct_lines"),
+                 F.count(F.when(
+                     (F.col("n_docs") >= min_domain_docs)
+                     & (F.col("doc_freq") >= 2)
+                     & (F.col("doc_freq") * 100
+                        >= int(ratio_pct) * F.col("n_docs")), 1))
+                 .alias("n_template_lines")))
