@@ -2369,6 +2369,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dd.template_line_stats(_lined_docs(spark, sf_dir))
     q["template_stats"] = template_stats
 
+    # ---- classifier inference / characteristic terms ----
+    def quality_classifier(spark, sf_dir):
+        # linear quality-classifier scoring pass: integer IDF-like
+        # weights trained on the corpus df, broadcast-model inference
+        # (operators/classify.py; the CCNet/GPT-3 curation pattern)
+        from mivaa_pdf_extractor_spark.operators import classify
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        w = classify.train_df_weights(d)
+        return classify.classify_quality(d, w, keep_threshold_micro=200)
+    q["quality_classifier"] = quality_classifier
+
+    def tfidf_terms(spark, sf_dir):
+        # top-5 characteristic terms per doc by integer TF-IDF
+        from mivaa_pdf_extractor_spark.operators import classify
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        w = classify.train_df_weights(d)
+        return classify.tfidf_top_terms(d, w, k=5)
+    q["tfidf_terms"] = tfidf_terms
+
     return q
 
 
@@ -3184,6 +3203,24 @@ def oracle_sql() -> dict[str, str]:
                    '(c) 2024 ' || source || ' - all rights reserved')
                  AS text
         FROM documents
+    """
+
+    # shared tokenize + IDF-weight CTEs for the classifier twins —
+    # lockstep with operators/classify.py (lowercase ASCII-alpha runs;
+    # integer weight 1000 - (df*1000) // n_docs)
+    _clf_base_sql = """
+        d AS (SELECT doc_id, text FROM documents),
+        tok AS (SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS token
+                FROM d),
+        v AS (SELECT token, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM tok)
+              GROUP BY token),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        w AS (SELECT token, 1000 - (df * 1000) // n_docs AS weight_micro
+              FROM v CROSS JOIN n)
     """
 
     return {
@@ -5264,4 +5301,27 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 END) AS n_template_lines
             FROM fr JOIN dd ON fr.domain = dd.domain
             GROUP BY fr.domain""",
+        "quality_classifier": f"""
+            WITH {_clf_base_sql}
+            , s AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(coalesce(weight_micro, 0)) AS w_sum
+                    FROM tok LEFT JOIN w USING (token) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+                   CAST(CASE WHEN coalesce(n_tokens, 0) > 0
+                        THEN w_sum // n_tokens ELSE 0 END AS BIGINT)
+                     AS score_micro,
+                   CASE WHEN coalesce(n_tokens, 0) > 0
+                        THEN w_sum // n_tokens ELSE 0 END >= 200 AS keep
+            FROM d LEFT JOIN s USING (doc_id)""",
+        "tfidf_terms": f"""
+            WITH {_clf_base_sql}
+            , tf AS (SELECT doc_id, token, count(*) AS tf
+                     FROM tok GROUP BY doc_id, token),
+            sc AS (SELECT doc_id, token, tf,
+                          tf * weight_micro AS score_micro
+                   FROM tf JOIN w USING (token))
+            SELECT doc_id, rank, token, tf, score_micro FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score_micro DESC, token ASC) AS rank
+              FROM sc) WHERE rank <= 5""",
     }

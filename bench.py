@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "price_current_snapshot", "price_drop_alerts", "price_brand_index",
     # round 4 continuation: per-domain template removal
     "template_strip", "template_stats",
+    # round 4 continuation: classifier inference / TF-IDF terms
+    "quality_classifier", "tfidf_terms",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
