@@ -63,19 +63,18 @@ def classify_quality(docs: DataFrame, weights: DataFrame,
     Plan shape: explode → left equi-join on token (broadcast when the
     model fits, shuffle otherwise — AQE decides) → partial sums per doc.
     Token strings cross one shuffle at most; scores are 16 bytes/doc."""
+    # explode_outer keeps zero-token docs as one null-token row, so the
+    # whole pass is scan -> explode -> join -> aggregate with no
+    # anti-join branch for empties (count(token) skips the null)
     tok = docs.select(F.col(id_col).alias("id"),
-                      F.explode(_tokens(text_col)).alias("token"))
+                      F.explode_outer(_tokens(text_col)).alias("token"))
     scored = (tok.join(weights.select("token", "weight_micro"), "token",
                        "left")
               .groupBy("id")
-              .agg(F.count(F.lit(1)).alias("n_tokens"),
+              .agg(F.count(F.col("token")).alias("n_tokens"),
                    F.sum(F.coalesce(F.col("weight_micro"), F.lit(0)))
                    .alias("w_sum")))
-    empty = docs.select(F.col(id_col).alias("id")).join(
-        scored.select("id"), "id", "left_anti").withColumn(
-        "n_tokens", F.lit(0).cast("long")).withColumn(
-        "w_sum", F.lit(0).cast("long"))
-    return (scored.unionByName(empty)
+    return (scored
             .select(F.col("id").alias(id_col), "n_tokens",
                     F.when(F.col("n_tokens") > 0,
                            F.expr("w_sum DIV n_tokens"))
