@@ -2388,6 +2388,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classify.tfidf_top_terms(d, w, k=5)
     q["tfidf_terms"] = tfidf_terms
 
+    # ---- mention-opportunity generation (press-coverage analysis) ----
+    def _mentions(spark, sf_dir):
+        # deterministic mention_history derivation from events: titles
+        # built from small word lists so bigrams genuinely repeat, every
+        # guard branch seeded (empty/NULL domains + authors, generic
+        # bylines, subject-name bigrams for the blocklist)
+        ev = _events(spark, sf_dir)
+        e = F.col("event_id")
+        oid = (e % 9).cast("string")
+        wa = (F.when(e % 4 == 0, "solar").when(e % 4 == 1, "wind")
+              .when(e % 4 == 2, "hydro").otherwise("storage"))
+        wb = (F.when(e % 3 == 0, "panels").when(e % 3 == 1, "tariffs")
+              .otherwise("subsidies"))
+        return ev.select(
+            e.alias("mention_id"),
+            (F.col("user_id") % 20).alias("subject_id"),
+            F.concat(
+                F.when(e % 10 == 0, F.lit("Acme Solar launch: "))
+                .otherwise(F.lit("")),
+                F.lit("the "), wa, F.lit(" "), wb,
+                F.lit(" for best results")).alias("title"),
+            F.when(e % 8 == 0, F.lit(None)).otherwise(
+                F.when(e % 7 < 3, F.lit("green energy shift"))
+                .otherwise(F.lit("the grid upgrade debate")))
+            .alias("excerpt"),
+            F.when(e % 19 == 0, F.lit("")).when(e % 23 == 0, F.lit(None))
+            .otherwise(F.concat(F.lit("Outlet"), oid,
+                                F.lit(".example.com")))
+            .alias("outlet_domain"),
+            F.concat(F.lit("Outlet "), oid).alias("outlet_name"),
+            (F.when(e % 9 % 3 == 0, F.lit("news"))
+             .when(e % 9 % 3 == 1, F.lit("blog")).otherwise(F.lit("trade")))
+            .alias("outlet_type"),
+            (F.when(e % 11 == 0, F.lit("Staff"))
+             .when(e % 11 == 1, F.lit(""))
+             .when(e % 11 == 2, F.lit(None))
+             .when(e % 11 == 3, F.lit("admin"))
+             .otherwise(F.concat(F.lit("Author "),
+                                 (e % 5).cast("string")))).alias("author"),
+            (F.when(e % 5 == 0, F.lit("negative"))
+             .when(e % 5 == 1, F.lit("positive"))
+             .when(e % 5 == 2, F.lit("neutral"))
+             .when(e % 5 == 3, F.lit(None)).otherwise(F.lit("negative")))
+            .alias("sentiment"),
+            (F.when(e % 4 == 0, F.lit("exact"))
+             .when(e % 4 == 1, F.lit("tangential"))
+             .when(e % 4 == 2, F.lit(None)).otherwise(F.lit("mismatch")))
+            .alias("relevance"),
+            F.concat(F.lit("https://outlet"), oid,
+                     F.lit(".example.com/a/"), e.cast("string"))
+            .alias("url"),
+            F.col("ts").alias("published_at"))
+
+    def _mention_subjects(spark, sf_dir):
+        return (_mentions(spark, sf_dir).select("subject_id").distinct()
+                .withColumn(
+                    "subject_label",
+                    F.concat(
+                        F.when(F.col("subject_id") % 2 == 0,
+                               F.lit("Acme Solar "))
+                        .otherwise(F.lit("Bolt Energy ")),
+                        F.col("subject_id").cast("string"))))
+
+    def mention_trending(spark, sf_dir):
+        # bigram trend detection with the subject-token blocklist
+        # (_trending_topics, mention_opportunity_service.py:359-413)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.trending_bigrams(_mentions(spark, sf_dir),
+                                   _mention_subjects(spark, sf_dir))
+    q["mention_trending"] = mention_trending
+
+    def mention_outlets(spark, sf_dir):
+        # warm/cold outlet pitch ranking (:415-464)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.outlet_pitches(_mentions(spark, sf_dir))
+    q["mention_outlets"] = mention_outlets
+
+    def mention_authors(spark, sf_dir):
+        # recurring-byline relationships (:466-508)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.author_relationships(_mentions(spark, sf_dir))
+    q["mention_authors"] = mention_authors
+
+    def mention_sentiment(spark, sf_dir):
+        # negative-mention response queue (:510-541)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.sentiment_responses(_mentions(spark, sf_dir))
+    q["mention_sentiment"] = mention_sentiment
+
+    def mention_feed(spark, sf_dir):
+        # assembled per-subject feed ranked by priority (:290)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.opportunity_feed(_mentions(spark, sf_dir),
+                                   _mention_subjects(spark, sf_dir))
+    q["mention_feed"] = mention_feed
+
     return q
 
 
@@ -3203,6 +3299,182 @@ def oracle_sql() -> dict[str, str]:
                    '(c) 2024 ' || source || ' - all rights reserved')
                  AS text
         FROM documents
+    """
+
+    # mention-opportunity twins — lockstep with operators/mentions.py
+    from mivaa_pdf_extractor_spark.operators.mentions import (
+        STOPWORDS as _mn_stop)
+    _mn_stop_sql = "[" + ", ".join(f"'{s}'" for s in _mn_stop) + "]"
+    _mn_sql = """
+        SELECT event_id AS mention_id,
+               user_id % 20 AS subject_id,
+               (CASE WHEN event_id % 10 = 0 THEN 'Acme Solar launch: '
+                     ELSE '' END)
+                 || 'the ' ||
+                 (CASE WHEN event_id % 4 = 0 THEN 'solar'
+                       WHEN event_id % 4 = 1 THEN 'wind'
+                       WHEN event_id % 4 = 2 THEN 'hydro'
+                       ELSE 'storage' END)
+                 || ' ' ||
+                 (CASE WHEN event_id % 3 = 0 THEN 'panels'
+                       WHEN event_id % 3 = 1 THEN 'tariffs'
+                       ELSE 'subsidies' END)
+                 || ' for best results' AS title,
+               CASE WHEN event_id % 8 = 0 THEN NULL
+                    WHEN event_id % 7 < 3 THEN 'green energy shift'
+                    ELSE 'the grid upgrade debate' END AS excerpt,
+               CASE WHEN event_id % 19 = 0 THEN ''
+                    WHEN event_id % 23 = 0 THEN NULL
+                    ELSE 'Outlet' || CAST(event_id % 9 AS VARCHAR)
+                         || '.example.com' END AS outlet_domain,
+               'Outlet ' || CAST(event_id % 9 AS VARCHAR) AS outlet_name,
+               CASE WHEN (event_id % 9) % 3 = 0 THEN 'news'
+                    WHEN (event_id % 9) % 3 = 1 THEN 'blog'
+                    ELSE 'trade' END AS outlet_type,
+               CASE WHEN event_id % 11 = 0 THEN 'Staff'
+                    WHEN event_id % 11 = 1 THEN ''
+                    WHEN event_id % 11 = 2 THEN NULL
+                    WHEN event_id % 11 = 3 THEN 'admin'
+                    ELSE 'Author ' || CAST(event_id % 5 AS VARCHAR)
+               END AS author,
+               CASE WHEN event_id % 5 = 0 THEN 'negative'
+                    WHEN event_id % 5 = 1 THEN 'positive'
+                    WHEN event_id % 5 = 2 THEN 'neutral'
+                    WHEN event_id % 5 = 3 THEN NULL
+                    ELSE 'negative' END AS sentiment,
+               CASE WHEN event_id % 4 = 0 THEN 'exact'
+                    WHEN event_id % 4 = 1 THEN 'tangential'
+                    WHEN event_id % 4 = 2 THEN NULL
+                    ELSE 'mismatch' END AS relevance,
+               'https://outlet' || CAST(event_id % 9 AS VARCHAR)
+                 || '.example.com/a/' || CAST(event_id AS VARCHAR) AS url,
+               ts AS published_at
+        FROM events
+    """
+    _mn_subj_sql = """
+        SELECT DISTINCT user_id % 20 AS subject_id,
+               (CASE WHEN (user_id % 20) % 2 = 0 THEN 'Acme Solar '
+                     ELSE 'Bolt Energy ' END)
+                 || CAST(user_id % 20 AS VARCHAR) AS subject_label
+        FROM events
+    """
+    # trending CTE chain (tokens -> positions -> bigram pairs -> counts)
+    _mn_trend_ctes = f"""
+        tt AS (SELECT mention_id, subject_id,
+                      list_filter(
+                        string_split(trim(regexp_replace(lower(
+                            concat_ws(' ', title, excerpt)),
+                            '\\s+', ' ', 'g')), ' '),
+                        w -> w <> ''
+                             AND NOT list_contains({_mn_stop_sql}, w)
+                             AND NOT regexp_matches(w, '^[0-9]+$')
+                             AND length(w) >= 3) AS toks
+               FROM mn),
+        tk AS (SELECT mention_id, subject_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS pos FROM tt),
+        pr AS (SELECT t1.subject_id, t1.tok AS a, t2.tok AS b
+               FROM tk t1 JOIN tk t2
+                 ON t1.mention_id = t2.mention_id
+                AND t2.pos = t1.pos + 1),
+        sj AS (SELECT subject_id,
+                      string_split(trim(regexp_replace(lower(
+                          subject_label), '\\s+', ' ', 'g')), ' ') AS st
+               FROM subj),
+        prf AS (SELECT pr.subject_id, a, b FROM pr JOIN sj
+                  ON pr.subject_id = sj.subject_id
+                WHERE NOT (list_contains(st, a)
+                           AND list_contains(st, b))),
+        tct AS (SELECT subject_id, a, b, count(*) AS mention_count
+                FROM prf GROUP BY subject_id, a, b
+                HAVING count(*) >= 2),
+        trend AS (SELECT subject_id, rank, a || ' ' || b AS phrase,
+                         mention_count,
+                         least(1.0, mention_count / 10.0)
+                           AS priority_score
+                  FROM (SELECT *, row_number() OVER (
+                            PARTITION BY subject_id
+                            ORDER BY mention_count DESC, a ASC, b ASC)
+                          AS rank FROM tct)
+                  WHERE rank <= 5)
+    """
+    _mn_outlet_ctes = """
+        ob AS (SELECT subject_id, lower(outlet_domain) AS domain,
+                      mention_id, published_at, outlet_name, outlet_type
+               FROM mn
+               WHERE outlet_domain IS NOT NULL AND outlet_domain <> ''),
+        oct AS (SELECT subject_id, domain, count(*) AS mention_count
+                FROM ob GROUP BY subject_id, domain),
+        omt AS (SELECT subject_id, domain, outlet_name, outlet_type
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY subject_id, domain
+                          ORDER BY published_at DESC, mention_id DESC)
+                        AS rn FROM ob) WHERE rn = 1),
+        outl AS (SELECT subject_id, rank, domain,
+                        coalesce(outlet_name, domain) AS outlet_name,
+                        outlet_type, mention_count,
+                        mention_count >= 3 AS warm,
+                        CASE WHEN mention_count >= 3
+                             THEN least(1.0, 0.5 + mention_count / 10.0)
+                             ELSE 0.3 + mention_count * 0.1
+                        END AS priority_score
+                 FROM (SELECT oct.subject_id, oct.domain, mention_count,
+                              omt.outlet_name, omt.outlet_type,
+                              row_number() OVER (
+                                  PARTITION BY oct.subject_id
+                                  ORDER BY mention_count DESC,
+                                           oct.domain ASC) AS rank
+                       FROM oct JOIN omt
+                         ON oct.subject_id = omt.subject_id
+                        AND oct.domain = omt.domain)
+                 WHERE rank <= 5)
+    """
+    _mn_author_ctes = """
+        ab AS (SELECT subject_id, lower(trim(author)) AS author_key,
+                      trim(author) AS display_name, outlet_domain,
+                      mention_id, published_at
+               FROM mn
+               WHERE author IS NOT NULL AND trim(author) <> ''
+                 AND lower(trim(author)) NOT IN
+                     ('staff', 'editor', 'admin', 'unknown')),
+        act AS (SELECT subject_id, author_key,
+                       count(*) AS mention_count
+                FROM ab GROUP BY subject_id, author_key
+                HAVING count(*) >= 2),
+        amt AS (SELECT subject_id, author_key, display_name,
+                       outlet_domain
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY subject_id, author_key
+                          ORDER BY published_at DESC, mention_id DESC)
+                        AS rn FROM ab) WHERE rn = 1),
+        auth AS (SELECT subject_id, rank, author_key, display_name,
+                        outlet_domain, mention_count,
+                        least(1.0, 0.4 + mention_count / 6.0)
+                          AS priority_score
+                 FROM (SELECT act.subject_id, act.author_key,
+                              mention_count, amt.display_name,
+                              amt.outlet_domain,
+                              row_number() OVER (
+                                  PARTITION BY act.subject_id
+                                  ORDER BY mention_count DESC,
+                                           act.author_key ASC) AS rank
+                       FROM act JOIN amt
+                         ON act.subject_id = amt.subject_id
+                        AND act.author_key = amt.author_key)
+                 WHERE rank <= 5)
+    """
+    _mn_sent_ctes = """
+        sent AS (SELECT subject_id, rank, mention_id,
+                        coalesce(title, 'Negative mention') AS title,
+                        outlet_domain, url, 0.85 AS priority_score
+                 FROM (SELECT *, row_number() OVER (
+                           PARTITION BY subject_id
+                           ORDER BY published_at DESC, mention_id DESC)
+                         AS rank
+                       FROM mn
+                       WHERE sentiment = 'negative'
+                         AND (relevance IS NULL
+                              OR relevance IN ('exact', 'tangential')))
+                 WHERE rank <= 5)
     """
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
@@ -5324,4 +5596,50 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY doc_id
                   ORDER BY score_micro DESC, token ASC) AS rank
               FROM sc) WHERE rank <= 5""",
+        "mention_trending": f"""
+            WITH mn AS ({_mn_sql}), subj AS ({_mn_subj_sql}),
+            {_mn_trend_ctes}
+            SELECT subject_id, rank, phrase, mention_count,
+                   priority_score
+            FROM trend""",
+        "mention_outlets": f"""
+            WITH mn AS ({_mn_sql}),
+            {_mn_outlet_ctes}
+            SELECT subject_id, rank, domain, outlet_name, outlet_type,
+                   mention_count, warm, priority_score
+            FROM outl""",
+        "mention_authors": f"""
+            WITH mn AS ({_mn_sql}),
+            {_mn_author_ctes}
+            SELECT subject_id, rank, author_key, display_name,
+                   outlet_domain, mention_count, priority_score
+            FROM auth""",
+        "mention_sentiment": f"""
+            WITH mn AS ({_mn_sql}),
+            {_mn_sent_ctes}
+            SELECT subject_id, rank, mention_id, title, outlet_domain,
+                   url, priority_score
+            FROM sent""",
+        "mention_feed": f"""
+            WITH mn AS ({_mn_sql}), subj AS ({_mn_subj_sql}),
+            {_mn_trend_ctes},
+            {_mn_outlet_ctes},
+            {_mn_author_ctes},
+            {_mn_sent_ctes},
+            unioned AS (
+              SELECT subject_id, 'trending_topic' AS type,
+                     phrase AS title, priority_score, rank FROM trend
+              UNION ALL
+              SELECT subject_id, 'outlet_pitch', outlet_name,
+                     priority_score, rank FROM outl
+              UNION ALL
+              SELECT subject_id, 'author_relationship', display_name,
+                     priority_score, rank FROM auth
+              UNION ALL
+              SELECT subject_id, 'sentiment_response', title,
+                     priority_score, rank FROM sent)
+            SELECT subject_id, feed_rank, type, title, priority_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY subject_id
+                      ORDER BY priority_score DESC, type ASC, rank ASC)
+                    AS feed_rank FROM unioned)""",
     }

@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "template_strip", "template_stats",
     # round 4 continuation: classifier inference / TF-IDF terms
     "quality_classifier", "tfidf_terms",
+    # round 4 continuation: mention-opportunity generation
+    "mention_trending", "mention_outlets", "mention_authors",
+    "mention_sentiment", "mention_feed",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
