@@ -2484,6 +2484,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    _mention_subjects(spark, sf_dir))
     q["mention_feed"] = mention_feed
 
+    # ---- product-identity gates (rule-based match tier) ----
+    def _identity_base(spark, sf_dir):
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        k = F.col("p_partkey")
+        w = F.split(F.col("p_name"), " ")
+        return p.select(
+            k.alias("id"),
+            F.element_at(w, 1).alias("w0"),
+            F.element_at(w, 2).alias("w1"),
+            F.regexp_replace(F.col("p_brand"), "#", "").alias("brand_tok"),
+            F.col("p_name"))
+
+    def identity_url_prefilter(spark, sf_dir):
+        # keep/drop URL verdict ladder with trusted-source bypass
+        # (product_identity_service.py:126-200)
+        from mivaa_pdf_extractor_spark.operators import identity as idp
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        url = (F.when(k % 13 == 0, F.lit(""))
+               .when(k % 13 == 1, F.lit("not a url"))
+               .when(k % 13 == 2, F.lit("https://shop.example.com/"))
+               .when(k % 13 == 3,
+                     F.lit("https://shop.example.com/search?q=x"))
+               .when(k % 13 == 4,
+                     F.lit("https://shop.example.com/p/item?ibp=oshop"))
+               .when(k % 13 == 5, F.lit("https://bestprice.gr/to/12345"))
+               .when(k % 13 == 6, F.lit("https://shop.example.com/p/ab"))
+               .when(k % 13 == 7, F.lit(None))
+               .otherwise(F.concat(
+                   F.lit("https://www.shop"), (k % 7).cast("string"),
+                   F.lit(".example.com/p/long-product-name-"),
+                   k.cast("string"))))
+        src = (F.when(k % 10 == 0, F.lit("dataforseo"))
+               .when(k % 10 == 1, F.lit("skroutz"))
+               .otherwise(F.lit("perplexity")))
+        ret = (F.when(k % 9 == 0, F.lit("BestPrice"))
+               .when(k % 9 == 1, F.lit("Some Shop"))
+               .when(k % 9 == 2, F.lit(None))
+               .otherwise(F.concat(F.lit("Shop "), (k % 7).cast("string"))))
+        cand = b.select("id", url.alias("product_url"),
+                        ret.alias("retailer_name"), src.alias("source"))
+        return idp.url_prefilter(cand).select(
+            "id", "product_url", "source", "keep", "drop_reason")
+    q["identity_url_prefilter"] = identity_url_prefilter
+
+    def identity_slug_tokens(spark, sf_dir):
+        # identity-bearing tokens of the last URL path segment
+        # (product_identity_service.py:202-223), joined for comparison
+        from mivaa_pdf_extractor_spark.operators import identity as idp
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        url = F.concat(
+            F.lit("https://www.shop"), (k % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("w0"), F.lit("-"),
+            F.col("w1"),
+            F.when(k % 6 == 0, F.concat(F.lit("-p"), k.cast("string")))
+            .otherwise(F.lit("")),
+            F.when(k % 4 == 0, F.lit(".html")).otherwise(F.lit("")))
+        return b.select(
+            "id", url.alias("product_url"),
+            F.array_join(idp.url_slug_tokens_col(url), " ")
+            .alias("slug_tokens"))
+    q["identity_slug_tokens"] = identity_slug_tokens
+
+    def identity_rule_verdict(spark, sf_dir):
+        # no-LLM token-containment classification ladder
+        # (product_identity_service.py:888-965)
+        from mivaa_pdf_extractor_spark.operators import identity as idp
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        required = (F.when(k % 11 == 0,
+                           F.array().cast("array<string>"))
+                    .otherwise(F.array("w0", "w1", "brand_tok")))
+        skus = (F.when(k % 3 == 0,
+                       F.array(F.concat(F.lit("P"), k.cast("string"))))
+                .otherwise(F.array().cast("array<string>")))
+        name = (F.when(k % 5 == 0, F.lit(None))
+                .when(k % 5 == 1, F.col("w0"))
+                .when(k % 5 == 2, F.lit("totally unrelated"))
+                .when(k % 5 == 3, F.concat_ws(
+                    " ", "w0", "w1", "brand_tok"))
+                .otherwise(F.concat_ws(" ", "w0", "w1")))
+        url = F.concat(
+            F.lit("https://www.shop"), (k % 7).cast("string"),
+            F.lit(".example.com"),
+            F.when((k % 5 == 0) & (k % 2 == 1), F.lit("/"))
+            .otherwise(F.concat(
+                F.lit("/p/"),
+                F.when(k % 6 == 0,
+                       F.concat(F.lit("p"), k.cast("string")))
+                .otherwise(F.lit("item")),
+                F.when(k % 4 == 0, F.lit(".html"))
+                .otherwise(F.lit("")))))
+        cand = b.select("id", required.alias("required_tokens"),
+                        skus.alias("sku_tokens"),
+                        name.alias("product_name"),
+                        url.alias("product_url"))
+        return idp.rule_based_verdict(cand).select(
+            "id", "match_kind", "match_score", "match_basis")
+    q["identity_rule_verdict"] = identity_rule_verdict
+
+    def match_plausibility(spark, sf_dir):
+        # query-vs-candidate token-overlap false-positive gate
+        # (greek_marketplaces/match_filter.py:57-91)
+        from mivaa_pdf_extractor_spark.operators import identity as idp
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        query = (F.when(k % 17 == 0, F.lit("x cm set"))
+                 .otherwise(F.col("p_name")))
+        name = (F.when(k % 4 == 0, F.col("p_name"))
+                .when(k % 4 == 1,
+                      F.concat(F.col("w0"), F.lit(" thing")))
+                .when(k % 4 == 2, F.lit("different object"))
+                .otherwise(F.lit(None)))
+        url = (F.when(k % 4 == 3, F.concat(
+            F.lit("https://m.example.com/p/"), F.col("w1"),
+            F.lit("-deal")))
+            .otherwise(F.lit("https://m.example.com/p/nothing-here")))
+        cand = b.select("id", query.alias("query_text"),
+                        name.alias("product_name"),
+                        url.alias("product_url"))
+        return idp.plausible_match(cand).select(
+            "id", "query_token_count", "overlap_count", "plausible")
+    q["match_plausibility"] = match_plausibility
+
     return q
 
 
@@ -3475,6 +3600,61 @@ def oracle_sql() -> dict[str, str]:
                          AND (relevance IS NULL
                               OR relevance IN ('exact', 'tangential')))
                  WHERE rank <= 5)
+    """
+
+    # product-identity twins — generated from the same verbatim constants
+    # as operators/identity.py so the ladders can't drift
+    from mivaa_pdf_extractor_spark.operators.identity import (
+        AGGREGATOR_HOSTS as _id_aggs, MATCH_STOPWORDS as _id_stops,
+        NON_PRODUCT_PATH_MARKERS as _id_marks, TRUSTED_SOURCES as _id_trust,
+        _GREEK as _id_greek, _LATIN as _id_latin)
+
+    def _id_norm(x: str) -> str:
+        return (f"regexp_replace(upper(translate({x}, '{_id_greek}', "
+                f"'{_id_latin}')), '[\\s\\-_./]+', '', 'g')")
+
+    _id_path = ("regexp_extract(trim(product_url), "
+                "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    _id_host = ("regexp_replace(regexp_replace(lower(regexp_extract("
+                "trim(product_url), "
+                "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), "
+                "'^\\.+', ''), '^www\\.', '')")
+    _id_qs = "regexp_extract(trim(product_url), '\\?([^#]*)', 1)"
+    _id_trust_sql = ("source IN ("
+                     + ", ".join(f"'{s}'" for s in _id_trust) + ")")
+    _id_listing = ("CASE " + " ".join(
+        f"WHEN contains(lower(path), '{m}') "
+        f"THEN 'listing/search path ({m})'" for m in _id_marks)
+        + " ELSE NULL END")
+    _id_agg_case = ("CASE " + " ".join(
+        f"WHEN retailer_name IS NOT NULL AND retailer_name <> '' "
+        f"AND contains(host, '{a.split('.')[0]}') "
+        f"AND NOT contains(rguess, '{a.split('.')[0]}') "
+        f"THEN 'aggregator host {a} claimed as ' || retailer_name"
+        for a in _id_aggs) + " ELSE NULL END")
+    # coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+    _id_slug_join = (
+        "coalesce(array_to_string(list_transform(list_filter("
+        "string_split_regex(regexp_replace(coalesce("
+        "list_filter(string_split(path, '/'), p -> p <> '')[-1], ''), "
+        "'(?i)\\.(html?|php|aspx?)$', ''), '[-_.]+'), "
+        "t -> t <> '' AND length(t) >= 2), t -> "
+        + _id_norm("t") + "), ' '), '')")
+    _id_stop_sql = "[" + ", ".join(f"'{s}'" for s in _id_stops) + "]"
+
+    def _id_mtok(x: str) -> str:
+        return ("list_sort(list_distinct(list_filter(string_split_regex("
+                f"lower(coalesce({x}, '')), '[^a-z0-9α-ω]+'), "
+                f"t -> t <> '' AND length(t) >= 3 "
+                f"AND NOT list_contains({_id_stop_sql}, t))))")
+
+    _id_base_sql = """
+        SELECT p_partkey AS id,
+               string_split(p_name, ' ')[1] AS w0,
+               string_split(p_name, ' ')[2] AS w1,
+               replace(p_brand, '#', '') AS brand_tok,
+               p_name
+        FROM part
     """
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
@@ -5642,4 +5822,180 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY subject_id
                       ORDER BY priority_score DESC, type ASC, rank ASC)
                     AS feed_rank FROM unioned)""",
+        "identity_url_prefilter": f"""
+            WITH b AS ({_id_base_sql}),
+            cand AS (SELECT id,
+                CASE WHEN id % 13 = 0 THEN ''
+                     WHEN id % 13 = 1 THEN 'not a url'
+                     WHEN id % 13 = 2 THEN 'https://shop.example.com/'
+                     WHEN id % 13 = 3
+                       THEN 'https://shop.example.com/search?q=x'
+                     WHEN id % 13 = 4
+                       THEN 'https://shop.example.com/p/item?ibp=oshop'
+                     WHEN id % 13 = 5
+                       THEN 'https://bestprice.gr/to/12345'
+                     WHEN id % 13 = 6
+                       THEN 'https://shop.example.com/p/ab'
+                     WHEN id % 13 = 7 THEN NULL
+                     ELSE 'https://www.shop' || CAST(id % 7 AS VARCHAR)
+                          || '.example.com/p/long-product-name-'
+                          || CAST(id AS VARCHAR)
+                END AS product_url,
+                CASE WHEN id % 9 = 0 THEN 'BestPrice'
+                     WHEN id % 9 = 1 THEN 'Some Shop'
+                     WHEN id % 9 = 2 THEN NULL
+                     ELSE 'Shop ' || CAST(id % 7 AS VARCHAR)
+                END AS retailer_name,
+                CASE WHEN id % 10 = 0 THEN 'dataforseo'
+                     WHEN id % 10 = 1 THEN 'skroutz'
+                     ELSE 'perplexity' END AS source
+              FROM b),
+            parsed AS (SELECT *, {_id_path} AS path, {_id_host} AS host,
+                              {_id_qs} AS qs,
+                              regexp_replace(regexp_replace(
+                                  lower(retailer_name), '\\s+', '', 'g'),
+                                  '\\.', '', 'g') AS rguess,
+                              {_id_trust_sql} AS trusted
+                       FROM cand),
+            enr AS (SELECT *, {_id_listing} AS listing,
+                           {_id_agg_case} AS agg,
+                           list_filter(string_split(path, '/'),
+                                       p -> p <> '')[-1] AS last_seg
+                    FROM parsed),
+            verd AS (SELECT id, product_url, source,
+                CASE WHEN product_url IS NULL
+                          OR trim(product_url) = '' THEN 'empty URL'
+                     WHEN host = '' THEN 'no host'
+                     WHEN NOT trusted AND (path = '' OR path = '/')
+                       THEN 'homepage URL'
+                     WHEN NOT trusted AND listing IS NOT NULL
+                       THEN listing
+                     WHEN NOT trusted AND (contains(qs, 'ibp=oshop')
+                          OR contains(qs, 'tbm=shop'))
+                       THEN 'Google Shopping SERP URL'
+                     WHEN NOT trusted AND agg IS NOT NULL THEN agg
+                     WHEN NOT trusted AND last_seg IS NOT NULL
+                          AND length(last_seg) < 4
+                       THEN 'URL slug too short'
+                END AS drop_reason FROM enr)
+            SELECT id, product_url, source,
+                   drop_reason IS NULL AS keep, drop_reason
+            FROM verd""",
+        "identity_slug_tokens": f"""
+            WITH b AS ({_id_base_sql}),
+            c AS (SELECT id,
+                'https://www.shop' || CAST(id % 7 AS VARCHAR)
+                  || '.example.com/p/' || w0 || '-' || w1
+                  || (CASE WHEN id % 6 = 0
+                           THEN '-p' || CAST(id AS VARCHAR) ELSE '' END)
+                  || (CASE WHEN id % 4 = 0 THEN '.html' ELSE '' END)
+                  AS product_url
+              FROM b),
+            p AS (SELECT id, product_url, {_id_path} AS path FROM c)
+            SELECT id, product_url, {_id_slug_join} AS slug_tokens
+            FROM p""",
+        "identity_rule_verdict": f"""
+            WITH b AS ({_id_base_sql}),
+            c AS (SELECT id,
+                CASE WHEN id % 11 = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE [w0, w1, brand_tok] END AS required_tokens,
+                CASE WHEN id % 3 = 0 THEN ['P' || CAST(id AS VARCHAR)]
+                     ELSE CAST([] AS VARCHAR[]) END AS sku_tokens,
+                CASE WHEN id % 5 = 0 THEN NULL
+                     WHEN id % 5 = 1 THEN w0
+                     WHEN id % 5 = 2 THEN 'totally unrelated'
+                     WHEN id % 5 = 3 THEN concat_ws(' ', w0, w1,
+                                                    brand_tok)
+                     ELSE concat_ws(' ', w0, w1) END AS product_name,
+                'https://www.shop' || CAST(id % 7 AS VARCHAR)
+                  || '.example.com'
+                  || (CASE WHEN id % 5 = 0 AND id % 2 = 1 THEN '/'
+                       ELSE '/p/'
+                            || (CASE WHEN id % 6 = 0
+                                     THEN 'p' || CAST(id AS VARCHAR)
+                                     ELSE 'item' END)
+                            || (CASE WHEN id % 4 = 0 THEN '.html'
+                                     ELSE '' END) END) AS product_url
+              FROM b),
+            pp AS (SELECT *, {_id_path} AS path FROM c),
+            n AS (SELECT *,
+                list_distinct(list_filter(list_transform(
+                    required_tokens, t -> {_id_norm('t')}),
+                    t -> t <> '')) AS req,
+                list_distinct(list_filter(list_transform(
+                    sku_tokens, t -> {_id_norm('t')}),
+                    t -> t <> '')) AS sk,
+                {_id_slug_join} AS slug,
+                coalesce(product_name, '') AS nm
+              FROM pp),
+            h AS (SELECT *,
+                {_id_norm("concat_ws(' ', nm, slug)")} AS hay,
+                (nm = '' AND slug = '') AS no_identity
+              FROM n),
+            h2 AS (SELECT *,
+                len(list_filter(sk, t -> contains(hay, t))) > 0
+                  AS sku_hit,
+                len(list_filter(req, t -> contains(hay, t)))
+                  AS req_hits
+              FROM h)
+            SELECT id,
+              CASE WHEN len(req) = 0 AND len(sk) = 0 THEN 'unverifiable'
+                   WHEN no_identity THEN 'unverifiable'
+                   WHEN len(sk) > 0 AND sku_hit THEN 'exact'
+                   WHEN len(sk) > 0 AND len(req) > 0
+                        AND req_hits = len(req) THEN 'family'
+                   WHEN len(sk) > 0 THEN 'mismatch'
+                   WHEN len(req) > 0 AND req_hits = len(req)
+                     THEN 'exact'
+                   WHEN req_hits > 0 THEN 'family'
+                   ELSE 'mismatch' END AS match_kind,
+              CASE WHEN len(req) = 0 AND len(sk) = 0 THEN 50
+                   WHEN no_identity THEN 40
+                   WHEN len(sk) > 0 AND sku_hit THEN 95
+                   WHEN len(sk) > 0 AND len(req) > 0
+                        AND req_hits = len(req) THEN 55
+                   WHEN len(sk) > 0 THEN 20
+                   WHEN len(req) > 0 AND req_hits = len(req) THEN 90
+                   WHEN req_hits > 0 THEN 55
+                   ELSE 20 END AS match_score,
+              CASE WHEN len(req) = 0 AND len(sk) = 0
+                     THEN 'no_required_tokens'
+                   WHEN no_identity THEN 'no_page_identity'
+                   WHEN len(sk) > 0 AND sku_hit THEN 'sku_anchor'
+                   WHEN len(sk) > 0 AND len(req) > 0
+                        AND req_hits = len(req)
+                     THEN 'same_series_different_sku'
+                   WHEN len(sk) > 0 THEN 'sku_not_found'
+                   WHEN len(req) > 0 AND req_hits = len(req)
+                     THEN 'all_required_tokens'
+                   WHEN req_hits > 0 THEN 'partial_token_match'
+                   ELSE 'required_not_found' END AS match_basis
+            FROM h2""",
+        "match_plausibility": f"""
+            WITH b AS ({_id_base_sql}),
+            c AS (SELECT id,
+                CASE WHEN id % 17 = 0 THEN 'x cm set'
+                     ELSE p_name END AS query_text,
+                CASE WHEN id % 4 = 0 THEN p_name
+                     WHEN id % 4 = 1 THEN w0 || ' thing'
+                     WHEN id % 4 = 2 THEN 'different object'
+                     ELSE NULL END AS product_name,
+                CASE WHEN id % 4 = 3
+                     THEN 'https://m.example.com/p/' || w1 || '-deal'
+                     ELSE 'https://m.example.com/p/nothing-here'
+                END AS product_url
+              FROM b),
+            p2 AS (SELECT *, {_id_path} AS path FROM c),
+            t AS (SELECT id, {_id_mtok('query_text')} AS q,
+                         list_sort(list_distinct(
+                             {_id_mtok('path')}
+                             || {_id_mtok('product_name')})) AS cand
+                  FROM p2)
+            SELECT id, len(q) AS query_token_count,
+                   len(list_intersect(q, cand)) AS overlap_count,
+                   CASE WHEN len(q) = 0 THEN true
+                        WHEN len(cand) = 0 THEN false
+                        ELSE len(list_intersect(q, cand)) / len(q)
+                             >= 0.30 END AS plausible
+            FROM t""",
     }

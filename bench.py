@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     # round 4 continuation: mention-opportunity generation
     "mention_trending", "mention_outlets", "mention_authors",
     "mention_sentiment", "mention_feed",
+    # round 4 continuation: product-identity gates
+    "identity_url_prefilter", "identity_slug_tokens",
+    "identity_rule_verdict", "match_plausibility",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
