@@ -2609,6 +2609,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "query_token_count", "overlap_count", "plausible")
     q["match_plausibility"] = match_plausibility
 
+    # ---- markdown product detection (chunk -> product mining tier) ----
+    def _product_chunks(spark, sf_dir):
+        # deterministic chunk contents exercising every reject tier,
+        # classifier branch, and extraction pattern
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        pad = F.lit(" lorem filler words continue here" * 4)
+        content = (
+            F.when(k % 10 == 0, F.concat(F.lit(
+                "Table of Contents ......... page 1 page 2 page 3"),
+                pad))
+            .when(k % 10 == 1, F.concat(F.lit(
+                "Our sustainability and recycled materials policy."),
+                pad))
+            .when(k % 10 == 2, F.concat(F.lit(
+                "Technical characteristics | thickness 10mm and water "
+                "absorption table."), pad))
+            .when(k % 10 == 3, F.concat(F.lit(
+                "Moodboard inspiration for the season."), pad))
+            .when(k % 10 == 4, F.concat(
+                F.lit("## "), F.upper(F.col("w0")),
+                F.lit("\n120 × 60 cm\nby Estudi{H}ac designer "
+                      "collection ceramic white matt"), pad))
+            .when(k % 10 == 5, F.concat(
+                F.upper(F.col("w1")),
+                F.lit(" premium surface 45 x 45 cm porcelain collection"
+                      " in grey and beige tones"), pad))
+            .when(k % 10 == 6, F.lit("tiny"))
+            .when(k % 10 == 7, F.concat(F.lit(
+                "The designer biography: born in 1980, graduated from "
+                "art school."), pad))
+            .when(k % 10 == 8, F.concat(F.lit(
+                "Cleaning and maintenance guide for floor cleaner "
+                "usage. not applicable"), pad))
+            .otherwise(F.concat(F.lit(
+                "Just plain prose with nothing special to say at all."),
+                pad)))
+        return b.select("id", content.alias("content"))
+
+    def product_chunk_gate(spark, sf_dir):
+        # the 11-tier validity ladder; valid_ref pins the reference's
+        # lowered-uppercase bug (product_creation_service.py:368,474)
+        from mivaa_pdf_extractor_spark.operators import product_detect
+        return product_detect.product_chunk_gate(
+            _product_chunks(spark, sf_dir)).select(
+            "id", "reject_reason", "valid_fixed", "valid_ref")
+    q["product_chunk_gate"] = product_chunk_gate
+
+    def product_markdown_classify(spark, sf_dir):
+        # index/sustainability/technical/moodboard/product/unknown
+        # (product_creation_service.py:1009-1066)
+        from mivaa_pdf_extractor_spark.operators import product_detect
+        return product_detect.classify_markdown(
+            _product_chunks(spark, sf_dir)).select("id", "content_class")
+    q["product_markdown_classify"] = product_markdown_classify
+
+    def product_markdown_mine(spark, sf_dir):
+        # pattern flags + name/dims/designer/colors/materials + the
+        # weighted quality score (product_creation_service.py:1068-1153)
+        from mivaa_pdf_extractor_spark.operators import product_detect
+        return product_detect.mine_markdown(
+            _product_chunks(spark, sf_dir)).select(
+            "id", "has_product_name", "has_dimensions",
+            "has_designer_attribution", "has_product_description",
+            "product_name", "dimensions", "designer", "colors",
+            "materials", "quality_score")
+    q["product_markdown_mine"] = product_markdown_mine
+
     return q
 
 
@@ -3656,6 +3724,73 @@ def oracle_sql() -> dict[str, str]:
                p_name
         FROM part
     """
+
+    # markdown product-detection twins — generated from the same verbatim
+    # keyword tiers as operators/product_detect.py
+    from mivaa_pdf_extractor_spark.operators import product_detect as _pd
+
+    def _pd_any(col: str, kws: list) -> str:
+        return ("(" + " OR ".join(
+            f"contains({col}, '{k}')" for k in kws) + ")")
+
+    def _pd_upper(col: str, min_len: int) -> str:
+        return (f"len(list_filter(regexp_split_to_array({col}, '\\s+'), "
+                f"w -> length(w) > {min_len} AND regexp_matches(w, "
+                f"'[A-Z]') AND NOT regexp_matches(w, '[a-z]'))) > 0")
+
+    _pd_chunks_sql = """
+        SELECT p_partkey AS id,
+          CASE
+            WHEN p_partkey % 10 = 0 THEN
+              'Table of Contents ......... page 1 page 2 page 3' || pad
+            WHEN p_partkey % 10 = 1 THEN
+              'Our sustainability and recycled materials policy.' || pad
+            WHEN p_partkey % 10 = 2 THEN
+              'Technical characteristics | thickness 10mm and water '
+              || 'absorption table.' || pad
+            WHEN p_partkey % 10 = 3 THEN
+              'Moodboard inspiration for the season.' || pad
+            WHEN p_partkey % 10 = 4 THEN
+              '## ' || upper(string_split(p_name, ' ')[1]) || chr(10)
+              || '120 × 60 cm' || chr(10)
+              || 'by Estudi{H}ac designer collection ceramic white matt'
+              || pad
+            WHEN p_partkey % 10 = 5 THEN
+              upper(string_split(p_name, ' ')[2])
+              || ' premium surface 45 x 45 cm porcelain collection in '
+              || 'grey and beige tones' || pad
+            WHEN p_partkey % 10 = 6 THEN 'tiny'
+            WHEN p_partkey % 10 = 7 THEN
+              'The designer biography: born in 1980, graduated from '
+              || 'art school.' || pad
+            WHEN p_partkey % 10 = 8 THEN
+              'Cleaning and maintenance guide for floor cleaner usage.'
+              || ' not applicable' || pad
+            ELSE
+              'Just plain prose with nothing special to say at all.'
+              || pad
+          END AS content
+        FROM (SELECT *, repeat(' lorem filler words continue here', 4)
+                     AS pad FROM part)
+    """
+
+    # regex constants interpolated as VALUES (f-string braces stay single)
+    _pd_name_re = r"##?\s+[A-Z]{2,}(?:\s+[A-Z]{2,})*"
+    _pd_line_re = r"(?m)^[A-Z]{2,}(?:\s+[A-Z]{2,})*$"
+    _pd_any_re = r"\b[A-Z]{2,}(?:\s+[A-Z]{2,})*\b"
+    _pd_name_g = r"##?\s+([A-Z]{2,}(?:\s+[A-Z]{2,})*)"
+    _pd_line_g = r"(?m)^([A-Z]{2,}(?:\s+[A-Z]{2,})*)$"
+    _pd_any_g = r"\b([A-Z]{2,}(?:\s+[A-Z]{2,})*)\b"
+    _pd_dims_re = r"\d+\s*[×x]\s*\d+|\d+\s*(?:mm|cm)"
+    _pd_desg_re = (r"(?i)(?:by|BY)\s+[A-Z][a-zA-Z\s{}]+"
+                   r"|(?i)(?:studio|estudi)")
+    _pd_desg_g = (r"(?i)(?:by|BY)\s+([A-Z][a-zA-Z\s{}]+)"
+                  r"|(?:studio|estudi)\s*([A-Z][a-zA-Z\s{}]*)")
+    _pd_color_re = (r"(?i)\b(?:white|black|grey|gray|beige|taupe|sand"
+                    r"|clay|anthracite|cream|ivory|brown|blue|green|red"
+                    r"|yellow|orange|purple|pink)\b")
+    _pd_mat_re = (r"(?i)\b(?:ceramic|porcelain|stone|marble|granite"
+                  r"|wood|metal|glass|concrete|tile|vinyl|laminate)\b")
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
     # lockstep with operators/classify.py (lowercase ASCII-alpha runs;
@@ -5998,4 +6133,171 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(list_intersect(q, cand)) / len(q)
                              >= 0.30 END AS plausible
             FROM t""",
+        "product_chunk_gate": f"""
+            WITH ch AS ({_pd_chunks_sql}),
+            base AS (SELECT id, content AS raw, lower(content) AS c
+                     FROM ch),
+            f AS (SELECT *,
+               {_pd_any('c', _pd.PRODUCT_SOFT_KW)} AS soft,
+               (contains(c, '×') OR contains(c, 'x ')
+                OR contains(c, 'cm') OR contains(c, 'mm')) AS has_dims,
+               {_pd_any('c', _pd.PRODUCT_CONTEXT_KW)} AS has_ctx,
+               {_pd_any('c', _pd.TECH_SPEC_KW)} AS has_tech,
+               {_pd_upper('c', 2)} AS up_ref,
+               {_pd_upper('raw', 2)} AS up_fixed,
+               len(string_split(c, chr(10))) - 1 > 20 AS many_lines
+              FROM base),
+            g AS (SELECT *,
+               CASE WHEN length(c) < 100 THEN 'short'
+                    WHEN {_pd_any('c', _pd.INDEX_KW)} THEN 'index_toc'
+                    WHEN {_pd_any('c', _pd.SUSTAIN_KW)} AND NOT soft
+                      THEN 'sustainability'
+                    WHEN {_pd_any('c', _pd.CERT_KW)} AND NOT soft
+                      THEN 'certification'
+                    WHEN {_pd_any('c', _pd.TECH_TABLE_KW)}
+                         AND (contains(c, '|') OR many_lines)
+                      THEN 'tech_table'
+                    WHEN {_pd_any('c', _pd.MOOD_KW)}
+                         AND NOT (contains(c, '×')
+                                  OR contains(c, 'dimensions')
+                                  OR contains(c, 'designer')
+                                  OR contains(c, 'cm')
+                                  OR contains(c, 'mm'))
+                      THEN 'moodboard'
+                    WHEN {_pd_any('c', _pd.CLEAN_KW)}
+                         AND (NOT (contains(c, '×')
+                                   OR contains(c, 'cm')
+                                   OR contains(c, 'mm'))
+                              OR contains(c, 'not applicable')
+                              OR contains(c, 'guidance documentation'))
+                      THEN 'cleaning'
+                    WHEN {_pd_any('c', _pd.GENERIC_KW)}
+                         AND length(c) < 200 THEN 'generic'
+                    WHEN {_pd_any('c', _pd.BIO_KW)} THEN 'designer_bio'
+                    WHEN {_pd_any('c', _pd.FACTORY_KW)} THEN 'factory'
+                    WHEN has_tech AND NOT up_fixed THEN 'tech_no_name'
+                    WHEN (CAST(up_fixed AS INT) + CAST(has_dims AS INT)
+                          + CAST(has_ctx AS INT)) < 3
+                      THEN 'insufficient_indicators'
+               END AS reject_reason FROM f)
+            SELECT id, reject_reason,
+                   reject_reason IS NULL AS valid_fixed,
+                   (reject_reason IS NULL
+                    OR reject_reason = 'insufficient_indicators')
+                   AND NOT (length(c) < 100)
+                   AND (CAST(up_ref AS INT) + CAST(has_dims AS INT)
+                        + CAST(has_ctx AS INT)) >= 3 AS valid_ref
+            FROM g""",
+        "product_markdown_classify": f"""
+            WITH ch AS ({_pd_chunks_sql}),
+            base AS (SELECT id, content AS raw, lower(content) AS c
+                     FROM ch),
+            f AS (SELECT *,
+               len(string_split(c, 'page')) - 1 AS page_count,
+               {_pd_upper('raw', 1)} AS up_words,
+               (contains(raw, '×') OR contains(raw, 'x')
+                OR contains(raw, 'cm') OR contains(raw, 'mm'))
+                 AS has_dims,
+               {_pd_any('c', ['designer', 'collection', 'material',
+                              'ceramic', 'porcelain', 'tile'])}
+                 AS has_ctx
+              FROM base)
+            SELECT id,
+              CASE WHEN contains(c, 'table of contents')
+                        OR (contains(c, 'index') AND page_count > 1)
+                        OR contains(c, 'contents')
+                        OR page_count > 2
+                        OR contains(raw, '...') THEN 'index'
+                   WHEN {_pd_any('c', ['sustainability', 'certification',
+                                       'environmental', 'eco-friendly',
+                                       'carbon footprint', 'recycled',
+                                       'leed', 'greenguard'])}
+                        AND NOT {_pd_any('c', ['dimensions', 'designer',
+                                               'collection'])}
+                     THEN 'sustainability'
+                   WHEN {_pd_any('c', ['technical characteristics',
+                                       'specifications',
+                                       'technical data', 'properties',
+                                       'fire rating', 'weight per'])}
+                        AND (contains(raw, '|')
+                             OR contains(c, 'thickness'))
+                        AND NOT {_pd_any('c', ['designer',
+                                               'collection'])}
+                     THEN 'technical'
+                   WHEN {_pd_any('c', ['moodboard', 'mood board',
+                                       'inspiration',
+                                       'collection overview'])}
+                        AND NOT {_pd_any('c', ['dimensions',
+                                               'designer'])}
+                     THEN 'moodboard'
+                   WHEN up_words AND has_dims
+                        AND (has_ctx OR length(raw) > 200)
+                     THEN 'product'
+                   ELSE 'unknown' END AS content_class
+            FROM f""",
+        "product_markdown_mine": f"""
+            WITH ch AS ({_pd_chunks_sql}),
+            base AS (SELECT id, content AS raw FROM ch),
+            m1 AS (SELECT *,
+               (regexp_matches(raw, '{_pd_name_re}')
+                OR regexp_matches(raw, '{_pd_line_re}')
+                OR regexp_matches(raw, '{_pd_any_re}'))
+                 AS has_product_name,
+               regexp_matches(raw, '{_pd_dims_re}') AS has_dimensions,
+               regexp_matches(raw, '{_pd_desg_re}')
+                 AS has_designer_attribution,
+               (length(raw) > 100 AND regexp_matches(raw,
+                   '(?i)material|texture|finish|color|collection'))
+                 AS has_product_description,
+               coalesce(nullif(regexp_extract(raw, '{_pd_name_g}', 1),
+                               ''),
+                        nullif(regexp_extract(raw, '{_pd_line_g}', 1),
+                               ''),
+                        nullif(regexp_extract(raw, '{_pd_any_g}', 1),
+                               '')) AS product_name,
+               coalesce(array_to_string(regexp_extract_all(raw,
+                   '{_pd_dims_re}', 0), '; '), '') AS dimensions,
+               trim(CASE
+                 WHEN regexp_extract(raw, '{_pd_desg_g}', 1) <> ''
+                   THEN regexp_extract(raw, '{_pd_desg_g}', 1)
+                 WHEN regexp_extract(raw, '{_pd_desg_g}', 2) <> ''
+                   THEN regexp_extract(raw, '{_pd_desg_g}', 2)
+               END) AS designer,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_transform(regexp_extract_all(raw,
+                       '{_pd_color_re}', 0), x -> lower(x)))), ','),
+                   '') AS colors,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_transform(regexp_extract_all(raw,
+                       '{_pd_mat_re}', 0), x -> lower(x)))), ','),
+                   '') AS materials
+              FROM base),
+            m2 AS (SELECT *,
+               (CASE WHEN has_product_name THEN 0.3 ELSE 0.0 END
+                + CASE WHEN has_dimensions THEN 0.25 ELSE 0.0 END
+                + CASE WHEN has_designer_attribution THEN 0.2
+                       ELSE 0.0 END
+                + CASE WHEN has_product_description THEN 0.15
+                       ELSE 0.0 END
+                + CASE WHEN product_name IS NOT NULL
+                            AND length(product_name) > 2 THEN 0.1
+                       ELSE 0.0 END
+                + CASE WHEN dimensions <> '' THEN 0.1 ELSE 0.0 END
+                + CASE WHEN designer IS NOT NULL AND designer <> ''
+                       THEN 0.1 ELSE 0.0 END
+                + CASE WHEN colors <> '' THEN 0.05 ELSE 0.0 END
+                + CASE WHEN materials <> '' THEN 0.05 ELSE 0.0 END)
+                 AS s0 FROM m1),
+            m3 AS (SELECT *,
+               CASE WHEN length(raw) < 100 THEN s0 * 0.5 ELSE s0 END
+                 AS s1 FROM m2),
+            m4 AS (SELECT *,
+               CASE WHEN contains(lower(raw), 'page')
+                         AND len(regexp_extract_all(raw, '\\d+', 0)) > 3
+                    THEN s1 * 0.3 ELSE s1 END AS s2 FROM m3)
+            SELECT id, has_product_name, has_dimensions,
+                   has_designer_attribution, has_product_description,
+                   product_name, dimensions, designer, colors,
+                   materials, least(1.0, s2) AS quality_score
+            FROM m4""",
     }
