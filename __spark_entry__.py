@@ -2677,6 +2677,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "materials", "quality_score")
     q["product_markdown_mine"] = product_markdown_mine
 
+    # ---- dimension parsing (dimension_parser.py) ----
+    def _dims_text(spark, sf_dir):
+        # deterministic dimension strings covering 3D/2D/1D patterns,
+        # missing units, uppercase units, the 'inch'→'in' alternation
+        # quirk, duplicates, and decimals
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        a = (k % 90 + 10).cast("string")
+        bb = (k % 45 + 5).cast("string")
+        cc = (k % 9 + 1).cast("string")
+        content = (
+            F.when(k % 8 == 0, F.concat(
+                F.lit("tile "), a, F.lit("×"), bb,
+                F.lit("×2.5 cm in stock")))
+            .when(k % 8 == 1, F.concat(
+                F.lit("panel "), a, F.lit("x"), bb,
+                F.lit("x3 with no unit")))
+            .when(k % 8 == 2, F.concat(
+                F.lit("slab "), a, F.lit("×"), bb, F.lit(" MM listed")))
+            .when(k % 8 == 3, F.concat(
+                F.lit("board "), a, F.lit("x"), bb, F.lit(" bare")))
+            .when(k % 8 == 4, F.concat(F.lit("rod "), a,
+                                       F.lit(" inch long")))
+            .when(k % 8 == 5, F.lit("no numeric sizes in this row"))
+            .when(k % 8 == 6, F.concat(
+                F.lit("mix "), a, F.lit("×"), bb, F.lit(" cm and "),
+                a, F.lit("×"), bb, F.lit(" cm again plus 7 m")))
+            .otherwise(F.concat(
+                F.lit("deci 11.8×11.8 and "), a, F.lit("x"), bb,
+                F.lit("x"), cc, F.lit("in"))))
+        return b.select("id", content.alias("content"))
+
+    def dims_parse_first(spark, sf_dir):
+        # parse_dimension: first match by 3D→2D→1D priority, unit
+        # defaulting to cm (dimension_parser.py:59-108)
+        from mivaa_pdf_extractor_spark.operators import dimensions as dop
+        d = dop.parse_dimension_col(F.col("content"))
+        return _dims_text(spark, sf_dir).select(
+            "id", d["width"].alias("width"), d["height"].alias("height"),
+            d["depth"].alias("depth"), d["unit"].alias("unit"),
+            d["raw_text"].alias("raw_text"))
+    q["dims_parse_first"] = dims_parse_first
+
+    def dims_extract_all(spark, sf_dir):
+        # extract_all_dimensions + dedup: every 3D match then every 2D
+        # match, first-seen per (w,h,d,unit) key — incl. the quirk that
+        # a 3D string also re-matches its 2D prefix (:110-169)
+        from mivaa_pdf_extractor_spark.operators import dimensions as dop
+        df = dop.extract_dimensions(_dims_text(spark, sf_dir))
+        e = df.select("id", F.posexplode("dims").alias("pos", "d"))
+        return e.select(
+            "id", (F.col("pos") + 1).cast("long").alias("seq"),
+            F.col("d.width").alias("width"),
+            F.col("d.height").alias("height"),
+            F.col("d.depth").alias("depth"),
+            F.col("d.unit").alias("unit"),
+            F.col("d.raw_text").alias("raw_text"))
+    q["dims_extract_all"] = dims_extract_all
+
     return q
 
 
@@ -3791,6 +3850,55 @@ def oracle_sql() -> dict[str, str]:
                     r"|yellow|orange|purple|pink)\b")
     _pd_mat_re = (r"(?i)\b(?:ceramic|porcelain|stone|marble|granite"
                   r"|wood|metal|glass|concrete|tile|vinyl|laminate)\b")
+
+    # dimension-parser twins — same patterns as operators/dimensions.py
+    from mivaa_pdf_extractor_spark.operators import dimensions as _dm
+
+    _dm_text_sql = """
+        SELECT p_partkey AS id,
+          CASE
+            WHEN p_partkey % 8 = 0 THEN
+              'tile ' || a || '×' || b || '×2.5 cm in stock'
+            WHEN p_partkey % 8 = 1 THEN
+              'panel ' || a || 'x' || b || 'x3 with no unit'
+            WHEN p_partkey % 8 = 2 THEN
+              'slab ' || a || '×' || b || ' MM listed'
+            WHEN p_partkey % 8 = 3 THEN
+              'board ' || a || 'x' || b || ' bare'
+            WHEN p_partkey % 8 = 4 THEN 'rod ' || a || ' inch long'
+            WHEN p_partkey % 8 = 5 THEN 'no numeric sizes in this row'
+            WHEN p_partkey % 8 = 6 THEN
+              'mix ' || a || '×' || b || ' cm and ' || a || '×' || b
+              || ' cm again plus 7 m'
+            ELSE 'deci 11.8×11.8 and ' || a || 'x' || b || 'x' || c
+                 || 'in'
+          END AS content
+        FROM (SELECT *, CAST(p_partkey % 90 + 10 AS VARCHAR) AS a,
+                     CAST(p_partkey % 45 + 5 AS VARCHAR) AS b,
+                     CAST(p_partkey % 9 + 1 AS VARCHAR) AS c FROM part)
+    """
+
+    def _dm_unit(expr: str) -> str:
+        return (f"CASE WHEN {expr} IS NULL OR {expr} = '' THEN 'cm' "
+                f"ELSE lower({expr}) END")
+
+    # one tier of extract_all: aligned unnests of the per-group match
+    # lists (nm = number of numeric groups; unit is group nm+1)
+    def _dm_tier(pattern: str, nm: int, tier: int) -> str:
+        g = [f"regexp_extract_all(content, '{pattern}', {i})"
+             for i in range(0, nm + 2)]
+        inner = (f"SELECT id, {tier} AS tier, "
+                 f"unnest(range(1, length({g[0]})+1)) AS pos, "
+                 f"unnest({g[0]}) AS raw_text, "
+                 + ", ".join(f"unnest({g[i]}) AS g{i}"
+                             for i in range(1, nm + 2))
+                 + " FROM t")
+        depth = ("CAST(g3 AS DOUBLE)" if nm == 3
+                 else "CAST(NULL AS DOUBLE)")
+        return (f"SELECT id, tier, pos, CAST(g1 AS DOUBLE) AS width, "
+                f"CAST(g2 AS DOUBLE) AS height, {depth} AS depth, "
+                f"{_dm_unit(f'g{nm + 1}')} AS unit, raw_text "
+                f"FROM ({inner})")
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
     # lockstep with operators/classify.py (lowercase ASCII-alpha runs;
@@ -6300,4 +6408,54 @@ def oracle_sql() -> dict[str, str]:
                    product_name, dimensions, designer, colors,
                    materials, least(1.0, s2) AS quality_score
             FROM m4""",
+        "dims_parse_first": f"""
+            WITH t AS ({_dm_text_sql}),
+            p AS (SELECT id, content,
+                         regexp_extract(content, '{_dm.P3D}', 0) AS r3,
+                         regexp_extract(content, '{_dm.P2D}', 0) AS r2,
+                         regexp_extract(content, '{_dm.P1D}', 0) AS r1
+                  FROM t)
+            SELECT id,
+              CASE WHEN r3 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P3D}', 1)
+                          AS DOUBLE)
+                   WHEN r2 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P2D}', 1)
+                          AS DOUBLE)
+                   WHEN r1 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P1D}', 1)
+                          AS DOUBLE) END AS width,
+              CASE WHEN r3 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P3D}', 2)
+                          AS DOUBLE)
+                   WHEN r2 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P2D}', 2)
+                          AS DOUBLE) END AS height,
+              CASE WHEN r3 <> '' THEN
+                     CAST(regexp_extract(content, '{_dm.P3D}', 3)
+                          AS DOUBLE) END AS depth,
+              CASE WHEN r3 <> '' THEN
+                     {_dm_unit(f"regexp_extract(content, '{_dm.P3D}', 4)")}
+                   WHEN r2 <> '' THEN
+                     {_dm_unit(f"regexp_extract(content, '{_dm.P2D}', 3)")}
+                   WHEN r1 <> '' THEN
+                     lower(regexp_extract(content, '{_dm.P1D}', 2))
+              END AS unit,
+              CASE WHEN r3 <> '' THEN r3 WHEN r2 <> '' THEN r2
+                   WHEN r1 <> '' THEN r1 END AS raw_text
+            FROM p""",
+        "dims_extract_all": f"""
+            WITH t AS ({_dm_text_sql}),
+            u AS ({_dm_tier(_dm.P3D, 3, 0)}
+                  UNION ALL
+                  {_dm_tier(_dm.P2D, 2, 1)}),
+            d AS (SELECT * FROM u
+                  QUALIFY row_number() OVER (
+                    PARTITION BY id, width, height, depth, unit
+                    ORDER BY tier, pos) = 1)
+            SELECT id,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY tier, pos) AS seq,
+                   width, height, depth, unit, raw_text
+            FROM d""",
     }
