@@ -2736,6 +2736,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("d.raw_text").alias("raw_text"))
     q["dims_extract_all"] = dims_extract_all
 
+    # ---- factory-gated duplicate detection ----
+    def _dup_products(spark, sf_dir):
+        # products whose name/description/metadata values come from
+        # prefix+distinct-tail string families, so SequenceMatcher's
+        # ratio has a closed form the DuckDB twin can compute:
+        # the longest matching block is exactly the common prefix
+        # (tail characters never occur in the base), so
+        # ratio = 2*prefix_len / (len1 + len2)
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        g = (k % 400).cast("string")
+        fac = F.concat(F.lit("fact"), g)
+        name = F.concat(
+            F.lit("collection item "), g,
+            F.when(k % 3 == 1, " a").when(k % 3 == 2, " b")
+            .otherwise(""))
+        desc = F.when(k % 11 == 0, F.lit("")).otherwise(F.concat(
+            F.lit("a long description of surface pattern number "), g,
+            F.when((k % 5) % 3 == 1, " q").when((k % 5) % 3 == 2, " z")
+            .otherwise("")))
+        color = F.concat(F.lit("colorbase-"), F.element_at(
+            F.array(*[F.lit(x) for x in "abcd"]),
+            (k % 4).cast("int") + 1))
+        finish = F.concat(F.lit("fx-"), F.element_at(
+            F.array(*[F.lit(x) for x in "abcdefgh"]),
+            (k % 8).cast("int") + 1))
+        # the factory value rotates across priority keys; the %3==1
+        # branch also carries an EMPTY 'factory' entry to pin the
+        # truthy-skip in _extract_factory_info (:264 `if value:`)
+        m_full = F.create_map(
+            F.lit("factory"),
+            F.when(k % 3 == 0, fac).when(k % 3 == 1, F.lit("")),
+            F.lit("manufacturer"), F.when(k % 3 == 1, fac),
+            F.lit("brand"), F.when(k % 3 == 2, fac),
+            F.lit("color"), color,
+            F.lit("finish"), F.when(k % 2 == 0, finish))
+        metadata = F.map_filter(m_full, lambda _, v: v.isNotNull())
+        return b.select("id", name.alias("name"),
+                        desc.alias("description"),
+                        metadata.alias("metadata"))
+
+    def dup_detect_scores(spark, sf_dir):
+        # same-factory pairs with seqratio name/description sims, the
+        # metadata key/value similarity, weighted overall + confidence
+        # (duplicate_detection_service.py:249-434)
+        from mivaa_pdf_extractor_spark.operators import duplicates as dup
+        return dup.detect_duplicates(_dup_products(spark, sf_dir)).select(
+            "id_a", "id_b", "factory", "name_similarity",
+            "description_similarity", "metadata_similarity",
+            "overall_score", "confidence")
+    q["dup_detect_scores"] = dup_detect_scores
+
     return q
 
 
@@ -6458,4 +6510,77 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY tier, pos) AS seq,
                    width, height, depth, unit, raw_text
             FROM d""",
+        # duplicate-detection twin. SequenceMatcher.ratio is computed
+        # closed-form: the synthesized name/description/metadata values
+        # are prefix+distinct-tail families (tail chars never occur in
+        # the base), so the longest matching block IS the common prefix
+        # and ratio = 2*prefix_len/(len1+len2). The arithmetic shapes
+        # (division order, two-term sums) mirror the Python evaluation
+        # exactly so the doubles are bit-identical.
+        "dup_detect_scores": """
+            WITH p AS (
+              SELECT p_partkey AS id, p_partkey % 400 AS g,
+                     p_partkey % 3 AS r3, p_partkey % 2 AS r2,
+                     p_partkey % 4 AS r4, p_partkey % 8 AS r8,
+                     (p_partkey % 5) % 3 AS d3, p_partkey % 11 AS r11,
+                     length('collection item '
+                            || CAST(p_partkey % 400 AS VARCHAR))
+                       AS nb,
+                     length('a long description of surface pattern '
+                            || 'number '
+                            || CAST(p_partkey % 400 AS VARCHAR))
+                       AS db
+              FROM part),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     'fact' || CAST(a.g AS VARCHAR) AS factory,
+                     a.r3 AS a3, b.r3 AS b3, a.r2 AS a2, b.r2 AS b2,
+                     a.r4 AS a4, b.r4 AS b4, a.r8 AS a8, b.r8 AS b8,
+                     a.d3 AS ad, b.d3 AS bd, a.r11 AS a11, b.r11 AS b11,
+                     a.nb AS nb, a.db AS db
+              FROM p a JOIN p b ON a.g = b.g AND a.id < b.id),
+            s AS (
+              SELECT *,
+                CASE WHEN a3 = b3 THEN 1.0
+                     ELSE 2.0 * (nb + CASE WHEN a3 > 0 AND b3 > 0
+                                           THEN 1 ELSE 0 END)
+                          / ((nb + CASE WHEN a3 > 0 THEN 2 ELSE 0 END)
+                             + (nb + CASE WHEN b3 > 0 THEN 2
+                                          ELSE 0 END))
+                END AS name_similarity,
+                CASE WHEN a11 = 0 OR b11 = 0 THEN 0.0
+                     WHEN ad = bd THEN 1.0
+                     ELSE 2.0 * (db + CASE WHEN ad > 0 AND bd > 0
+                                           THEN 1 ELSE 0 END)
+                          / ((db + CASE WHEN ad > 0 THEN 2 ELSE 0 END)
+                             + (db + CASE WHEN bd > 0 THEN 2
+                                          ELSE 0 END))
+                END AS description_similarity,
+                -- color ratio when tails differ: 2*10/22 > 0.8 -> +0.8
+                -- finish ratio when tails differ: 2*3/8 <= 0.8 -> +0
+                CASE
+                  WHEN a2 = 1 AND b2 = 1 THEN
+                    ((1 / 1) + ((CASE WHEN a4 = b4 THEN 1.0
+                                      ELSE 0.8 END) / 1)) / 2
+                  WHEN a2 = 0 AND b2 = 0 THEN
+                    ((2 / 2) + (((CASE WHEN a4 = b4 THEN 1.0
+                                       ELSE 0.8 END)
+                                 + (CASE WHEN a8 = b8 THEN 1.0
+                                         ELSE 0.0 END)) / 2)) / 2
+                  ELSE ((1 / 2) + (0.8 / 2)) / 2
+                END AS metadata_similarity
+              FROM pairs),
+            w AS (
+              SELECT *, 0.5 * name_similarity
+                        + 0.3 * description_similarity
+                        + 0.2 * metadata_similarity AS overall_score
+              FROM s)
+            SELECT id_a, id_b, factory, name_similarity,
+                   description_similarity, metadata_similarity,
+                   overall_score,
+                   CASE WHEN overall_score >= 0.85 THEN 'high'
+                        WHEN overall_score >= 0.70 THEN 'medium'
+                        WHEN overall_score >= 0.55 THEN 'low'
+                        ELSE 'very_low' END AS confidence
+            FROM w""",
     }
