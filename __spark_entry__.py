@@ -2788,6 +2788,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "overall_score", "confidence")
     q["dup_detect_scores"] = dup_detect_scores
 
+    # ---- metadata normalization (metadata_normalizer.py) ----
+    _MCAT_RAWS = ["ceramic tile", "porcelain", "tile", "marble",
+                  "Stoneware Tile", " vinyl flooring ", "floor_tile",
+                  "custom_thing", "fancy stone-3d surface", "", "glass",
+                  "shower tile", "stoneware", "Ceramic Tile Deluxe",
+                  "QUARTZ", "heat pump"]
+
+    def material_category_norm(spark, sf_dir):
+        # controlled-vocab mapping + slug passthrough + Python-title
+        # fallback + tile-composition extraction
+        # (metadata_normalizer.py:393-445)
+        from mivaa_pdf_extractor_spark.operators import metadata_norm \
+            as mnorm
+        b = _identity_base(spark, sf_dir)
+        raw = F.element_at(F.array(*[F.lit(x) for x in _MCAT_RAWS]),
+                           (F.col("id") % 16).cast("int") + 1)
+        out = mnorm.normalize_material_category_col(raw)
+        return b.select("id", raw.alias("raw"),
+                        out["category"].alias("category"),
+                        out["composition"].alias("composition"))
+    q["material_category_norm"] = material_category_norm
+
+    def _csv_of_map(mcol):
+        return F.array_join(F.array_sort(F.transform(
+            F.map_entries(mcol),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ";")
+
+    def factory_keys_norm(spark, sf_dir):
+        # alias folding into factory_name / factory_group_name with
+        # not-found skipping and alias dropping (:222-275); flattened
+        # (sorted k=v CSV) for cross-engine hashing
+        from mivaa_pdf_extractor_spark.operators import metadata_norm \
+            as mnorm
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        kv = lambda key, val: F.struct(F.lit(key).alias("key"),
+                                       val.alias("value"))
+        sid = k.cast("string")
+        # entry values rotate between real values and placeholders
+        ents = F.filter(F.array(
+            kv("factory_name",
+               F.when(k % 4 == 0, F.concat(F.lit("maker"), sid))
+               .when(k % 4 == 1, F.lit("n/a"))
+               .when(k % 4 == 2, F.lit("Not Found"))),
+            kv("manufacturer",
+               F.when(k % 3 == 0, F.concat(F.lit("mfg"), sid))
+               .when(k % 3 == 1, F.lit("unknown"))),
+            kv("brand", F.when(k % 5 == 0,
+                               F.concat(F.lit("brand"), sid))),
+            kv("supplier", F.when(k % 7 == 0,
+                                  F.concat(F.lit("sup"), sid))),
+            kv("factory", F.when(k % 2 == 0,
+                                 F.concat(F.lit("flat"), sid))),
+            kv("factory_group_name",
+               F.when(k % 6 == 0, F.concat(F.lit("grp"), sid))
+               .when(k % 6 == 1, F.lit("-"))),
+            kv("factory_group", F.when(k % 2 == 1,
+                                       F.concat(F.lit("fg"), sid))),
+            kv("other", F.when(k % 3 == 2, F.lit("keep")))),
+            lambda e: e["value"].isNotNull())
+        df = b.select("id", F.map_from_entries(ents).alias("metadata"))
+        out = mnorm.normalize_factory_keys(df)
+        m = F.col("metadata")
+        return out.select(
+            "id",
+            F.element_at(m, F.lit("factory_name")).alias("factory_name"),
+            F.element_at(m, F.lit("factory_group_name"))
+            .alias("factory_group_name"),
+            _csv_of_map(F.map_filter(
+                m, lambda key, _: ~key.isin(
+                    "factory_name", "factory_group_name")))
+            .alias("kept_csv"))
+    q["factory_keys_norm"] = factory_keys_norm
+
+    def commercial_consolidate(spark, sf_dir):
+        # sku/grout/product-code consolidation + product-name SKU
+        # filtering (:580-654, :150-192); sorted-CSV flattening
+        from mivaa_pdf_extractor_spark.operators import metadata_norm \
+            as mnorm
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        sid = k.cast("string")
+        kv = lambda key, val: F.struct(key.alias("key"),
+                                       val.alias("value"))
+        # entry order matters (last-wins); keys exercise the strip
+        # chains, the product prefix filter, and the overwrite quirk
+        ents = F.filter(F.array(
+            kv(F.lit("sku_white"), F.concat(F.lit("W"), sid)),
+            kv(F.lit("sku_fold_white"),
+               F.when(k % 2 == 0, F.concat(F.lit("FW"), sid))),
+            kv(F.lit("sku_tri_fold_blue"),
+               F.when(k % 3 == 0, F.concat(F.lit("B"), sid))),
+            kv(F.lit("sku_codes"),
+               F.when(k % 5 == 0, F.lit("passthru"))),
+            kv(F.concat(F.lit("sku_PROD"), sid, F.lit(" MINT/12X45")),
+               F.when(k % 2 == 1, F.concat(F.lit("PM"), sid))),
+            kv(F.lit("sku_alien_blue_30x60"),
+               F.when(k % 4 == 0, F.concat(F.lit("AL"), sid))),
+            kv(F.lit("grout_color_code_white_mapei"),
+               F.when(k % 3 == 1, F.concat(F.lit("GW"), sid))),
+            kv(F.lit("grout_color_light_code"),
+               F.when(k % 3 == 2, F.concat(F.lit("GL"), sid))),
+            kv(F.lit("product_code"), F.concat(F.lit("P"), sid)),
+            kv(F.lit("format_code"),
+               F.when(k % 2 == 0, F.concat(F.lit("P"), sid))
+               .otherwise(F.concat(F.lit("Q"), sid))),
+            kv(F.lit("other"), F.lit("o"))),
+            lambda e: e["value"].isNotNull())
+        pname = F.when(k % 7 != 0, F.concat(F.lit("Pród"), sid))
+        df = b.select("id", F.map_from_entries(ents).alias("metadata"),
+                      pname.alias("product_name"))
+        out = mnorm.consolidate_commercial(df)
+        return out.select(
+            "id", _csv_of_map(F.col("kept")).alias("kept_csv"),
+            _csv_of_map(F.col("sku_codes")).alias("sku_csv"),
+            _csv_of_map(F.col("grout_color_codes")).alias("grout_csv"),
+            F.array_join(F.col("product_codes"), ";")
+            .alias("pcodes_csv"))
+    q["commercial_consolidate"] = commercial_consolidate
+
+    def field_standardize(spark, sf_dir):
+        # find_standard_field exact tiers (standard name / known
+        # variation) + provably-sub-threshold unknowns (:82-121); the
+        # fuzzy tier is pinned by tests/test_metadata_norm.py
+        from mivaa_pdf_extractor_spark.operators import metadata_norm \
+            as mnorm
+        vocab = []
+        for cat, fields in mnorm.STANDARD_SCHEMA.items():
+            for std, variations in fields.items():
+                vocab.append((std, cat))
+                vocab += [(v, cat) for v in variations]
+        vocab.append(("zzqq9", "design"))      # sub-threshold unknown
+        vocab.append(("pieces_per_box", "nope"))  # unknown category
+        b = _identity_base(spark, sf_dir)
+        n = len(vocab)
+        fname = F.element_at(
+            F.array(*[F.lit(v[0]) for v in vocab]),
+            (F.col("id") % n).cast("int") + 1)
+        fcat = F.element_at(
+            F.array(*[F.lit(v[1]) for v in vocab]),
+            (F.col("id") % n).cast("int") + 1)
+        return b.select(
+            "id", fname.alias("field_name"), fcat.alias("category"),
+            mnorm.find_standard_field_expr(fname, fcat)
+            .alias("standard_field"))
+    q["field_standardize"] = field_standardize
+
     return q
 
 
@@ -3951,6 +4098,54 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST(g2 AS DOUBLE) AS height, {depth} AS depth, "
                 f"{_dm_unit(f'g{nm + 1}')} AS unit, raw_text "
                 f"FROM ({inner})")
+
+    # metadata-normalizer twins — generated from the same verbatim
+    # behavior tables as operators/metadata_norm.py
+    from mivaa_pdf_extractor_spark.operators import metadata_norm as _mn
+
+    _mn_raws = ("['ceramic tile', 'porcelain', 'tile', 'marble', "
+                "'Stoneware Tile', ' vinyl flooring ', 'floor_tile', "
+                "'custom_thing', 'fancy stone-3d surface', '', 'glass', "
+                "'shower tile', 'stoneware', 'Ceramic Tile Deluxe', "
+                "'QUARTZ', 'heat pump']")
+    _mn_map_case = ("CASE normalized "
+                    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in
+                               _mn.MATERIAL_CATEGORY_MAPPING.items())
+                    + " END")
+    _mn_slugs = ", ".join(f"'{s}'" for s in _mn.SLUG_PASSTHROUGH)
+    _mn_comp_case = ("CASE "
+                     + " ".join(f"WHEN contains(normalized, '{k}') "
+                                f"THEN '{v}'" for k, v in
+                                _mn.TILE_COMPOSITION_MAPPING)
+                     + " END")
+    # char-wise Python str.title(): uppercase after any non-letter
+    _mn_title = ("array_to_string(list_transform("
+                 "range(1, length(raw)+1), i -> CASE WHEN i = 1 OR NOT "
+                 "regexp_matches(raw[i-1:i-1], '[A-Za-z]') THEN "
+                 "upper(raw[i:i]) ELSE lower(raw[i:i]) END), '')")
+    _mn_nf_list = ", ".join(f"'{v}'" for v in _mn.NOT_FOUND_VALUES)
+
+    def _mn_nf(x: str) -> str:
+        return (f"({x} IS NULL OR lower(regexp_replace({x}, "
+                f"'^\\s+|\\s+$', '', 'g')) IN ({_mn_nf_list}))")
+
+    # exact-tier mapping CASE for find_standard_field, in schema order
+    _mn_std_whens = []
+    for _cat, _fields in _mn.STANDARD_SCHEMA.items():
+        for _std, _vars in _fields.items():
+            names = ", ".join(f"'{n}'" for n in [_std] + _vars)
+            _mn_std_whens.append(
+                f"WHEN category = '{_cat}' AND field_name IN ({names}) "
+                f"THEN '{_std}'")
+    _mn_std_case = "CASE " + " ".join(_mn_std_whens) + " END"
+    _mn_vocab = []
+    for _cat, _fields in _mn.STANDARD_SCHEMA.items():
+        for _std, _vars in _fields.items():
+            _mn_vocab.append((_std, _cat))
+            _mn_vocab += [(v, _cat) for v in _vars]
+    _mn_vocab += [("zzqq9", "design"), ("pieces_per_box", "nope")]
+    _mn_vnames = "[" + ", ".join(f"'{v[0]}'" for v in _mn_vocab) + "]"
+    _mn_vcats = "[" + ", ".join(f"'{v[1]}'" for v in _mn_vocab) + "]"
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
     # lockstep with operators/classify.py (lowercase ASCII-alpha runs;
@@ -6583,4 +6778,174 @@ def oracle_sql() -> dict[str, str]:
                         WHEN overall_score >= 0.55 THEN 'low'
                         ELSE 'very_low' END AS confidence
             FROM w""",
+        "material_category_norm": f"""
+            WITH t AS (SELECT p_partkey AS id,
+                              {_mn_raws}[CAST(p_partkey % 16 AS INT) + 1]
+                                AS raw
+                       FROM part),
+            n AS (SELECT *, lower(regexp_replace(raw,
+                      '^\\s+|\\s+$', '', 'g')) AS normalized FROM t),
+            m AS (SELECT *, {_mn_map_case} AS mapped FROM n),
+            b AS (SELECT *,
+                    COALESCE(mapped,
+                      CASE WHEN contains(normalized, '_')
+                                OR normalized IN ({_mn_slugs})
+                           THEN normalized
+                           ELSE {_mn_title} END) AS base
+                  FROM m)
+            SELECT id, raw,
+                   CASE WHEN raw IS NULL OR raw = '' THEN NULL
+                        ELSE base END AS category,
+                   CASE WHEN raw IS NULL OR raw = '' THEN NULL
+                        WHEN contains(base, 'tile')
+                        THEN {_mn_comp_case} END AS composition
+            FROM b""",
+        "factory_keys_norm": f"""
+            WITH t AS (SELECT p_partkey AS id,
+                              CAST(p_partkey AS VARCHAR) AS sid
+                       FROM part),
+            v AS (SELECT id,
+                    CASE WHEN id % 4 = 0 THEN 'maker' || sid
+                         WHEN id % 4 = 1 THEN 'n/a'
+                         WHEN id % 4 = 2 THEN 'Not Found' END AS fn0,
+                    CASE WHEN id % 3 = 0 THEN 'mfg' || sid
+                         WHEN id % 3 = 1 THEN 'unknown' END AS man,
+                    CASE WHEN id % 5 = 0 THEN 'brand' || sid END AS brd,
+                    CASE WHEN id % 7 = 0 THEN 'sup' || sid END AS sup,
+                    CASE WHEN id % 2 = 0 THEN 'flat' || sid END AS fac,
+                    CASE WHEN id % 6 = 0 THEN 'grp' || sid
+                         WHEN id % 6 = 1 THEN '-' END AS fg0,
+                    CASE WHEN id % 2 = 1 THEN 'fg' || sid END AS fgv,
+                    CASE WHEN id % 3 = 2 THEN 'keep' END AS oth
+                  FROM t),
+            r AS (SELECT *,
+                    COALESCE(CASE WHEN NOT {_mn_nf('man')} THEN man END,
+                             CASE WHEN NOT {_mn_nf('brd')} THEN brd END,
+                             CASE WHEN NOT {_mn_nf('sup')} THEN sup END,
+                             CASE WHEN NOT {_mn_nf('fac')} THEN fac END)
+                      AS repl_fn,
+                    CASE WHEN NOT {_mn_nf('fgv')} THEN fgv END
+                      AS repl_fg
+                  FROM v)
+            SELECT id,
+                   CASE WHEN {_mn_nf('fn0')} AND repl_fn IS NOT NULL
+                        THEN repl_fn ELSE fn0 END AS factory_name,
+                   CASE WHEN {_mn_nf('fg0')} AND repl_fg IS NOT NULL
+                        THEN repl_fg ELSE fg0 END AS factory_group_name,
+                   COALESCE(CASE WHEN oth IS NOT NULL
+                                 THEN 'other=' || oth END, '')
+                     AS kept_csv
+            FROM r""",
+        "commercial_consolidate": """
+            WITH t AS (SELECT p_partkey AS id,
+                              CAST(p_partkey AS VARCHAR) AS sid
+                       FROM part),
+            raw AS (SELECT id,
+                CASE WHEN id % 7 <> 0
+                     THEN 'Pród' || sid END AS pname,
+                ['sku_white', 'sku_fold_white', 'sku_tri_fold_blue',
+                 'sku_codes', 'sku_PROD' || sid || ' MINT/12X45',
+                 'sku_alien_blue_30x60', 'grout_color_code_white_mapei',
+                 'grout_color_light_code', 'product_code',
+                 'format_code', 'other'] AS ks,
+                ['W' || sid,
+                 CASE WHEN id % 2 = 0 THEN 'FW' || sid END,
+                 CASE WHEN id % 3 = 0 THEN 'B' || sid END,
+                 CASE WHEN id % 5 = 0 THEN 'passthru' END,
+                 CASE WHEN id % 2 = 1 THEN 'PM' || sid END,
+                 CASE WHEN id % 4 = 0 THEN 'AL' || sid END,
+                 CASE WHEN id % 3 = 1 THEN 'GW' || sid END,
+                 CASE WHEN id % 3 = 2 THEN 'GL' || sid END,
+                 'P' || sid,
+                 CASE WHEN id % 2 = 0 THEN 'P' || sid
+                      ELSE 'Q' || sid END,
+                 'o'] AS vs
+              FROM t),
+            e0 AS (SELECT id, pname,
+                          unnest(range(1, length(ks)+1)) AS pos,
+                          unnest(ks) AS k, unnest(vs) AS v
+                   FROM raw),
+            e AS (SELECT * FROM e0 WHERE v IS NOT NULL),
+            c AS (SELECT *,
+                starts_with(k, 'sku_')
+                  AND k NOT IN ('sku_codes', 'sku_variants') AS is_sku,
+                starts_with(k, 'grout_color_') AND contains(k, 'code')
+                  AS is_grout,
+                starts_with(k, 'product_code')
+                  OR starts_with(k, 'format_code')
+                  OR starts_with(k, 'reference_code') AS is_pcode,
+                replace(replace(replace(replace(k, 'sku_', ''),
+                    'fold_', ''), 'tri_fold_', ''), 'ona_', '')
+                  AS sku_color,
+                replace(replace(replace(replace(k, 'grout_color_', ''),
+                    '_code', ''), '_mapei', ''), '_kerakoll', '')
+                  AS gparts
+              FROM e),
+            sku0 AS (SELECT id, pname, pos, v, sku_color AS color
+                     FROM c WHERE is_sku),
+            skuf AS (SELECT * FROM sku0 WHERE pname IS NULL OR (
+                CASE WHEN NOT (contains(color, '/') AND
+                               contains(string_split(color, '/')[1],
+                                        ' '))
+                          AND NOT (contains(color, '_') AND
+                                   length(string_split(color, '_')[1])
+                                     >= 3)
+                     THEN TRUE
+                     ELSE upper(regexp_replace(strip_accents(
+                            CASE WHEN contains(color, '/') AND
+                                      contains(string_split(color,
+                                               '/')[1], ' ')
+                                 THEN string_split(string_split(color,
+                                      '/')[1], ' ')[1]
+                                 ELSE string_split(color, '_')[1] END),
+                            '^\\s+|\\s+$', '', 'g'))
+                          = upper(regexp_replace(strip_accents(pname),
+                                  '^\\s+|\\s+$', '', 'g'))
+                END)),
+            sku AS (SELECT * FROM skuf QUALIFY row_number() OVER (
+                      PARTITION BY id, color ORDER BY pos DESC) = 1),
+            grout0 AS (SELECT id, pos, v,
+                         CASE WHEN contains(gparts, '_')
+                              THEN string_split(gparts, '_')[1]
+                              ELSE gparts END AS color
+                       FROM c WHERE is_grout),
+            grout AS (SELECT * FROM grout0 QUALIFY row_number() OVER (
+                        PARTITION BY id, color ORDER BY pos DESC) = 1),
+            pc AS (SELECT id, pos, v FROM c WHERE is_pcode
+                   QUALIFY row_number() OVER (
+                     PARTITION BY id, v ORDER BY pos) = 1),
+            snz AS (SELECT id, count(*) AS n FROM sku GROUP BY id),
+            kept AS (SELECT c.id, c.k, c.v FROM c LEFT JOIN snz
+                       ON c.id = snz.id
+                     WHERE NOT is_sku AND NOT is_grout AND NOT is_pcode
+                       AND NOT (c.k = 'sku_codes'
+                                AND COALESCE(snz.n, 0) > 0)),
+            a_sku AS (SELECT id, string_agg(color || '=' || v, ';'
+                        ORDER BY color) AS s FROM sku GROUP BY id),
+            a_grout AS (SELECT id, string_agg(color || '=' || v, ';'
+                        ORDER BY color) AS s FROM grout GROUP BY id),
+            a_pc AS (SELECT id, string_agg(v, ';' ORDER BY pos) AS s
+                     FROM pc GROUP BY id),
+            a_kept AS (SELECT id, string_agg(k || '=' || v, ';'
+                        ORDER BY k || '=' || v) AS s
+                       FROM kept GROUP BY id)
+            SELECT t.id,
+                   COALESCE(a_kept.s, '') AS kept_csv,
+                   COALESCE(a_sku.s, '') AS sku_csv,
+                   COALESCE(a_grout.s, '') AS grout_csv,
+                   COALESCE(a_pc.s, '') AS pcodes_csv
+            FROM t LEFT JOIN a_kept ON t.id = a_kept.id
+                   LEFT JOIN a_sku ON t.id = a_sku.id
+                   LEFT JOIN a_grout ON t.id = a_grout.id
+                   LEFT JOIN a_pc ON t.id = a_pc.id""",
+        "field_standardize": f"""
+            WITH t AS (SELECT p_partkey AS id,
+                {_mn_vnames}[CAST(p_partkey % {len(_mn_vocab)} AS INT)
+                             + 1] AS field_name,
+                {_mn_vcats}[CAST(p_partkey % {len(_mn_vocab)} AS INT)
+                            + 1] AS category
+              FROM part)
+            SELECT id, field_name, category,
+                   {_mn_std_case} AS standard_field
+            FROM t""",
     }
