@@ -2935,6 +2935,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("standard_field"))
     q["field_standardize"] = field_standardize
 
+    # ---- saved-search deduplication (search_merge) ----
+    _SM_MATS = ["cement tile", "oak floor", "marble slab", "grey tile",
+                "wall paint"]
+    _SM_COLORS = ["grey", "white", "beige", "black"]
+    # 4-dim vectors whose cosines against p0 land safely inside /
+    # outside the 0.85 and 0.95 bands: 1.0, 0.9428, 0.9901, 0.408,
+    # 0.0, 0.8165, 0.9487
+    _SM_VECS = [[1, 0, 0, 1], [2, 1, 0, 2], [5, 1, 0, 5], [1, 1, 1, 0],
+                [0, 1, 1, 0], [1, 0, 1, 1], [3, 1, 1, 3]]
+
+    def _sm_saved(spark, sf_dir):
+        b = _identity_base(spark, sf_dir)
+        k = F.col("id")
+        emb = F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in v])
+                      for v in _SM_VECS]),
+            ((k / 200).cast("long") % 7).cast("int") + 1)
+        attrs = F.map_from_entries(F.filter(F.array(
+            F.struct(F.lit("color").alias("key"),
+                     F.element_at(F.array(*[F.lit(c) for c in
+                                            _SM_COLORS]),
+                                  (k % 4).cast("int") + 1)
+                     .alias("value")),
+            F.struct(F.lit("finish").alias("key"),
+                     F.when(k % 2 == 0, "matte").alias("value")),
+            F.struct(F.lit("outdoor").alias("key"),
+                     F.when(k % 5 == 0, "true").alias("value"))),
+            lambda e: e["value"].isNotNull()))
+        return b.select(
+            "id", (k % 40).alias("user_id"),
+            F.element_at(F.array(*[F.lit(m) for m in _SM_MATS]),
+                         (k % 5).cast("int") + 1).alias("core_material"),
+            F.when(k % 3 == 1, "floor").when(k % 3 == 2, "wall")
+            .alias("application_context"),
+            attrs.alias("attributes"),
+            F.when(k % 3 == 0, F.array(F.lit("grey"), F.lit("white")))
+            .when(k % 3 == 1, F.array(F.lit("black")))
+            .otherwise(F.expr("array()").cast("array<string>"))
+            .alias("filter_colors"),
+            F.when(k % 4 == 1, F.array(F.lit(100.0), F.lit(200.0)))
+            .when(k % 4 == 2, F.expr("array()").cast("array<double>"))
+            .when(k % 4 == 3, F.array(F.lit(5000.0), F.lit(9000.0)))
+            .alias("price_range"),
+            F.when(k % 31 == 0, F.lit(None).cast("array<double>"))
+            .otherwise(emb).alias("embedding"),
+            F.when(k % 2 == 0, F.lit("old saved query")).otherwise(
+                F.lit("old saved query with many extra words"))
+            .alias("query"))
+
+    def _sm_new(spark, sf_dir):
+        b = _identity_base(spark, sf_dir).filter(F.col("id") % 4 == 0)
+        k = F.col("id")
+        k4 = (k / 4).cast("long") % 4
+        attrs = F.map_from_entries(F.filter(F.array(
+            F.struct(F.lit("color").alias("key"),
+                     F.element_at(F.array(*[F.lit(c) for c in
+                                            _SM_COLORS]),
+                                  (k % 4).cast("int") + 1)
+                     .alias("value")),
+            F.struct(F.lit("finish").alias("key"),
+                     F.when(k % 3 == 0, "glossy").alias("value")),
+            F.struct(F.lit("indoor").alias("key"),
+                     F.when(k % 7 == 0, "true").alias("value"))),
+            lambda e: e["value"].isNotNull()))
+        return b.select(
+            "id", (k % 40).alias("user_id"),
+            F.element_at(F.array(*[F.lit(m) for m in _SM_MATS]),
+                         (k % 5).cast("int") + 1).alias("core_material"),
+            F.when(k % 3 == 1, "floor").when(k % 3 == 2, "wall")
+            .alias("application_context"),
+            attrs.alias("attributes"),
+            F.when(k % 3 == 0, F.array(F.lit("grey")))
+            .when(k % 3 == 1, F.array(F.lit("beige")))
+            .otherwise(F.expr("array()").cast("array<string>"))
+            .alias("filter_colors"),
+            F.when(k4 == 0, F.array(F.lit(150.0), F.lit(300.0)))
+            .when(k4 == 2, F.array(F.lit(20.0), F.lit(30.0)))
+            .when(k4 == 3, F.expr("array()").cast("array<double>"))
+            .alias("price_range"),
+            F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(1.0))
+            .alias("embedding"),
+            F.when((k / 4).cast("long") % 2 == 0, F.lit("new one"))
+            .otherwise(F.lit("brand new longer query text"))
+            .alias("query"))
+
+    def search_merge_gate(spark, sf_dir):
+        # gated candidate pairs + the full should_merge reason ladder
+        # (search_deduplication_service.py:243-425)
+        from mivaa_pdf_extractor_spark.operators import search_merge \
+            as sm
+        pairs = sm.candidate_pairs(_sm_new(spark, sf_dir),
+                                   _sm_saved(spark, sf_dir))
+        v = sm.should_merge(
+            F.col("ctx_e"), F.col("ctx_n"), F.col("attrs_e"),
+            F.col("attrs_n"), F.col("colors_e"), F.col("colors_n"),
+            F.col("price_e"), F.col("price_n"))
+        return pairs.select(
+            "new_id", "saved_id", "rank",
+            F.round(F.col("similarity"), 6).alias("sim6"),
+            v["can_merge"].alias("can_merge"),
+            v["reason"].alias("reason"))
+    q["search_merge_gate"] = search_merge_gate
+
+    def search_find_or_merge(spark, sf_dir):
+        # end-to-end find-or-merge: first eligible candidate decides
+        # auto_merge / suggest / create_new, with the merged
+        # query/filters an auto-merge would write (:180-241, :427-528)
+        from mivaa_pdf_extractor_spark.operators import search_merge \
+            as sm
+        out = sm.find_or_merge(_sm_new(spark, sf_dir),
+                               _sm_saved(spark, sf_dir))
+        return out.select(
+            "new_id", "action", "existing_id",
+            F.round(F.col("similarity"), 6).alias("sim6"), "reason",
+            "updated_query",
+            F.coalesce(F.array_join(F.col("merged_colors"), ";"),
+                       F.lit("")).alias("merged_colors_csv"),
+            F.element_at(F.col("merged_price"), 1).alias("merged_lo"),
+            F.element_at(F.col("merged_price"), 2).alias("merged_hi"))
+    q["search_find_or_merge"] = search_find_or_merge
+
     return q
 
 
@@ -4146,6 +4267,103 @@ def oracle_sql() -> dict[str, str]:
     _mn_vocab += [("zzqq9", "design"), ("pieces_per_box", "nope")]
     _mn_vnames = "[" + ", ".join(f"'{v[0]}'" for v in _mn_vocab) + "]"
     _mn_vcats = "[" + ", ".join(f"'{v[1]}'" for v in _mn_vocab) + "]"
+
+    # search-merge twins: the synth corpus + the pair gate are shared;
+    # cosine is the same left-fold as the Spark plan (bit-identical)
+    _sm_vecs_sql = ("[[1.0,0.0,0.0,1.0],[2.0,1.0,0.0,2.0],"
+                    "[5.0,1.0,0.0,5.0],[1.0,1.0,1.0,0.0],"
+                    "[0.0,1.0,1.0,0.0],[1.0,0.0,1.0,1.0],"
+                    "[3.0,1.0,1.0,3.0]]")
+    _sm_pairs_sql = f"""
+        sv AS (SELECT p_partkey AS sid, p_partkey % 40 AS user_id,
+                      p_partkey % 5 AS mat,
+                      CASE WHEN p_partkey % 3 = 1 THEN 'floor'
+                           WHEN p_partkey % 3 = 2 THEN 'wall' END
+                        AS ctx_e,
+                      ['grey','white','beige','black']
+                        [CAST(p_partkey % 4 AS INT) + 1] AS color_e,
+                      p_partkey % 2 = 0 AS has_finish_e,
+                      p_partkey % 5 = 0 AS has_outdoor_e,
+                      p_partkey % 3 AS fc_e, p_partkey % 4 AS pr_e,
+                      CASE WHEN p_partkey % 31 = 0 THEN NULL
+                           ELSE {_sm_vecs_sql}
+                             [CAST((p_partkey // 200) % 7 AS INT) + 1]
+                      END AS emb_e,
+                      CASE WHEN p_partkey % 2 = 0
+                           THEN 'old saved query'
+                           ELSE 'old saved query with many extra words'
+                      END AS query_e
+               FROM part),
+        nw AS (SELECT p_partkey AS nid, p_partkey % 40 AS user_id,
+                      p_partkey % 5 AS mat,
+                      CASE WHEN p_partkey % 3 = 1 THEN 'floor'
+                           WHEN p_partkey % 3 = 2 THEN 'wall' END
+                        AS ctx_n,
+                      ['grey','white','beige','black']
+                        [CAST(p_partkey % 4 AS INT) + 1] AS color_n,
+                      p_partkey % 3 = 0 AS has_finish_n,
+                      p_partkey % 7 = 0 AS has_indoor_n,
+                      p_partkey % 3 AS fc_n,
+                      (p_partkey // 4) % 4 AS pr_n,
+                      CASE WHEN (p_partkey // 4) % 2 = 0 THEN 'new one'
+                           ELSE 'brand new longer query text' END
+                        AS query_n
+               FROM part WHERE p_partkey % 4 = 0),
+        pr0 AS (SELECT nid, sid, ctx_e, ctx_n, color_e, color_n,
+                       has_finish_e, has_finish_n, has_outdoor_e,
+                       has_indoor_n, fc_e, fc_n, pr_e, pr_n, query_e,
+                       query_n,
+                       list_reduce(list_transform(
+                           list_zip([1.0, 0.0, 0.0, 1.0], emb_e),
+                           p -> p[1] * p[2]), (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(
+                              [1.0, 0.0, 0.0, 1.0], x -> x * x),
+                              (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(emb_e,
+                                 x -> x * x), (a, b) -> a + b)))
+                         AS sim
+                FROM nw JOIN sv USING (user_id, mat)
+                WHERE emb_e IS NOT NULL),
+        pr AS (SELECT * FROM pr0 WHERE sim >= 0.85
+               QUALIFY row_number() OVER (PARTITION BY nid
+                 ORDER BY sim DESC, sid) <= 10),
+        vd AS (SELECT *,
+               row_number() OVER (PARTITION BY nid
+                 ORDER BY sim DESC, sid) AS rank,
+               (ctx_e IS NOT DISTINCT FROM ctx_n) AS ctx_ok,
+               -- filters: colors overlap when both non-empty; price
+               -- ranges overlap with missing→default, empty→skip
+               (NOT (fc_e IN (0, 1) AND fc_n IN (0, 1))
+                OR (fc_e = 0 AND fc_n = 0)) AS colors_ok,
+               (pr_e = 2 OR pr_n = 3 OR NOT (
+                  CASE pr_e WHEN 0 THEN 10000.0 WHEN 1 THEN 200.0
+                            ELSE 9000.0 END
+                    < CASE pr_n WHEN 0 THEN 150.0 WHEN 1 THEN 0.0
+                                ELSE 20.0 END
+                  OR CASE pr_n WHEN 0 THEN 300.0 WHEN 1 THEN 10000.0
+                               ELSE 30.0 END
+                    < CASE pr_e WHEN 0 THEN 0.0 WHEN 1 THEN 100.0
+                                ELSE 5000.0 END)) AS price_ok
+               FROM pr),
+        vr AS (SELECT *,
+               CASE WHEN NOT ctx_ok
+                      THEN 'Different application context'
+                    WHEN color_e <> color_n THEN
+                      'Conflicting color: ' || color_e || ' vs '
+                      || color_n
+                    WHEN has_finish_e AND has_finish_n THEN
+                      'Conflicting finish: matte vs glossy'
+                    WHEN has_outdoor_e AND has_indoor_n THEN
+                      'Conflicting attributes: outdoor vs indoor'
+                    WHEN NOT (colors_ok AND price_ok)
+                      THEN 'Incompatible filters'
+                    ELSE 'Compatible search - can merge' END AS reason,
+               ctx_ok AND color_e = color_n
+                 AND NOT (has_finish_e AND has_finish_n)
+                 AND NOT (has_outdoor_e AND has_indoor_n)
+                 AND colors_ok AND price_ok AS can_merge
+               FROM vd)
+    """
 
     # shared tokenize + IDF-weight CTEs for the classifier twins —
     # lockstep with operators/classify.py (lowercase ASCII-alpha runs;
@@ -6948,4 +7166,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, field_name, category,
                    {_mn_std_case} AS standard_field
             FROM t""",
+        "search_merge_gate": f"""
+            WITH {_sm_pairs_sql}
+            SELECT nid AS new_id, sid AS saved_id, rank,
+                   round(sim, 6) AS sim6, can_merge, reason
+            FROM vr""",
+        "search_find_or_merge": f"""
+            WITH {_sm_pairs_sql},
+            best AS (SELECT * FROM vr WHERE can_merge
+                     QUALIFY row_number() OVER (PARTITION BY nid
+                       ORDER BY rank) = 1)
+            SELECT n.nid AS new_id,
+                   CASE WHEN b.nid IS NULL THEN 'create_new'
+                        WHEN b.sim >= 0.95 THEN 'auto_merge'
+                        ELSE 'suggest' END AS action,
+                   b.sid AS existing_id, round(b.sim, 6) AS sim6,
+                   b.reason,
+                   CASE WHEN b.nid IS NULL THEN NULL
+                        WHEN (CASE WHEN (b.nid // 4) % 2 = 0 THEN 2
+                                   ELSE 5 END)
+                           > (CASE WHEN b.sid % 2 = 0 THEN 3
+                                   ELSE 7 END)
+                        THEN b.query_n ELSE b.query_e END
+                     AS updated_query,
+                   COALESCE(CASE WHEN b.nid IS NULL THEN NULL
+                     ELSE array_to_string(list_sort(list_distinct(
+                       list_concat(
+                         CASE b.fc_e WHEN 0 THEN ['grey', 'white']
+                              WHEN 1 THEN ['black']
+                              ELSE CAST([] AS VARCHAR[]) END,
+                         CASE b.fc_n WHEN 0 THEN ['grey']
+                              WHEN 1 THEN ['beige']
+                              ELSE CAST([] AS VARCHAR[]) END))), ';')
+                     END, '') AS merged_colors_csv,
+                   CASE WHEN b.nid IS NULL THEN NULL
+                        WHEN b.pr_n IN (1, 3) THEN
+                          CASE b.pr_e WHEN 1 THEN 100.0
+                               WHEN 3 THEN 5000.0 END
+                        ELSE least(
+                          CASE b.pr_e WHEN 0 THEN 0.0 WHEN 1 THEN 100.0
+                               WHEN 3 THEN 5000.0 END,
+                          CASE b.pr_n WHEN 0 THEN 150.0
+                               ELSE 20.0 END) END AS merged_lo,
+                   CASE WHEN b.nid IS NULL THEN NULL
+                        WHEN b.pr_n IN (1, 3) THEN
+                          CASE b.pr_e WHEN 1 THEN 200.0
+                               WHEN 3 THEN 9000.0 END
+                        ELSE greatest(
+                          CASE b.pr_e WHEN 0 THEN 10000.0
+                               WHEN 1 THEN 200.0
+                               WHEN 3 THEN 9000.0 END,
+                          CASE b.pr_n WHEN 0 THEN 300.0
+                               ELSE 30.0 END) END AS merged_hi
+            FROM nw n LEFT JOIN best b ON n.nid = b.nid""",
     }
