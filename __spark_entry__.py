@@ -3056,6 +3056,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at(F.col("merged_price"), 2).alias("merged_hi"))
     q["search_find_or_merge"] = search_find_or_merge
 
+    # ---- AI cost-accounting tier (ai_pricing + ai_call_logger) ----
+    def _ai_costed(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import billing
+        calls = billing.synth_ai_calls(_events(spark, sf_dir))
+        resolved = billing.resolve_pricing(
+            calls, billing.pricing_dim(spark), billing.overlay_dim(spark))
+        return billing.call_costs(calls, resolved)
+
+    def ai_cost_per_call(spark, sf_dir):
+        # pricing resolution (overlay exact/fuzzy > static exact/fuzzy >
+        # default) + per-call integer pico-USD cost
+        # (get_model_pricing/calculate_cost, ai_pricing.py:505-595)
+        return _ai_costed(spark, sf_dir)
+    q["ai_cost_per_call"] = ai_cost_per_call
+
+    def ai_cost_rollup(spark, sf_dir):
+        # retry-idempotent usage rollup per (task, model)
+        # (log_ai_call's duplicate guard, ai_call_logger.py:87-142)
+        from mivaa_pdf_extractor_spark.operators import billing
+        return billing.cost_rollup(_ai_costed(spark, sf_dir))
+    q["ai_cost_rollup"] = ai_cost_rollup
+
+    def ai_cost_multimodal(spark, sf_dir):
+        # two-axis page-embedding bill: token term + per-image pixel
+        # clamp [50k, 2M] (calculate_multimodal_embedding_cost,
+        # ai_pricing.py:595-647)
+        from mivaa_pdf_extractor_spark.operators import billing
+        return billing.multimodal_costs(
+            billing.synth_page_embed_calls(_events(spark, sf_dir)))
+    q["ai_cost_multimodal"] = ai_cost_multimodal
+
     return q
 
 
@@ -3843,6 +3874,13 @@ def oracle_sql() -> dict[str, str]:
     # median arithmetic (kept in expression-lockstep with operators/prices)
     from mivaa_pdf_extractor_spark.operators.prices import (
         SYNTH_PRICE_HISTORY_SQL as _ph_sql)
+
+    # AI cost-accounting twins (expression-lockstep with operators/billing)
+    from mivaa_pdf_extractor_spark.operators import billing as _billing
+    _ai_calls_sql = _billing.SYNTH_AI_CALLS_SQL
+    _ai_pages_sql = _billing.SYNTH_PAGE_EMBED_SQL
+    _ai_resolution_ctes = _billing.resolution_sql_ctes()
+    _ai_costed_cte = _billing.COSTED_SQL_CTE
 
     def _dmed(v: str) -> str:
         return (f"CASE WHEN len({v}) % 2 = 1 THEN {v}[len({v})//2 + 1] "
@@ -7219,4 +7257,53 @@ def oracle_sql() -> dict[str, str]:
                           CASE b.pr_n WHEN 0 THEN 300.0
                                ELSE 30.0 END) END AS merged_hi
             FROM nw n LEFT JOIN best b ON n.nid = b.nid""",
+        # --- AI cost-accounting tier (shared lockstep CTEs from
+        #     operators/billing: synth + resolution + costing) ---
+        "ai_cost_per_call": f"""
+            WITH calls AS ({_ai_calls_sql}),
+            {_ai_resolution_ctes},
+            {_ai_costed_cte}
+            SELECT * FROM costed""",
+        "ai_cost_rollup": f"""
+            WITH calls AS ({_ai_calls_sql}),
+            {_ai_resolution_ctes},
+            {_ai_costed_cte},
+            dedup AS (SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY task, model, job_id, input_tokens,
+                                 output_tokens, latency_ms
+                    ORDER BY call_id) AS rn
+                FROM costed) WHERE rn = 1)
+            SELECT task, model,
+                   CAST(count(*) AS BIGINT) AS calls,
+                   CAST(sum(CASE WHEN action = 'fallback_to_rules'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS fallback_calls,
+                   CAST(sum(input_tokens) AS BIGINT) AS input_tokens,
+                   CAST(sum(output_tokens) AS BIGINT) AS output_tokens,
+                   CAST(sum(raw_cost_pico) AS BIGINT) AS raw_cost_pico,
+                   CAST(sum(billed_cost_pico) AS BIGINT)
+                       AS billed_cost_pico,
+                   CAST(sum(credits_micro) AS BIGINT) AS credits_micro,
+                   CAST(sum(latency_ms) AS BIGINT) AS latency_ms_total
+            FROM dedup GROUP BY task, model""",
+        "ai_cost_multimodal": f"""
+            WITH pc AS ({_ai_pages_sql}),
+            b AS (SELECT call_id, image_pixels, text_tokens,
+                         CAST(CASE WHEN image_pixels > 0 THEN
+                              least(greatest(image_pixels, 50000),
+                                    2000000) ELSE 0 END AS BIGINT)
+                             AS billable_pixels,
+                         CAST(greatest(text_tokens, 0) * 120000
+                              AS BIGINT) AS text_cost_pico
+                  FROM pc)
+            SELECT call_id, image_pixels, text_tokens, billable_pixels,
+                   text_cost_pico,
+                   CAST(billable_pixels * 600 AS BIGINT)
+                       AS pixel_cost_pico,
+                   CAST(text_cost_pico + billable_pixels * 600
+                        AS BIGINT) AS raw_cost_pico,
+                   CAST(((text_cost_pico + billable_pixels * 600)
+                         * 150) // 100 AS BIGINT) AS billed_cost_pico
+            FROM b""",
     }

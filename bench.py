@@ -79,6 +79,18 @@ BENCH_QUERIES = [
     # round 4 continuation: product-identity gates
     "identity_url_prefilter", "identity_slug_tokens",
     "identity_rule_verdict", "match_plausibility",
+    # round 4 continuation: markdown product mining + dimensions
+    "product_markdown_classify", "product_markdown_mine",
+    "product_chunk_gate", "dims_parse_first", "dims_extract_all",
+    # round 4 continuation: factory-gated duplicate detection
+    "dup_detect_scores", "factory_keys_norm",
+    # round 4 continuation: metadata normalization tier
+    "field_standardize", "material_category_norm",
+    "commercial_consolidate",
+    # round 4 continuation: saved-search dedup / find-or-merge
+    "search_merge_gate", "search_find_or_merge",
+    # round 4 continuation: AI cost accounting
+    "ai_cost_per_call", "ai_cost_rollup", "ai_cost_multimodal",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
