@@ -3087,6 +3087,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             billing.synth_page_embed_calls(_events(spark, sf_dir)))
     q["ai_cost_multimodal"] = ai_cost_multimodal
 
+    # ---- job-listing curation gates (job_search_service) ----
+    def job_listing_gate(spark, sf_dir):
+        # the perplexity post-filter ladder: SERP/category URLs,
+        # category-shaped titles, hallucinated IDs, aggregator/
+        # placeholder companies, missing-company blanking, canonical
+        # URL + content key (job_search_service.py:1404-1433)
+        from mivaa_pdf_extractor_spark.operators import jobs
+        return jobs.gate_listings(
+            jobs.synth_job_listings(_events(spark, sf_dir)))
+    q["job_listing_gate"] = job_listing_gate
+
+    def job_dedupe_hits(spark, sf_dir):
+        # content-key dedup with source priority, first-arrival ties
+        # (dedupe_hits, job_search_service.py:1808-1818)
+        from mivaa_pdf_extractor_spark.operators import jobs
+        return jobs.dedupe_hits(
+            jobs.synth_dedup_hits(_events(spark, sf_dir)))
+    q["job_dedupe_hits"] = job_dedupe_hits
+
+    def job_query_variations(spark, sf_dir):
+        # the 5 search-phrase templates with location/remote rules
+        # (build_query_variations, job_search_service.py:960-983)
+        from mivaa_pdf_extractor_spark.operators import jobs
+        return jobs.query_variations(
+            jobs.synth_tracked_keywords(_events(spark, sf_dir)))
+    q["job_query_variations"] = job_query_variations
+
     return q
 
 
@@ -3881,6 +3908,15 @@ def oracle_sql() -> dict[str, str]:
     _ai_pages_sql = _billing.SYNTH_PAGE_EMBED_SQL
     _ai_resolution_ctes = _billing.resolution_sql_ctes()
     _ai_costed_cte = _billing.COSTED_SQL_CTE
+
+    # job-listing curation twins (expression-lockstep with operators/jobs)
+    from mivaa_pdf_extractor_spark.operators import jobs as _jobs
+    _jg = _jobs.gate_sql_exprs()
+    _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
+                     "WHEN 'firecrawl_careers' THEN 4 "
+                     "WHEN 'rss_feed' THEN 3 "
+                     "WHEN 'perplexity_sonar' THEN 2 "
+                     "WHEN 'google_jobs' THEN 1 ELSE 0 END")
 
     def _dmed(v: str) -> str:
         return (f"CASE WHEN len({v}) % 2 = 1 THEN {v}[len({v})//2 + 1] "
@@ -7306,4 +7342,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((text_cost_pico + billable_pixels * 600)
                          * 150) // 100 AS BIGINT) AS billed_cost_pico
             FROM b""",
+        # --- job-listing curation gates (lockstep exprs from
+        #     operators/jobs.gate_sql_exprs) ---
+        "job_listing_gate": f"""
+            WITH listings AS ({_jobs.SYNTH_JOB_LISTINGS_SQL}),
+            g AS (SELECT hit_id, url, title, company, source,
+                         {_jg['is_serp_url']} AS is_serp_url,
+                         {_jg['is_category_url']} AS is_category_url,
+                         {_jg['is_category_title']} AS is_category_title,
+                         {_jg['is_hallucinated_url']}
+                             AS is_hallucinated_url,
+                         {_jg['is_aggregator_company']}
+                             AS is_aggregator_company,
+                         {_jg['is_placeholder_company']}
+                             AS is_placeholder_company,
+                         {_jg['is_missing_company']}
+                             AS is_missing_company,
+                         {_jg['canonical_url']} AS _canon,
+                         {_jg['company_domain']} AS _dom
+                  FROM listings),
+            v AS (SELECT *,
+                         CASE WHEN url IS NULL OR trim(url) = ''
+                                   OR NOT (url LIKE 'http://%'
+                                           OR url LIKE 'https://%')
+                              THEN 'no_url'
+                              WHEN is_serp_url OR is_category_url
+                              THEN 'category_serp_url'
+                              WHEN is_category_title
+                              THEN 'category_title'
+                              WHEN is_hallucinated_url
+                              THEN 'hallucinated_url'
+                              WHEN is_aggregator_company
+                              THEN 'aggregator_company'
+                              WHEN is_placeholder_company
+                              THEN 'placeholder_company'
+                              ELSE 'keep' END AS verdict,
+                         CASE WHEN is_missing_company THEN NULL
+                              ELSE company END AS _cclean
+                  FROM g)
+            SELECT hit_id, url, title, company, source,
+                   is_serp_url, is_category_url, is_category_title,
+                   is_hallucinated_url, is_placeholder_company,
+                   is_missing_company, verdict,
+                   CASE WHEN verdict = 'keep' THEN _cclean END
+                       AS company_clean,
+                   CASE WHEN verdict = 'keep' THEN _canon END
+                       AS canonical_url,
+                   CASE WHEN verdict = 'keep' THEN _dom END
+                       AS company_domain,
+                   CASE WHEN verdict = 'keep' THEN
+                       md5(coalesce(_canon, '') || '|'
+                           || substring(lower(coalesce(title, '')),
+                                        1, 200) || '|'
+                           || substring(lower(coalesce(_cclean, '')),
+                                        1, 80)) END AS content_key
+            FROM v""",
+        "job_dedupe_hits": f"""
+            WITH h AS ({_jobs.SYNTH_DEDUP_HITS_SQL}),
+            p AS (SELECT *, {_job_src_prio} AS priority FROM h)
+            SELECT hit_id, source, content_key, priority FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY content_key
+                    ORDER BY priority DESC, hit_id ASC) AS rn
+                FROM p) WHERE rn = 1""",
+        "job_query_variations": f"""
+            WITH t AS ({_jobs.SYNTH_TRACKED_KEYWORDS_SQL}),
+            x AS (SELECT track_id, keyword, location, remote_only,
+                         trim(coalesce(keyword, '')) AS base,
+                         CASE WHEN trim(coalesce(location, '')) <> ''
+                                   AND lower(trim(coalesce(location,
+                                       ''))) NOT IN ('remote',
+                                       'anywhere', 'worldwide',
+                                       'global', 'any')
+                              THEN ' ' || trim(coalesce(location, ''))
+                              ELSE '' END AS wp,
+                         CASE WHEN remote_only THEN ' remote'
+                              ELSE '' END AS rs
+                  FROM t WHERE trim(coalesce(keyword, '')) <> '')
+            SELECT track_id, keyword, location, remote_only,
+                   v.variation_idx,
+                   CASE v.variation_idx
+                        WHEN 0 THEN base || rs || ' jobs' || wp
+                        WHEN 1 THEN base || ' careers page' || wp
+                        WHEN 2 THEN base || rs || ' hiring' || wp
+                        WHEN 3 THEN base || rs || ' job opening' || wp
+                        ELSE base || rs || ' apply' || wp
+                   END AS query
+            FROM x CROSS JOIN (VALUES (0), (1), (2), (3), (4))
+                 v(variation_idx)""",
     }

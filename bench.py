@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "search_merge_gate", "search_find_or_merge",
     # round 4 continuation: AI cost accounting
     "ai_cost_per_call", "ai_cost_rollup", "ai_cost_multimodal",
+    # round 4 continuation: job-listing curation gates
+    "job_listing_gate", "job_dedupe_hits", "job_query_variations",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
