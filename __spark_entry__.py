@@ -3114,6 +3114,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jobs.synth_tracked_keywords(_events(spark, sf_dir)))
     q["job_query_variations"] = job_query_variations
 
+    def product_field_mine(spark, sf_dir):
+        # chunk-text regex field mining: factory/designer/collection
+        # modal picks, sku dict, grout zips, dims + imperial + Q-label,
+        # scalar gates (_extract_fields_from_chunk_text,
+        # stage_4_products.py:1701-1930)
+        from mivaa_pdf_extractor_spark.operators import enrich
+        return enrich.mine_fields(
+            enrich.synth_catalog_docs(_docs(spark, sf_dir)))
+    q["product_field_mine"] = product_field_mine
+
     return q
 
 
@@ -3908,6 +3918,10 @@ def oracle_sql() -> dict[str, str]:
     _ai_pages_sql = _billing.SYNTH_PAGE_EMBED_SQL
     _ai_resolution_ctes = _billing.resolution_sql_ctes()
     _ai_costed_cte = _billing.COSTED_SQL_CTE
+
+    # product-enrichment field-mining twin (generated from the same
+    # pattern constants as operators/enrich.mine_fields)
+    from mivaa_pdf_extractor_spark.operators import enrich as _enrich
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
@@ -7430,4 +7444,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS query
             FROM x CROSS JOIN (VALUES (0), (1), (2), (3), (4))
                  v(variation_idx)""",
+        "product_field_mine": f"""
+            WITH docs AS ({_enrich.SYNTH_CATALOG_SQL})
+            {_enrich.mine_sql()}""",
     }

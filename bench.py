@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "ai_cost_per_call", "ai_cost_rollup", "ai_cost_multimodal",
     # round 4 continuation: job-listing curation gates
     "job_listing_gate", "job_dedupe_hits", "job_query_variations",
+    # round 4 continuation: product enrichment field mining
+    "product_field_mine",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
