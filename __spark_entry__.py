@@ -3124,6 +3124,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             enrich.synth_catalog_docs(_docs(spark, sf_dir)))
     q["product_field_mine"] = product_field_mine
 
+    def vision_rollup(spark, sf_dir):
+        # per-product majority vote over per-image vision_analysis:
+        # case-fold pretty winners, capped dedup lists, vocab-mapped
+        # material category, longest description, micro-unit mean
+        # confidence (_rollup_vision_analysis,
+        # stage_4_products.py:1974-2154)
+        from mivaa_pdf_extractor_spark.operators import vision
+        return vision.rollup_vision(
+            vision.synth_vision_rows(_events(spark, sf_dir)))
+    q["vision_rollup"] = vision_rollup
+
     return q
 
 
@@ -3922,6 +3933,7 @@ def oracle_sql() -> dict[str, str]:
     # product-enrichment field-mining twin (generated from the same
     # pattern constants as operators/enrich.mine_fields)
     from mivaa_pdf_extractor_spark.operators import enrich as _enrich
+    from mivaa_pdf_extractor_spark.operators import vision as _vision
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
@@ -7447,4 +7459,7 @@ def oracle_sql() -> dict[str, str]:
         "product_field_mine": f"""
             WITH docs AS ({_enrich.SYNTH_CATALOG_SQL})
             {_enrich.mine_sql()}""",
+        "vision_rollup": f"""
+            WITH vrows AS ({_vision.SYNTH_VISION_SQL}),
+            {_vision.rollup_sql()}""",
     }
