@@ -3135,6 +3135,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             vision.synth_vision_rows(_events(spark, sf_dir)))
     q["vision_rollup"] = vision_rollup
 
+    def propagate_fields(spark, sf_dir):
+        # cross-product common-field propagation with the upload
+        # override, first-non-empty document values, nested
+        # material_properties fills, and the most-complete-factory
+        # merge (propagate_common_fields_to_products,
+        # stage_4_products.py:1241-1455)
+        from mivaa_pdf_extractor_spark.operators import propagate
+        return propagate.propagate_common_fields(
+            propagate.synth_products(_events(spark, sf_dir)))
+    q["propagate_fields"] = propagate_fields
+
     return q
 
 
@@ -3934,6 +3945,7 @@ def oracle_sql() -> dict[str, str]:
     # pattern constants as operators/enrich.mine_fields)
     from mivaa_pdf_extractor_spark.operators import enrich as _enrich
     from mivaa_pdf_extractor_spark.operators import vision as _vision
+    from mivaa_pdf_extractor_spark.operators import propagate as _prop
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
@@ -7462,4 +7474,7 @@ def oracle_sql() -> dict[str, str]:
         "vision_rollup": f"""
             WITH vrows AS ({_vision.SYNTH_VISION_SQL}),
             {_vision.rollup_sql()}""",
+        "propagate_fields": f"""
+            WITH products AS ({_prop.synth_products_sql()}),
+            {_prop.propagate_sql()}""",
     }
