@@ -3146,6 +3146,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             propagate.synth_products(_events(spark, sf_dir)))
     q["propagate_fields"] = propagate_fields
 
+    def enrich_merge_fields(spark, sf_dir):
+        # provenance-tagged fill-if-empty merge of chunk + vision
+        # candidates into product metadata, with the exact fill-ladder
+        # order, dimension/available_sizes and designer-scalar drops
+        # (_merge_enriched_fields_into_metadata,
+        # stage_4_products.py:2154-2270)
+        from mivaa_pdf_extractor_spark.operators import enrich_merge
+        return enrich_merge.merge_enriched(
+            enrich_merge.synth_enrich_inputs(_events(spark, sf_dir)))
+    q["enrich_merge_fields"] = enrich_merge_fields
+
     return q
 
 
@@ -3946,6 +3957,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import enrich as _enrich
     from mivaa_pdf_extractor_spark.operators import vision as _vision
     from mivaa_pdf_extractor_spark.operators import propagate as _prop
+    from mivaa_pdf_extractor_spark.operators import enrich_merge \
+        as _emerge
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
@@ -7477,4 +7490,7 @@ def oracle_sql() -> dict[str, str]:
         "propagate_fields": f"""
             WITH products AS ({_prop.synth_products_sql()}),
             {_prop.propagate_sql()}""",
+        "enrich_merge_fields": f"""
+            WITH inputs AS ({_emerge.synth_enrich_sql()})
+            {_emerge.merge_sql()}""",
     }

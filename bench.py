@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "job_listing_gate", "job_dedupe_hits", "job_query_variations",
     # round 4 continuation: product enrichment field mining
     "product_field_mine", "vision_rollup", "propagate_fields",
+    "enrich_merge_fields",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
