@@ -3157,6 +3157,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             enrich_merge.synth_enrich_inputs(_events(spark, sf_dir)))
     q["enrich_merge_fields"] = enrich_merge_fields
 
+    def product_embedding_text(spark, sf_dir):
+        # canonical embedding text: name/description/searchable keys,
+        # tri-source color dedup, typed spec rendering, page body last
+        # (build_product_embedding_text, stage_4_products.py:908-998)
+        from mivaa_pdf_extractor_spark.operators import product_text \
+            as pt
+        p = pt.synth_embed_inputs(_events(spark, sf_dir))
+        return p.select(
+            "product_id",
+            pt.embedding_text_col(
+                F.col("name"), F.col("description"), F.col("meta"),
+                F.col("colors3"), F.col("spec_strs"),
+                F.col("spec_flags"), F.col("spec_lists"),
+                F.col("page_body")).alias("embedding_text"))
+    q["product_embedding_text"] = product_embedding_text
+
+    def product_default_unit(spark, sf_dir):
+        # 5-tier unit resolution: fine vocab > admin overlay > coarse
+        # exact > coarse substring > 'pcs'; whitespace-only category
+        # hits the ''-in-key fuzzy quirk (_resolve_default_unit,
+        # stage_4_products.py:93-124)
+        from mivaa_pdf_extractor_spark.operators import product_text \
+            as pt
+        e = F.col("event_id")
+        cat = (F.when(e % 9 == 0, F.lit("porcelain_tile"))
+               .when(e % 9 == 1, F.lit("Mosaics "))
+               .when(e % 9 == 2, F.lit("tiles"))
+               .when(e % 9 == 3, F.lit("paint_wall"))
+               .when(e % 9 == 4, F.lit("xyz_tiles_abc"))
+               .when(e % 9 == 5, F.lit("gadgetry"))
+               .when(e % 9 == 6, F.lit(""))
+               .when(e % 9 == 7, F.lit(" "))
+               .otherwise(F.lit(None)))
+        return _events(spark, sf_dir).select(
+            e.alias("call_id"), cat.alias("category"),
+            pt.default_unit_col(cat).alias("unit"))
+    q["product_default_unit"] = product_default_unit
+
+    def product_factory_object(spark, sf_dir):
+        # 3-layer factory assembly: existing nested > flat metadata >
+        # catalog defaults, non-empty values only (_build_factory_object,
+        # stage_4_products.py:135-170)
+        from mivaa_pdf_extractor_spark.operators import product_text \
+            as pt
+        e = F.col("event_id")
+
+        def layer(tag, mod):
+            return F.struct(*[
+                F.when(e % mod == i % mod,
+                       F.lit(f"{tag}_{f}"))
+                .when(e % (mod + 1) == i % (mod + 1), F.lit("N/A"))
+                .otherwise(F.lit(None)).alias(f)
+                for i, f in enumerate(pt.FACTORY_FIELDS14)])
+        rows = _events(spark, sf_dir).select(
+            e.alias("product_id"), layer("ex", 3).alias("existing"),
+            layer("fl", 4).alias("meta"), layer("df", 5).alias("dflt"))
+        return rows.select(
+            "product_id",
+            *pt.factory_object_cols(F.col("existing"), F.col("meta"),
+                                    F.col("dflt")))
+    q["product_factory_object"] = product_factory_object
+
     return q
 
 
@@ -3959,6 +4021,36 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import propagate as _prop
     from mivaa_pdf_extractor_spark.operators import enrich_merge \
         as _emerge
+    from mivaa_pdf_extractor_spark.operators import product_text \
+        as _ptext
+
+    def _pt_layer(tag: str, mod: int) -> str:
+        # twin of the inline layer() synth in product_factory_object
+        fields = []
+        for i, f in enumerate(_ptext.FACTORY_FIELDS14):
+            fields.append(
+                f"{f} := CASE WHEN event_id % {mod} = {i % mod} "
+                f"THEN '{tag}_{f}' "
+                f"WHEN event_id % {mod + 1} = {i % (mod + 1)} "
+                f"THEN 'N/A' END")
+        return "struct_pack(" + ", ".join(fields) + ")"
+
+    def _pt_factory_fields() -> str:
+        ph = ", ".join(f"'{p}'" for p in (
+            "n/a", "not found", "not explicitly mentioned",
+            "not mentioned", "unknown", "none"))
+        outs = []
+        for f in _ptext.FACTORY_FIELDS14:
+            def ne(v):
+                return (f"(NOT ({v} IS NULL OR trim({v}) = '' OR "
+                        f"lower(trim({v})) IN ({ph})))")
+            outs.append(
+                f"coalesce(CASE WHEN {ne(f'existing.{f}')} "
+                f"THEN existing.{f} END, "
+                f"CASE WHEN {ne(f'meta.{f}')} THEN meta.{f} END, "
+                f"CASE WHEN {ne(f'dflt.{f}')} THEN dflt.{f} END) "
+                f"AS f_{f}")
+        return ",\n                   ".join(outs)
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
@@ -7493,4 +7585,36 @@ def oracle_sql() -> dict[str, str]:
         "enrich_merge_fields": f"""
             WITH inputs AS ({_emerge.synth_enrich_sql()})
             {_emerge.merge_sql()}""",
+        "product_embedding_text": f"""
+            WITH p AS ({_ptext.SYNTH_EMBED_SQL})
+            {_ptext.embedding_text_sql()}""",
+        "product_default_unit": f"""
+            WITH c AS (
+                SELECT event_id AS call_id,
+                       CASE WHEN event_id % 9 = 0 THEN 'porcelain_tile'
+                            WHEN event_id % 9 = 1 THEN 'Mosaics '
+                            WHEN event_id % 9 = 2 THEN 'tiles'
+                            WHEN event_id % 9 = 3 THEN 'paint_wall'
+                            WHEN event_id % 9 = 4 THEN 'xyz_tiles_abc'
+                            WHEN event_id % 9 = 5 THEN 'gadgetry'
+                            WHEN event_id % 9 = 6 THEN ''
+                            WHEN event_id % 9 = 7 THEN ' '
+                       END AS category
+                FROM events)
+            SELECT call_id, category,
+                   CASE WHEN category IS NULL OR category = ''
+                        THEN 'pcs'
+                        ELSE {_ptext.default_unit_sql(
+                            "lower(trim(category))")} END AS unit
+            FROM c""",
+        "product_factory_object": f"""
+            WITH rows_ AS (
+                SELECT event_id AS product_id,
+                       {_pt_layer('ex', 3)} AS existing,
+                       {_pt_layer('fl', 4)} AS meta,
+                       {_pt_layer('df', 5)} AS dflt
+                FROM events)
+            SELECT product_id,
+                   {_pt_factory_fields()}
+            FROM rows_""",
     }

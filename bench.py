@@ -95,7 +95,8 @@ BENCH_QUERIES = [
     "job_listing_gate", "job_dedupe_hits", "job_query_variations",
     # round 4 continuation: product enrichment field mining
     "product_field_mine", "vision_rollup", "propagate_fields",
-    "enrich_merge_fields",
+    "enrich_merge_fields", "product_embedding_text",
+    "product_default_unit", "product_factory_object",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
