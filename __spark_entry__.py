@@ -3219,6 +3219,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     F.col("dflt")))
     q["product_factory_object"] = product_factory_object
 
+    def discovery_validate(spark, sf_dir):
+        # stage-0 discovery validation boundary + product metadata
+        # fold: name/page-range gates with the reference's reason
+        # strings, build-from-fields metadata, page_types int-cast,
+        # truthy-only _start_page (_validate_discovery_item +
+        # _parse_discovery_results, product_discovery_service.py:
+        # 1222-1340)
+        from mivaa_pdf_extractor_spark.operators import discovery
+        return discovery.validate_and_parse(
+            discovery.synth_discovery_items(_events(spark, sf_dir)))
+    q["discovery_validate"] = discovery_validate
+
+    def discovery_page_ranges(spark, sf_dir):
+        # conservative start-page ranges: end = next start - 1 (stable
+        # ties), last product min(start+10, total), end >= start
+        # (_calculate_page_ranges_from_start_pages,
+        # product_discovery_service.py:2266-2332)
+        from mivaa_pdf_extractor_spark.operators import discovery
+        return discovery.calculate_page_ranges(
+            discovery.synth_range_products(_events(spark, sf_dir)))
+    q["discovery_page_ranges"] = discovery_page_ranges
+
+    def discovery_folio_offset(spark, sf_dir):
+        # folio->physical consensus offset: most_common with
+        # first-insertion ties, majority gate max(2, n//2+1), bounded
+        # shift (_reconcile_folio_start_pages_to_physical,
+        # product_discovery_service.py:2333-2402)
+        from mivaa_pdf_extractor_spark.operators import discovery
+        return discovery.reconcile_folio_offsets(
+            discovery.synth_folio_products(_events(spark, sf_dir)))
+    q["discovery_folio_offset"] = discovery_folio_offset
+
     return q
 
 
@@ -4023,6 +4055,7 @@ def oracle_sql() -> dict[str, str]:
         as _emerge
     from mivaa_pdf_extractor_spark.operators import product_text \
         as _ptext
+    from mivaa_pdf_extractor_spark.operators import discovery as _disc
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7617,4 +7650,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT product_id,
                    {_pt_factory_fields()}
             FROM rows_""",
+        "discovery_validate": f"""
+            WITH items AS ({_disc.SYNTH_ITEMS_SQL})
+            {_disc.validate_parse_sql()}""",
+        "discovery_page_ranges": f"""
+            WITH products AS ({_disc.SYNTH_RANGE_SQL}),
+            {_disc.page_ranges_sql()}""",
+        "discovery_folio_offset": f"""
+            WITH products AS ({_disc.SYNTH_FOLIO_SQL}),
+            {_disc.folio_offsets_sql()}""",
     }

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "product_field_mine", "vision_rollup", "propagate_fields",
     "enrich_merge_fields", "product_embedding_text",
     "product_default_unit", "product_factory_object",
+    # round 4 continuation: stage-0 discovery routing
+    "discovery_validate", "discovery_page_ranges",
+    "discovery_folio_offset",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
