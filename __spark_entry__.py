@@ -3251,6 +3251,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             discovery.synth_folio_products(_events(spark, sf_dir)))
     q["discovery_folio_offset"] = discovery_folio_offset
 
+    def discovery_page_markers(spark, sf_dir):
+        # one-pass page-marker parse: sentinel split, pre-marker page
+        # 1, stripped contents, out-of-bounds drop, dup-page last
+        # wins, lowercased for the search pass
+        # (_parse_pdf_text_into_pages,
+        # product_discovery_service.py:2401-2459)
+        from mivaa_pdf_extractor_spark.operators import discovery_pages
+        return discovery_pages.parse_page_markers(
+            discovery_pages.synth_marker_docs(_events(spark, sf_dir)))
+    q["discovery_page_markers"] = discovery_page_markers
+
+    def discovery_sections(spark, sf_dir):
+        # smart section detection: TOC cutoff, headline map over all
+        # products, clean-mention fallback, next-headline boundary,
+        # foreign-headline validation break, detected[:6] fallback
+        # (_detect_product_pages_optimized,
+        # product_discovery_service.py:2461-2639)
+        from mivaa_pdf_extractor_spark.operators import discovery_pages
+        ev = _events(spark, sf_dir)
+        return discovery_pages.detect_sections(
+            discovery_pages.synth_section_pages(ev),
+            discovery_pages.synth_section_products(ev))
+    q["discovery_sections"] = discovery_sections
+
     return q
 
 
@@ -4056,6 +4080,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import product_text \
         as _ptext
     from mivaa_pdf_extractor_spark.operators import discovery as _disc
+    from mivaa_pdf_extractor_spark.operators import discovery_pages \
+        as _dpages
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7659,4 +7685,11 @@ def oracle_sql() -> dict[str, str]:
         "discovery_folio_offset": f"""
             WITH products AS ({_disc.SYNTH_FOLIO_SQL}),
             {_disc.folio_offsets_sql()}""",
+        "discovery_page_markers": f"""
+            WITH docs AS ({_dpages.SYNTH_MARKER_SQL}),
+            {_dpages.page_markers_sql()}""",
+        "discovery_sections": f"""
+            WITH pages_in AS ({_dpages.SYNTH_SECTION_PAGES_SQL}),
+            products_in AS ({_dpages.SYNTH_SECTION_PRODUCTS_SQL}),
+            {_dpages.sections_sql()}""",
     }

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     # round 4 continuation: stage-0 discovery routing
     "discovery_validate", "discovery_page_ranges",
     "discovery_folio_offset",
+    # round 4 continuation: discovery text tier
+    "discovery_page_markers", "discovery_sections",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
