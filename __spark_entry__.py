@@ -3275,6 +3275,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             discovery_pages.synth_section_products(ev))
     q["discovery_sections"] = discovery_sections
 
+    def material_props_rules(spark, sf_dir):
+        # rule-based functional-property fallback: 6 regex categories
+        # (slip R-values/DCOF, Mohs/PEI, water absorption/frost,
+        # gloss keywords, shade V1-4 case-sensitive, greenguard/
+        # recycled), per-category confidence only when fired
+        # (_rule_based_extraction,
+        # enhanced_material_property_extractor.py:313-400)
+        from mivaa_pdf_extractor_spark.operators import material_props
+        return material_props.extract_props(
+            material_props.synth_prop_docs(_events(spark, sf_dir)))
+    q["material_props_rules"] = material_props_rules
+
     return q
 
 
@@ -4082,6 +4094,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import discovery as _disc
     from mivaa_pdf_extractor_spark.operators import discovery_pages \
         as _dpages
+    from mivaa_pdf_extractor_spark.operators import material_props \
+        as _mprops
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7692,4 +7706,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pages_in AS ({_dpages.SYNTH_SECTION_PAGES_SQL}),
             products_in AS ({_dpages.SYNTH_SECTION_PRODUCTS_SQL}),
             {_dpages.sections_sql()}""",
+        "material_props_rules": f"""
+            WITH docs AS ({_mprops.SYNTH_PROP_SQL}),
+            {_mprops.props_sql()}""",
     }

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "discovery_folio_offset",
     # round 4 continuation: discovery text tier
     "discovery_page_markers", "discovery_sections",
+    # round 4 continuation: rule-based material properties
+    "material_props_rules",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
