@@ -3287,6 +3287,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             material_props.synth_prop_docs(_events(spark, sf_dir)))
     q["material_props_rules"] = material_props_rules
 
+    def spec_row_parse(spark, sf_dir):
+        # Tier-A packing-row parser: geometry anchor argmax (numeric
+        # neighbors within |cy|<=6), merged-span split, EU/US number
+        # parsing, positional KNOWN_COLUMN_ORDERS mapping with the
+        # dim->pallet shift + dict last-wins, bullet flag strip,
+        # first-page-wins merge, nested render
+        # (product_spec_extractor_v2.py:64-537)
+        from mivaa_pdf_extractor_spark.operators import spec_rows
+        ev = _events(spark, sf_dir)
+        return spec_rows.parse_spec_rows(
+            spec_rows.synth_spec_spans(ev),
+            spec_rows.synth_spec_targets(ev))
+    q["spec_row_parse"] = spec_row_parse
+
     return q
 
 
@@ -4096,6 +4110,8 @@ def oracle_sql() -> dict[str, str]:
         as _dpages
     from mivaa_pdf_extractor_spark.operators import material_props \
         as _mprops
+    from mivaa_pdf_extractor_spark.operators import spec_rows \
+        as _srows
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7709,4 +7725,8 @@ def oracle_sql() -> dict[str, str]:
         "material_props_rules": f"""
             WITH docs AS ({_mprops.SYNTH_PROP_SQL}),
             {_mprops.props_sql()}""",
+        "spec_row_parse": f"""
+            WITH spans_in AS ({_srows.synth_spec_spans_sql()}),
+            targets_in AS ({_srows.SYNTH_SPEC_TARGETS_SQL}),
+            {_srows.spec_rows_sql()}""",
     }

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "discovery_page_markers", "discovery_sections",
     # round 4 continuation: rule-based material properties
     "material_props_rules",
+    # round 4 continuation: Tier-A packing-spec row parser
+    "spec_row_parse",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
