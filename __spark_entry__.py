@@ -3301,6 +3301,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spec_rows.synth_spec_targets(ev))
     q["spec_row_parse"] = spec_row_parse
 
+    def _ai_val_mod():
+        from mivaa_pdf_extractor_spark.operators import ai_validation
+        return ai_validation
+
+    def chunk_boundaries(spark, sf_dir):
+        # product boundary detection: adjacent-chunk cosine (zero-norm
+        # short-circuit, 0.5 missing default), marker/page/image
+        # confidence ladder with sequential caps, %.2f reason render
+        # (boundary_detector.py:56-275)
+        av = _ai_val_mod()
+        return av.detect_boundaries(
+            av.synth_boundary_chunks(_events(spark, sf_dir)))
+    q["chunk_boundaries"] = chunk_boundaries
+
+    def boundary_groups(spark, sf_dir):
+        # group_chunks_by_product as a running boundary count
+        # (boundary_detector.py:277-316)
+        av = _ai_val_mod()
+        return av.group_by_boundaries(
+            av.synth_boundary_chunks(_events(spark, sf_dir)))
+    q["boundary_groups"] = boundary_groups
+
+    def consensus_validate(spark, sf_dir):
+        # multi-model consensus: pairwise key Jaccard agreement,
+        # majority vote (Counter first-insertion ties) vs weighted
+        # vote (model-weight x confidence, first max), human-review
+        # flag, <2-valid failure (consensus_validator.py:26-242)
+        av = _ai_val_mod()
+        return av.consensus_validate(
+            av.synth_consensus_results(_events(spark, sf_dir)))
+    q["consensus_validate"] = consensus_validate
+
+    def classifier_parse(spark, sf_dir):
+        # CATEGORY|CONFIDENCE response parse + keyword fallbacks +
+        # has_images boost + deep-enrich metadata flags
+        # (document_classifier.py:90-250)
+        av = _ai_val_mod()
+        return av.classify_parse(
+            av.synth_classifier_rows(_events(spark, sf_dir)))
+    q["classifier_parse"] = classifier_parse
+
     return q
 
 
@@ -4112,6 +4153,8 @@ def oracle_sql() -> dict[str, str]:
         as _mprops
     from mivaa_pdf_extractor_spark.operators import spec_rows \
         as _srows
+    from mivaa_pdf_extractor_spark.operators import ai_validation \
+        as _aival
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7729,4 +7772,16 @@ def oracle_sql() -> dict[str, str]:
             WITH spans_in AS ({_srows.synth_spec_spans_sql()}),
             targets_in AS ({_srows.SYNTH_SPEC_TARGETS_SQL}),
             {_srows.spec_rows_sql()}""",
+        "chunk_boundaries": f"""
+            WITH chunks_in AS ({_aival.SYNTH_BOUNDARY_SQL}),
+            {_aival.boundaries_sql()}""",
+        "boundary_groups": f"""
+            WITH chunks_in AS ({_aival.SYNTH_BOUNDARY_SQL}),
+            {_aival.boundaries_sql(groups=True)}""",
+        "consensus_validate": f"""
+            WITH results_in AS ({_aival.SYNTH_CONSENSUS_SQL}),
+            {_aival.consensus_sql()}""",
+        "classifier_parse": f"""
+            WITH rows_in AS ({_aival.SYNTH_CLASSIFIER_SQL}),
+            {_aival.classify_parse_sql()}""",
     }

@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "material_props_rules",
     # round 4 continuation: Tier-A packing-spec row parser
     "spec_row_parse",
+    # round 4 continuation: ai-validation tier
+    "chunk_boundaries", "boundary_groups", "consensus_validate",
+    "classifier_parse",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
