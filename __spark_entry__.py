@@ -3342,6 +3342,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             av.synth_classifier_rows(_events(spark, sf_dir)))
     q["classifier_parse"] = classifier_parse
 
+    def _pmerge_mod():
+        from mivaa_pdf_extractor_spark.operators import product_merge
+        return product_merge
+
+    def product_merge_fields(spark, sf_dir):
+        # _merge_product_data: order-sensitive description collect
+        # (dedup includes the '' initial; unchanged target when only
+        # one collected), metadata first-wins union with list-union
+        # on type match, source_chunks set (rendered sorted)
+        # (product_merge_service.py:149-210)
+        pmg = _pmerge_mod()
+        ev = _events(spark, sf_dir)
+        return pmg.merge_product_data(pmg.synth_merge_products(ev),
+                                      pmg.synth_merge_meta(ev),
+                                      pmg.synth_merge_plan(ev))
+    q["product_merge_fields"] = product_merge_fields
+
+    def merge_transfer_rels(spark, sf_dir):
+        # relationship transfer with iterative existence checks ->
+        # first-wins in (source, association) order + score defaults
+        # (product_merge_service.py:212-258)
+        pmg = _pmerge_mod()
+        ev = _events(spark, sf_dir)
+        return pmg.transfer_relationships(pmg.synth_merge_assocs(ev),
+                                          pmg.synth_merge_plan(ev))
+    q["merge_transfer_rels"] = merge_transfer_rels
+
+    def product_validate(spark, sf_dir):
+        # five-check validator: min content, substantive ratio,
+        # distinguishing features, asset ladder, pairwise coherence,
+        # 0.20/0.20/0.25/0.15/0.20 weighted overall vs 0.70
+        # (product_validator.py:23-370)
+        pmg = _pmerge_mod()
+        ev = _events(spark, sf_dir)
+        return pmg.validate_products(pmg.synth_validate_chunks(ev),
+                                     pmg.synth_validate_products(ev))
+    q["product_validate"] = product_validate
+
     return q
 
 
@@ -4155,6 +4193,8 @@ def oracle_sql() -> dict[str, str]:
         as _srows
     from mivaa_pdf_extractor_spark.operators import ai_validation \
         as _aival
+    from mivaa_pdf_extractor_spark.operators import product_merge \
+        as _pmg
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7784,4 +7824,17 @@ def oracle_sql() -> dict[str, str]:
         "classifier_parse": f"""
             WITH rows_in AS ({_aival.SYNTH_CLASSIFIER_SQL}),
             {_aival.classify_parse_sql()}""",
+        "product_merge_fields": f"""
+            WITH products_in AS ({_pmg.SYNTH_MERGE_PRODUCTS_SQL}),
+            meta_in AS ({_pmg.SYNTH_MERGE_META_SQL}),
+            plan_in AS ({_pmg.SYNTH_PLAN_SQL}),
+            {_pmg.merge_data_sql()}""",
+        "merge_transfer_rels": f"""
+            WITH assocs_in AS ({_pmg.SYNTH_MERGE_ASSOCS_SQL}),
+            plan_in AS ({_pmg.SYNTH_PLAN_SQL}),
+            {_pmg.transfer_sql()}""",
+        "product_validate": f"""
+            WITH chunks_in AS ({_pmg.SYNTH_VALIDATE_CHUNKS_SQL}),
+            products_in AS ({_pmg.SYNTH_VALIDATE_PRODUCTS_SQL}),
+            {_pmg.validate_sql()}""",
     }

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     # round 4 continuation: ai-validation tier
     "chunk_boundaries", "boundary_groups", "consensus_validate",
     "classifier_parse",
+    # round 4 continuation: product merge + validation
+    "product_merge_fields", "merge_transfer_rels", "product_validate",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
