@@ -3380,6 +3380,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                      pmg.synth_validate_products(ev))
     q["product_validate"] = product_validate
 
+    def _sugg_mod():
+        from mivaa_pdf_extractor_spark.operators import suggestions
+        return suggestions
+
+    def search_autocomplete(spark, sf_dir):
+        # 5-tier autocomplete funnel with raw-count budgets (dedup
+        # AFTER budgeting), keep-first case-insensitive dedup, stable
+        # popularity sort, final limit
+        # (search_suggestions_service.py:51-311)
+        sg = _sugg_mod()
+        ev = _events(spark, sf_dir)
+        return sg.autocomplete(
+            sg.synth_sugg_queries(ev), sg.synth_sugg_suggestions(ev),
+            sg.synth_sugg_trending(ev), sg.synth_sugg_analytics(ev),
+            sg.synth_sugg_popular(ev), sg.synth_sugg_products(ev))
+    q["search_autocomplete"] = search_autocomplete
+
+    def typo_corrections(spark, sf_dir):
+        # known-corrections + abbreviation tiers, stable confidence
+        # sort, top 3, auto-apply >= 0.9; the fuzzy seqratio tier is
+        # SQL-inexpressible and covered by typo_corrections_fuzzy
+        # (search_suggestions_service.py:329-464)
+        sg = _sugg_mod()
+        ev = _events(spark, sf_dir)
+        return sg.check_typos(sg.synth_typo_queries(ev),
+                              sg.synth_sugg_corrections(ev),
+                              sg.synth_sugg_analytics(ev),
+                              include_fuzzy=False)
+    q["typo_corrections"] = typo_corrections
+
+    def typo_corrections_fuzzy(spark, sf_dir):
+        # full ladder incl. the difflib SequenceMatcher fuzzy tier
+        # (arrow kernel; rows-only check — pinned by pytest vs a
+        # difflib transcription)
+        sg = _sugg_mod()
+        ev = _events(spark, sf_dir)
+        return sg.check_typos(sg.synth_typo_queries(ev),
+                              sg.synth_sugg_corrections(ev),
+                              sg.synth_sugg_analytics(ev),
+                              include_fuzzy=True)
+    q["typo_corrections_fuzzy"] = typo_corrections_fuzzy
+
+    def query_expand(spark, sf_dir):
+        # synonym map expansion (set rendered sorted, dict word order
+        # pinned) + follow-up-query related concepts via
+        # Counter.most_common first-insertion ties
+        # (search_suggestions_service.py:466-573, use_ai=False)
+        sg = _sugg_mod()
+        ev = _events(spark, sf_dir)
+        return sg.expand_queries(sg.synth_sugg_queries(ev),
+                                 sg.synth_sugg_analytics(ev))
+    q["query_expand"] = query_expand
+
     return q
 
 
@@ -4195,6 +4248,8 @@ def oracle_sql() -> dict[str, str]:
         as _aival
     from mivaa_pdf_extractor_spark.operators import product_merge \
         as _pmg
+    from mivaa_pdf_extractor_spark.operators import suggestions \
+        as _sugg
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7837,4 +7892,20 @@ def oracle_sql() -> dict[str, str]:
             WITH chunks_in AS ({_pmg.SYNTH_VALIDATE_CHUNKS_SQL}),
             products_in AS ({_pmg.SYNTH_VALIDATE_PRODUCTS_SQL}),
             {_pmg.validate_sql()}""",
+        "search_autocomplete": f"""
+            WITH queries_in AS ({_sugg.SYNTH_SUGG_QUERIES_SQL}),
+            suggestions_in AS ({_sugg.SYNTH_SUGG_SUGGESTIONS_SQL}),
+            trending_in AS ({_sugg.SYNTH_SUGG_TRENDING_SQL}),
+            analytics_in AS ({_sugg.SYNTH_SUGG_ANALYTICS_SQL}),
+            popular_in AS ({_sugg.SYNTH_SUGG_POPULAR_SQL}),
+            products_in AS ({_sugg.SYNTH_SUGG_PRODUCTS_SQL}),
+            {_sugg.autocomplete_sql()}""",
+        "typo_corrections": f"""
+            WITH queries_in AS ({_sugg.SYNTH_TYPO_QUERIES_SQL}),
+            corrections_in AS ({_sugg.SYNTH_SUGG_CORRECTIONS_SQL}),
+            {_sugg.check_typos_sql()}""",
+        "query_expand": f"""
+            WITH queries_in AS ({_sugg.SYNTH_SUGG_QUERIES_SQL}),
+            analytics_in AS ({_sugg.SYNTH_SUGG_ANALYTICS_SQL}),
+            {_sugg.expand_sql()}""",
     }

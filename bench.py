@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "classifier_parse",
     # round 4 continuation: product merge + validation
     "product_merge_fields", "merge_transfer_rels", "product_validate",
+    # round 4 continuation: search suggestions
+    "search_autocomplete", "typo_corrections", "query_expand",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
