@@ -3433,6 +3433,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  sg.synth_sugg_analytics(ev))
     q["query_expand"] = query_expand
 
+    def relevancy_page_links(spark, sf_dir):
+        # page-range product-image linking: empty range -> fallback
+        # all-document links at 0.7 'document_association'; else
+        # [min, max] span at 1.0 'page_proximity'
+        # (relevancy_service.py:28-167)
+        from mivaa_pdf_extractor_spark.operators import relevancy
+        ev = _events(spark, sf_dir)
+        return relevancy.relevancy_links(
+            relevancy.synth_rel_products(ev),
+            relevancy.synth_rel_images(ev))
+    q["relevancy_page_links"] = relevancy_page_links
+
+    def timestamp_normalize(spark, sf_dir):
+        # PostgreSQL timestamp normalization: Z -> +00:00, variable
+        # microsecond precision padded/truncated to 6 digits
+        # (timestamp_utils.py:5-48)
+        from mivaa_pdf_extractor_spark.operators import relevancy
+        return relevancy.normalize_timestamps(
+            relevancy.synth_ts_rows(_events(spark, sf_dir)))
+    q["timestamp_normalize"] = timestamp_normalize
+
     return q
 
 
@@ -4250,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         as _pmg
     from mivaa_pdf_extractor_spark.operators import suggestions \
         as _sugg
+    from mivaa_pdf_extractor_spark.operators import relevancy as _rel
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7908,4 +7930,11 @@ def oracle_sql() -> dict[str, str]:
             WITH queries_in AS ({_sugg.SYNTH_SUGG_QUERIES_SQL}),
             analytics_in AS ({_sugg.SYNTH_SUGG_ANALYTICS_SQL}),
             {_sugg.expand_sql()}""",
+        "relevancy_page_links": f"""
+            WITH products_in AS ({_rel.SYNTH_REL_PRODUCTS_SQL}),
+            images_in AS ({_rel.SYNTH_REL_IMAGES_SQL}),
+            {_rel.relevancy_sql()}""",
+        "timestamp_normalize": f"""
+            WITH rows_in AS ({_rel.SYNTH_TS_SQL}),
+            {_rel.normalize_ts_sql()}""",
     }

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "product_merge_fields", "merge_transfer_rels", "product_validate",
     # round 4 continuation: search suggestions
     "search_autocomplete", "typo_corrections", "query_expand",
+    # round 4 continuation: relevancy links + timestamp fix
+    "relevancy_page_links", "timestamp_normalize",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
