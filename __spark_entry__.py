@@ -3454,6 +3454,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relevancy.synth_ts_rows(_events(spark, sf_dir)))
     q["timestamp_normalize"] = timestamp_normalize
 
+    def catalog_page_classify(spark, sf_dir):
+        # pure page classifier: accent-stripped keyword-set hits
+        # feeding the fixed ladder (spec+name, icons w/o name, cert/
+        # reg/install/care/sus >= 2, index, bio, photo, positional
+        # cover, other) + the packing-row numeric heuristic
+        # (catalog_layout_analyzer.py:255-370)
+        from mivaa_pdf_extractor_spark.operators import catalog_layout
+        ev = _events(spark, sf_dir)
+        return catalog_layout.classify_pages(
+            catalog_layout.synth_layout_pages(ev),
+            catalog_layout.synth_layout_names(ev))
+    q["catalog_page_classify"] = catalog_page_classify
+
     return q
 
 
@@ -4272,6 +4285,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import suggestions \
         as _sugg
     from mivaa_pdf_extractor_spark.operators import relevancy as _rel
+    from mivaa_pdf_extractor_spark.operators import catalog_layout \
+        as _clay
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7937,4 +7952,8 @@ def oracle_sql() -> dict[str, str]:
         "timestamp_normalize": f"""
             WITH rows_in AS ({_rel.SYNTH_TS_SQL}),
             {_rel.normalize_ts_sql()}""",
+        "catalog_page_classify": f"""
+            WITH pages_in AS ({_clay.SYNTH_LAYOUT_PAGES_SQL}),
+            names_in AS ({_clay.SYNTH_LAYOUT_NAMES_SQL}),
+            {_clay.classify_sql()}""",
     }

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "search_autocomplete", "typo_corrections", "query_expand",
     # round 4 continuation: relevancy links + timestamp fix
     "relevancy_page_links", "timestamp_normalize",
+    # round 4 continuation: catalog page-layout classifier
+    "catalog_page_classify",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
