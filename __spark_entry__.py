@@ -3467,6 +3467,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             catalog_layout.synth_layout_names(ev))
     q["catalog_page_classify"] = catalog_page_classify
 
+    def _qs_mod():
+        from mivaa_pdf_extractor_spark.operators import quality_scores
+        return quality_scores
+
+    def quality_score_images(spark, sf_dir):
+        # weighted image quality: analysis completeness, dimension
+        # ladder, property count, embedding coverage, confidence
+        # (real_quality_scoring_service.py:61-118,330-361)
+        qs = _qs_mod()
+        return qs.score_images(qs.synth_q_images(_events(spark, sf_dir)))
+    q["quality_score_images"] = quality_score_images
+
+    def quality_score_chunks(spark, sf_dir):
+        # weighted chunk quality incl. derived coherence when the
+        # stored score is zero and stripped-boundary checks
+        # (real_quality_scoring_service.py:119-183,371-407)
+        qs = _qs_mod()
+        return qs.score_chunks(qs.synth_q_chunks(_events(spark, sf_dir)))
+    q["quality_score_chunks"] = quality_score_chunks
+
+    def quality_score_products(spark, sf_dir):
+        # weighted product quality: metadata-completeness ladders,
+        # valid-property ladder, related images/products ladders,
+        # confidence fallback chain
+        # (real_quality_scoring_service.py:184-328)
+        qs = _qs_mod()
+        return qs.score_products(
+            qs.synth_q_products(_events(spark, sf_dir)))
+    q["quality_score_products"] = quality_score_products
+
     return q
 
 
@@ -4287,6 +4317,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import relevancy as _rel
     from mivaa_pdf_extractor_spark.operators import catalog_layout \
         as _clay
+    from mivaa_pdf_extractor_spark.operators import quality_scores \
+        as _qsc
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7956,4 +7988,13 @@ def oracle_sql() -> dict[str, str]:
             WITH pages_in AS ({_clay.SYNTH_LAYOUT_PAGES_SQL}),
             names_in AS ({_clay.SYNTH_LAYOUT_NAMES_SQL}),
             {_clay.classify_sql()}""",
+        "quality_score_images": f"""
+            WITH images_in AS ({_qsc.SYNTH_Q_IMAGES_SQL}),
+            {_qsc.score_images_sql()}""",
+        "quality_score_chunks": f"""
+            WITH chunks_in AS ({_qsc.SYNTH_Q_CHUNKS_SQL}),
+            {_qsc.score_chunks_sql()}""",
+        "quality_score_products": f"""
+            WITH products_in AS ({_qsc.SYNTH_Q_PRODUCTS_SQL}),
+            {_qsc.score_products_sql()}""",
     }

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "relevancy_page_links", "timestamp_normalize",
     # round 4 continuation: catalog page-layout classifier
     "catalog_page_classify",
+    # round 4 continuation: quality scoring tier
+    "quality_score_images", "quality_score_chunks",
+    "quality_score_products",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
