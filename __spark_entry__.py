@@ -3497,6 +3497,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qs.synth_q_products(_events(spark, sf_dir)))
     q["quality_score_products"] = quality_score_products
 
+    def search_terms_extract(spark, sf_dir):
+        # _extract_search_terms: metadata values bypass the stopword/
+        # length filters, query words filtered, set-dedup (rendered
+        # sorted); plus zero_results + total_ms 'or' fallback
+        # (search_query_tracker.py:30-214)
+        from mivaa_pdf_extractor_spark.operators import query_tracking
+        return query_tracking.extract_search_terms(
+            query_tracking.synth_track_queries(_events(spark, sf_dir)))
+    q["search_terms_extract"] = search_terms_extract
+
+    def unmatched_term_freq(spark, sf_dir):
+        # unmatched-term frequency rollup end-state (count + sorted
+        # workspace set) (search_query_tracker.py:145-187)
+        from mivaa_pdf_extractor_spark.operators import query_tracking
+        return query_tracking.unmatched_term_freq(
+            query_tracking.synth_unmatched_events(
+                _events(spark, sf_dir)))
+    q["unmatched_term_freq"] = unmatched_term_freq
+
     return q
 
 
@@ -4319,6 +4338,8 @@ def oracle_sql() -> dict[str, str]:
         as _clay
     from mivaa_pdf_extractor_spark.operators import quality_scores \
         as _qsc
+    from mivaa_pdf_extractor_spark.operators import query_tracking \
+        as _qtr
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7997,4 +8018,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_score_products": f"""
             WITH products_in AS ({_qsc.SYNTH_Q_PRODUCTS_SQL}),
             {_qsc.score_products_sql()}""",
+        "search_terms_extract": f"""
+            WITH queries_in AS ({_qtr.SYNTH_TRACK_QUERIES_SQL}),
+            {_qtr.extract_terms_sql()}""",
+        "unmatched_term_freq": f"""
+            WITH events_in AS ({_qtr.SYNTH_UNMATCHED_SQL})
+            {_qtr.unmatched_freq_sql()}""",
     }

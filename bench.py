@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     # round 4 continuation: quality scoring tier
     "quality_score_images", "quality_score_chunks",
     "quality_score_products",
+    # round 4 continuation: search-query tracking
+    "search_terms_extract", "unmatched_term_freq",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
