@@ -3516,6 +3516,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _events(spark, sf_dir)))
     q["unmatched_term_freq"] = unmatched_term_freq
 
+    def entity_product_match(spark, sf_dir):
+        # entity-product scored join: 0.6 x set-overlap / max RAW
+        # list length (duplicates inflate) + 0.3 factory + 0.1
+        # bidirectional name containment ('' matches everything,
+        # pinned), link at >= 0.5 with ordered reasons
+        # (document_entity_service.py:221-374)
+        from mivaa_pdf_extractor_spark.operators import entity_match
+        ev = _events(spark, sf_dir)
+        return entity_match.match_entities(
+            entity_match.synth_match_entities(ev),
+            entity_match.synth_match_products(ev))
+    q["entity_product_match"] = entity_product_match
+
     return q
 
 
@@ -4340,6 +4353,8 @@ def oracle_sql() -> dict[str, str]:
         as _qsc
     from mivaa_pdf_extractor_spark.operators import query_tracking \
         as _qtr
+    from mivaa_pdf_extractor_spark.operators import entity_match \
+        as _ematch
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8024,4 +8039,8 @@ def oracle_sql() -> dict[str, str]:
         "unmatched_term_freq": f"""
             WITH events_in AS ({_qtr.SYNTH_UNMATCHED_SQL})
             {_qtr.unmatched_freq_sql()}""",
+        "entity_product_match": f"""
+            WITH entities_in AS ({_ematch.SYNTH_MATCH_ENTITIES_SQL}),
+            products_in AS ({_ematch.SYNTH_MATCH_PRODUCTS_SQL}),
+            {_ematch.match_sql()}""",
     }

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "quality_score_products",
     # round 4 continuation: search-query tracking
     "search_terms_extract", "unmatched_term_freq",
+    # round 4 continuation: entity-product matching
+    "entity_product_match",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
