@@ -3529,6 +3529,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             entity_match.synth_match_products(ev))
     q["entity_product_match"] = entity_product_match
 
+    def visual_search_analytics(spark, sf_dir):
+        # per-search analytics rollup: type distribution, confidence
+        # tiers (>=0.8 / >=0.6 / low), avg fusion scores round3,
+        # fusion effectiveness over UNROUNDED averages, zero row for
+        # empty searches
+        # (material_visual_search_service.py:342-396)
+        from mivaa_pdf_extractor_spark.operators import visual_analytics
+        ev = _events(spark, sf_dir)
+        return visual_analytics.search_analytics(
+            visual_analytics.synth_va_searches(ev),
+            visual_analytics.synth_va_results(ev))
+    q["visual_search_analytics"] = visual_search_analytics
+
     return q
 
 
@@ -4355,6 +4368,8 @@ def oracle_sql() -> dict[str, str]:
         as _qtr
     from mivaa_pdf_extractor_spark.operators import entity_match \
         as _ematch
+    from mivaa_pdf_extractor_spark.operators import visual_analytics \
+        as _vana
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8043,4 +8058,8 @@ def oracle_sql() -> dict[str, str]:
             WITH entities_in AS ({_ematch.SYNTH_MATCH_ENTITIES_SQL}),
             products_in AS ({_ematch.SYNTH_MATCH_PRODUCTS_SQL}),
             {_ematch.match_sql()}""",
+        "visual_search_analytics": f"""
+            WITH searches_in AS ({_vana.SYNTH_VA_SEARCHES_SQL}),
+            results_in AS ({_vana.SYNTH_VA_RESULTS_SQL}),
+            {_vana.analytics_sql()}""",
     }

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "search_terms_extract", "unmatched_term_freq",
     # round 4 continuation: entity-product matching
     "entity_product_match",
+    # round 4 continuation: visual-search analytics
+    "visual_search_analytics",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
