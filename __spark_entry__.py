@@ -3542,6 +3542,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             visual_analytics.synth_va_results(ev))
     q["visual_search_analytics"] = visual_search_analytics
 
+    def image_rerank_7vec(spark, sf_dir):
+        # 7-vector enrichment rerank: per-key merge (direct over
+        # metadata scores), visual falls back to similarity_score,
+        # relevance = max qualifying association score, no-product
+        # images keep combined = similarity (pinned), stable final
+        # sort (search_enrichment_service.py:27-186)
+        from mivaa_pdf_extractor_spark.operators import visual_analytics
+        ev = _events(spark, sf_dir)
+        return visual_analytics.rerank_images(
+            visual_analytics.synth_rr_images(ev),
+            visual_analytics.synth_rr_assocs(ev))
+    q["image_rerank_7vec"] = image_rerank_7vec
+
     return q
 
 
@@ -8062,4 +8075,8 @@ def oracle_sql() -> dict[str, str]:
             WITH searches_in AS ({_vana.SYNTH_VA_SEARCHES_SQL}),
             results_in AS ({_vana.SYNTH_VA_RESULTS_SQL}),
             {_vana.analytics_sql()}""",
+        "image_rerank_7vec": f"""
+            WITH images_in AS ({_vana.SYNTH_RR_IMAGES_SQL}),
+            assocs_in AS ({_vana.SYNTH_RR_ASSOCS_SQL}),
+            {_vana.rerank_sql()}""",
     }

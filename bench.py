@@ -125,7 +125,7 @@ BENCH_QUERIES = [
     # round 4 continuation: entity-product matching
     "entity_product_match",
     # round 4 continuation: visual-search analytics
-    "visual_search_analytics",
+    "visual_search_analytics", "image_rerank_7vec",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
