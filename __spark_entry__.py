@@ -3555,6 +3555,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             visual_analytics.synth_rr_assocs(ev))
     q["image_rerank_7vec"] = image_rerank_7vec
 
+    def product_meta_extract(spark, sf_dir):
+        # chunk-content metadata mining: dimensions (3D branch is
+        # dead code - the 2-capture pattern wins first), 3-tier
+        # designer ladder with the first-match-only rule, sorted
+        # color set, case-sensitive collection, material first-match
+        # (product_creation_service.py:554-621)
+        from mivaa_pdf_extractor_spark.operators import product_extract
+        return product_extract.extract_product_metadata(
+            product_extract.synth_meta_chunks(_events(spark, sf_dir)))
+    q["product_meta_extract"] = product_meta_extract
+
     return q
 
 
@@ -4383,6 +4394,8 @@ def oracle_sql() -> dict[str, str]:
         as _ematch
     from mivaa_pdf_extractor_spark.operators import visual_analytics \
         as _vana
+    from mivaa_pdf_extractor_spark.operators import product_extract \
+        as _pex
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8079,4 +8092,7 @@ def oracle_sql() -> dict[str, str]:
             WITH images_in AS ({_vana.SYNTH_RR_IMAGES_SQL}),
             assocs_in AS ({_vana.SYNTH_RR_ASSOCS_SQL}),
             {_vana.rerank_sql()}""",
+        "product_meta_extract": f"""
+            WITH chunks_in AS ({_pex.SYNTH_META_CHUNKS_SQL}),
+            {_pex.extract_meta_sql()}""",
     }

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "entity_product_match",
     # round 4 continuation: visual-search analytics
     "visual_search_analytics", "image_rerank_7vec",
+    # round 4 continuation: chunk metadata mining
+    "product_meta_extract",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

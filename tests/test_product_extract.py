@@ -1,0 +1,85 @@
+"""Pins for product metadata extraction (operators/product_extract.py)
+vs a transcription of product_creation_service.py:554-621."""
+
+import re
+
+from mivaa_pdf_extractor_spark.operators import product_extract as pe
+
+
+def ref_extract(content):
+    md = {}
+    for pattern in [
+        r'(\d+(?:\.\d+)?)\s*[×x]\s*(\d+(?:\.\d+)?)\s*(?:cm|mm)?',
+        r'(\d+(?:\.\d+)?)\s*[×x]\s*(\d+(?:\.\d+)?)\s*[×x]\s*'
+        r'(\d+(?:\.\d+)?)\s*(?:cm|mm)?',
+    ]:
+        matches = re.findall(pattern, content)
+        if matches:
+            if len(matches[0]) == 2:
+                md["dimensions"] = f"{matches[0][0]}×{matches[0][1]}"
+            elif len(matches[0]) == 3:
+                md["dimensions"] = (f"{matches[0][0]}×{matches[0][1]}"
+                                    f"×{matches[0][2]}")
+            break
+    for pattern in [
+        r'(?:by|BY|designer|DESIGNER|studio|STUDIO)\s+'
+        r'([A-Z][A-Za-z\s{}\-]+)',
+        r'(ESTUDI\{H\}AC|DSIGNIO|ALT DESIGN|MUT|YONOH|STACY GARCIA'
+        r'|SG NY)',
+        r'([A-Z][a-z]+\s+[A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)\s+'
+        r'(?:NY|STUDIO|DESIGN)',
+    ]:
+        matches = re.findall(pattern, content, re.IGNORECASE)
+        if matches:
+            designer = matches[0].strip()
+            if len(designer) > 2 and designer not in ["THE", "AND",
+                                                      "FOR"]:
+                md["designer"] = designer
+                break
+    colors = re.findall(
+        r'\b(TAUPE|SAND|CLAY|WHITE|BLACK|GREY|GRAY|ANTHRACITE|BEIGE'
+        r'|BROWN|BLUE|GREEN|RED)\b', content)
+    if colors:
+        md["colors"] = sorted(set(colors))
+    coll = re.findall(r'(?:collection|COLLECTION)\s+([A-Z][a-z]+)',
+                      content)
+    if coll:
+        md["collection"] = coll[0]
+    mat = re.findall(r'\b(ceramic|porcelain|tile|stone|marble'
+                     r'|granite)\b', content, re.IGNORECASE)
+    if mat:
+        md["material_type"] = mat[0].lower()
+    return md
+
+
+def test_meta_matches_reference(spark):
+    texts = [
+        "VALENOVA tiles 15×38×2 cm in TAUPE and SAND, by Estudi Nou\n"
+        "porcelain COLLECTION Alba3",
+        "Designed BY MUT studio 20 x 40 mm GREY",
+        "Stacy Garcia NY line, WHITE BLACK WHITE",
+        "studio THE rest 11.8×11.8",
+        "collection Roma marble 2",
+        "nothing here at all",
+        "designer Ana Luz\nGRANITE slab 1",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "chunk_id long, content string")
+    got = {r.chunk_id: r for r in
+           pe.extract_product_metadata(df).collect()}
+    for i, t in enumerate(texts):
+        want = ref_extract(t)
+        g = got[i]
+        assert g.dimensions == want.get("dimensions"), (i, t)
+        assert g.designer == want.get("designer"), (i, t)
+        want_colors = ",".join(want["colors"]) if "colors" in want \
+            else None
+        assert g.colors_csv == want_colors, (i, t)
+        assert g.collection == want.get("collection"), (i, t)
+        assert g.material_type == want.get("material_type"), (i, t)
+    # the dead 3D branch: '15×38×2' renders as the 2D '15×38'
+    assert got[0].dimensions == "15×38"
+    # 'studio THE ...': first match 'THE rest' -> len>2, not in stop
+    # list (only exact 'THE' is excluded) -> accepted. Pin whatever
+    # the reference does:
+    assert got[3].designer == ref_extract(texts[3]).get("designer")
