@@ -3566,6 +3566,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             product_extract.synth_meta_chunks(_events(spark, sf_dir)))
     q["product_meta_extract"] = product_meta_extract
 
+    def product_name_extract(spark, sf_dir):
+        # first-10-lines name ladder (header / standalone uppercase /
+        # uppercase run with 3-line context) + whole-content
+        # uppercase fallback with the 27-word exclusion list and
+        # ±100-char first-occurrence context
+        # (product_creation_service.py:499-553)
+        from mivaa_pdf_extractor_spark.operators import product_extract
+        return product_extract.extract_product_names(
+            product_extract.synth_name_chunks(_events(spark, sf_dir)))
+    q["product_name_extract"] = product_name_extract
+
     return q
 
 
@@ -8095,4 +8106,7 @@ def oracle_sql() -> dict[str, str]:
         "product_meta_extract": f"""
             WITH chunks_in AS ({_pex.SYNTH_META_CHUNKS_SQL}),
             {_pex.extract_meta_sql()}""",
+        "product_name_extract": f"""
+            WITH chunks_in AS ({_pex.SYNTH_NAME_CHUNKS_SQL}),
+            {_pex.extract_names_sql()}""",
     }

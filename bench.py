@@ -127,7 +127,7 @@ BENCH_QUERIES = [
     # round 4 continuation: visual-search analytics
     "visual_search_analytics", "image_rerank_7vec",
     # round 4 continuation: chunk metadata mining
-    "product_meta_extract",
+    "product_meta_extract", "product_name_extract",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -153,3 +153,189 @@ SELECT event_id AS chunk_id,
                  || (event_id % 4)
        END AS content
 FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# product name extraction (product_creation_service.py:499-553)
+
+HEADER_PAT = "^#+" + _WS + "+([A-Z]{2,}(?:" + _WS + "+[A-Z]{2,})*)"
+STANDALONE_PAT = "^[A-Z]{2,}(?:" + _WS + "+[A-Z]{2,})*$"
+UPPER_RUN_PAT = "\\b([A-Z]{3,}(?:" + _WS + "+[A-Z]{3,})*)\\b"
+UPPER_WORD_PAT = "\\b[A-Z]{3,}\\b"
+LINE_CONTEXT = ["×", "cm", "mm", "designer", "estudi", "dsignio",
+                "alt design", "mut", "yonoh"]
+FALLBACK_CONTEXT = ["×", "cm", "mm", "designer", "collection"]
+EXCLUDED_WORDS = [
+    "THE", "AND", "FOR", "WITH", "FROM", "THAT", "THIS", "HAVE",
+    "BEEN", "WILL", "THEY", "WERE", "SAID", "EACH", "WHICH", "THEIR",
+    "TIME", "HARMONY", "COLLECTION", "DESIGN", "CERAMIC", "PORCELAIN",
+    "TILE", "TECHNICAL", "SPECIFICATIONS", "CHARACTERISTICS",
+    "QUALITY",
+]
+
+
+def extract_product_names(chunks: DataFrame) -> DataFrame:
+    """``_extract_product_name``: first-10-lines ladder (header ->
+    standalone uppercase <= 20 chars -> uppercase run whose 3-line
+    context window — anchored at the line's FIRST occurrence — shows
+    a product marker), then the whole-content uppercase-word fallback
+    with the 27-word exclusion list and the ±100-char context around
+    the word's FIRST occurrence.  The reference's ``lines.index``
+    would raise on an indented duplicate-free line; here an absent
+    stripped line yields an empty context instead (documented
+    divergence on crash inputs only)."""
+    t = F.coalesce("content", F.lit(""))
+    lines = F.split(t, "\n", -1)
+    first10 = F.slice(lines, 1, 10)
+
+    def ctx_ok(ctx, markers):
+        out = None
+        low = F.lower(ctx)
+        for m in markers:
+            c = low.contains(m)
+            out = c if out is None else (out | c)
+        return out
+
+    def per_line(line):
+        ls = _strip(line)
+        header = F.nullif(
+            _strip(F.regexp_extract(ls, HEADER_PAT, 1)), F.lit(""))
+        standalone = F.when(
+            ls.rlike(STANDALONE_PAT) & (F.length(ls) <= 20), ls)
+        cand = F.nullif(F.regexp_extract(ls, UPPER_RUN_PAT, 1),
+                        F.lit(""))
+        idx = F.array_position(lines, ls)  # first occurrence, 1-based
+        ctx = F.when(idx > 0, F.concat_ws(
+            "\n", F.slice(lines, idx.cast("int"), 3))).otherwise("")
+        upper = F.when(cand.isNotNull()
+                       & ctx_ok(ctx, LINE_CONTEXT), _strip(cand))
+        return F.coalesce(header, standalone, upper)
+
+    per = F.filter(F.transform(first10, per_line),
+                   lambda v: v.isNotNull())
+    name1 = F.when(F.size(per) > 0, F.element_at(per, 1))
+
+    words = F.regexp_extract_all(t, F.lit(UPPER_WORD_PAT), F.lit(0))
+
+    def word_ok(w):
+        pos0 = F.instr(t, w) - 1  # 0-based first occurrence
+        lo = F.greatest(pos0 - 100, F.lit(0))
+        ctx = t.substr(lo + 1, pos0 + 100 - lo)
+        return (~w.isin(*EXCLUDED_WORDS)
+                & ctx_ok(ctx, FALLBACK_CONTEXT))
+
+    passing = F.filter(words, word_ok)
+    fallback = F.when(F.size(passing) > 0, F.element_at(passing, 1))
+    return chunks.select(
+        "chunk_id", F.coalesce(name1, fallback).alias("product_name"))
+
+
+def extract_names_sql() -> str:
+    """DuckDB twin over a CTE chunks_in (chunk_id, content)."""
+    line_ctx = " OR ".join(f"contains(lower(cx), '{m}')"
+                           for m in LINE_CONTEXT)
+    fb_ctx = " OR ".join(f"contains(lower(cx), '{m}')"
+                         for m in FALLBACK_CONTEXT)
+    excl = ", ".join(f"'{w}'" for w in EXCLUDED_WORDS)
+    strip = ("regexp_replace({}, '^" + _WS + "+|" + _WS
+             + "+$', '', 'g')")
+    ls = strip.format("line")
+    return f"""
+    b AS (SELECT chunk_id, coalesce(content, '') AS t,
+                 string_split(coalesce(content, ''), chr(10)) AS lines
+          FROM chunks_in),
+    perline AS (SELECT chunk_id, t, lines, i,
+                       {ls} AS lsv
+                FROM (SELECT *, lines[i] AS line
+                      FROM b, unnest(generate_series(1,
+                          least(len(lines), 10))) u(i))),
+    cand AS (SELECT chunk_id, i,
+        coalesce(nullif({strip.format(
+            f"coalesce(regexp_extract(lsv, '{HEADER_PAT}', 1), '')")},
+            ''),
+          CASE WHEN regexp_matches(lsv, '{STANDALONE_PAT}')
+                    AND length(lsv) <= 20 THEN lsv END,
+          (SELECT CASE WHEN rc IS NOT NULL AND ({line_ctx})
+                       THEN {strip.format('rc')} END
+           FROM (SELECT nullif(coalesce(regexp_extract(lsv,
+                     '{UPPER_RUN_PAT}', 1), ''), '') AS rc,
+                 CASE WHEN coalesce(list_position(lines, lsv), 0) > 0
+                      THEN array_to_string(lines[
+                          list_position(lines, lsv):
+                          list_position(lines, lsv) + 2], chr(10))
+                      ELSE '' END AS cx))) AS nm
+        FROM perline),
+    name1 AS (SELECT chunk_id, nm, row_number() OVER (
+                  PARTITION BY chunk_id ORDER BY i) AS rk
+              FROM cand WHERE nm IS NOT NULL),
+    wordsx AS (SELECT chunk_id, t, ws[wi] AS w, wi
+               FROM (SELECT chunk_id, t, regexp_extract_all(t,
+                         '{UPPER_WORD_PAT}', 0) AS ws FROM b),
+                    unnest(generate_series(1, len(ws))) u(wi)),
+    fb AS (SELECT chunk_id, w, row_number() OVER (
+               PARTITION BY chunk_id ORDER BY wi) AS rk
+           FROM (SELECT chunk_id, w, wi,
+                     substring(t, greatest(strpos(t, w) - 1 - 100, 0)
+                         + 1,
+                         (strpos(t, w) - 1 + 100)
+                         - greatest(strpos(t, w) - 1 - 100, 0)) AS cx
+                 FROM wordsx WHERE w NOT IN ({excl}))
+           WHERE {fb_ctx})
+    SELECT b.chunk_id,
+           coalesce(n.nm, f.w) AS product_name
+    FROM b
+    LEFT JOIN (SELECT chunk_id, nm FROM name1 WHERE rk = 1) n
+         USING (chunk_id)
+    LEFT JOIN (SELECT chunk_id, w FROM fb WHERE rk = 1) f
+         USING (chunk_id)"""
+
+
+def synth_name_chunks(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    n = (e % 6).cast("string")
+    content = (
+        F.when(e % 8 == 0, F.concat(F.lit("## VALENOVA\nglaze row "), n))
+        .when(e % 8 == 1, F.concat(F.lit("#### AB CD\nrest "), n))
+        .when(e % 8 == 2, F.concat(F.lit("intro line\nONA\nmore "), n))
+        .when(e % 8 == 3, F.concat(
+            F.lit("LONGNAMEREALLYLONG EXTRA over twenty chars\n"
+                  "15×38 next "), n))
+        .when(e % 8 == 4, F.concat(F.lit("New PIQUE tiles by mut "), n))
+        .when(e % 8 == 5, F.concat(
+            F.lit("plain intro\nfiller a\nfiller b\nfiller c\n"
+                  "filler d\nfiller e\nfiller f\nfiller g\nfiller h\n"
+                  "filler i\nCOLLECTION HARMONY 20 cm\nZETA near cm "),
+            n))
+        .when(e % 8 == 6, F.lit("nothing uppercase here"))
+        .otherwise(F.concat(F.lit("TAUPE shade 30 mm sample "), n)))
+    return events.select(e.alias("chunk_id"), content.alias("content"))
+
+
+SYNTH_NAME_CHUNKS_SQL = """
+SELECT event_id AS chunk_id,
+       CASE WHEN event_id % 8 = 0
+                THEN '## VALENOVA' || chr(10) || 'glaze row '
+                     || (event_id % 6)
+            WHEN event_id % 8 = 1
+                THEN '#### AB CD' || chr(10) || 'rest '
+                     || (event_id % 6)
+            WHEN event_id % 8 = 2
+                THEN 'intro line' || chr(10) || 'ONA' || chr(10)
+                     || 'more ' || (event_id % 6)
+            WHEN event_id % 8 = 3
+                THEN 'LONGNAMEREALLYLONG EXTRA over twenty chars'
+                     || chr(10) || '15×38 next ' || (event_id % 6)
+            WHEN event_id % 8 = 4
+                THEN 'New PIQUE tiles by mut ' || (event_id % 6)
+            WHEN event_id % 8 = 5
+                THEN 'plain intro' || chr(10) || 'filler a' || chr(10)
+                     || 'filler b' || chr(10) || 'filler c' || chr(10)
+                     || 'filler d' || chr(10) || 'filler e' || chr(10)
+                     || 'filler f' || chr(10) || 'filler g' || chr(10)
+                     || 'filler h' || chr(10) || 'filler i' || chr(10)
+                     || 'COLLECTION HARMONY 20 cm' || chr(10)
+                     || 'ZETA near cm ' || (event_id % 6)
+            WHEN event_id % 8 = 6 THEN 'nothing uppercase here'
+            ELSE 'TAUPE shade 30 mm sample ' || (event_id % 6)
+       END AS content
+FROM events"""

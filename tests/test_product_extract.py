@@ -83,3 +83,56 @@ def test_meta_matches_reference(spark):
     # list (only exact 'THE' is excluded) -> accepted. Pin whatever
     # the reference does:
     assert got[3].designer == ref_extract(texts[3]).get("designer")
+
+
+def ref_extract_name(content):
+    lines = content.split("\n")
+    for line in lines[:10]:
+        line = line.strip()
+        m = re.search(r"^#+\s+([A-Z]{2,}(?:\s+[A-Z]{2,})*)", line)
+        if m:
+            return m.group(1).strip()
+        if re.match(r"^[A-Z]{2,}(?:\s+[A-Z]{2,})*$", line) \
+                and len(line) <= 20:
+            return line.strip()
+        m = re.search(r"\b([A-Z]{3,}(?:\s+[A-Z]{3,})*)\b", line)
+        if m:
+            cand = m.group(1).strip()
+            nxt = "\n".join(lines[lines.index(line):
+                                  lines.index(line) + 3])
+            if any(p in nxt.lower() for p in [
+                    "×", "cm", "mm", "designer", "estudi", "dsignio",
+                    "alt design", "mut", "yonoh"]):
+                return cand
+    words = re.findall(r"\b[A-Z]{3,}\b", content)
+    for w in words:
+        if w not in set(pe.EXCLUDED_WORDS) and len(w) >= 3:
+            f = content.find(w)
+            ctx = content[max(0, f - 100):f + 100]
+            if any(p in ctx.lower() for p in [
+                    "×", "cm", "mm", "designer", "collection"]):
+                return w
+    return None
+
+
+def test_names_match_reference(spark):
+    texts = [
+        "## VALENOVA\nglaze row 3",
+        "#### AB CD\nrest 1",
+        "intro line\nONA\nmore 2",
+        "LONGNAMEREALLYLONG EXTRA over twenty chars\n15×38 next 0",
+        "New PIQUE tiles by mut 4",
+        ("plain intro\nfiller a\nfiller b\nfiller c\nfiller d\n"
+         "filler e\nfiller f\nfiller g\nfiller h\nfiller i\n"
+         "COLLECTION HARMONY 20 cm\nZETA near cm 5"),
+        "nothing uppercase here",
+        "TAUPE shade 30 mm sample 2",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "chunk_id long, content string")
+    got = {r.chunk_id: r.product_name
+           for r in pe.extract_product_names(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_extract_name(t), (i, t, got[i])
+    assert got[5] == "ZETA"   # excluded words skipped in the fallback
+    assert got[6] is None
