@@ -3577,6 +3577,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             product_extract.synth_name_chunks(_events(spark, sf_dir)))
     q["product_name_extract"] = product_name_extract
 
+    def metadata_scope_detect(spark, sf_dir):
+        # fallback scope detection: product mentions (list order) win
+        # with the dimensions-override flag; explicit catalog
+        # keywords beat implicit regex patterns which require NO
+        # product mention (dynamic_metadata_extractor.py:1033-1104)
+        from mivaa_pdf_extractor_spark.operators import product_extract
+        ev = _events(spark, sf_dir)
+        return product_extract.detect_metadata_scope(
+            product_extract.synth_scope_chunks(ev),
+            product_extract.synth_scope_names(ev))
+    q["metadata_scope_detect"] = metadata_scope_detect
+
     return q
 
 
@@ -8109,4 +8121,8 @@ def oracle_sql() -> dict[str, str]:
         "product_name_extract": f"""
             WITH chunks_in AS ({_pex.SYNTH_NAME_CHUNKS_SQL}),
             {_pex.extract_names_sql()}""",
+        "metadata_scope_detect": f"""
+            WITH chunks_in AS ({_pex.SYNTH_SCOPE_CHUNKS_SQL}),
+            names_in AS ({_pex.SYNTH_SCOPE_NAMES_SQL}),
+            {_pex.scope_sql()}""",
     }

@@ -339,3 +339,178 @@ SELECT event_id AS chunk_id,
             ELSE 'TAUPE shade 30 mm sample ' || (event_id % 6)
        END AS content
 FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# metadata scope detection fallback (dynamic_metadata_extractor.py:1033-1104)
+
+EXPLICIT_CATALOG_KEYWORDS = ["all tiles", "all products",
+                             "entire catalog", "every product"]
+IMPLICIT_PATTERNS = [
+    "available in" + _WS + "+[0-9]+",
+    "comes in" + _WS + "+[0-9]+",
+    "factory:" + _WS + "*[0-9a-z_]",
+    "made in" + _WS + "+[0-9a-z_]",
+    "dimensions?:" + _WS + "*[0-9]+",
+]
+_OVERRIDE_PAT = "dimensions?:" + _WS + "*[0-9]+"
+
+
+def detect_metadata_scope(chunks: DataFrame, names: DataFrame) -> DataFrame:
+    """``_fallback_scope_detection``: mentioned products = names whose
+    lowercase form is a substring of the lowered chunk (kept in
+    product-list order); explicit catalog keywords beat implicit
+    regex patterns, which only fire when NO product is mentioned;
+    product mentions win outright with is_override =
+    'dimensions: N' present.  chunks: (chunk_id, doc_id, content);
+    names: (doc_id, name_ord, name).
+
+    NOTE: the reference's ``factory:\\s*\\w+`` / ``made in\\s+\\w+``
+    use \\w — realized as the explicit ``[0-9a-z_]`` class (the text
+    is lowercased first, so uppercase never appears; both engines
+    agree)."""
+    low = F.lower(F.coalesce("content", F.lit("")))
+    matched = (chunks.join(names, "doc_id")
+               .where(F.lower(F.col("content"))
+                      .contains(F.lower(F.col("name"))))
+               .groupBy("chunk_id")
+               .agg(F.array_join(F.transform(F.array_sort(
+                   F.collect_list(F.struct("name_ord", "name"))),
+                   lambda s: s["name"]), ", ").alias("mentioned"),
+                   F.count("*").alias("n_m")))
+    j = (chunks.join(matched, "chunk_id", "left")
+         .withColumn("low", low))
+    expl = None
+    for k in EXPLICIT_CATALOG_KEYWORDS:
+        c = F.col("low").contains(k)
+        expl = c if expl is None else (expl | c)
+    impl = None
+    for p in IMPLICIT_PATTERNS:
+        c = F.col("low").rlike(p)
+        impl = c if impl is None else (impl | c)
+    has_m = F.col("n_m").isNotNull()
+    override = F.col("low").rlike(_OVERRIDE_PAT)
+    scope = (F.when(has_m, "product_specific")
+             .when(expl, "catalog_general_explicit")
+             .when(impl, "catalog_general_implicit")
+             .otherwise("unknown"))
+    conf = (F.when(has_m, 0.7).when(expl, 0.6).when(impl, 0.5)
+            .otherwise(0.3))
+    reasoning = (
+        F.when(has_m, F.concat(F.lit("Mentions product names: "),
+                               F.col("mentioned")))
+        .when(expl, "Contains explicit catalog-general keywords")
+        .when(impl, "Metadata mentioned without product context "
+                    "(implicit catalog-general)")
+        .otherwise("Cannot determine scope from patterns"))
+    applies = (F.when(has_m, F.col("mentioned"))
+               .when(expl | impl, "all").otherwise(""))
+    return j.select(
+        "chunk_id", scope.alias("scope"), conf.alias("confidence"),
+        reasoning.alias("reasoning"), applies.alias("applies_to"),
+        F.when(has_m, override).otherwise(F.lit(False))
+        .cast("string").alias("is_override"))
+
+
+def scope_sql() -> str:
+    """DuckDB twin over CTEs chunks_in (chunk_id, doc_id, content)
+    and names_in (doc_id, name_ord, name)."""
+    expl = " OR ".join(f"contains(low, '{k}')"
+                       for k in EXPLICIT_CATALOG_KEYWORDS)
+    impl = " OR ".join(f"regexp_matches(low, '{p}')"
+                       for p in IMPLICIT_PATTERNS)
+    return f"""
+    m AS (SELECT c.chunk_id,
+                 array_to_string(list_transform(list_sort(
+                     list(struct_pack(o := n.name_ord,
+                          nm := n.name))), s -> s.nm), ', ')
+                     AS mentioned,
+                 count(*) AS n_m
+          FROM chunks_in c JOIN names_in n ON n.doc_id = c.doc_id
+               AND contains(lower(c.content), lower(n.name))
+          GROUP BY 1),
+    j AS (SELECT c.chunk_id, lower(coalesce(c.content, '')) AS low,
+                 m.mentioned, m.n_m IS NOT NULL AS has_m
+          FROM chunks_in c LEFT JOIN m USING (chunk_id))
+    SELECT chunk_id,
+           CASE WHEN has_m THEN 'product_specific'
+                WHEN {expl} THEN 'catalog_general_explicit'
+                WHEN {impl} THEN 'catalog_general_implicit'
+                ELSE 'unknown' END AS scope,
+           CASE WHEN has_m THEN CAST(0.7 AS DOUBLE)
+                WHEN {expl} THEN CAST(0.6 AS DOUBLE)
+                WHEN {impl} THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.3 AS DOUBLE) END AS confidence,
+           CASE WHEN has_m
+                THEN 'Mentions product names: ' || mentioned
+                WHEN {expl}
+                THEN 'Contains explicit catalog-general keywords'
+                WHEN {impl}
+                THEN 'Metadata mentioned without product context (implicit catalog-general)'
+                ELSE 'Cannot determine scope from patterns' END
+               AS reasoning,
+           CASE WHEN has_m THEN mentioned
+                WHEN {expl} OR {impl} THEN 'all' ELSE '' END
+               AS applies_to,
+           CAST(CASE WHEN has_m
+                THEN regexp_matches(low, '{_OVERRIDE_PAT}')
+                ELSE false END AS VARCHAR) AS is_override
+    FROM j"""
+
+
+def synth_scope_chunks(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    d = e % 15
+    content = (
+        F.when(e % 7 == 0, F.concat(
+            F.lit("The NIMBUS"), (d % 4).cast("string"),
+            F.lit(" series, dimensions: 15 by request")))
+        .when(e % 7 == 1, "applies to all tiles in this catalog")
+        .when(e % 7 == 2, "Available in 20 formats from stock")
+        .when(e % 7 == 3, "made in spain with care")
+        .when(e % 7 == 4, F.concat(
+            F.lit("nimbus"), (d % 4).cast("string"),
+            F.lit(" accent trim available in 12 sizes")))
+        .when(e % 7 == 5, "totally unrelated prose")
+        .otherwise("Factory: castellon plant notes"))
+    return events.select(e.alias("chunk_id"), d.alias("doc_id"),
+                         content.alias("content"))
+
+
+SYNTH_SCOPE_CHUNKS_SQL = """
+SELECT event_id AS chunk_id, event_id % 15 AS doc_id,
+       CASE WHEN event_id % 7 = 0
+                THEN 'The NIMBUS' || (event_id % 15 % 4)
+                     || ' series, dimensions: 15 by request'
+            WHEN event_id % 7 = 1
+                THEN 'applies to all tiles in this catalog'
+            WHEN event_id % 7 = 2
+                THEN 'Available in 20 formats from stock'
+            WHEN event_id % 7 = 3 THEN 'made in spain with care'
+            WHEN event_id % 7 = 4
+                THEN 'nimbus' || (event_id % 15 % 4)
+                     || ' accent trim available in 12 sizes'
+            WHEN event_id % 7 = 5 THEN 'totally unrelated prose'
+            ELSE 'Factory: castellon plant notes'
+       END AS content
+FROM events"""
+
+
+def synth_scope_names(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    base = (events.select((e % 15).alias("doc_id"),
+                          F.expr("(event_id div 15) % 2").cast("int")
+                          .alias("name_ord")).distinct())
+    return base.select(
+        "doc_id", "name_ord",
+        F.concat(F.lit("Nimbus"),
+                 ((F.col("doc_id") + F.col("name_ord")) % 4)
+                 .cast("string")).alias("name"))
+
+
+SYNTH_SCOPE_NAMES_SQL = """
+SELECT doc_id, name_ord,
+       'Nimbus' || ((doc_id + name_ord) % 4) AS name
+FROM (SELECT DISTINCT event_id % 15 AS doc_id,
+             CAST((event_id // 15) % 2 AS INT) AS name_ord
+      FROM events)"""
