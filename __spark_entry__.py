@@ -3589,6 +3589,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             product_extract.synth_scope_names(ev))
     q["metadata_scope_detect"] = metadata_scope_detect
 
+    def smart_section_extract(spark, sf_dir):
+        # smart relevant-section extraction: head + dimension-bearing
+        # index area + a +/-around window per keyword match (patterns
+        # in declared order, matches in position order) + tail,
+        # joined and truncated; short docs pass through. Constants
+        # scaled down so the synthetic docs exercise the long path
+        # (dynamic_metadata_extractor.py:379-452)
+        from mivaa_pdf_extractor_spark.operators import product_extract
+        return product_extract.extract_relevant_sections(
+            product_extract.synth_section_docs(_events(spark, sf_dir)),
+            max_chars=1500, head=300, index_start=300, index_end=900,
+            around=150, tail=200)
+    q["smart_section_extract"] = smart_section_extract
+
     return q
 
 
@@ -8125,4 +8139,9 @@ def oracle_sql() -> dict[str, str]:
             WITH chunks_in AS ({_pex.SYNTH_SCOPE_CHUNKS_SQL}),
             names_in AS ({_pex.SYNTH_SCOPE_NAMES_SQL}),
             {_pex.scope_sql()}""",
+        "smart_section_extract": f"""
+            WITH docs_in AS ({_pex.SYNTH_SECTION_DOCS_SQL}),
+            {_pex.sections_extract_sql(max_chars=1500, head=300,
+                                       index_start=300, index_end=900,
+                                       around=150, tail=200)}""",
     }

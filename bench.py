@@ -128,7 +128,7 @@ BENCH_QUERIES = [
     "visual_search_analytics", "image_rerank_7vec",
     # round 4 continuation: chunk metadata mining
     "product_meta_extract", "product_name_extract",
-    "metadata_scope_detect",
+    "metadata_scope_detect", "smart_section_extract",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -514,3 +514,210 @@ SELECT doc_id, name_ord,
 FROM (SELECT DISTINCT event_id % 15 AS doc_id,
              CAST((event_id // 15) % 2 AS INT) AS name_ord
       FROM events)"""
+
+
+# ---------------------------------------------------------------------------
+# smart relevant-section extraction
+# (dynamic_metadata_extractor.py:379-452)
+
+SECTION_KEYWORD_PATTERNS = [
+    "(?i)\\b(packaging|packing|iconography|box|pallet|pieces per box"
+    "|coverage|confezionamento|imballaggio|emballage|conditionnement"
+    "|embalaje|empaque|verpackung|συσκευασία)\\b",
+    "(?i)\\b(regulation|compliance|certification|standard|safety"
+    "|eco.?friendly|sustainability|voc|leed|iso|regolamento"
+    "|certificazione|réglementation|certification|regulación"
+    "|certificación|zertifizierung|vorschriften|πιστοποίηση)\\b",
+    "(?i)\\b(care|maintenance|cleaning|handling|installation"
+    "|recommended use|manutenzione|pulizia|entretien|nettoyage"
+    "|mantenimiento|limpieza|reinigung|pflege|wartung|καθαρισμός"
+    "|συντήρηση)\\b",
+    "(?i)\\b(technical|specification|properties|performance"
+    "|dimensions|weight|thickness|specifiche tecniche"
+    "|spécifications|especificaciones|technische daten|τεχνικά)\\b",
+]
+INDEX_DIM_PAT = ("(?i)[0-9]+[.,]?[0-9]*" + _WS + "*[x×]" + _WS
+                 + "*[0-9]+[.,]?[0-9]*" + _WS + "*(cm|mm|inch)?")
+
+
+def extract_relevant_sections(docs: DataFrame, max_chars: int = 100000,
+                              head: int = 12000, index_start: int = 12000,
+                              index_end: int = 35000, around: int = 3000,
+                              tail: int = 8000) -> DataFrame:
+    """``_extract_relevant_sections``: short texts pass through; long
+    texts become head + (index area when the dimension regex hits it)
+    + a ±around window for EVERY keyword match, patterns in declared
+    order and matches in position order + tail, '\\n\\n---\\n\\n'
+    joined and truncated to max_chars.  Constants default to the
+    reference's; the contract query scales them down so synthetic
+    docs exercise the path.  NOTE: the Greek keyword alternatives are
+    unreachable here — Java and RE2 both use ASCII \\b, so a
+    boundary next to Greek letters never asserts (Python's unicode
+    \\b would match; divergence documented, synth stays Greek-free).
+
+    docs: (doc_id, text)."""
+    t = F.coalesce("text", F.lit(""))
+    n = F.length(t)
+
+    def windows(pat):
+        # positions of every match: fold over split-parts + matches
+        parts = F.split(t, pat, -1)
+        matches = F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+        # starts[k] = len(parts[k]) + sum_{j<k}(len parts[j] + len m[j])
+        # sequence(1, 0) DESCENDS in Spark -> guard the empty case
+        idx = F.when(F.size(matches) > 0,
+                     F.sequence(F.lit(1), F.size(matches))).otherwise(
+            F.array().cast("array<int>"))
+        starts = F.aggregate(
+            idx,
+            F.struct(F.lit(0).alias("off"),
+                     F.array().cast("array<struct<s:int,e:int>>")
+                     .alias("acc")),
+            lambda acc, k: F.struct(
+                (acc["off"] + F.length(F.element_at(parts, k))
+                 + F.length(F.element_at(matches, k))).alias("off"),
+                F.concat(acc["acc"], F.array(F.struct(
+                    (acc["off"] + F.length(F.element_at(parts, k)))
+                    .cast("int").alias("s"),
+                    (acc["off"] + F.length(F.element_at(parts, k))
+                     + F.length(F.element_at(matches, k)))
+                    .cast("int").alias("e")))).alias("acc")),
+            lambda acc: acc["acc"])
+        return F.transform(
+            starts, lambda w: t.substr(
+                F.greatest(w["s"] - around, F.lit(0)) + 1,
+                F.least(w["e"] + around, n)
+                - F.greatest(w["s"] - around, F.lit(0))))
+
+    head_s = t.substr(F.lit(1), F.lit(head))
+    index_area = t.substr(F.lit(index_start + 1),
+                          F.least(F.lit(index_end), n) - index_start)
+    has_index = (n > index_end) & index_area.rlike(INDEX_DIM_PAT)
+    tail_s = t.substr(F.greatest(n - tail + 1, F.lit(1)), n)
+    sections = F.concat(
+        F.array(head_s),
+        F.when(has_index, F.array(index_area)).otherwise(
+            F.array().cast("array<string>")),
+        *[windows(p) for p in SECTION_KEYWORD_PATTERNS],
+        F.array(tail_s))
+    combined = F.array_join(sections, "\n\n---\n\n")
+    out = F.when(n <= max_chars, t).otherwise(
+        combined.substr(F.lit(1), F.lit(max_chars)))
+    return docs.select("doc_id", out.alias("extracted"),
+                       F.length(out).alias("out_len"))
+
+
+def sections_extract_sql(max_chars: int = 100000, head: int = 12000,
+                         index_start: int = 12000,
+                         index_end: int = 35000, around: int = 3000,
+                         tail: int = 8000) -> str:
+    """DuckDB twin over a CTE docs_in (doc_id, text)."""
+    def windows(pat):
+        # prefix-sum positions (list_reduce over nested accumulators
+        # is nondeterministic in this DuckDB -- see product_merge)
+        pl = f"list_transform(regexp_split_to_array(t, '{pat}'), p -> length(p))"
+        ml = f"list_transform(regexp_extract_all(t, '{pat}', 0), m -> length(m))"
+        return f"""list_transform(generate_series(1,
+            len(regexp_extract_all(t, '{pat}', 0))),
+            k -> substring(t,
+                greatest(CAST(coalesce(list_sum(({pl})[1:k]), 0)
+                    + coalesce(list_sum(({ml})[1:k - 1]), 0) AS INT)
+                    - {around}, 0) + 1,
+                least(CAST(coalesce(list_sum(({pl})[1:k]), 0)
+                    + coalesce(list_sum(({ml})[1:k]), 0) AS INT)
+                    + {around}, length(t))
+                - greatest(CAST(coalesce(list_sum(({pl})[1:k]), 0)
+                    + coalesce(list_sum(({ml})[1:k - 1]), 0) AS INT)
+                    - {around}, 0)))"""
+
+    wins = " ||\n        ".join(windows(p)
+                                for p in SECTION_KEYWORD_PATTERNS)
+    return f"""
+    b AS (SELECT doc_id, coalesce(text, '') AS t FROM docs_in),
+    s AS (SELECT doc_id, t, length(t) AS n,
+                 substring(t, {index_start} + 1,
+                     least({index_end}, length(t)) - {index_start})
+                     AS idxa
+          FROM b),
+    parts AS (SELECT doc_id, t, n,
+        [substring(t, 1, {head})]
+        || CASE WHEN n > {index_end}
+                AND regexp_matches(idxa, '{INDEX_DIM_PAT}')
+                THEN [idxa] ELSE [] END
+        || {wins}
+        || [substring(t, greatest(n - {tail} + 1, 1), n)] AS secs
+        FROM s)
+    SELECT doc_id,
+           CASE WHEN n <= {max_chars} THEN t
+                ELSE substring(array_to_string(secs,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)),
+                    1, {max_chars}) END AS extracted,
+           length(CASE WHEN n <= {max_chars} THEN t
+                ELSE substring(array_to_string(secs,
+                    chr(10) || chr(10) || '---' || chr(10) || chr(10)),
+                    1, {max_chars}) END) AS out_len
+    FROM parts"""
+
+
+def synth_section_docs(events: DataFrame) -> DataFrame:
+    """~2-4 KB docs against scaled-down constants (max 1500, head
+    300, index (300, 900), around 150, tail 200)."""
+    e = F.col("event_id")
+    filler = F.array_join(F.array_repeat(
+        F.lit("lorem body line with steady filler text here. "),
+        (F.lit(40) + (e % 4) * 12).cast("int")), "")
+    kw1 = F.when(e % 3 == 0, " packaging 12 pieces per box ") \
+        .otherwise(F.lit(" plain segment "))
+    kw2 = F.when(e % 4 == 0, " ISO certification dossier ") \
+        .otherwise(F.lit(" more prose "))
+    kw3 = F.when(e % 5 == 0, " cleaning and maintenance tips ") \
+        .otherwise(F.lit(" interlude "))
+    dims = F.when(e % 2 == 0, " sizes 20×40 cm and 15x38 ") \
+        .otherwise(F.lit(" no sizes here "))
+    text = F.concat(
+        F.lit("HEAD product intro "), (e % 9).cast("string"),
+        F.lit(" "), filler.substr(1, 280),
+        dims, filler.substr(1, 500), kw1, filler.substr(1, 600),
+        kw2, filler.substr(1, 700), kw3, filler,
+        F.lit(" TAIL compliance table "), (e % 6).cast("string"))
+    short = F.concat(F.lit("tiny doc "), (e % 11).cast("string"))
+    return events.select(
+        e.alias("doc_id"),
+        F.when(e % 6 == 5, short).otherwise(text).alias("text"))
+
+
+SYNTH_SECTION_DOCS_SQL = """
+SELECT event_id AS doc_id,
+       CASE WHEN event_id % 6 = 5
+            THEN 'tiny doc ' || (event_id % 11)
+            ELSE 'HEAD product intro ' || (event_id % 9) || ' '
+                 || substring(repeat(
+                     'lorem body line with steady filler text here. ',
+                     CAST(40 + event_id % 4 * 12 AS INT)), 1, 280)
+                 || CASE WHEN event_id % 2 = 0
+                         THEN ' sizes 20×40 cm and 15x38 '
+                         ELSE ' no sizes here ' END
+                 || substring(repeat(
+                     'lorem body line with steady filler text here. ',
+                     CAST(40 + event_id % 4 * 12 AS INT)), 1, 500)
+                 || CASE WHEN event_id % 3 = 0
+                         THEN ' packaging 12 pieces per box '
+                         ELSE ' plain segment ' END
+                 || substring(repeat(
+                     'lorem body line with steady filler text here. ',
+                     CAST(40 + event_id % 4 * 12 AS INT)), 1, 600)
+                 || CASE WHEN event_id % 4 = 0
+                         THEN ' ISO certification dossier '
+                         ELSE ' more prose ' END
+                 || substring(repeat(
+                     'lorem body line with steady filler text here. ',
+                     CAST(40 + event_id % 4 * 12 AS INT)), 1, 700)
+                 || CASE WHEN event_id % 5 = 0
+                         THEN ' cleaning and maintenance tips '
+                         ELSE ' interlude ' END
+                 || repeat(
+                     'lorem body line with steady filler text here. ',
+                     CAST(40 + event_id % 4 * 12 AS INT))
+                 || ' TAIL compliance table ' || (event_id % 6)
+       END AS text
+FROM events"""

@@ -136,3 +136,54 @@ def test_names_match_reference(spark):
         assert got[i] == ref_extract_name(t), (i, t, got[i])
     assert got[5] == "ZETA"   # excluded words skipped in the fallback
     assert got[6] is None
+
+
+def ref_sections(pdf_text, max_chars, head, index_start, index_end,
+                 around, tail):
+    if len(pdf_text) <= max_chars:
+        return pdf_text
+    out = [("START", pdf_text[:head])]
+    ie = min(index_end, len(pdf_text))
+    if len(pdf_text) > index_end:
+        area = pdf_text[index_start:ie]
+        if re.search(r'\d+[.,]?\d*\s*[x×]\s*\d+[.,]?\d*\s*(cm|mm|inch)?',
+                     area, re.IGNORECASE):
+            out.append(("IDX", area))
+    for pat in [p[4:] for p in pe.SECTION_KEYWORD_PATTERNS]:
+        for m in re.finditer(pat, pdf_text, re.IGNORECASE):
+            s = max(0, m.start() - around)
+            e = min(len(pdf_text), m.end() + around)
+            out.append(("S", pdf_text[s:e]))
+    out.append(("END", pdf_text[-tail:]))
+    combined = "\n\n---\n\n".join(t for _n, t in out)
+    return combined[:max_chars]
+
+
+def test_sections_match_reference(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    kw = dict(max_chars=1500, head=300, index_start=300,
+              index_end=900, around=150, tail=200)
+    got = {r.doc_id: r.extracted
+           for r in pe.extract_relevant_sections(
+               pe.synth_section_docs(ev), **kw).collect()}
+    filler = "lorem body line with steady filler text here. "
+    for e in range(0, 200):
+        body = filler * (40 + e % 4 * 12)
+        if e % 6 == 5:
+            text = "tiny doc %d" % (e % 11)
+        else:
+            text = ("HEAD product intro %d " % (e % 9) + body[:280]
+                    + (" sizes 20×40 cm and 15x38 " if e % 2 == 0
+                       else " no sizes here ")
+                    + body[:500]
+                    + (" packaging 12 pieces per box " if e % 3 == 0
+                       else " plain segment ")
+                    + body[:600]
+                    + (" ISO certification dossier " if e % 4 == 0
+                       else " more prose ")
+                    + body[:700]
+                    + (" cleaning and maintenance tips " if e % 5 == 0
+                       else " interlude ")
+                    + body
+                    + " TAIL compliance table %d" % (e % 6))
+        assert got[e] == ref_sections(text, **kw), e
