@@ -3603,6 +3603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             around=150, tail=200)
     q["smart_section_extract"] = smart_section_extract
 
+    def price_rule_shortcut(spark, sf_dir):
+        # Perplexity pre-classifier: SKU-in-haystack -> exact 95,
+        # ALL required tokens missing -> mismatch 15 (Python-repr
+        # note), empty -> unverifiable 40, else defer; plus the
+        # facets-hash canonical payload
+        # (perplexity_price_search_service.py:96-156)
+        from mivaa_pdf_extractor_spark.operators import identity
+        return identity.price_rule_shortcut(
+            identity.synth_price_cands(_events(spark, sf_dir)))
+    q["price_rule_shortcut"] = price_rule_shortcut
+
     return q
 
 
@@ -4433,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
         as _vana
     from mivaa_pdf_extractor_spark.operators import product_extract \
         as _pex
+    from mivaa_pdf_extractor_spark.operators import identity as _ident
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8144,4 +8156,7 @@ def oracle_sql() -> dict[str, str]:
             {_pex.sections_extract_sql(max_chars=1500, head=300,
                                        index_start=300, index_end=900,
                                        around=150, tail=200)}""",
+        "price_rule_shortcut": f"""
+            WITH cands_in AS ({_ident.SYNTH_PRICE_CANDS_SQL}),
+            {_ident.price_shortcut_sql()}""",
     }

@@ -249,3 +249,200 @@ def plausible_match(df: DataFrame, query_col: str = "query_text",
     return (df.withColumn("query_token_count", F.size(q))
             .withColumn("overlap_count", overlap)
             .withColumn("plausible", plausible))
+
+
+# ---------------------------------------------------------------------------
+# Perplexity price-search pre-classifier
+# (perplexity_price_search_service.py:96-156)
+
+_SEP_RE = "[ \\t\\r\\n\\x0b\\f\\-_./]+"
+
+
+def price_rule_shortcut(cands: DataFrame) -> DataFrame:
+    """``_rule_shortcut``: the cheap deterministic verdict that spares
+    the LLM call.  Haystack = upper(name) + ' ' + upper(joined slug
+    tokens) with every separator run removed; NULL facets defer; empty
+    name AND empty slug list -> unverifiable 40; any (non-empty,
+    uppercased, NOT separator-stripped) SKU token contained in the
+    haystack -> exact 95 (a SKU carrying separators can never match —
+    pinned); ALL separator-stripped required tokens missing ->
+    mismatch 15 with the Python-list-repr note (a separator-only
+    required token normalizes to '' which is a substring of
+    everything, so it counts as PRESENT — pinned); else defer.
+
+    Also emits the ``_facets_hash`` canonical payload (sort_keys JSON
+    over upper brand/model, sorted upper sku_tokens, lower
+    product_type; 'none' for NULL facets) — the sha1 itself is pinned
+    in pytest (DuckDB has no sha1).
+
+    cands: (cand_id, product_name, url_slug_tokens array<string>,
+    has_facets boolean, brand, model, product_type,
+    sku_tokens array<string>, required_tokens array<string>)."""
+    name = F.upper(F.coalesce("product_name", F.lit("")))
+    slug_arr = F.coalesce("url_slug_tokens",
+                          F.array().cast("array<string>"))
+    slug = F.upper(F.array_join(slug_arr, " "))
+    hay = F.regexp_replace(F.concat(name, F.lit(" "), slug),
+                           _SEP_RE, "")
+    skus = F.filter(
+        F.transform(F.coalesce("sku_tokens",
+                               F.array().cast("array<string>")),
+                    F.upper), lambda t: t != "")
+    sku_hit = F.exists(skus, lambda t: hay.contains(t))
+    req = F.transform(
+        F.filter(F.coalesce("required_tokens",
+                            F.array().cast("array<string>")),
+                 lambda t: t.isNotNull() & (t != "")),
+        lambda t: F.regexp_replace(F.upper(t), _SEP_RE, ""))
+    missing = F.filter(req, lambda t: ~hay.contains(t))
+    all_missing = (F.size(missing) > 0) \
+        & (F.size(missing) == F.size(req))
+    note = F.concat(
+        F.lit("Brand/model tokens missing: ["),
+        F.array_join(F.transform(
+            missing, lambda t: F.concat(F.lit("'"), t, F.lit("'"))),
+            ", "), F.lit("]"))
+    empty_in = (name == "") & (F.size(slug_arr) == 0)
+    kind = (F.when(~F.col("has_facets"), "defer")
+            .when(empty_in, "unverifiable")
+            .when(sku_hit, "exact")
+            .when(all_missing, "mismatch")
+            .otherwise("defer"))
+    score = (F.when(kind == "unverifiable", 40)
+             .when(kind == "exact", 95)
+             .when(kind == "mismatch", 15)).cast("int")
+    payload = F.when(~F.col("has_facets"), "none").otherwise(F.concat(
+        F.lit('{"brand": "'),
+        F.upper(F.coalesce("brand", F.lit(""))),
+        F.lit('", "model": "'),
+        F.upper(F.coalesce("model", F.lit(""))),
+        F.lit('", "product_type": "'),
+        F.lower(F.coalesce("product_type", F.lit(""))),
+        F.lit('", "sku_tokens": ['),
+        F.array_join(F.transform(F.array_sort(F.transform(
+            F.coalesce("sku_tokens", F.array().cast("array<string>")),
+            F.upper)), lambda t: F.concat(F.lit('"'), t, F.lit('"'))),
+            ", "),
+        F.lit("]}")))
+    return cands.select(
+        "cand_id", kind.alias("match_kind"),
+        score.alias("match_score"),
+        F.when(kind == "mismatch", note).alias("match_note"),
+        payload.alias("facets_payload"))
+
+
+def price_shortcut_sql() -> str:
+    """DuckDB twin over a CTE cands_in (same shape)."""
+    sep = _SEP_RE
+    return f"""
+    b AS (SELECT cand_id, has_facets, brand, model, product_type,
+                 upper(coalesce(product_name, '')) AS name,
+                 coalesce(url_slug_tokens, CAST([] AS VARCHAR[]))
+                     AS slug_arr,
+                 coalesce(sku_tokens, CAST([] AS VARCHAR[])) AS skus0,
+                 coalesce(required_tokens, CAST([] AS VARCHAR[]))
+                     AS req0
+          FROM cands_in),
+    h AS (SELECT *, regexp_replace(name || ' '
+                 || upper(array_to_string(slug_arr, ' ')),
+                 '{sep}', '', 'g') AS hay,
+                 list_filter(list_transform(skus0, t -> upper(t)),
+                             t -> t <> '') AS skus,
+                 list_transform(list_filter(req0,
+                     t -> t IS NOT NULL AND t <> ''),
+                     t -> regexp_replace(upper(t), '{sep}', '', 'g'))
+                     AS req
+          FROM b),
+    k AS (SELECT *,
+        list_filter(req, t -> NOT contains(hay, t)) AS missing,
+        len(list_filter(skus, t -> contains(hay, t))) > 0 AS sku_hit,
+        name = '' AND len(slug_arr) = 0 AS empty_in
+        FROM h),
+    v AS (SELECT *, CASE
+            WHEN NOT has_facets THEN 'defer'
+            WHEN empty_in THEN 'unverifiable'
+            WHEN sku_hit THEN 'exact'
+            WHEN len(missing) > 0 AND len(missing) = len(req)
+                THEN 'mismatch'
+            ELSE 'defer' END AS match_kind
+          FROM k)
+    SELECT cand_id, match_kind,
+           CAST(CASE WHEN match_kind = 'unverifiable' THEN 40
+                     WHEN match_kind = 'exact' THEN 95
+                     WHEN match_kind = 'mismatch' THEN 15 END AS INT)
+               AS match_score,
+           CASE WHEN match_kind = 'mismatch'
+                THEN 'Brand/model tokens missing: ['
+                     || array_to_string(list_transform(missing,
+                            t -> '''' || t || ''''), ', ') || ']'
+           END AS match_note,
+           CASE WHEN NOT has_facets THEN 'none'
+                ELSE '{{"brand": "' || upper(coalesce(brand, ''))
+                     || '", "model": "' || upper(coalesce(model, ''))
+                     || '", "product_type": "'
+                     || lower(coalesce(product_type, ''))
+                     || '", "sku_tokens": ['
+                     || coalesce(array_to_string(list_transform(
+                            list_sort(list_transform(skus0,
+                                t -> upper(t))),
+                            t -> '"' || t || '"'), ', '), '')
+                     || ']}}' END AS facets_payload
+    FROM v"""
+
+
+def synth_price_cands(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    name = (F.when(e % 6 == 0, F.lit(""))
+            .when(e % 6 == 1, F.concat(F.lit("Blum Hinge 70T"),
+                                       (e % 9).cast("string")))
+            .when(e % 6 == 2, "Generic cabinet part")
+            .otherwise(F.concat(F.lit("AlfaModell "),
+                                (e % 5).cast("string"))))
+    slug = (F.when(e % 6 == 0, F.array().cast("array<string>"))
+            .when(e % 4 == 0, F.array(F.lit("blum"), F.concat(
+                F.lit("70t"), (e % 9).cast("string"))))
+            .otherwise(F.array(F.lit("shop"), F.lit("item"))))
+    skus = (F.when(e % 5 == 0, F.array(F.concat(
+        F.lit("70T"), (e % 9).cast("string"))))
+        .when(e % 5 == 1, F.array(F.lit("AB-12"), F.lit("")))
+        .otherwise(F.array().cast("array<string>")))
+    req = (F.when(e % 3 == 0, F.array(F.lit("Blum"),
+                                      F.lit("Modell")))
+           .when(e % 3 == 1, F.array(F.lit("Zeta"), F.lit("Q9")))
+           .otherwise(F.array().cast("array<string>")))
+    return events.select(
+        e.alias("cand_id"), name.alias("product_name"),
+        slug.alias("url_slug_tokens"),
+        (e % 7 != 6).alias("has_facets"),
+        F.when(e % 2 == 0, "Blum").alias("brand"),
+        F.when(e % 3 == 0, F.concat(F.lit("Modell"),
+                                    (e % 4).cast("string")))
+        .alias("model"),
+        F.when(e % 4 == 0, "Hinge").alias("product_type"),
+        skus.alias("sku_tokens"), req.alias("required_tokens"))
+
+
+SYNTH_PRICE_CANDS_SQL = """
+SELECT event_id AS cand_id,
+       CASE WHEN event_id % 6 = 0 THEN ''
+            WHEN event_id % 6 = 1
+                THEN 'Blum Hinge 70T' || (event_id % 9)
+            WHEN event_id % 6 = 2 THEN 'Generic cabinet part'
+            ELSE 'Alfa Modell ' || (event_id % 5) END
+           AS product_name,
+       CASE WHEN event_id % 6 = 0 THEN CAST([] AS VARCHAR[])
+            WHEN event_id % 4 = 0
+                THEN ['blum', '70t' || (event_id % 9)]
+            ELSE ['shop', 'item'] END AS url_slug_tokens,
+       event_id % 7 <> 6 AS has_facets,
+       CASE WHEN event_id % 2 = 0 THEN 'Blum' END AS brand,
+       CASE WHEN event_id % 3 = 0
+            THEN 'Modell' || (event_id % 4) END AS model,
+       CASE WHEN event_id % 4 = 0 THEN 'Hinge' END AS product_type,
+       CASE WHEN event_id % 5 = 0 THEN ['70T' || (event_id % 9)]
+            WHEN event_id % 5 = 1 THEN ['AB-12', '']
+            ELSE CAST([] AS VARCHAR[]) END AS sku_tokens,
+       CASE WHEN event_id % 3 = 0 THEN ['Blum', 'Modell']
+            WHEN event_id % 3 = 1 THEN ['Zeta', 'Q9']
+            ELSE CAST([] AS VARCHAR[]) END AS required_tokens
+FROM events"""
