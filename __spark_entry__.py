@@ -3614,6 +3614,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             identity.synth_price_cands(_events(spark, sf_dir)))
     q["price_rule_shortcut"] = price_rule_shortcut
 
+    def price_source_merge(spark, sf_dir):
+        # Perplexity x DataForSEO merge: all Perplexity rows survive,
+        # merchants dedupe first-wins on (retailer, title[:80]) BEFORE
+        # the slug-overlap skip (pinned), survivors take Shopping-feed
+        # constants, final stable price-asc order (NULLs last)
+        # (perplexity_price_search_service.py:1259-1361)
+        from mivaa_pdf_extractor_spark.operators import prices
+        ev = _events(spark, sf_dir)
+        return prices.merge_price_sources(prices.synth_phits(ev),
+                                          prices.synth_dhits(ev))
+    q["price_source_merge"] = price_source_merge
+
+    def price_cross_discrepancies(spark, sf_dir):
+        # the >20%-gap cross-source side-record; the reference's
+        # set-iteration overlap pick is canonicalized to the smallest
+        # matching domain + first Perplexity hit on it
+        # (perplexity_price_search_service.py:1318-1338)
+        from mivaa_pdf_extractor_spark.operators import prices
+        ev = _events(spark, sf_dir)
+        return prices.price_discrepancies(prices.synth_phits(ev),
+                                          prices.synth_dhits(ev))
+    q["price_cross_discrepancies"] = price_cross_discrepancies
+
     return q
 
 
@@ -4445,6 +4468,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import product_extract \
         as _pex
     from mivaa_pdf_extractor_spark.operators import identity as _ident
+    from mivaa_pdf_extractor_spark.operators import prices as _prices
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8159,4 +8183,12 @@ def oracle_sql() -> dict[str, str]:
         "price_rule_shortcut": f"""
             WITH cands_in AS ({_ident.SYNTH_PRICE_CANDS_SQL}),
             {_ident.price_shortcut_sql()}""",
+        "price_source_merge": f"""
+            WITH phits_in AS ({_prices.SYNTH_PHITS_SQL}),
+            dhits_in AS ({_prices.SYNTH_DHITS_SQL}),
+            {_prices.merge_sources_sql()}""",
+        "price_cross_discrepancies": f"""
+            WITH phits_in AS ({_prices.SYNTH_PHITS_SQL}),
+            dhits_in AS ({_prices.SYNTH_DHITS_SQL}),
+            {_prices.discrepancies_sql()}""",
     }

@@ -129,7 +129,8 @@ BENCH_QUERIES = [
     # round 4 continuation: chunk metadata mining
     "product_meta_extract", "product_name_extract",
     "metadata_scope_detect", "smart_section_extract",
-    "price_rule_shortcut",
+    "price_rule_shortcut", "price_source_merge",
+    "price_cross_discrepancies",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

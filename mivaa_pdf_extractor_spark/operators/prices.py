@@ -154,6 +154,13 @@ def domain_of(url: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+def domain_of_sql(col: str) -> str:
+    """DuckDB twin of ``domain_of`` over a column expression."""
+    return ("regexp_replace(nullif(lower(regexp_extract(trim(" + col
+            + "), '(?i)^https?://([^/]+)', 1)), ''), "
+            + "'^www\\.', '')")
+
+
 def _sorted_median(vals: str) -> str:
     """SQL expr: median of a sorted array<double> named ``vals`` —
     ``values[n//2]`` if odd else mean of the middle two
@@ -443,3 +450,287 @@ def brand_retailer_index(history: DataFrame) -> DataFrame:
         .groupBy(F.col("brand"), F.col("__domain").alias("retailer_domain"),
                  F.col("country_code"))
         .agg(F.count(F.lit(1)).alias("hit_count")))
+
+
+# ---------------------------------------------------------------------------
+# cross-source price merges
+# (perplexity_price_search_service.py:1259-1406)
+
+
+def merge_price_sources(phits: DataFrame, dhits: DataFrame) -> DataFrame:
+    """``_merge_with_dataforseo``: every Perplexity hit survives
+    (source defaults 'perplexity'); DataForSEO merchants dedupe
+    first-wins on (lower retailer, lower title[:80]) — recorded
+    BEFORE the overlap check, so later duplicates of a skipped
+    merchant stay skipped (pinned) — and drop entirely when the
+    retailer slug (spaces/dots removed) is a substring of any
+    Perplexity domain; survivors take the Shopping-feed constants
+    (price_unit 'piece', availability 'in_stock', the DataForSEO
+    notes string).  Final order = price ascending, NULL last, stable
+    (Perplexity rows before DataForSEO rows, each in input order).
+
+    phits: (qid, ord, retailer_name, product_url, product_title,
+    price, source); dhits: (qid, ord, retailer_name, product_title,
+    product_url, price)."""
+    p = phits.select(
+        "qid", "ord", "retailer_name", "product_url", "product_title",
+        "price", F.coalesce("source", F.lit("perplexity"))
+        .alias("source"), F.lit(None).cast("string").alias("notes"),
+        F.lit(1).alias("tier"))
+    pdom = (phits.select("qid", domain_of(F.col("product_url"))
+                         .alias("d")).where(F.col("d").isNotNull())
+            .distinct())
+    slug = F.regexp_replace(
+        F.lower(F.trim(F.coalesce("retailer_name", F.lit("")))),
+        "[ .]", "")
+    dk = (dhits
+          .withColumn("rk", F.lower(F.trim(F.coalesce(
+              "retailer_name", F.lit("")))))
+          .withColumn("tk", F.lower(F.trim(
+              F.coalesce("product_title", F.lit("")).substr(1, 80))))
+          .withColumn("slug", slug))
+    first = (dk.groupBy("qid", "rk", "tk")
+             .agg(F.min(F.struct("ord", "retailer_name",
+                                 "product_title", "product_url",
+                                 "price", "slug")).alias("w")))
+    overl = (first.join(pdom, "qid")
+             .where((F.col("w")["slug"] != "")
+                    & F.regexp_replace(F.col("d"), "\\.", "")
+                    .contains(F.col("w")["slug"]))
+             .select("qid", "rk", "tk").distinct())
+    kept = (first.join(overl, ["qid", "rk", "tk"], "left_anti")
+            .select("qid", F.col("w")["ord"].alias("ord"),
+                    F.col("w")["retailer_name"].alias("retailer_name"),
+                    F.col("w")["product_url"].alias("product_url"),
+                    F.col("w")["product_title"].alias("product_title"),
+                    F.col("w")["price"].alias("price"),
+                    F.lit("dataforseo").alias("source"),
+                    F.lit("via Google Shopping (DataForSEO)")
+                    .alias("notes"), F.lit(2).alias("tier")))
+    u = p.unionByName(kept)
+    from pyspark.sql import Window
+    wr = Window.partitionBy("qid").orderBy(
+        F.coalesce("price", F.lit(float("inf"))), "tier", "ord")
+    return (u.withColumn("rank", F.row_number().over(wr))
+            .select("qid", "rank", "source", "retailer_name",
+                    "product_url", "product_title", "price", "notes"))
+
+
+def merge_sources_sql() -> str:
+    """DuckDB twin over CTEs phits_in, dhits_in."""
+    dom = domain_of_sql("product_url")
+    return f"""
+    p AS (SELECT qid, ord, retailer_name, product_url, product_title,
+                 price, coalesce(source, 'perplexity') AS source,
+                 CAST(NULL AS VARCHAR) AS notes, 1 AS tier
+          FROM phits_in),
+    pdom AS (SELECT DISTINCT qid, {dom} AS d FROM phits_in
+             WHERE {dom} IS NOT NULL),
+    dk AS (SELECT *, lower(trim(coalesce(retailer_name, ''))) AS rk,
+                  lower(trim(substring(coalesce(product_title, ''),
+                                       1, 80))) AS tk,
+                  regexp_replace(lower(trim(coalesce(retailer_name,
+                      ''))), '[ .]', '', 'g') AS slug
+           FROM dhits_in),
+    first_d AS (SELECT qid, rk, tk,
+                       min(struct_pack(ord := ord,
+                           retailer_name := retailer_name,
+                           product_title := product_title,
+                           product_url := product_url,
+                           price := price, slug := slug)) AS w
+                FROM dk GROUP BY 1, 2, 3),
+    overl AS (SELECT DISTINCT f.qid, f.rk, f.tk
+              FROM first_d f JOIN pdom USING (qid)
+              WHERE (f.w).slug <> ''
+                AND contains(replace(pdom.d, '.', ''), (f.w).slug)),
+    kept AS (SELECT f.qid, (f.w).ord AS ord,
+                    (f.w).retailer_name AS retailer_name,
+                    (f.w).product_url AS product_url,
+                    (f.w).product_title AS product_title,
+                    (f.w).price AS price, 'dataforseo' AS source,
+                    'via Google Shopping (DataForSEO)' AS notes,
+                    2 AS tier
+             FROM first_d f
+             WHERE NOT EXISTS (SELECT 1 FROM overl o
+                 WHERE o.qid = f.qid AND o.rk = f.rk
+                   AND o.tk = f.tk)),
+    u AS (SELECT * FROM p UNION ALL SELECT * FROM kept)
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY coalesce(price, CAST('inf' AS DOUBLE)),
+                        tier, ord) AS INT) AS rank,
+           source, retailer_name, product_url, product_title, price,
+           notes
+    FROM u"""
+
+
+def price_discrepancies(phits: DataFrame, dhits: DataFrame,
+                        threshold: float = 0.20) -> DataFrame:
+    """The cross-source disagreement side-record: for each
+    overlap-skipped merchant whose price and the matched Perplexity
+    hit's price differ by more than the threshold, emit the
+    discrepancy row.  The reference picks the overlap via SET
+    iteration; the twin canonicalizes to the smallest matching
+    domain, then the first (by ord) Perplexity hit on it."""
+    pdom = (phits.select("qid", "ord", "price",
+                         domain_of(F.col("product_url")).alias("d"))
+            .where(F.col("d").isNotNull()))
+    slug = F.regexp_replace(
+        F.lower(F.trim(F.coalesce("retailer_name", F.lit("")))),
+        "[ .]", "")
+    dk = (dhits.withColumn("slug", slug)
+          .withColumn("rk", F.lower(F.trim(F.coalesce(
+              "retailer_name", F.lit("")))))
+          .withColumn("tk", F.lower(F.trim(
+              F.coalesce("product_title", F.lit("")).substr(1, 80)))))
+    first = (dk.groupBy("qid", "rk", "tk")
+             .agg(F.min(F.struct("ord", "retailer_name", "price",
+                                 "slug")).alias("w")))
+    j = (first.join(pdom, "qid")
+         .where((F.col("w")["slug"] != "")
+                & F.regexp_replace(F.col("d"), "\\.", "")
+                .contains(F.col("w")["slug"])))
+    best = (j.groupBy("qid", "rk", "tk")
+            .agg(F.min(F.struct("d", "ord", F.col("price")
+                                .alias("pprice"),
+                                F.col("w").alias("w"))).alias("m")))
+    m = F.col("m")
+    delta = (F.abs(m["pprice"] - m["w"]["price"]) / m["pprice"])
+    return (best
+            .where(m["pprice"].isNotNull() & (m["pprice"] != 0)
+                   & m["w"]["price"].isNotNull()
+                   & (m["w"]["price"] != 0) & (delta > threshold))
+            .select("qid", m["w"]["retailer_name"]
+                    .alias("retailer_name"),
+                    m["d"].alias("retailer_domain"),
+                    m["pprice"].alias("perplexity_price"),
+                    m["w"]["price"].alias("dataforseo_price"),
+                    (F.floor(delta * 100 * 100 + 0.5) / 100)
+                    .alias("delta_pct"),
+                    F.lit("perplexity").alias("decided_source")))
+
+
+def discrepancies_sql(threshold: float = 0.20) -> str:
+    dom = domain_of_sql("product_url")
+    return f"""
+    pdom AS (SELECT qid, ord, price, {dom} AS d FROM phits_in
+             WHERE {dom} IS NOT NULL),
+    dk AS (SELECT *, lower(trim(coalesce(retailer_name, ''))) AS rk,
+                  lower(trim(substring(coalesce(product_title, ''),
+                                       1, 80))) AS tk,
+                  regexp_replace(lower(trim(coalesce(retailer_name,
+                      ''))), '[ .]', '', 'g') AS slug
+           FROM dhits_in),
+    first_d AS (SELECT qid, rk, tk,
+                       min(struct_pack(ord := ord,
+                           retailer_name := retailer_name,
+                           price := price, slug := slug)) AS w
+                FROM dk GROUP BY 1, 2, 3),
+    j AS (SELECT f.qid, f.rk, f.tk,
+                 min(struct_pack(d := p.d, ord := p.ord,
+                     pprice := p.price, w := f.w)) AS m
+          FROM first_d f JOIN pdom p USING (qid)
+          WHERE (f.w).slug <> ''
+            AND contains(replace(p.d, '.', ''), (f.w).slug)
+          GROUP BY 1, 2, 3)
+    SELECT qid, (m).w.retailer_name AS retailer_name,
+           (m).d AS retailer_domain,
+           (m).pprice AS perplexity_price,
+           (m).w.price AS dataforseo_price,
+           floor(abs((m).pprice - (m).w.price) / (m).pprice
+                 * 100 * 100 + 0.5e0) / 100 AS delta_pct,
+           'perplexity' AS decided_source
+    FROM j
+    WHERE (m).pprice IS NOT NULL AND (m).pprice <> 0
+      AND (m).w.price IS NOT NULL AND (m).w.price <> 0
+      AND abs((m).pprice - (m).w.price) / (m).pprice
+          > CAST({threshold} AS DOUBLE)"""
+
+
+def synth_phits(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    base = (events.select((e % 30).alias("qid"),
+                          F.expr("(event_id div 30) % 4").cast("int")
+                          .alias("ord")).distinct())
+    q, o = F.col("qid"), F.col("ord")
+    url = (F.when((q + o) % 5 == 0, F.concat(
+        F.lit("https://www.youbath"), (q % 3).cast("string"),
+        F.lit(".gr/product/a"), o.cast("string")))
+        .when((q + o) % 5 == 1, F.concat(
+            F.lit("http://casasolutions"), (q % 2).cast("string"),
+            F.lit(".com/p/b")))
+        .otherwise(F.concat(F.lit("https://shop"), q.cast("string"),
+                            F.lit(".gr/item/"), o.cast("string"))))
+    return (base.where(o < 1 + q % 3)
+            .select("qid", "ord",
+                    F.concat(F.lit("Retail "), q.cast("string"),
+                             F.lit("-"), o.cast("string"))
+                    .alias("retailer_name"), url.alias("product_url"),
+                    F.concat(F.lit("Title "), o.cast("string"))
+                    .alias("product_title"),
+                    F.when((q + o) % 7 == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(((q * 3 + o * 5) % 40 + 8)
+                               * F.lit(0.25)).alias("price"),
+                    F.when(o % 2 == 0, "perplexity").alias("source")))
+
+
+SYNTH_PHITS_SQL = """
+SELECT qid, ord, 'Retail ' || qid || '-' || ord AS retailer_name,
+       CASE WHEN (qid + ord) % 5 = 0
+                THEN 'https://www.youbath' || (qid % 3)
+                     || '.gr/product/a' || ord
+            WHEN (qid + ord) % 5 = 1
+                THEN 'http://casasolutions' || (qid % 2) || '.com/p/b'
+            ELSE 'https://shop' || qid || '.gr/item/' || ord END
+           AS product_url,
+       'Title ' || ord AS product_title,
+       CASE WHEN (qid + ord) % 7 = 0 THEN NULL
+            ELSE ((qid * 3 + ord * 5) % 40 + 8) * CAST(0.25 AS DOUBLE)
+       END AS price,
+       CASE WHEN ord % 2 = 0 THEN 'perplexity' END AS source
+FROM (SELECT DISTINCT event_id % 30 AS qid,
+             CAST((event_id // 30) % 4 AS INT) AS ord FROM events)
+WHERE ord < 1 + qid % 3"""
+
+
+def synth_dhits(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    base = (events.select((e % 30).alias("qid"),
+                          F.expr("(event_id div 30) % 5").cast("int")
+                          .alias("ord")).distinct())
+    q, o = F.col("qid"), F.col("ord")
+    retailer = (F.when(o == 0, F.concat(
+        F.lit("You Bath"), (q % 3).cast("string")))  # slug overlap
+        .when(o == 1, F.concat(F.lit("Casa.Solutions"),
+                               (q % 2).cast("string")))
+        .otherwise(F.concat(F.lit("Merchant "), o.cast("string"))))
+    title = (F.when(o == 4, "Title dup")  # dedup fodder with o == 3
+             .when(o == 3, "Title dup")
+             .otherwise(F.concat(F.lit("Feed title "),
+                                 o.cast("string"))))
+    return (base.where(o < 2 + q % 3)
+            .select("qid", "ord", retailer.alias("retailer_name"),
+                    title.alias("product_title"),
+                    F.concat(F.lit("https://google.gr/search?q="),
+                             q.cast("string")).alias("product_url"),
+                    F.when((q + o) % 6 == 5,
+                           F.lit(None).cast("double"))
+                    .otherwise(((q * 7 + o * 3) % 40 + 6)
+                               * F.lit(0.25)).alias("price")))
+
+
+SYNTH_DHITS_SQL = """
+SELECT qid, ord,
+       CASE WHEN ord = 0 THEN 'You Bath' || (qid % 3)
+            WHEN ord = 1 THEN 'Casa.Solutions' || (qid % 2)
+            ELSE 'Merchant ' || ord END AS retailer_name,
+       CASE WHEN ord = 4 THEN 'Title dup'
+            WHEN ord = 3 THEN 'Title dup'
+            ELSE 'Feed title ' || ord END AS product_title,
+       'https://google.gr/search?q=' || qid AS product_url,
+       CASE WHEN (qid + ord) % 6 = 5 THEN NULL
+            ELSE ((qid * 7 + ord * 3) % 40 + 6) * CAST(0.25 AS DOUBLE)
+       END AS price
+FROM (SELECT DISTINCT event_id % 30 AS qid,
+             CAST((event_id // 30) % 5 AS INT) AS ord FROM events)
+WHERE ord < 2 + qid % 3"""
