@@ -3637,6 +3637,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           prices.synth_dhits(ev))
     q["price_cross_discrepancies"] = price_cross_discrepancies
 
+    def price_greek_merge(spark, sf_dir):
+        # Greek-marketplace override merge: URL-keyed last-wins with
+        # first-insertion position (dict semantics), domain-covered
+        # existing rows dropped, greek URLs first-wins appended,
+        # stable price-asc order
+        # (perplexity_price_search_service.py:1364-1406)
+        from mivaa_pdf_extractor_spark.operators import prices
+        ev = _events(spark, sf_dir)
+        return prices.merge_greek_hits(prices.synth_greek_existing(ev),
+                                       prices.synth_greek_hits(ev))
+    q["price_greek_merge"] = price_greek_merge
+
     return q
 
 
@@ -8191,4 +8203,8 @@ def oracle_sql() -> dict[str, str]:
             WITH phits_in AS ({_prices.SYNTH_PHITS_SQL}),
             dhits_in AS ({_prices.SYNTH_DHITS_SQL}),
             {_prices.discrepancies_sql()}""",
+        "price_greek_merge": f"""
+            WITH existing_in AS ({_prices.SYNTH_GREEK_EXISTING_SQL}),
+            greek_in AS ({_prices.SYNTH_GREEK_HITS_SQL}),
+            {_prices.merge_greek_sql()}""",
     }

@@ -130,7 +130,7 @@ BENCH_QUERIES = [
     "product_meta_extract", "product_name_extract",
     "metadata_scope_detect", "smart_section_extract",
     "price_rule_shortcut", "price_source_merge",
-    "price_cross_discrepancies",
+    "price_cross_discrepancies", "price_greek_merge",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -734,3 +734,170 @@ SELECT qid, ord,
 FROM (SELECT DISTINCT event_id % 30 AS qid,
              CAST((event_id // 30) % 5 AS INT) AS ord FROM events)
 WHERE ord < 2 + qid % 3"""
+
+
+def merge_greek_hits(existing: DataFrame, greek: DataFrame) -> DataFrame:
+    """``_merge_with_greek_marketplaces``: existing rows key by
+    stripped URL with LAST-wins overwrite that KEEPS the first
+    occurrence's position (dict semantics — pinned); rows whose
+    domain the greek pass covered are dropped; greek rows add
+    FIRST-wins per URL after the existing block; final stable
+    price-asc order, NULLs last.
+
+    existing: (qid, ord, product_url, price, source); greek:
+    (qid, ord, product_url, price, source)."""
+    ex = existing.withColumn("k", F.trim(F.coalesce("product_url",
+                                                    F.lit(""))))
+    exk = ex.where(F.col("k") != "")
+    # dict overwrite: LAST value, FIRST position
+    byurl = (exk.groupBy("qid", "k")
+             .agg(F.max(F.struct("ord", "price", "source",
+                                 F.col("product_url").alias("u")))
+                  .alias("last"),
+                  F.min("ord").alias("pos")))
+    gdom = (greek.where(F.col("product_url").isNotNull())
+            .select("qid", domain_of(F.col("product_url")).alias("d"))
+            .where(F.col("d").isNotNull()).distinct())
+    kept = (byurl.withColumn("d", domain_of(F.col("last")["u"]))
+            .join(gdom, ["qid", "d"], "left_anti"))
+    gk = greek.withColumn("k", F.trim(F.coalesce("product_url",
+                                                 F.lit(""))))
+    gfirst = (gk.where(F.col("k") != "")
+              .groupBy("qid", "k")
+              .agg(F.min(F.struct("ord", "price", "source",
+                                  F.col("product_url").alias("u")))
+                   .alias("g")))
+    gnew = (gfirst.join(kept.select("qid", "k"), ["qid", "k"],
+                        "left_anti")
+            .select("qid", "k", F.col("g")["u"].alias("product_url"),
+                    F.col("g")["price"].alias("price"),
+                    F.col("g")["source"].alias("source"),
+                    (F.col("g")["ord"] + 1000000).alias("pos")))
+    exout = kept.select("qid", "k",
+                        F.col("last")["u"].alias("product_url"),
+                        F.col("last")["price"].alias("price"),
+                        F.col("last")["source"].alias("source"),
+                        "pos")
+    u = exout.unionByName(gnew)
+    from pyspark.sql import Window
+    wr = Window.partitionBy("qid").orderBy(
+        F.coalesce("price", F.lit(float("inf"))), "pos")
+    return (u.withColumn("rank", F.row_number().over(wr))
+            .select("qid", "rank", "product_url", "price", "source"))
+
+
+def merge_greek_sql() -> str:
+    dom_u = domain_of_sql("(last).u")
+    dom_g = domain_of_sql("product_url")
+    return f"""
+    ex AS (SELECT *, trim(coalesce(product_url, '')) AS k
+           FROM existing_in),
+    byurl AS (SELECT qid, k,
+                     max(struct_pack(ord := ord, price := price,
+                         source := source, u := product_url)) AS last,
+                     min(ord) AS pos
+              FROM ex WHERE k <> '' GROUP BY 1, 2),
+    gdom AS (SELECT DISTINCT qid, {dom_g} AS d FROM greek_in
+             WHERE product_url IS NOT NULL AND {dom_g} IS NOT NULL),
+    kept AS (SELECT b.* FROM byurl b
+             WHERE NOT EXISTS (SELECT 1 FROM gdom g
+                 WHERE g.qid = b.qid AND g.d = {dom_u})),
+    gfirst AS (SELECT qid, trim(coalesce(product_url, '')) AS k,
+                      min(struct_pack(ord := ord, price := price,
+                          source := source, u := product_url)) AS g
+               FROM greek_in WHERE trim(coalesce(product_url, ''))
+                   <> ''
+               GROUP BY 1, 2),
+    gnew AS (SELECT f.qid, f.k, (f.g).u AS product_url,
+                    (f.g).price AS price, (f.g).source AS source,
+                    (f.g).ord + 1000000 AS pos
+             FROM gfirst f
+             WHERE NOT EXISTS (SELECT 1 FROM kept x
+                 WHERE x.qid = f.qid AND x.k = f.k)),
+    u AS (SELECT qid, k, (last).u AS product_url,
+                 (last).price AS price, (last).source AS source, pos
+          FROM kept
+          UNION ALL SELECT * FROM gnew)
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY coalesce(price, CAST('inf' AS DOUBLE)), pos)
+               AS INT) AS rank,
+           product_url, price, source
+    FROM u"""
+
+
+def synth_greek_existing(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    base = (events.select((e % 25).alias("qid"),
+                          F.expr("(event_id div 25) % 4").cast("int")
+                          .alias("ord")).distinct())
+    q, o = F.col("qid"), F.col("ord")
+    url = (F.when(o == 3, F.concat(  # duplicate URL of ord 0
+        F.lit("https://alpha"), (q % 3).cast("string"),
+        F.lit(".gr/p1")))
+        .when(o == 0, F.concat(F.lit("https://alpha"),
+                               (q % 3).cast("string"), F.lit(".gr/p1")))
+        .when(o == 1, F.concat(F.lit("https://beta"),
+                               (q % 2).cast("string"),
+                               F.lit(".gr/p2")))
+        .otherwise(F.concat(F.lit("https://gamma"), q.cast("string"),
+                            F.lit(".com/p3"))))
+    return (base.where(o < 2 + q % 3)
+            .select("qid", "ord", url.alias("product_url"),
+                    F.when((q + o) % 6 == 4, F.lit(None)
+                           .cast("double"))
+                    .otherwise(((q * 5 + o * 7) % 30 + 4)
+                               * F.lit(0.5)).alias("price"),
+                    F.lit("perplexity_web_search").alias("source")))
+
+
+SYNTH_GREEK_EXISTING_SQL = """
+SELECT qid, ord,
+       CASE WHEN ord = 3 OR ord = 0
+                THEN 'https://alpha' || (qid % 3) || '.gr/p1'
+            WHEN ord = 1 THEN 'https://beta' || (qid % 2) || '.gr/p2'
+            ELSE 'https://gamma' || qid || '.com/p3' END
+           AS product_url,
+       CASE WHEN (qid + ord) % 6 = 4 THEN NULL
+            ELSE ((qid * 5 + ord * 7) % 30 + 4) * CAST(0.5 AS DOUBLE)
+       END AS price,
+       'perplexity_web_search' AS source
+FROM (SELECT DISTINCT event_id % 25 AS qid,
+             CAST((event_id // 25) % 4 AS INT) AS ord FROM events)
+WHERE ord < 2 + qid % 3"""
+
+
+def synth_greek_hits(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    base = (events.select((e % 25).alias("qid"),
+                          F.expr("(event_id div 25) % 3").cast("int")
+                          .alias("ord")).distinct())
+    q, o = F.col("qid"), F.col("ord")
+    url = (F.when(o == 0, F.concat(  # same domain as existing beta
+        F.lit("https://beta"), (q % 2).cast("string"),
+        F.lit(".gr/shop/a")))
+        .when(o == 1, F.concat(F.lit("https://beta"),
+                               (q % 2).cast("string"),
+                               F.lit(".gr/shop/b")))
+        .otherwise(F.concat(F.lit("https://delta"), q.cast("string"),
+                            F.lit(".gr/x"))))
+    return (base.where((q % 4 != 0) & (o < 1 + q % 3))
+            .select("qid", "ord", url.alias("product_url"),
+                    (((q * 11 + o) % 28 + 3) * F.lit(0.5))
+                    .alias("price"),
+                    F.when(o % 2 == 0, "skroutz").otherwise("bestprice")
+                    .alias("source")))
+
+
+SYNTH_GREEK_HITS_SQL = """
+SELECT qid, ord,
+       CASE WHEN ord = 0
+                THEN 'https://beta' || (qid % 2) || '.gr/shop/a'
+            WHEN ord = 1
+                THEN 'https://beta' || (qid % 2) || '.gr/shop/b'
+            ELSE 'https://delta' || qid || '.gr/x' END AS product_url,
+       ((qid * 11 + ord) % 28 + 3) * CAST(0.5 AS DOUBLE) AS price,
+       CASE WHEN ord % 2 = 0 THEN 'skroutz' ELSE 'bestprice' END
+           AS source
+FROM (SELECT DISTINCT event_id % 25 AS qid,
+             CAST((event_id // 25) % 3 AS INT) AS ord FROM events)
+WHERE qid % 4 <> 0 AND ord < 1 + qid % 3"""
