@@ -3649,6 +3649,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        prices.synth_greek_hits(ev))
     q["price_greek_merge"] = price_greek_merge
 
+    def icon_route_split(spark, sf_dir):
+        # icon-vs-material routing: shape rules (< 200px, aspect in
+        # [0.5, 2]), DECORATIVE override into the pool, the per-page
+        # >= 3 grid gate counting BOTH pools, NULL pages never count
+        # (image_processing_service.py:880-1032)
+        from mivaa_pdf_extractor_spark.operators import icon_split
+        return icon_split.split_icon_candidates(
+            icon_split.synth_icon_images(_events(spark, sf_dir)))
+    q["icon_route_split"] = icon_route_split
+
+    def vision_json_validate(spark, sf_dir):
+        # vision-analysis parse + validation: fence strip, plain
+        # parse, greedy first-to-last brace fallback, non-empty-dict
+        # gate, >= 4 of 12 fields populated (''/[]/{} empty)
+        # (image_processing_service.py:1060-1135)
+        from mivaa_pdf_extractor_spark.operators import icon_split
+        return icon_split.validate_vision_json(
+            icon_split.synth_vision_raws(_events(spark, sf_dir)))
+    q["vision_json_validate"] = vision_json_validate
+
     return q
 
 
@@ -4481,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
         as _pex
     from mivaa_pdf_extractor_spark.operators import identity as _ident
     from mivaa_pdf_extractor_spark.operators import prices as _prices
+    from mivaa_pdf_extractor_spark.operators import icon_split as _icon
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8207,4 +8228,10 @@ def oracle_sql() -> dict[str, str]:
             WITH existing_in AS ({_prices.SYNTH_GREEK_EXISTING_SQL}),
             greek_in AS ({_prices.SYNTH_GREEK_HITS_SQL}),
             {_prices.merge_greek_sql()}""",
+        "icon_route_split": f"""
+            WITH images_in AS ({_icon.SYNTH_ICON_IMAGES_SQL}),
+            {_icon.icon_split_sql()}""",
+        "vision_json_validate": f"""
+            WITH rows_in AS ({_icon.SYNTH_VISION_RAWS_SQL}),
+            {_icon.vision_validate_sql()}""",
     }

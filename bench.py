@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "metadata_scope_detect", "smart_section_extract",
     "price_rule_shortcut", "price_source_merge",
     "price_cross_discrepancies", "price_greek_merge",
+    # round 4 continuation: icon routing + vision JSON validation
+    "icon_route_split", "vision_json_validate",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
