@@ -3669,6 +3669,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             icon_split.synth_vision_raws(_events(spark, sf_dir)))
     q["vision_json_validate"] = vision_json_validate
 
+    def price_source_label(spark, sf_dir):
+        # competitor_source_type enum mapping with the
+        # perplexity_web_search fallback
+        # (tracked_queries_service.py:125-144)
+        from mivaa_pdf_extractor_spark.operators import prices
+        return prices.map_source_labels(
+            prices.synth_source_hits(_events(spark, sf_dir)))
+    q["price_source_label"] = price_source_label
+
     return q
 
 
@@ -8234,4 +8243,7 @@ def oracle_sql() -> dict[str, str]:
         "vision_json_validate": f"""
             WITH rows_in AS ({_icon.SYNTH_VISION_RAWS_SQL}),
             {_icon.vision_validate_sql()}""",
+        "price_source_label": f"""
+            WITH hits_in AS ({_prices.SYNTH_SOURCE_HITS_SQL})
+            {_prices.source_labels_sql()}""",
     }

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "price_cross_discrepancies", "price_greek_merge",
     # round 4 continuation: icon routing + vision JSON validation
     "icon_route_split", "vision_json_validate",
+    "price_source_label",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -901,3 +901,59 @@ SELECT qid, ord,
 FROM (SELECT DISTINCT event_id % 25 AS qid,
              CAST((event_id // 25) % 3 AS INT) AS ord FROM events)
 WHERE qid % 4 <> 0 AND ord < 1 + qid % 3"""
+
+
+SOURCE_LABELS = {
+    "firecrawl": "firecrawl_url",
+    "dataforseo": "dataforseo_shopping",
+    "skroutz": "marketplace_skroutz",
+    "bestprice": "marketplace_bestprice",
+    "shopflix": "marketplace_shopflix",
+    "idealo": "idealo",
+}
+
+
+def map_source_labels(hits: DataFrame) -> DataFrame:
+    """``_map_source_label`` (tracked_queries_service.py:125-144):
+    lowercase exact match into the persisted enum, everything else
+    (including NULL/empty) falls back to perplexity_web_search so the
+    row never fails the enum constraint.  hits: (hit_id, source)."""
+    s = F.lower(F.coalesce("source", F.lit("")))
+    lab = F.lit("perplexity_web_search")
+    for k, v in reversed(list(SOURCE_LABELS.items())):
+        lab = F.when(s == k, v).otherwise(lab)
+    return hits.select("hit_id", lab.alias("source_label"))
+
+
+def source_labels_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'"
+                     for k, v in SOURCE_LABELS.items())
+    return f"""
+    SELECT hit_id, CASE lower(coalesce(source, '')) {whens}
+           ELSE 'perplexity_web_search' END AS source_label
+    FROM hits_in"""
+
+
+def synth_source_hits(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    src = (F.when(e % 9 == 0, "Firecrawl").when(e % 9 == 1, "dataforseo")
+           .when(e % 9 == 2, "SKROUTZ").when(e % 9 == 3, "bestprice")
+           .when(e % 9 == 4, "shopflix").when(e % 9 == 5, "idealo")
+           .when(e % 9 == 6, "unknown-source")
+           .when(e % 9 == 7, F.lit(None).cast("string"))
+           .otherwise(""))
+    return events.select(e.alias("hit_id"), src.alias("source"))
+
+
+SYNTH_SOURCE_HITS_SQL = """
+SELECT event_id AS hit_id,
+       CASE WHEN event_id % 9 = 0 THEN 'Firecrawl'
+            WHEN event_id % 9 = 1 THEN 'dataforseo'
+            WHEN event_id % 9 = 2 THEN 'SKROUTZ'
+            WHEN event_id % 9 = 3 THEN 'bestprice'
+            WHEN event_id % 9 = 4 THEN 'shopflix'
+            WHEN event_id % 9 = 5 THEN 'idealo'
+            WHEN event_id % 9 = 6 THEN 'unknown-source'
+            WHEN event_id % 9 = 7 THEN NULL
+            ELSE '' END AS source
+FROM events"""
