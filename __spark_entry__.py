@@ -3678,6 +3678,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prices.synth_source_hits(_events(spark, sf_dir)))
     q["price_source_label"] = price_source_label
 
+    def salary_normalize(spark, sf_dir):
+        # annualized-USD salary normalization: static FX table, period
+        # alias/inference ladder, sanity band, note assembly
+        # (job_salary_normalizer.py:107-166)
+        from mivaa_pdf_extractor_spark.operators import salaries
+        return salaries.normalize_salaries(
+            salaries.synth_job_listings(_events(spark, sf_dir)))
+    q["salary_normalize"] = salary_normalize
+
+    def sentiment_fallback(spark, sf_dir):
+        # heuristic sentiment tier: rating ladder / substring keyword
+        # counts, sentence key-phrases, the rating-0 falsy quirk
+        # (sentiment_analysis_service.py:128-179)
+        from mivaa_pdf_extractor_spark.operators import sentiment
+        return sentiment.fallback_sentiment(
+            sentiment.synth_feedback(_events(spark, sf_dir)))
+    q["sentiment_fallback"] = sentiment_fallback
+
+    def metadata_consolidate(spark, sf_dir):
+        # Stage-4 three-source priority merge with confidence tracking
+        # and the color / visual_color_detected special-cases
+        # (metadata_consolidation_service.py:28-151)
+        from mivaa_pdf_extractor_spark.operators import consolidation
+        fac, vis, ai = consolidation.synth_consolidation_inputs(
+            spark, _events(spark, sf_dir))
+        return consolidation.consolidate_metadata(fac, vis, ai)
+    q["metadata_consolidate"] = metadata_consolidate
+
     return q
 
 
@@ -4511,6 +4539,9 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import identity as _ident
     from mivaa_pdf_extractor_spark.operators import prices as _prices
     from mivaa_pdf_extractor_spark.operators import icon_split as _icon
+    from mivaa_pdf_extractor_spark.operators import salaries as _sal
+    from mivaa_pdf_extractor_spark.operators import sentiment as _senti
+    from mivaa_pdf_extractor_spark.operators import consolidation as _cons
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8246,4 +8277,15 @@ def oracle_sql() -> dict[str, str]:
         "price_source_label": f"""
             WITH hits_in AS ({_prices.SYNTH_SOURCE_HITS_SQL})
             {_prices.source_labels_sql()}""",
+        "salary_normalize": f"""
+            WITH listings_in AS ({_sal.SYNTH_JOB_LISTINGS_SQL}),
+            {_sal.duck_salary_normalize_sql('listings_in')}""",
+        "sentiment_fallback": f"""
+            WITH feedback_in AS ({_senti.SYNTH_FEEDBACK_SQL}),
+            {_senti.duck_sentiment_sql('feedback_in')}""",
+        "metadata_consolidate": f"""
+            WITH factory_in AS ({_cons.SYNTH_FACTORY_SQL}),
+            visual_in AS ({_cons.SYNTH_VISUAL_SQL}),
+            ai_in AS ({_cons.SYNTH_AI_SQL})
+            {_cons.duck_consolidate_sql()}""",
     }

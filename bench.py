@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     # round 4 continuation: icon routing + vision JSON validation
     "icon_route_split", "vision_json_validate",
     "price_source_label",
+    # round 4 continuation: salary/sentiment/consolidation tier
+    "salary_normalize", "sentiment_fallback", "metadata_consolidate",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
