@@ -3706,6 +3706,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return consolidation.consolidate_metadata(fac, vis, ai)
     q["metadata_consolidate"] = metadata_consolidate
 
+    def recipe_url_patterns(spark, sf_dir):
+        # scrape-recipe URL→pattern derivation: opaque path segments
+        # (digits / 12+ hashes / > 30 chars) collapse to '*'
+        # (extraction_recipes.py:49-72)
+        from mivaa_pdf_extractor_spark.operators import recipes
+        return recipes.url_patterns(
+            recipes.synth_scrape_urls(_events(spark, sf_dir)))
+    q["recipe_url_patterns"] = recipe_url_patterns
+
+    def recipe_ledger(spark, sf_dir):
+        # success/failure confidence fold with the conf<0.5 ∧ fc>=3
+        # auto-disable rule (extraction_recipes.py:120-173)
+        from mivaa_pdf_extractor_spark.operators import recipes
+        ev = _events(spark, sf_dir)
+        return recipes.recipe_ledger(recipes.synth_recipes(ev),
+                                     recipes.synth_recipe_events(ev))
+    q["recipe_ledger"] = recipe_ledger
+
+    def recipe_select(spark, sf_dir):
+        # find_recipe policy: top-5 by confidence per domain, exact
+        # pattern match wins else best-confidence
+        # (extraction_recipes.py:84-117)
+        from mivaa_pdf_extractor_spark.operators import recipes
+        ev = _events(spark, sf_dir)
+        return recipes.select_recipes(recipes.synth_scrape_urls(ev),
+                                      recipes.synth_recipes(ev))
+    q["recipe_select"] = recipe_select
+
+    def source_board_fold(spark, sf_dir):
+        # job-board index fold: registrable-domain collapse, employer
+        # union vs the 25-sample cap, candidate→promoted guardrails,
+        # never-promote exclusion (job_source_curator.py:107-156)
+        from mivaa_pdf_extractor_spark.operators import source_curation
+        ev = _events(spark, sf_dir)
+        return source_curation.fold_board_index(
+            source_curation.synth_job_match_listings(ev),
+            source_curation.synth_curated_sites(ev),
+            source_curation.synth_board_index(ev))
+    q["source_board_fold"] = source_board_fold
+
+    def source_site_actions(spark, sf_dir):
+        # curated-site run actions: yield bumps, stale auto-added
+        # disables with ISO-string compare, bumped-never-stale ordering
+        # (job_source_curator.py:90-104,159-182)
+        from mivaa_pdf_extractor_spark.operators import source_curation
+        ev = _events(spark, sf_dir)
+        return source_curation.site_actions(
+            source_curation.synth_job_match_listings(ev),
+            source_curation.synth_curated_sites(ev),
+            source_curation.RUN_NOW_ISO, source_curation.RUN_CUTOFF_ISO)
+    q["source_site_actions"] = source_site_actions
+
     return q
 
 
@@ -4542,6 +4594,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import salaries as _sal
     from mivaa_pdf_extractor_spark.operators import sentiment as _senti
     from mivaa_pdf_extractor_spark.operators import consolidation as _cons
+    from mivaa_pdf_extractor_spark.operators import recipes as _rec
+    from mivaa_pdf_extractor_spark.operators import source_curation as _scur
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8288,4 +8342,25 @@ def oracle_sql() -> dict[str, str]:
             visual_in AS ({_cons.SYNTH_VISUAL_SQL}),
             ai_in AS ({_cons.SYNTH_AI_SQL})
             {_cons.duck_consolidate_sql()}""",
+        "recipe_url_patterns": f"""
+            WITH urls_in AS ({_rec.SYNTH_SCRAPE_URLS_SQL})
+            {_rec.DUCK_URL_PATTERNS_SQL}""",
+        "recipe_ledger": f"""
+            WITH recipes_in AS ({_rec.SYNTH_RECIPES_SQL}),
+            events_in AS ({_rec.SYNTH_RECIPE_EVENTS_SQL}),
+            {_rec.duck_recipe_ledger_sql()}""",
+        "recipe_select": f"""
+            WITH urls_in AS ({_rec.SYNTH_SCRAPE_URLS_SQL}),
+            recipes_in AS ({_rec.SYNTH_RECIPES_SQL}),
+            {_rec.duck_select_recipes_sql()}""",
+        "source_board_fold": f"""
+            WITH listings_in AS ({_scur.SYNTH_JOB_MATCH_LISTINGS_SQL}),
+            curated_in AS ({_scur.SYNTH_CURATED_SITES_SQL}),
+            board_in AS ({_scur.SYNTH_BOARD_INDEX_SQL}),
+            {_scur.duck_fold_board_index_sql()}""",
+        "source_site_actions": f"""
+            WITH listings_in AS ({_scur.SYNTH_JOB_MATCH_LISTINGS_SQL}),
+            curated_in AS ({_scur.SYNTH_CURATED_SITES_SQL}),
+            {_scur.duck_site_actions_sql(_scur.RUN_NOW_ISO,
+                                         _scur.RUN_CUTOFF_ISO)}""",
     }
