@@ -3758,6 +3758,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             source_curation.RUN_NOW_ISO, source_curation.RUN_CUTOFF_ISO)
     q["source_site_actions"] = source_site_actions
 
+    def facet_sweep_plan(spark, sf_dir):
+        # re-canonicalization sweep selection + outcome ledger:
+        # degraded-first under one shared cap, never-bump-on-degraded
+        # (facet_recanonicalization.py:74-216)
+        from mivaa_pdf_extractor_spark.operators import facet_sweep
+        return facet_sweep.plan_sweep(
+            facet_sweep.synth_sweep_products(_events(spark, sf_dir)),
+            facet_sweep.TARGET_VERSION, facet_sweep.MAX_PRODUCTS)
+    q["facet_sweep_plan"] = facet_sweep_plan
+
+    def facet_sweep_summary(spark, sf_dir):
+        # the sweep's summary dict: scanned/updated/degraded/skipped/
+        # failed + honest remaining = eligible_before - bumped
+        # (facet_recanonicalization.py:210-216)
+        from mivaa_pdf_extractor_spark.operators import facet_sweep
+        return facet_sweep.sweep_summary(
+            facet_sweep.synth_sweep_products(_events(spark, sf_dir)),
+            facet_sweep.TARGET_VERSION, facet_sweep.MAX_PRODUCTS)
+    q["facet_sweep_summary"] = facet_sweep_summary
+
     return q
 
 
@@ -4596,6 +4616,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import consolidation as _cons
     from mivaa_pdf_extractor_spark.operators import recipes as _rec
     from mivaa_pdf_extractor_spark.operators import source_curation as _scur
+    from mivaa_pdf_extractor_spark.operators import facet_sweep as _fsw
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8363,4 +8384,12 @@ def oracle_sql() -> dict[str, str]:
             curated_in AS ({_scur.SYNTH_CURATED_SITES_SQL}),
             {_scur.duck_site_actions_sql(_scur.RUN_NOW_ISO,
                                          _scur.RUN_CUTOFF_ISO)}""",
+        "facet_sweep_plan": f"""
+            WITH products_in AS ({_fsw.SYNTH_SWEEP_PRODUCTS_SQL}),
+            {_fsw.duck_plan_sweep_sql(_fsw.TARGET_VERSION,
+                                      _fsw.MAX_PRODUCTS)}""",
+        "facet_sweep_summary": f"""
+            WITH products_in AS ({_fsw.SYNTH_SWEEP_PRODUCTS_SQL}),
+            {_fsw.duck_sweep_summary_sql(_fsw.TARGET_VERSION,
+                                         _fsw.MAX_PRODUCTS)}""",
     }
