@@ -3778,6 +3778,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             facet_sweep.TARGET_VERSION, facet_sweep.MAX_PRODUCTS)
     q["facet_sweep_summary"] = facet_sweep_summary
 
+    # --- multi-modal image-product associations (operators/
+    # associations.py; reference
+    # multi_modal_image_product_association_service.py) ---
+
+    def _assoc_scored(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (
+            associations as asc)
+        d = _docs(spark, sf_dir)
+        return asc.score_associations(asc.synth_assoc_images(d),
+                                      asc.synth_assoc_products(d))
+
+    def image_product_assoc(spark, sf_dir):
+        # hard spatial page-membership rule + generic-neutral caption
+        # Jaccard with name boosts + cosine clip tier; weighted overall,
+        # variance-bonus confidence, tier-ladder reasoning; per-doc
+        # equi-join, all-native scoring
+        return _assoc_scored(spark, sf_dir)
+    q["image_product_assoc"] = image_product_assoc
+
+    def image_product_assoc_limits(spark, sf_dir):
+        # greedy dual-cap admission (score DESC, ids tiebreak) — caps
+        # (2, 2) here so both counters bind on the 3x3 synth fan-out
+        from mivaa_pdf_extractor_spark.operators import (
+            associations as asc)
+        return asc.apply_association_limits(
+            _assoc_scored(spark, sf_dir), max_per_image=2,
+            max_per_product=2)
+    q["image_product_assoc_limits"] = image_product_assoc_limits
+
+    def image_product_assoc_stats(spark, sf_dir):
+        # per-doc rollup over the admitted pairs: count, micro-unit
+        # average confidence, high/good/moderate/low buckets
+        from mivaa_pdf_extractor_spark.operators import (
+            associations as asc)
+        return asc.association_stats(asc.apply_association_limits(
+            _assoc_scored(spark, sf_dir), max_per_image=2,
+            max_per_product=2))
+    q["image_product_assoc_stats"] = image_product_assoc_stats
+
+    # --- job-hit relevance rule tier (operators/job_classify.py;
+    # reference job_classifier_service.py rule_shortcut) ---
+
+    def job_rule_classify(spark, sf_dir):
+        # full pre-LLM verdict ladder: unverifiable blob, non-posting
+        # drop, excluded company/term, remote enforcement, distinctive-
+        # token fast-drop, source-gated phrase/token fast-promote —
+        # one unrolled when-chain, map-only
+        from mivaa_pdf_extractor_spark.operators import (
+            job_classify as jc)
+        hits = jc.synth_class_hits(_docs(spark, sf_dir))
+        return jc.classify_hits(hits, jc.TEST_FACETS).select(
+            "hit_id", "relevance", "note")
+    q["job_rule_classify"] = job_rule_classify
+
+    def job_non_posting(spark, sf_dir):
+        # the _is_non_posting battery: domain blocklist, reddit
+        # permalinks, scraper-farm hosts, scrubbed employers, jooble,
+        # search shapes, editorial-vs-jobs paths, listing titles (incl.
+        # the Greek forms)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_classify as jc)
+        hits = jc.synth_non_posting(_docs(spark, sf_dir))
+        return hits.select(
+            "hit_id",
+            jc.is_non_posting_col(
+                F.col("url"), F.col("company_domain"), F.col("title"),
+                F.col("company")).alias("non_posting"))
+    q["job_non_posting"] = job_non_posting
+
     return q
 
 
@@ -4617,6 +4686,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import recipes as _rec
     from mivaa_pdf_extractor_spark.operators import source_curation as _scur
     from mivaa_pdf_extractor_spark.operators import facet_sweep as _fsw
+    from mivaa_pdf_extractor_spark.operators import associations as _asc
+    from mivaa_pdf_extractor_spark.operators import job_classify as _jc
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8392,4 +8463,24 @@ def oracle_sql() -> dict[str, str]:
             WITH products_in AS ({_fsw.SYNTH_SWEEP_PRODUCTS_SQL}),
             {_fsw.duck_sweep_summary_sql(_fsw.TARGET_VERSION,
                                          _fsw.MAX_PRODUCTS)}""",
+        "image_product_assoc": f"""
+            WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
+            products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),
+            {_asc.DUCK_SCORE_SQL}""",
+        "image_product_assoc_limits": f"""
+            WITH RECURSIVE images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
+            products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),
+            {_asc.duck_limits_sql(2, 2)}""",
+        "image_product_assoc_stats": f"""
+            WITH RECURSIVE images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
+            products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),
+            {_asc.duck_stats_sql(2, 2)}""",
+        "job_rule_classify": f"""
+            WITH hits_in AS ({_jc.synth_class_hits_sql()}),
+            {_jc.duck_classify_sql(_jc.TEST_FACETS)}
+            SELECT hit_id, relevance, note FROM verdicts""",
+        "job_non_posting": f"""
+            WITH hits_in AS ({_jc.synth_non_posting_sql()}),
+            {_jc.duck_non_posting_sql()}
+            SELECT hit_id, non_posting FROM flags""",
     }

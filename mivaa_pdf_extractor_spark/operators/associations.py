@@ -1,0 +1,694 @@
+"""Multi-modal image-product association scoring (J-family).
+
+The reference evaluates every (image, product) pair within a document
+with three deterministic signals, combines them with fixed weights, and
+persists the pairs that clear a threshold, capped per image and per
+product. Reference semantics
+(multi_modal_image_product_association_service.py, file:line for the
+judge):
+
+- spatial score — the post-audit HARD RULE (:210-256): an image scores
+  1.0 only when its page_number is a member of the product's declared
+  page set (top-level ``page_number`` plus the ints of
+  ``metadata.page_range``, deduped); everything else — adjacent pages
+  included — scores 0.0, as do rows missing the image page or the whole
+  product page set.
+- caption score (:258-323): generic captions (six anchored regex
+  patterns: "image from page N", "page N image", "figure N", "img_N",
+  "extracted image", "document image"), an empty caption chain
+  (caption falling back to alt_text), an empty product text, or an
+  empty meaningful-word set on either side are all neutral 0.5;
+  otherwise word-level Jaccard over lowercased ``\\s+`` tokens with
+  len > 2 and outside the stopword set {the, and, for, with, from,
+  this, that, image, page}; a full product-name substring match boosts
+  ``min(1, j + 0.4)`` (names of len <= 2 never match), a first-word
+  match (len > 3) boosts ``min(1, j + 0.25)``, else the score scales
+  as ``0.3 + j * 0.7``.
+- clip score (:326-386): cosine over the embedding pair normalized
+  ``(cos + 1) / 2`` and clamped to [0, 1]; a missing product embedding,
+  a missing image embedding, a length mismatch, and a zero-magnitude
+  vector all collapse to the same neutral 0.5 (mismatch/zero-magnitude
+  return cosine 0.0, which normalizes to 0.5).
+- overall = spatial*0.4 + caption*0.3 + clip*0.3, kept when
+  >= overall_threshold (0.3 default, :45-46, :108).
+- confidence = min(1, overall + max(0, 0.3 - variance)) where variance
+  is the population variance of the three component scores (:388-408).
+- reasoning — the human-readable tier ladder (:410-454): per-signal
+  phrases joined ", " in (spatial, caption, clip) order, prefixed by
+  the overall assessment tier.
+- association limits (:456-478): pairs sorted by overall score
+  descending are admitted greedily while the image has < max_per_image
+  (3) and the product has < max_per_product (5) accepted rows. The
+  reference breaks score ties by Python's stable sort over fetch order;
+  this engine pins the deterministic analog (score DESC, image_id,
+  product_id).
+- per-document stats (:581-642): association count, average
+  confidence, and the high/good/moderate/low score buckets.
+
+Scale design: scoring is a per-document equi-join — images join
+products on the document key, so the pair fan-out is bounded by
+per-document counts (a catalog has tens of products) and the shuffle
+carries only the join keys; every score is native Column arithmetic
+(array set ops for the word Jaccard, an exact-integer-safe
+``aggregate(zip_with(...))`` fold for the dot product), no UDFs. The
+greedy dual-cap limiter is inherently sequential per document (each
+admission changes both counters), so it runs as a per-document
+``applyInPandas`` kernel — the same per-doc state-machine shape as the
+chunkers — over pairs already filtered by the threshold; its shuffle
+carries only (doc, ids, score). Stats are a per-document groupBy
+rollup with map-side combine; the average is summed in integer
+micro-units for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = ("the", "and", "for", "with", "from", "this", "that",
+             "image", "page")
+
+GENERIC_CAPTION_PATTERNS = (
+    r"^image\s+(from\s+)?page\s+\d+",
+    r"^page\s+\d+\s+image",
+    r"^figure\s+\d+",
+    r"^img_?\d+",
+    r"^extracted\s+image",
+    r"^document\s+image",
+)
+
+WEIGHT_SPATIAL = 0.4
+WEIGHT_CAPTION = 0.3
+WEIGHT_CLIP = 0.3
+OVERALL_THRESHOLD = 0.3
+MAX_PER_IMAGE = 3
+MAX_PER_PRODUCT = 5
+
+
+def _words(text: F.Column) -> F.Column:
+    """Meaningful-word set: \\s+ tokens, len > 2, stopwords dropped,
+    deduped (:291-299)."""
+    toks = F.split(text, r"\s+")
+    kept = F.filter(toks, lambda w: (F.length(w) > 2)
+                    & ~w.isin(*STOPWORDS))
+    return F.array_distinct(kept)
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Exact fold dot product; callers guard length equality."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def score_associations(images: DataFrame, products: DataFrame,
+                       doc_col: str = "doc_id",
+                       overall_threshold: float = OVERALL_THRESHOLD,
+                       ) -> DataFrame:
+    """Score every (image, product) pair within a document.
+
+    ``images``: ``(doc_col, image_id, page_number:int, caption,
+    alt_text, embedding:array<double>?)``. ``products``: ``(doc_col,
+    product_id, name, description, page_number:int,
+    page_range:array<int>?, embedding:array<double>?)``. A page_number
+    of 0 models the reference's falsy missing page.
+
+    Emits pairs with ``overall_score >= overall_threshold`` plus the
+    metadata the reference stamps: ``min_page_diff`` (over the
+    metadata-variant page list — page_range if present, else the
+    top-level page, :168-178) and ``same_page_group``.
+    """
+    img = images.select(
+        doc_col, "image_id", F.col("page_number").alias("image_page"),
+        F.lower(F.when(F.col("caption") != "", F.col("caption"))
+                 .otherwise(F.col("alt_text"))).alias("image_text"),
+        F.col("embedding").alias("img_emb"))
+    prod = products.select(
+        doc_col, "product_id",
+        F.lower(F.col("name")).alias("product_name"),
+        F.lower(F.when(F.col("description") != "", F.col("description"))
+                 .otherwise(F.col("name"))).alias("product_text"),
+        F.col("page_number").alias("prod_page"),
+        F.col("page_range").alias("page_range"),
+        F.col("embedding").alias("prod_emb"))
+    pairs = img.join(prod, doc_col)
+
+    # --- spatial: hard page-membership rule (:210-256) ---
+    empty_pages = F.expr("CAST(array() AS ARRAY<INT>)")
+    prod_pages = F.array_union(
+        F.when(F.col("prod_page").isNotNull() & (F.col("prod_page") != 0),
+               F.array(F.col("prod_page")))
+         .otherwise(empty_pages),
+        F.coalesce(F.col("page_range"), empty_pages))
+    has_img_page = F.col("image_page").isNotNull() \
+        & (F.col("image_page") != 0)
+    spatial = F.when(
+        has_img_page & (F.size(prod_pages) > 0)
+        & F.array_contains(prod_pages, F.col("image_page")),
+        F.lit(1.0)).otherwise(F.lit(0.0))
+
+    # --- caption: generic-neutral + stopworded Jaccard + name boosts ---
+    it = F.col("image_text")
+    generic = F.lit(False)
+    for pat in GENERIC_CAPTION_PATTERNS:
+        generic = generic | F.regexp_like(F.trim(it), F.lit(pat))
+    iw = _words(it)
+    pw = _words(F.col("product_text"))
+    jacc = (F.size(F.array_intersect(iw, pw)).cast("double")
+            / F.size(F.array_union(iw, pw)))
+    first_part = F.split(F.col("product_name"), " ").getItem(0)
+    caption = (
+        F.when((it == "") | generic | (F.col("product_text") == ""),
+               F.lit(0.5))
+        .when((F.size(iw) == 0) | (F.size(pw) == 0), F.lit(0.5))
+        .when((F.length(F.col("product_name")) > 2)
+              & it.contains(F.col("product_name")),
+              F.least(F.lit(1.0), jacc + F.lit(0.4)))
+        .when((F.length(first_part) > 3) & it.contains(first_part),
+              F.least(F.lit(1.0), jacc + F.lit(0.25)))
+        .otherwise(F.lit(0.3) + jacc * F.lit(0.7)))
+
+    # --- clip: cosine normalized to [0,1]; all degenerate paths 0.5 ---
+    a, b = F.col("img_emb"), F.col("prod_emb")
+    maga = F.sqrt(_dot(a, a))
+    magb = F.sqrt(_dot(b, b))
+    cos = F.when(
+        (F.size(a) != F.size(b)) | (F.size(a) == 0)
+        | (maga == 0.0) | (magb == 0.0),
+        F.lit(0.0)).otherwise(_dot(a, b) / (maga * magb))
+    clip = (F.when(a.isNull() | b.isNull(), F.lit(0.5))
+            .otherwise(F.greatest(F.lit(0.0),
+                                  F.least(F.lit(1.0),
+                                          (cos + F.lit(1.0)) / F.lit(2.0)))))
+
+    scored = pairs.select(
+        doc_col, "image_id", "product_id",
+        spatial.alias("spatial_score"), caption.alias("caption_score"),
+        clip.alias("clip_score"),
+        F.col("image_page"), prod_pages.alias("prod_pages"),
+        F.col("page_range"), F.col("prod_page"))
+    s, c, k = (F.col("spatial_score"), F.col("caption_score"),
+               F.col("clip_score"))
+    overall = (s * F.lit(WEIGHT_SPATIAL) + c * F.lit(WEIGHT_CAPTION)
+               + k * F.lit(WEIGHT_CLIP))
+    mean = (s + c + k) / F.lit(3.0)
+    variance = ((s - mean) * (s - mean) + (c - mean) * (c - mean)
+                + (k - mean) * (k - mean)) / F.lit(3.0)
+    confidence = F.least(
+        F.lit(1.0),
+        overall + F.greatest(F.lit(0.0), F.lit(0.3) - variance))
+
+    # metadata-variant page list: page_range if present, else the
+    # top-level page (:168-178)
+    pages_meta = F.when(
+        F.col("page_range").isNotNull() & (F.size("page_range") > 0),
+        F.col("page_range")).when(
+        F.col("prod_page").isNotNull() & (F.col("prod_page") != 0),
+        F.array(F.col("prod_page"))).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)"))
+    min_diff = F.when(
+        (F.size(pages_meta) > 0) & F.col("image_page").isNotNull()
+        & (F.col("image_page") != 0),
+        F.array_min(F.transform(pages_meta,
+                                lambda p: F.abs(F.col("image_page") - p))))
+    reasoning = _reasoning(s, c, k, F.col("overall_score"))
+
+    return (scored
+            .withColumn("overall_score", overall)
+            .filter(F.col("overall_score") >= F.lit(float(overall_threshold)))
+            .withColumn("confidence", confidence)
+            .withColumn("min_page_diff", min_diff.cast("int"))
+            .withColumn("same_page_group",
+                        F.col("min_page_diff").isNotNull()
+                        & (F.col("min_page_diff") <= 1))
+            .withColumn("reasoning", reasoning)
+            .select(doc_col, "image_id", "product_id", "spatial_score",
+                    "caption_score", "clip_score", "overall_score",
+                    "confidence", "min_page_diff", "same_page_group",
+                    "reasoning"))
+
+
+def _reasoning(s: F.Column, c: F.Column, k: F.Column,
+               overall: F.Column) -> F.Column:
+    """Tier-ladder reasoning string (:410-454)."""
+    sp = (F.when(s >= 0.8, F.lit("same/adjacent page"))
+          .when(s >= 0.6, F.lit("nearby pages"))
+          .when(s >= 0.4, F.lit("moderate spatial proximity")))
+    cp = (F.when(c >= 0.7, F.lit("strong text similarity"))
+          .when(c >= 0.5, F.lit("moderate text similarity"))
+          .when(c >= 0.3, F.lit("some text overlap")))
+    kp = (F.when(k >= 0.7, F.lit("high visual-text similarity"))
+          .when(k >= 0.5, F.lit("moderate visual relevance")))
+    reasons = F.filter(F.array(sp, cp, kp), lambda x: x.isNotNull())
+    assessment = (F.when(overall >= 0.8, F.lit("Strong association"))
+                  .when(overall >= 0.6, F.lit("Good association"))
+                  .when(overall >= 0.4, F.lit("Moderate association"))
+                  .otherwise(F.lit("Weak association")))
+    return F.concat(
+        assessment,
+        F.when(F.size(reasons) > 0,
+               F.concat(F.lit(" ("), F.array_join(reasons, ", "),
+                        F.lit(")"))).otherwise(F.lit("")))
+
+
+def apply_association_limits(assocs: DataFrame, doc_col: str = "doc_id",
+                             max_per_image: int = MAX_PER_IMAGE,
+                             max_per_product: int = MAX_PER_PRODUCT,
+                             ) -> DataFrame:
+    """Greedy dual-cap admission (:456-478), per document.
+
+    Pairs ordered by (overall_score DESC, image_id, product_id) are
+    admitted while both the image's and the product's accepted counts
+    are under their caps. Each admission advances both counters, so the
+    scan is inherently sequential per document — a per-doc
+    ``applyInPandas`` kernel whose input is already threshold-filtered
+    (bounded images x products per doc). Output adds ``pick_order``,
+    the 1-based admission rank within the document.
+    """
+    schema = assocs.select(doc_col, "image_id", "product_id",
+                           "overall_score", "confidence").schema \
+        .add("pick_order", "integer", False)
+
+    mi, mp = int(max_per_image), int(max_per_product)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["overall_score", "image_id", "product_id"],
+            ascending=[False, True, True], kind="mergesort")
+        img_n: dict = {}
+        prod_n: dict = {}
+        keep, order = [], []
+        rank = 0
+        for im, pr in zip(pdf["image_id"].tolist(),
+                          pdf["product_id"].tolist()):
+            if img_n.get(im, 0) < mi and prod_n.get(pr, 0) < mp:
+                img_n[im] = img_n.get(im, 0) + 1
+                prod_n[pr] = prod_n.get(pr, 0) + 1
+                keep.append(True)
+                rank += 1
+                order.append(rank)
+            else:
+                keep.append(False)
+                order.append(0)
+        out = pdf[[c.name for c in schema.fields[:-1]]][pd.Series(
+            keep, index=pdf.index)].copy()
+        out["pick_order"] = pd.array(
+            [o for o, k in zip(order, keep) if k], dtype="int32")
+        return out
+
+    cols = [doc_col, "image_id", "product_id", "overall_score",
+            "confidence"]
+    return (assocs.select(*cols)
+            .groupBy(doc_col).applyInPandas(_greedy, schema))
+
+
+def association_stats(assocs: DataFrame, doc_col: str = "doc_id",
+                      ) -> DataFrame:
+    """Per-document stats rollup (:581-642): association count,
+    average confidence (summed in exact integer micro-units so the
+    cross-engine hash is order-independent), and the reference's
+    high/good/moderate/low overall-score buckets."""
+    conf_micro = F.floor(F.col("confidence") * F.lit(1000000.0)
+                         + F.lit(0.5)).cast("long")
+    score = F.col("overall_score")
+    agg = assocs.groupBy(doc_col).agg(
+        F.count(F.lit(1)).alias("total_associations"),
+        F.sum(conf_micro).alias("_conf_sum"),
+        F.sum(F.when(score >= 0.8, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when((score >= 0.6) & (score < 0.8), 1).otherwise(0))
+         .alias("n_good"),
+        F.sum(F.when((score >= 0.4) & (score < 0.6), 1).otherwise(0))
+         .alias("n_moderate"),
+        F.sum(F.when(score < 0.4, 1).otherwise(0)).alias("n_low"))
+    return agg.select(
+        doc_col, "total_associations",
+        F.floor(F.col("_conf_sum") / F.col("total_associations"))
+         .cast("long").alias("avg_confidence_micro"),
+        "n_high", "n_good", "n_moderate", "n_low")
+
+
+# --- deterministic synth inputs + DuckDB twins (contract queries) ---
+
+def synth_assoc_images(docs: DataFrame) -> DataFrame:
+    """3 images per doc exercising: missing page (0), generic captions
+    (4 of the 6 patterns), empty caption -> alt_text fallback (both a
+    generic and a meaningful alt), full-name and first-word boost
+    captions, all-stopword captions, plus null / zero-magnitude /
+    length-mismatched / regular embeddings."""
+    d = docs.select(F.col("doc_id").cast("long").alias("doc"))
+    base = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                    .alias("i"))
+    doc, i = F.col("doc"), F.col("i")
+    m = (doc * 2 + i) % 8
+    caption = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, F.lit("Image from page 3"))
+        .when(m == 2, F.lit("Figure 12 overview"))
+        .when(m == 3, F.lit("Alpha Series tile in matte finish"))
+        .when(m == 4, F.lit("quartz surface with beta texture"))
+        .when(m == 5, F.lit("plain decorative surface sample"))
+        .when(m == 6, F.lit("img_42"))
+        .otherwise(F.lit("the and for")))
+    alt = (F.when(m != 0, F.lit(""))
+           .when(doc % 2 == 0, F.lit("document image"))
+           .otherwise(F.lit("glossy alpha series sample")))
+    e = (doc + i) % 5
+    emb = (
+        F.when(e == 0, F.lit(None).cast("array<double>"))
+        .when(e == 1, F.array(*[F.lit(0.0)] * 4))
+        .when(e == 2, F.array(F.lit(1.0), F.lit(2.0), F.lit(-1.0)))
+        .otherwise(F.array(
+            ((doc + i) % 5 - 2).cast("double"),
+            ((doc * 2 + i) % 5 - 2).cast("double"),
+            ((doc + i * 3) % 5 - 2).cast("double"),
+            ((doc * 3 + i) % 5 - 2).cast("double"))))
+    return base.select(
+        doc.alias("doc_id"), (doc * 10 + i).alias("image_id"),
+        F.when((doc + i) % 7 == 0, F.lit(0))
+         .otherwise(1 + (doc + i) % 5).cast("int").alias("page_number"),
+        caption.alias("caption"), alt.alias("alt_text"),
+        emb.alias("embedding"))
+
+
+SYNTH_ASSOC_IMAGES_SQL = """
+    SELECT doc AS doc_id, doc * 10 + i AS image_id,
+           CAST(CASE WHEN (doc + i) % 7 = 0 THEN 0
+                     ELSE 1 + (doc + i) % 5 END AS INT) AS page_number,
+           CASE (doc * 2 + i) % 8
+                WHEN 0 THEN ''
+                WHEN 1 THEN 'Image from page 3'
+                WHEN 2 THEN 'Figure 12 overview'
+                WHEN 3 THEN 'Alpha Series tile in matte finish'
+                WHEN 4 THEN 'quartz surface with beta texture'
+                WHEN 5 THEN 'plain decorative surface sample'
+                WHEN 6 THEN 'img_42'
+                ELSE 'the and for' END AS caption,
+           CASE WHEN (doc * 2 + i) % 8 <> 0 THEN ''
+                WHEN doc % 2 = 0 THEN 'document image'
+                ELSE 'glossy alpha series sample' END AS alt_text,
+           CASE (doc + i) % 5
+                WHEN 0 THEN NULL
+                WHEN 1 THEN [0.0, 0.0, 0.0, 0.0]::DOUBLE[]
+                WHEN 2 THEN [1.0, 2.0, -1.0]::DOUBLE[]
+                ELSE [CAST((doc + i) % 5 - 2 AS DOUBLE),
+                      CAST((doc * 2 + i) % 5 - 2 AS DOUBLE),
+                      CAST((doc + i * 3) % 5 - 2 AS DOUBLE),
+                      CAST((doc * 3 + i) % 5 - 2 AS DOUBLE)]
+           END AS embedding
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
+         (SELECT UNNEST([0, 1, 2]) AS i)
+"""
+
+
+def synth_assoc_products(docs: DataFrame) -> DataFrame:
+    """3 products per doc: a boostable two-word name, a first-word-only
+    boost name, and a len<=2 name that must never substring-boost;
+    missing top-level pages, null page_ranges, and the embedding
+    null/int-vector mix."""
+    d = docs.select(F.col("doc_id").cast("long").alias("doc"))
+    base = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                    .alias("j"))
+    doc, j = F.col("doc"), F.col("j")
+    name = (F.when(j == 0, F.lit("Alpha Series"))
+            .when(j == 1, F.lit("Beta Quartz")).otherwise(F.lit("X")))
+    desc = (F.when(j == 0, F.lit("Alpha Series matte tile collection"))
+            .when(j == 1, F.lit(""))
+            .otherwise(F.lit("plain smooth surface collection")))
+    e = (doc + j) % 3
+    emb = (
+        F.when(e == 0, F.lit(None).cast("array<double>"))
+        .otherwise(F.array(
+            ((doc + j * 2) % 5 - 2).cast("double"),
+            ((doc * 2 + j) % 5 - 2).cast("double"),
+            ((doc + j) % 5 - 2).cast("double"),
+            ((doc * 3 + j * 2) % 5 - 2).cast("double"))))
+    return base.select(
+        doc.alias("doc_id"), (doc * 10 + j).alias("product_id"),
+        name.alias("name"), desc.alias("description"),
+        F.when((doc + j) % 6 == 0, F.lit(0))
+         .otherwise(1 + (doc + j) % 5).cast("int").alias("page_number"),
+        F.when((doc + j) % 4 == 0, F.lit(None).cast("array<int>"))
+         .otherwise(F.sequence((1 + (doc + j) % 3).cast("int"),
+                               (1 + (doc + j) % 3 + j).cast("int")))
+         .alias("page_range"),
+        emb.alias("embedding"))
+
+
+SYNTH_ASSOC_PRODUCTS_SQL = """
+    SELECT doc AS doc_id, doc * 10 + j AS product_id,
+           CASE j WHEN 0 THEN 'Alpha Series'
+                  WHEN 1 THEN 'Beta Quartz' ELSE 'X' END AS name,
+           CASE j WHEN 0 THEN 'Alpha Series matte tile collection'
+                  WHEN 1 THEN ''
+                  ELSE 'plain smooth surface collection'
+           END AS description,
+           CAST(CASE WHEN (doc + j) % 6 = 0 THEN 0
+                     ELSE 1 + (doc + j) % 5 END AS INT) AS page_number,
+           CASE WHEN (doc + j) % 4 = 0 THEN NULL
+                ELSE list_transform(
+                    range(1 + (doc + j) % 3, 2 + (doc + j) % 3 + j),
+                    x -> CAST(x AS INT))
+           END AS page_range,
+           CASE WHEN (doc + j) % 3 = 0 THEN NULL
+                ELSE [CAST((doc + j * 2) % 5 - 2 AS DOUBLE),
+                      CAST((doc * 2 + j) % 5 - 2 AS DOUBLE),
+                      CAST((doc + j) % 5 - 2 AS DOUBLE),
+                      CAST((doc * 3 + j * 2) % 5 - 2 AS DOUBLE)]
+           END AS embedding
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
+         (SELECT UNNEST([0, 1, 2]) AS j)
+"""
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# the scored-pair CTE chain shared by all three duck twins; expects
+# images_in / products_in CTEs matching the synth shapes
+DUCK_SCORE_CTES = f"""
+    pairs AS (
+        SELECT i.doc_id, i.image_id, p.product_id,
+               i.page_number AS image_page,
+               lower(CASE WHEN i.caption <> '' THEN i.caption
+                          ELSE i.alt_text END) AS image_text,
+               i.embedding AS img_emb,
+               lower(p.name) AS product_name,
+               lower(CASE WHEN p.description <> '' THEN p.description
+                          ELSE p.name END) AS product_text,
+               p.page_number AS prod_page, p.page_range,
+               p.embedding AS prod_emb
+        FROM images_in i JOIN products_in p USING (doc_id)
+    ), feats AS (
+        SELECT *,
+            list_distinct(list_concat(
+                CASE WHEN prod_page IS NOT NULL AND prod_page <> 0
+                     THEN [prod_page] ELSE [] END,
+                COALESCE(page_range, []))) AS prod_pages,
+            (regexp_matches(trim(image_text),
+                            '^image\\s+(from\\s+)?page\\s+\\d+')
+             OR regexp_matches(trim(image_text), '^page\\s+\\d+\\s+image')
+             OR regexp_matches(trim(image_text), '^figure\\s+\\d+')
+             OR regexp_matches(trim(image_text), '^img_?\\d+')
+             OR regexp_matches(trim(image_text), '^extracted\\s+image')
+             OR regexp_matches(trim(image_text), '^document\\s+image')
+            ) AS generic,
+            list_distinct(list_filter(
+                regexp_split_to_array(image_text, '\\s+'),
+                w -> len(w) > 2 AND w NOT IN ({_STOP_SQL}))) AS iw,
+            list_distinct(list_filter(
+                regexp_split_to_array(product_text, '\\s+'),
+                w -> len(w) > 2 AND w NOT IN ({_STOP_SQL}))) AS pw,
+            str_split(product_name, ' ')[1] AS first_part
+        FROM pairs
+    ), comps AS (
+        SELECT doc_id, image_id, product_id, image_page, page_range,
+               prod_page, prod_pages,
+            CASE WHEN image_page IS NOT NULL AND image_page <> 0
+                      AND len(prod_pages) > 0
+                      AND list_contains(prod_pages, image_page)
+                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS spatial_score,
+            CASE WHEN image_text = '' OR generic OR product_text = ''
+                 THEN 0.5::DOUBLE
+                 WHEN len(iw) = 0 OR len(pw) = 0 THEN 0.5::DOUBLE
+                 WHEN len(product_name) > 2
+                      AND contains(image_text, product_name)
+                 THEN least(1.0::DOUBLE,
+                            CAST(len(list_intersect(iw, pw)) AS DOUBLE)
+                            / len(list_distinct(list_concat(iw, pw)))
+                            + 0.4::DOUBLE)
+                 WHEN len(first_part) > 3
+                      AND contains(image_text, first_part)
+                 THEN least(1.0::DOUBLE,
+                            CAST(len(list_intersect(iw, pw)) AS DOUBLE)
+                            / len(list_distinct(list_concat(iw, pw)))
+                            + 0.25::DOUBLE)
+                 ELSE 0.3::DOUBLE
+                      + CAST(len(list_intersect(iw, pw)) AS DOUBLE)
+                        / len(list_distinct(list_concat(iw, pw)))
+                        * 0.7::DOUBLE
+            END AS caption_score,
+            CASE WHEN img_emb IS NULL OR prod_emb IS NULL
+                 THEN 0.5::DOUBLE
+                 ELSE greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                      (CASE WHEN len(img_emb) <> len(prod_emb)
+                                 OR len(img_emb) = 0
+                                 OR sqrt(list_dot_product(img_emb,
+                                                          img_emb)) = 0
+                                 OR sqrt(list_dot_product(prod_emb,
+                                                          prod_emb)) = 0
+                            THEN 0.0::DOUBLE
+                            ELSE list_dot_product(img_emb, prod_emb)
+                                 / (sqrt(list_dot_product(img_emb,
+                                                          img_emb))
+                                    * sqrt(list_dot_product(prod_emb,
+                                                            prod_emb)))
+                       END + 1.0::DOUBLE) / 2.0::DOUBLE))
+            END AS clip_score
+        FROM feats
+    ), scored_all AS (
+        SELECT *,
+            spatial_score * 0.4::DOUBLE + caption_score * 0.3::DOUBLE
+              + clip_score * 0.3::DOUBLE AS overall_score,
+            (spatial_score + caption_score + clip_score) / 3.0::DOUBLE
+              AS mean_score
+        FROM comps
+    ), scored AS (
+        SELECT doc_id, image_id, product_id, spatial_score,
+               caption_score, clip_score, overall_score,
+            least(1.0::DOUBLE, overall_score + greatest(0.0::DOUBLE,
+                0.3::DOUBLE
+                - ((spatial_score - mean_score) * (spatial_score - mean_score)
+                   + (caption_score - mean_score) * (caption_score - mean_score)
+                   + (clip_score - mean_score) * (clip_score - mean_score))
+                  / 3.0::DOUBLE)) AS confidence,
+            CASE WHEN len(CASE WHEN page_range IS NOT NULL
+                                    AND len(page_range) > 0
+                               THEN page_range
+                               WHEN prod_page IS NOT NULL
+                                    AND prod_page <> 0 THEN [prod_page]
+                               ELSE [] END) > 0
+                      AND image_page IS NOT NULL AND image_page <> 0
+                 THEN CAST(list_min(list_transform(
+                          CASE WHEN page_range IS NOT NULL
+                                    AND len(page_range) > 0
+                               THEN page_range
+                               ELSE [prod_page] END,
+                          p -> abs(image_page - p))) AS INT)
+            END AS min_page_diff
+        FROM scored_all
+        WHERE overall_score >= 0.3::DOUBLE
+    ), reasoned AS (
+        SELECT *,
+            min_page_diff IS NOT NULL AND min_page_diff <= 1
+              AS same_page_group,
+            (CASE WHEN overall_score >= 0.8::DOUBLE
+                  THEN 'Strong association'
+                  WHEN overall_score >= 0.6::DOUBLE
+                  THEN 'Good association'
+                  WHEN overall_score >= 0.4::DOUBLE
+                  THEN 'Moderate association'
+                  ELSE 'Weak association' END)
+            || (CASE WHEN len(reasons) > 0
+                     THEN ' (' || array_to_string(reasons, ', ') || ')'
+                     ELSE '' END) AS reasoning
+        FROM (
+            SELECT *,
+                list_filter([
+                    CASE WHEN spatial_score >= 0.8::DOUBLE
+                         THEN 'same/adjacent page'
+                         WHEN spatial_score >= 0.6::DOUBLE
+                         THEN 'nearby pages'
+                         WHEN spatial_score >= 0.4::DOUBLE
+                         THEN 'moderate spatial proximity' END,
+                    CASE WHEN caption_score >= 0.7::DOUBLE
+                         THEN 'strong text similarity'
+                         WHEN caption_score >= 0.5::DOUBLE
+                         THEN 'moderate text similarity'
+                         WHEN caption_score >= 0.3::DOUBLE
+                         THEN 'some text overlap' END,
+                    CASE WHEN clip_score >= 0.7::DOUBLE
+                         THEN 'high visual-text similarity'
+                         WHEN clip_score >= 0.5::DOUBLE
+                         THEN 'moderate visual relevance' END],
+                    x -> x IS NOT NULL) AS reasons
+            FROM scored
+        )
+    )"""
+
+DUCK_SCORE_SQL = DUCK_SCORE_CTES + """
+    SELECT doc_id, image_id, product_id, spatial_score, caption_score,
+           clip_score, overall_score, confidence, min_page_diff,
+           same_page_group, reasoning
+    FROM reasoned
+"""
+
+
+def _duck_greedy_ctes(max_per_image: int, max_per_product: int) -> str:
+    """Recursive-CTE twin of the greedy dual-cap admission: one step
+    per in-doc rank, carrying the accepted image/product id lists."""
+    return DUCK_SCORE_CTES + f""", ranked AS (
+        SELECT doc_id, image_id, product_id, overall_score, confidence,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY overall_score DESC, image_id, product_id
+               ) AS rn
+        FROM reasoned
+    ), greedy AS (
+        SELECT doc_id, 0 AS k, []::BIGINT[] AS imgs, []::BIGINT[] AS prods,
+               FALSE AS accepted, 0 AS n_accepted
+        FROM (SELECT DISTINCT doc_id FROM ranked)
+        UNION ALL
+        SELECT doc_id, k, CASE WHEN ok THEN list_append(imgs, image_id)
+                               ELSE imgs END,
+               CASE WHEN ok THEN list_append(prods, product_id)
+                    ELSE prods END,
+               ok, n_accepted + CASE WHEN ok THEN 1 ELSE 0 END
+        FROM (
+            SELECT r.doc_id, g.k + 1 AS k, g.imgs, g.prods,
+                   g.n_accepted, r.image_id, r.product_id,
+                   len(list_filter(g.imgs, x -> x = r.image_id))
+                     < {int(max_per_image)}
+                   AND len(list_filter(g.prods, x -> x = r.product_id))
+                     < {int(max_per_product)} AS ok
+            FROM greedy g
+            JOIN ranked r ON r.doc_id = g.doc_id AND r.rn = g.k + 1
+        )
+    ), picked AS (
+        SELECT r.doc_id, r.image_id, r.product_id, r.overall_score,
+               r.confidence, CAST(g.n_accepted AS INT) AS pick_order
+        FROM greedy g
+        JOIN ranked r ON r.doc_id = g.doc_id AND r.rn = g.k
+        WHERE g.accepted
+    )"""
+
+
+def duck_limits_sql(max_per_image: int, max_per_product: int) -> str:
+    return (_duck_greedy_ctes(max_per_image, max_per_product)
+            + "\n    SELECT * FROM picked\n")
+
+
+def duck_stats_sql(max_per_image: int, max_per_product: int) -> str:
+    """Per-doc stats over the greedily admitted pairs; the average is
+    an exact integer micro-unit sum floored, matching the engine."""
+    return _duck_greedy_ctes(max_per_image, max_per_product) + """
+    SELECT doc_id, COUNT(*) AS total_associations,
+           CAST(FLOOR(SUM(CAST(FLOOR(confidence * 1000000.0 + 0.5)
+                               AS BIGINT)) * 1.0 / COUNT(*)) AS BIGINT)
+             AS avg_confidence_micro,
+           CAST(COALESCE(SUM(CASE WHEN overall_score >= 0.8::DOUBLE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_high,
+           CAST(COALESCE(SUM(CASE WHEN overall_score >= 0.6::DOUBLE
+                                       AND overall_score < 0.8::DOUBLE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_good,
+           CAST(COALESCE(SUM(CASE WHEN overall_score >= 0.4::DOUBLE
+                                       AND overall_score < 0.6::DOUBLE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_moderate,
+           CAST(COALESCE(SUM(CASE WHEN overall_score < 0.4::DOUBLE
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_low
+    FROM picked GROUP BY doc_id
+"""
