@@ -3847,6 +3847,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("company")).alias("non_posting"))
     q["job_non_posting"] = job_non_posting
 
+    # --- SERP-block parse + opportunity builders (operators/
+    # serp_opps.py; reference mention_opportunity_service.py
+    # _parse_serp_blocks + _build_*_opps) ---
+
+    def serp_blocks_parse(spark, sf_dir):
+        # single-pass typed SERP-block collection: per-type caps,
+        # normalized-title dedup, first-block singletons, cross-block
+        # video dedup, platform inference, reference truncations —
+        # all per-query windows, no UDFs
+        from mivaa_pdf_extractor_spark.operators import serp_opps as so
+        return so.parse_serp_blocks(
+            so.synth_serp_items(_docs(spark, sf_dir)), limit=2)
+    q["serp_blocks_parse"] = serp_blocks_parse
+
     return q
 
 
@@ -4688,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import facet_sweep as _fsw
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
+    from mivaa_pdf_extractor_spark.operators import serp_opps as _so
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8483,4 +8498,7 @@ def oracle_sql() -> dict[str, str]:
             WITH hits_in AS ({_jc.synth_non_posting_sql()}),
             {_jc.duck_non_posting_sql()}
             SELECT hit_id, non_posting FROM flags""",
+        "serp_blocks_parse": f"""
+            WITH items_in AS ({_so.synth_serp_items_sql()}),
+            {_so.duck_parse_sql(2)}""",
     }
