@@ -3861,6 +3861,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             so.synth_serp_items(_docs(spark, sf_dir)), limit=2)
     q["serp_blocks_parse"] = serp_blocks_parse
 
+    def serp_opportunities(spark, sf_dir):
+        # the nine deterministic opportunity builders over the parsed
+        # blocks: pinned rationale/action strings, falsy-rank '?'
+        # rendering, brand-mention haystacks, platform-mix summaries
+        # with the insertion-order tiebreak, rank-decay priorities
+        from mivaa_pdf_extractor_spark.operators import serp_opps as so
+        d = _docs(spark, sf_dir)
+        parsed = so.parse_serp_blocks(so.synth_serp_items(d), limit=2)
+        return so.build_serp_opportunities(
+            parsed, so.synth_serp_subjects(d), limit=2)
+    q["serp_opportunities"] = serp_opportunities
+
     return q
 
 
@@ -8501,4 +8513,8 @@ def oracle_sql() -> dict[str, str]:
         "serp_blocks_parse": f"""
             WITH items_in AS ({_so.synth_serp_items_sql()}),
             {_so.duck_parse_sql(2)}""",
+        "serp_opportunities": f"""
+            WITH items_in AS ({_so.synth_serp_items_sql()}),
+            subjects_in AS ({_so.SYNTH_SERP_SUBJECTS_SQL}),
+            {_so.duck_opps_sql(2)}""",
     }

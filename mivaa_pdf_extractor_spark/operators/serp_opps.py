@@ -767,3 +767,793 @@ def duck_parse_ctes(limit: int = 5) -> str:
 
 def duck_parse_sql(limit: int = 5) -> str:
     return duck_parse_ctes(limit) + "\n    SELECT * FROM parsed\n"
+
+
+# --- opportunity builders (:1237-1753) -------------------------------
+
+# fixed strings shared verbatim by the Spark plan and the DuckDB twin
+PAO_ACTION = (
+    "Write a focused FAQ-style post or article section answering this "
+    "exact question. Optimize the H2 to match the question text — "
+    "Google often pulls these straight into PAA blocks, giving you "
+    "free SERP real estate.")
+AI_ACTION_CITED = (
+    "If the AI's framing is correct, amplify it in your own content to "
+    "reinforce. If it's incomplete or wrong, write authoritative "
+    "content that targets the cited URLs' position — Google "
+    "regenerates the AI Overview as new content gets indexed.")
+AI_ACTION_NOT_CITED = (
+    "Generative Engine Optimization (GEO) opportunity: study what the "
+    "cited sources say, write content that more authoritatively "
+    "answers the same query intent, and target those domains to "
+    "displace them. Also pitch the cited outlets directly — getting "
+    "linked from them feeds the next AI Overview regeneration.")
+FS_ACTION = (
+    "Write a piece that answers the underlying question more directly "
+    "and concisely. Aim for a 40–60 word answer in a single paragraph "
+    "immediately after a matching H2. Outranking the snippet's source "
+    "on the underlying query is the typical way to take it.")
+VIDEO_ACTION_PRESENT = (
+    "Audit which clips of yours are surfacing — these are your "
+    "highest-leverage video assets. Double down on whatever "
+    "creator/format is winning. Consider commissioning more clips "
+    "with the same hook structure to expand carousel ownership.")
+KG_TITLE_ABSENT = "No Google Knowledge Panel found for this subject"
+KG_ACTION_ABSENT = (
+    "Build entity authority: claim/optimize a Wikipedia (or Wikidata) "
+    "entry for the brand, ensure structured-data markup (Organization "
+    "schema) on the brand homepage, get cited in industry directories "
+    "with consistent NAP. Once Wikidata recognizes the entity, Google "
+    "typically follows within a few weeks.")
+KG_ACTION_PRESENT = (
+    "Audit the knowledge panel content for accuracy. If wrong info "
+    "shows: submit feedback through Google's 'Suggest an edit' link. "
+    "If correct but incomplete: add structured data + Wikidata entries "
+    "to enrich the entity. The knowledge panel feeds AI Overview "
+    "citations and brand-name search results.")
+SHOP_ACTION = (
+    "If you sell competing products, ensure your product feed is in "
+    "Google Merchant Center with optimized titles, schema-marked "
+    "prices, and competitive ratings. If this listing is yours, audit "
+    "the price/rating relative to other carousel positions.")
+
+OPP_COLUMNS = ["query_id", "opp_type", "title", "rationale",
+               "suggested_action", "priority_score"]
+
+
+def _seg(cond: Column, *pieces) -> Column:
+    """Conditional rationale segment: concat(pieces) when cond else ''."""
+    return F.when(cond, F.concat(*pieces)).otherwise(F.lit(""))
+
+
+def _rank_str(rank: Column) -> Column:
+    """``rank or '?'`` — None AND 0 both render '?' (falsy)."""
+    return F.when(rank.isNotNull() & (rank != 0),
+                  rank.cast("string")).otherwise(F.lit("?"))
+
+
+def build_serp_opportunities(parsed: DataFrame, subjects: DataFrame,
+                             limit: int = 5) -> DataFrame:
+    """The nine deterministic opportunity builders (:1237-1753) over
+    :func:`parse_serp_blocks` output.
+
+    ``subjects``: ``(query_id, subject_label, brand_name,
+    aliases array<string>, used_seed, seed_was_fallback)``.
+
+    Emits ``(query_id, opp_type, title, rationale, suggested_action,
+    priority_score)`` — the reference's ``source``/``metadata`` dicts
+    are the parsed rows themselves and are not re-emitted. Candidate
+    dedup before the brand-mention ``any()`` (:1289-1296) is dropped:
+    it cannot change the boolean. Each builder is a filter/join/groupBy
+    over per-query keys; strings are native concat chains.
+    """
+    q = F.col("query_id")
+    seed = F.col("used_seed")
+    quote = F.lit('"')
+
+    def b(t): return F.col("block_type") == t
+
+    def norm(c): return normalize_text(c)
+
+    parts = []
+
+    # pao_question (:1237-1267)
+    pao = parsed.filter(b("pao") & (F.col("pos") <= limit)) \
+        .join(subjects, "query_id")
+    snippet = F.substring(F.coalesce(F.col("expanded"), F.lit("")),
+                          1, 240)
+    parts.append(pao.select(
+        q, F.lit("pao_question").alias("opp_type"),
+        F.col("title").alias("title"),
+        F.concat(
+            F.lit("Real Google searchers are asking this when they "
+                  "search \""), seed,
+            F.lit("\". Sourced from Google's People Also Ask block."),
+            _seg(snippet != "",
+                 F.lit(" Current top answer snippet: \""), snippet,
+                 quote)).alias("rationale"),
+        F.lit(PAO_ACTION).alias("suggested_action"),
+        F.lit(0.6).alias("priority_score")))
+
+    # ai_overview (:1268-1357)
+    ai = parsed.filter(b("ai_overview") & (F.col("text") != ""))
+    refs = parsed.filter(b("ai_reference"))
+    refs_agg = refs.groupBy("query_id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("pos"),
+                F.concat(norm(F.col("title")), F.lit(" "),
+                         norm(F.col("domain"))).alias("el")))),
+            lambda s: s["el"])).alias("ref_blob"),
+        F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("pos"), F.col("domain").alias("d")))),
+                lambda s: s["d"]),
+            lambda d: d != "").alias("cited"))
+    ai = (ai.join(refs_agg, "query_id", "left")
+          .join(subjects, "query_id"))
+    ai_text = F.col("text")
+    haystack = F.concat(norm(ai_text), F.lit(" "),
+                        F.coalesce(F.col("ref_blob"), F.lit("")))
+    cands = F.concat(
+        F.array(F.col("subject_label"), F.col("brand_name")),
+        F.coalesce(F.col("aliases"),
+                   F.expr("CAST(array() AS ARRAY<STRING>)")))
+    mentioned = F.exists(
+        cands, lambda c: (norm(F.coalesce(c, F.lit(""))) != "")
+        & haystack.contains(norm(F.coalesce(c, F.lit("")))))
+    cited = F.coalesce(F.col("cited"),
+                       F.expr("CAST(array() AS ARRAY<STRING>)"))
+    cited5 = F.array_join(F.slice(cited, 1, 5), ", ")
+    label_or_seed = F.when(
+        F.coalesce(F.col("subject_label"), F.lit("")) != "",
+        F.col("subject_label")).otherwise(seed)
+    ai280 = F.concat(F.substring(ai_text, 1, 280),
+                     F.when(F.length(ai_text) > 280, F.lit("…"))
+                      .otherwise(F.lit("")))
+    ai240 = F.concat(F.substring(ai_text, 1, 240),
+                     F.when(F.length(ai_text) > 240, F.lit("…"))
+                      .otherwise(F.lit("")))
+    parts.append(ai.select(
+        q, F.lit("ai_overview").alias("opp_type"),
+        F.when(mentioned,
+               F.concat(F.lit("Google's AI Overview cites "),
+                        label_or_seed))
+         .otherwise(F.concat(
+             F.lit("Google's AI Overview does NOT cite "),
+             label_or_seed)).alias("title"),
+        F.when(mentioned, F.concat(
+            F.lit("For the search \""), seed,
+            F.lit("\", Google's generative AI Overview includes your "
+                  "subject. The AI says: \""), ai280, quote,
+            _seg(F.size(cited) > 0, F.lit(" Cited references: "),
+                 cited5)))
+         .otherwise(F.concat(
+             F.lit("For \""), seed,
+             F.lit("\", Google's generative AI answer does not "
+                   "mention your subject. It cites these sources "
+                   "instead: "),
+             F.when(F.size(cited) > 0, cited5)
+              .otherwise(F.lit("(no references shown)")),
+             F.lit(". AI text: \""), ai240, quote)).alias("rationale"),
+        F.when(mentioned, F.lit(AI_ACTION_CITED))
+         .otherwise(F.lit(AI_ACTION_NOT_CITED))
+         .alias("suggested_action"),
+        F.lit(0.95).alias("priority_score")))
+
+    # featured_snippet (:1358-1387)
+    fs = parsed.filter(b("featured_snippet")
+                       & ((F.col("title") != "")
+                          | (F.col("description") != ""))) \
+        .join(subjects, "query_id")
+    fs_dom = F.col("domain")
+    fs_text = F.substring(
+        F.when(F.col("description") != "", F.col("description"))
+         .otherwise(F.coalesce(F.col("title"), F.lit(""))), 1, 240)
+    parts.append(fs.select(
+        q, F.lit("featured_snippet").alias("opp_type"),
+        F.concat(F.lit("Position-0 snippet held by "),
+                 F.when(fs_dom != "", fs_dom)
+                  .otherwise(F.lit("unknown"))).alias("title"),
+        F.concat(
+            F.lit("For \""), seed,
+            F.lit("\", Google's featured snippet (position 0) is "
+                  "currently held by "),
+            F.when(fs_dom != "", fs_dom)
+             .otherwise(F.lit("a competitor")),
+            F.lit(": \""), fs_text,
+            F.lit("\". Featured snippets get the largest CTR share "
+                  "above the standard organic results.")
+        ).alias("rationale"),
+        F.lit(FS_ACTION).alias("suggested_action"),
+        F.lit(0.85).alias("priority_score")))
+
+    # related_search (:1388-1412)
+    rel = parsed.filter(b("related_search") & (F.col("pos") <= limit)) \
+        .join(subjects, "query_id")
+    parts.append(rel.select(
+        q, F.lit("related_search").alias("opp_type"),
+        F.col("title").alias("title"),
+        F.concat(
+            F.lit("Google's \"Searches related to "), seed,
+            F.lit("\" block surfaces this term, meaning real users "
+                  "searching your subject also search for this. "
+                  "Direct intent overlap — different from the "
+                  "keyword-volume signal.")).alias("rationale"),
+        F.concat(
+            F.lit("Write a piece optimized for \""), F.col("title"),
+            F.lit("\" and cross-link to your existing content on the "
+                  "parent subject. Google itself is telling you these "
+                  "queries cluster together in user intent.")
+        ).alias("suggested_action"),
+        F.lit(0.5).alias("priority_score")))
+
+    # competitor_ranking (:1412-1466) — builder lowercases the domain
+    # and skips blanks; priority decays by ACCEPTED index
+    org = parsed.filter(b("organic")) \
+        .withColumn("dom", F.lower(F.coalesce(F.col("domain"),
+                                              F.lit("")))) \
+        .filter(F.col("dom") != "")
+    worg = Window.partitionBy("query_id").orderBy("pos")
+    org = org.withColumn("kept", F.row_number().over(worg)) \
+        .filter(F.col("kept") <= limit).join(subjects, "query_id")
+    rs = _rank_str(F.col("rank"))
+    parts.append(org.select(
+        q, F.lit("competitor_ranking").alias("opp_type"),
+        F.concat(F.lit("#"), rs, F.lit(" — "), F.col("dom"))
+         .alias("title"),
+        F.concat(
+            F.lit("For \""), seed, F.lit("\", Google ranks "),
+            F.col("dom"), F.lit(" at position "), rs, F.lit(": \""),
+            F.coalesce(F.col("title"), F.lit("")), F.lit("\" — "),
+            F.substring(F.coalesce(F.col("description"), F.lit("")),
+                        1, 160),
+            F.lit(". These are the pages currently capturing organic "
+                  "traffic for the keyword.")).alias("rationale"),
+        F.concat(
+            F.lit("Audit the page at "),
+            F.when(F.coalesce(F.col("url"), F.lit("")) != "",
+                   F.col("url")).otherwise(F.col("dom")),
+            F.lit(": what intent does it serve, what questions does "
+                  "it answer, what depth/structure does it use. Write "
+                  "content that matches the same intent more "
+                  "authoritatively to outrank it — or, if it's the "
+                  "tracked brand's own domain, treat this as a "
+                  "baseline for their current SEO position.")
+        ).alias("suggested_action"),
+        F.greatest(F.lit(0.3),
+                   F.lit(1.0) - (F.col("kept") - 1) * F.lit(0.1))
+         .alias("priority_score")))
+
+    # video_carousel (:1466-1558) — single card per query
+    vid = parsed.filter(b("video"))
+    plat = vid.groupBy("query_id", "platform").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("pos").alias("first_pos"))
+    plat_agg = plat.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("first_pos"),
+                F.col("platform"), F.col("cnt")))),
+            lambda s: F.concat(s["platform"], F.lit(":"),
+                               s["cnt"].cast("string")))
+        .alias("plat_strs"),
+        F.element_at(F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("first_pos"),
+                F.col("platform")))),
+            lambda s: s["platform"]), 1).alias("dominant"))
+    vid_agg = vid.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("pos"),
+                norm(F.concat(F.col("title"), F.lit(" "),
+                              F.col("creator"), F.lit(" "),
+                              F.col("domain"))).alias("el")))),
+            lambda s: s["el"])).alias("vhay"),
+        F.array_join(F.slice(F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("pos"), F.col("creator").alias("c")))),
+            lambda s: s["c"]),
+            lambda c, i: (c != "") & (i < 5)), 1, 3), ", ")
+        .alias("creators3"))
+    vcard = vid_agg.join(plat_agg, "query_id").join(subjects,
+                                                    "query_id")
+    v_mentioned = F.exists(
+        cands, lambda c: (norm(F.coalesce(c, F.lit(""))) != "")
+        & F.col("vhay").contains(norm(F.coalesce(c, F.lit("")))))
+    summary = F.array_join(F.col("plat_strs"), ", ")
+    parts.append(vcard.select(
+        q, F.lit("video_carousel").alias("opp_type"),
+        F.concat(F.lit("Google's video carousel for \""), seed,
+                 F.when(v_mentioned,
+                        F.lit("\" — your subject IS present"))
+                  .otherwise(F.lit("\" — your subject NOT present")))
+         .alias("title"),
+        F.when(v_mentioned, F.concat(
+            F.lit("For \""), seed, F.lit("\", Google surfaces "),
+            F.col("n_videos").cast("string"),
+            F.lit(" video clips at the top of the SERP. Platform "
+                  "mix: "), summary,
+            F.lit(". Your subject appears in the carousel.")))
+         .otherwise(F.concat(
+             F.lit("For \""), seed,
+             F.lit("\", Google's video carousel surfaces "),
+             F.col("n_videos").cast("string"),
+             F.lit(" clips. Platform mix: "), summary,
+             F.lit(". Your subject does not appear in any of them. "),
+             _seg(F.col("creators3") != "",
+                  F.lit("Top creators currently winning: "),
+                  F.col("creators3")))).alias("rationale"),
+        F.when(v_mentioned, F.lit(VIDEO_ACTION_PRESENT))
+         .otherwise(F.concat(
+             F.lit("Publish short-form video on the dominant platform "
+                   "for this query ("), F.col("dominant"),
+             F.lit("). Study the top-performing clips' hooks, length, "
+                   "and structure — match those patterns while adding "
+                   "your brand's perspective. Video carousel real "
+                   "estate often outranks page-1 organic in CTR for "
+                   "visual queries."))).alias("suggested_action"),
+        F.when(v_mentioned, F.lit(0.7)).otherwise(F.lit(0.85))
+         .alias("priority_score")))
+
+    # news_carousel (:1560-1598)
+    news = parsed.filter(b("news_story") & (F.col("pos") <= limit)) \
+        .join(subjects, "query_id")
+    src_dom = F.when(F.col("source") != "", F.col("source")) \
+        .otherwise(F.col("domain"))
+    parts.append(news.select(
+        q, F.lit("news_carousel").alias("opp_type"),
+        F.concat(F.lit("Top story: "), src_dom).alias("title"),
+        F.concat(
+            F.lit("For \""), seed,
+            F.lit("\", Google's Top Stories block features: \""),
+            F.when(F.col("title") != "", F.col("title"))
+             .otherwise(F.lit("(no title)")),
+            F.lit("\" from "), src_dom,
+            F.lit(". Top Stories carousel sits above organic results "
+                  "for newsworthy queries — high-attention surface "
+                  "that's editorially curated by Google.")
+        ).alias("rationale"),
+        F.concat(
+            F.lit("Pitch "), src_dom,
+            F.lit(" a complementary angle. They're already covering "
+                  "the topic and Google is amplifying them — "
+                  "relationship-building here pays off in two ways: "
+                  "your future stories ride the same Top Stories "
+                  "carousel, plus you get inbound link authority.")
+        ).alias("suggested_action"),
+        F.lit(0.7).alias("priority_score")))
+
+    # knowledge_graph (:1598-1663) — absent AND present variants
+    kg = parsed.filter(b("knowledge_graph"))
+    absent = subjects.join(kg.select("query_id"), "query_id",
+                           "left_anti")
+    parts.append(absent.select(
+        q, F.lit("knowledge_graph").alias("opp_type"),
+        F.lit(KG_TITLE_ABSENT).alias("title"),
+        F.concat(
+            F.lit("For \""), seed,
+            F.lit("\", Google does NOT show a Knowledge Panel (the "
+                  "entity card in the right rail of search results). "
+                  "Brands without a knowledge graph entry are not yet "
+                  "recognized as distinct entities by Google's "
+                  "knowledge layer — a blocker for brand-search "
+                  "appearance, AI Overview citations, and "
+                  "entity-aware ranking signals.")).alias("rationale"),
+        F.lit(KG_ACTION_ABSENT).alias("suggested_action"),
+        F.lit(0.75).alias("priority_score")))
+    kgp = kg.join(subjects, "query_id")
+    parts.append(kgp.select(
+        q, F.lit("knowledge_graph").alias("opp_type"),
+        F.concat(F.lit("Google Knowledge Panel exists: "),
+                 F.when(F.col("title") != "", F.col("title"))
+                  .otherwise(F.lit("(unnamed)"))).alias("title"),
+        F.concat(
+            F.lit("For \""), seed,
+            F.lit("\", Google shows a Knowledge Panel: \""),
+            F.coalesce(F.col("title"), F.lit("")), quote,
+            _seg(F.col("subtitle") != "", F.lit(" — "),
+                 F.col("subtitle")),
+            _seg(F.col("description") != "",
+                 F.lit(". Description: \""),
+                 F.substring(F.col("description"), 1, 280), quote)
+        ).alias("rationale"),
+        F.lit(KG_ACTION_PRESENT).alias("suggested_action"),
+        F.lit(0.6).alias("priority_score")))
+
+    # paid_competitor (:1663-1705)
+    paid = parsed.filter(b("paid") & (F.col("pos") <= limit)) \
+        .join(subjects, "query_id")
+    prs = _rank_str(F.col("rank"))
+    parts.append(paid.select(
+        q, F.lit("paid_competitor").alias("opp_type"),
+        F.concat(F.lit("Paid bidder: "), F.col("domain"))
+         .alias("title"),
+        F.concat(
+            F.lit("For \""), seed, F.lit("\", "), F.col("domain"),
+            F.lit(" is paying Google Ads to appear at position "),
+            prs, F.lit(": \""),
+            F.coalesce(F.col("title"), F.lit("")),
+            F.lit("\". Advertisers paying per click on this keyword "
+                  "are explicit competitors targeting the same "
+                  "buyer-intent traffic.")).alias("rationale"),
+        F.concat(
+            F.lit("Audit "), F.col("domain"),
+            F.lit("'s ad copy + landing page. Note their value props, "
+                  "pricing positioning, and CTAs — these are vetted "
+                  "by their ad-budget review and proven to convert on "
+                  "this keyword. Use them as a reference for your own "
+                  "campaigns or organic content.")
+        ).alias("suggested_action"),
+        F.lit(0.55).alias("priority_score")))
+
+    # shopping_listing (:1705-1753)
+    shop = parsed.filter(b("shopping") & (F.col("pos") <= limit)) \
+        .join(subjects, "query_id")
+    seller_or = F.when(F.col("seller") != "", F.col("seller")) \
+        .otherwise(F.coalesce(F.col("domain"), F.lit("")))
+    has_price = F.col("price").isNotNull() & (F.col("price") != 0.0)
+    has_cur = F.coalesce(F.col("currency"), F.lit("")) != ""
+    price_str = (F.when(has_price & has_cur,
+                        F.concat(F.col("price").cast("string"),
+                                 F.lit(" "), F.col("currency")))
+                 .when(has_price, F.col("price").cast("string"))
+                 .otherwise(F.lit("")))
+    has_rating = F.col("rating").isNotNull() & (F.col("rating") != 0.0)
+    parts.append(shop.select(
+        q, F.lit("shopping_listing").alias("opp_type"),
+        F.substring(F.when(F.col("title") != "", F.col("title"))
+                     .otherwise(seller_or), 1, 160).alias("title"),
+        F.concat(
+            F.lit("For \""), seed,
+            F.lit("\", Google's Shopping carousel surfaces this "
+                  "product"),
+            _seg(price_str != "", F.lit(" at "), price_str),
+            _seg(seller_or != "", F.lit(" sold by "), seller_or),
+            _seg(has_rating, F.lit(" (rating: "),
+                 F.col("rating").cast("string"), F.lit(")")),
+            F.lit(". Shopping carousel sits above organic results for "
+                  "transactional queries — high-CTR placement for "
+                  "buyer-intent traffic.")).alias("rationale"),
+        F.lit(SHOP_ACTION).alias("suggested_action"),
+        F.lit(0.5).alias("priority_score")))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def synth_serp_subjects(docs) -> DataFrame:
+    d = docs.select(F.col("doc_id").cast("long").alias("doc"))
+    doc = F.col("doc")
+    return d.select(
+        doc.alias("query_id"),
+        F.concat(F.lit("Brand"), doc.cast("string"))
+         .alias("subject_label"),
+        F.concat(F.lit("B"), doc.cast("string"), F.lit(" Works"))
+         .alias("brand_name"),
+        F.array(F.concat(F.lit("b"), doc.cast("string"),
+                         F.lit(" works"))).alias("aliases"),
+        F.concat(F.lit("brand"), doc.cast("string"), F.lit(" tiles"))
+         .alias("used_seed"),
+        (doc % 2 == 0).alias("seed_was_fallback"))
+
+
+SYNTH_SERP_SUBJECTS_SQL = """
+    SELECT doc AS query_id,
+           'Brand' || CAST(doc AS VARCHAR) AS subject_label,
+           'B' || CAST(doc AS VARCHAR) || ' Works' AS brand_name,
+           ['b' || CAST(doc AS VARCHAR) || ' works'] AS aliases,
+           'brand' || CAST(doc AS VARCHAR) || ' tiles' AS used_seed,
+           doc % 2 = 0 AS seed_was_fallback
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents)
+"""
+
+
+def duck_opps_sql(limit: int = 5) -> str:
+    """Twin of :func:`build_serp_opportunities` over ``items_in`` +
+    ``subjects_in`` CTEs (builds on :func:`duck_parse_ctes`)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    nrm = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"
+    cands = ("list_transform([s.subject_label, s.brand_name] "
+             "|| COALESCE(s.aliases, []), x -> "
+             + nrm.format(x="COALESCE(x, '')") + ")")
+    rank_str = ("CASE WHEN p.\"rank\" IS NOT NULL AND p.\"rank\" <> 0 "
+                "THEN CAST(p.\"rank\" AS VARCHAR) ELSE '?' END")
+    return duck_parse_ctes(limit) + f""", pao_opp AS (
+        SELECT p.query_id, 'pao_question' AS opp_type,
+               p.title AS title,
+               'Real Google searchers are asking this when they search "'
+               || s.used_seed
+               || '". Sourced from Google''s People Also Ask block.'
+               || CASE WHEN substr(COALESCE(p.expanded, ''), 1, 240) <> ''
+                       THEN ' Current top answer snippet: "'
+                            || substr(COALESCE(p.expanded, ''), 1, 240)
+                            || '"'
+                       ELSE '' END AS rationale,
+               '{q(PAO_ACTION)}' AS suggested_action,
+               0.6::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'pao' AND p.pos <= {limit}
+    ), refs_agg AS (
+        SELECT query_id,
+               string_agg({nrm.format(x="title")} || ' '
+                          || {nrm.format(x="domain")}, ' '
+                          ORDER BY pos) AS ref_blob,
+               COALESCE(array_agg(domain ORDER BY pos)
+                        FILTER (WHERE domain <> ''), []) AS cited
+        FROM parsed WHERE block_type = 'ai_reference'
+        GROUP BY query_id
+    ), ai_opp AS (
+        SELECT p.query_id, 'ai_overview' AS opp_type,
+            CASE WHEN mentioned
+                 THEN 'Google''s AI Overview cites ' || los
+                 ELSE 'Google''s AI Overview does NOT cite ' || los
+            END AS title,
+            CASE WHEN mentioned
+                 THEN 'For the search "' || s.used_seed
+                      || '", Google''s generative AI Overview includes your subject. The AI says: "'
+                      || substr(p.text, 1, 280)
+                      || CASE WHEN len(p.text) > 280 THEN '…' ELSE '' END
+                      || '"'
+                      || CASE WHEN len(cited) > 0
+                              THEN ' Cited references: '
+                                   || array_to_string(cited[1:5], ', ')
+                              ELSE '' END
+                 ELSE 'For "' || s.used_seed
+                      || '", Google''s generative AI answer does not mention your subject. It cites these sources instead: '
+                      || CASE WHEN len(cited) > 0
+                              THEN array_to_string(cited[1:5], ', ')
+                              ELSE '(no references shown)' END
+                      || '. AI text: "' || substr(p.text, 1, 240)
+                      || CASE WHEN len(p.text) > 240 THEN '…' ELSE '' END
+                      || '"'
+            END AS rationale,
+            CASE WHEN mentioned THEN '{q(AI_ACTION_CITED)}'
+                 ELSE '{q(AI_ACTION_NOT_CITED)}' END
+              AS suggested_action,
+            0.95::DOUBLE AS priority_score
+        FROM (
+            SELECT p.*, s.used_seed, s.subject_label, s.brand_name,
+                   s.aliases,
+                COALESCE(r.cited, []) AS cited,
+                CASE WHEN COALESCE(s.subject_label, '') <> ''
+                     THEN s.subject_label ELSE s.used_seed END AS los,
+                len(list_filter({cands},
+                    c -> c <> '' AND contains(
+                        {nrm.format(x="p.text")} || ' '
+                        || COALESCE(r.ref_blob, ''), c))) > 0
+                  AS mentioned
+            FROM parsed p
+            LEFT JOIN refs_agg r USING (query_id)
+            JOIN subjects_in s USING (query_id)
+            WHERE p.block_type = 'ai_overview' AND p.text <> ''
+        ) p JOIN subjects_in s USING (query_id)
+    ), fs_opp AS (
+        SELECT p.query_id, 'featured_snippet' AS opp_type,
+            'Position-0 snippet held by '
+            || CASE WHEN p.domain <> '' THEN p.domain
+                    ELSE 'unknown' END AS title,
+            'For "' || s.used_seed
+            || '", Google''s featured snippet (position 0) is currently held by '
+            || CASE WHEN p.domain <> '' THEN p.domain
+                    ELSE 'a competitor' END
+            || ': "'
+            || substr(CASE WHEN p.description <> '' THEN p.description
+                           ELSE COALESCE(p.title, '') END, 1, 240)
+            || '". Featured snippets get the largest CTR share above the standard organic results.'
+              AS rationale,
+            '{q(FS_ACTION)}' AS suggested_action,
+            0.85::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'featured_snippet'
+              AND (p.title <> '' OR p.description <> '')
+    ), rel_opp AS (
+        SELECT p.query_id, 'related_search' AS opp_type,
+            p.title AS title,
+            'Google''s "Searches related to ' || s.used_seed
+            || '" block surfaces this term, meaning real users searching your subject also search for this. Direct intent overlap — different from the keyword-volume signal.'
+              AS rationale,
+            'Write a piece optimized for "' || p.title
+            || '" and cross-link to your existing content on the parent subject. Google itself is telling you these queries cluster together in user intent.'
+              AS suggested_action,
+            0.5::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'related_search' AND p.pos <= {limit}
+    ), org_kept AS (
+        SELECT *, lower(COALESCE(domain, '')) AS dom,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pos) AS kept
+        FROM parsed
+        WHERE block_type = 'organic'
+              AND lower(COALESCE(domain, '')) <> ''
+        QUALIFY kept <= {limit}
+    ), comp_opp AS (
+        SELECT p.query_id, 'competitor_ranking' AS opp_type,
+            '#' || {rank_str} || ' — ' || p.dom AS title,
+            'For "' || s.used_seed || '", Google ranks ' || p.dom
+            || ' at position ' || {rank_str} || ': "'
+            || COALESCE(p.title, '') || '" — '
+            || substr(COALESCE(p.description, ''), 1, 160)
+            || '. These are the pages currently capturing organic traffic for the keyword.'
+              AS rationale,
+            'Audit the page at '
+            || CASE WHEN COALESCE(p.url, '') <> '' THEN p.url
+                    ELSE p.dom END
+            || ': what intent does it serve, what questions does it answer, what depth/structure does it use. Write content that matches the same intent more authoritatively to outrank it — or, if it''s the tracked brand''s own domain, treat this as a baseline for their current SEO position.'
+              AS suggested_action,
+            greatest(0.3::DOUBLE,
+                     1.0::DOUBLE - (p.kept - 1) * 0.1::DOUBLE)
+              AS priority_score
+        FROM org_kept p JOIN subjects_in s USING (query_id)
+    ), plat AS (
+        SELECT query_id, platform, COUNT(*) AS cnt,
+               MIN(pos) AS first_pos
+        FROM parsed WHERE block_type = 'video'
+        GROUP BY query_id, platform
+    ), plat_agg AS (
+        SELECT query_id,
+               string_agg(platform || ':' || CAST(cnt AS VARCHAR), ', '
+                          ORDER BY cnt DESC, first_pos) AS summary,
+               (array_agg(platform
+                          ORDER BY cnt DESC, first_pos))[1] AS dominant
+        FROM plat GROUP BY query_id
+    ), vid_agg AS (
+        SELECT query_id, COUNT(*) AS n_videos,
+            string_agg({nrm.format(
+                x="title || ' ' || creator || ' ' || domain")}, ' '
+                ORDER BY pos) AS vhay,
+            array_to_string(
+                (COALESCE(array_agg(creator ORDER BY pos)
+                 FILTER (WHERE creator <> '' AND pos <= 5), []))[1:3],
+                ', ') AS creators3
+        FROM parsed WHERE block_type = 'video'
+        GROUP BY query_id
+    ), vid_opp AS (
+        SELECT v.query_id, 'video_carousel' AS opp_type,
+            'Google''s video carousel for "' || s.used_seed
+            || CASE WHEN mentioned THEN '" — your subject IS present'
+                    ELSE '" — your subject NOT present' END AS title,
+            CASE WHEN mentioned
+                 THEN 'For "' || s.used_seed || '", Google surfaces '
+                      || CAST(v.n_videos AS VARCHAR)
+                      || ' video clips at the top of the SERP. Platform mix: '
+                      || pa.summary
+                      || '. Your subject appears in the carousel.'
+                 ELSE 'For "' || s.used_seed
+                      || '", Google''s video carousel surfaces '
+                      || CAST(v.n_videos AS VARCHAR)
+                      || ' clips. Platform mix: ' || pa.summary
+                      || '. Your subject does not appear in any of them. '
+                      || CASE WHEN v.creators3 <> ''
+                              THEN 'Top creators currently winning: '
+                                   || v.creators3
+                              ELSE '' END
+            END AS rationale,
+            CASE WHEN mentioned THEN '{q(VIDEO_ACTION_PRESENT)}'
+                 ELSE 'Publish short-form video on the dominant platform for this query ('
+                      || pa.dominant
+                      || '). Study the top-performing clips'' hooks, length, and structure — match those patterns while adding your brand''s perspective. Video carousel real estate often outranks page-1 organic in CTR for visual queries.'
+            END AS suggested_action,
+            CASE WHEN mentioned THEN 0.7::DOUBLE
+                 ELSE 0.85::DOUBLE END AS priority_score
+        FROM (
+            SELECT v.*, s2.used_seed AS us,
+                len(list_filter({cands.replace('s.', 's2.')},
+                    c -> c <> '' AND contains(v.vhay, c))) > 0
+                  AS mentioned
+            FROM vid_agg v JOIN subjects_in s2 USING (query_id)
+        ) v
+        JOIN plat_agg pa USING (query_id)
+        JOIN subjects_in s USING (query_id)
+    ), news_opp AS (
+        SELECT p.query_id, 'news_carousel' AS opp_type,
+            'Top story: '
+            || CASE WHEN p.source <> '' THEN p.source
+                    ELSE p.domain END AS title,
+            'For "' || s.used_seed
+            || '", Google''s Top Stories block features: "'
+            || CASE WHEN p.title <> '' THEN p.title
+                    ELSE '(no title)' END
+            || '" from '
+            || CASE WHEN p.source <> '' THEN p.source
+                    ELSE p.domain END
+            || '. Top Stories carousel sits above organic results for newsworthy queries — high-attention surface that''s editorially curated by Google.'
+              AS rationale,
+            'Pitch '
+            || CASE WHEN p.source <> '' THEN p.source
+                    ELSE p.domain END
+            || ' a complementary angle. They''re already covering the topic and Google is amplifying them — relationship-building here pays off in two ways: your future stories ride the same Top Stories carousel, plus you get inbound link authority.'
+              AS suggested_action,
+            0.7::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'news_story' AND p.pos <= {limit}
+    ), kg_absent AS (
+        SELECT s.query_id, 'knowledge_graph' AS opp_type,
+            '{q(KG_TITLE_ABSENT)}' AS title,
+            'For "' || s.used_seed
+            || '", Google does NOT show a Knowledge Panel (the entity card in the right rail of search results). Brands without a knowledge graph entry are not yet recognized as distinct entities by Google''s knowledge layer — a blocker for brand-search appearance, AI Overview citations, and entity-aware ranking signals.'
+              AS rationale,
+            '{q(KG_ACTION_ABSENT)}' AS suggested_action,
+            0.75::DOUBLE AS priority_score
+        FROM subjects_in s
+        WHERE s.query_id NOT IN (SELECT query_id FROM parsed
+                                 WHERE block_type = 'knowledge_graph')
+    ), kg_present AS (
+        SELECT p.query_id, 'knowledge_graph' AS opp_type,
+            'Google Knowledge Panel exists: '
+            || CASE WHEN p.title <> '' THEN p.title
+                    ELSE '(unnamed)' END AS title,
+            'For "' || s.used_seed
+            || '", Google shows a Knowledge Panel: "'
+            || COALESCE(p.title, '') || '"'
+            || CASE WHEN p.subtitle <> '' THEN ' — ' || p.subtitle
+                    ELSE '' END
+            || CASE WHEN p.description <> ''
+                    THEN '. Description: "'
+                         || substr(p.description, 1, 280) || '"'
+                    ELSE '' END AS rationale,
+            '{q(KG_ACTION_PRESENT)}' AS suggested_action,
+            0.6::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'knowledge_graph'
+    ), paid_opp AS (
+        SELECT p.query_id, 'paid_competitor' AS opp_type,
+            'Paid bidder: ' || p.domain AS title,
+            'For "' || s.used_seed || '", ' || p.domain
+            || ' is paying Google Ads to appear at position '
+            || {rank_str} || ': "' || COALESCE(p.title, '')
+            || '". Advertisers paying per click on this keyword are explicit competitors targeting the same buyer-intent traffic.'
+              AS rationale,
+            'Audit ' || p.domain
+            || '''s ad copy + landing page. Note their value props, pricing positioning, and CTAs — these are vetted by their ad-budget review and proven to convert on this keyword. Use them as a reference for your own campaigns or organic content.'
+              AS suggested_action,
+            0.55::DOUBLE AS priority_score
+        FROM parsed p JOIN subjects_in s USING (query_id)
+        WHERE p.block_type = 'paid' AND p.pos <= {limit}
+    ), shop_opp AS (
+        SELECT p.query_id, 'shopping_listing' AS opp_type,
+            substr(CASE WHEN p.title <> '' THEN p.title
+                        ELSE seller_or END, 1, 160) AS title,
+            'For "' || s.used_seed
+            || '", Google''s Shopping carousel surfaces this product'
+            || CASE WHEN price_str <> '' THEN ' at ' || price_str
+                    ELSE '' END
+            || CASE WHEN seller_or <> '' THEN ' sold by ' || seller_or
+                    ELSE '' END
+            || CASE WHEN p.rating IS NOT NULL AND p.rating <> 0.0
+                    THEN ' (rating: ' || CAST(p.rating AS VARCHAR)
+                         || ')'
+                    ELSE '' END
+            || '. Shopping carousel sits above organic results for transactional queries — high-CTR placement for buyer-intent traffic.'
+              AS rationale,
+            '{q(SHOP_ACTION)}' AS suggested_action,
+            0.5::DOUBLE AS priority_score
+        FROM (
+            SELECT *,
+                CASE WHEN seller <> '' THEN seller
+                     ELSE COALESCE(domain, '') END AS seller_or,
+                CASE WHEN price IS NOT NULL AND price <> 0.0
+                          AND COALESCE(currency, '') <> ''
+                     THEN CAST(price AS VARCHAR) || ' ' || currency
+                     WHEN price IS NOT NULL AND price <> 0.0
+                     THEN CAST(price AS VARCHAR)
+                     ELSE '' END AS price_str
+            FROM parsed
+            WHERE block_type = 'shopping' AND pos <= {limit}
+        ) p JOIN subjects_in s USING (query_id)
+    )
+    SELECT * FROM pao_opp UNION ALL SELECT * FROM ai_opp
+    UNION ALL SELECT * FROM fs_opp UNION ALL SELECT * FROM rel_opp
+    UNION ALL SELECT * FROM comp_opp UNION ALL SELECT * FROM vid_opp
+    UNION ALL SELECT * FROM news_opp UNION ALL SELECT * FROM kg_absent
+    UNION ALL SELECT * FROM kg_present UNION ALL SELECT * FROM paid_opp
+    UNION ALL SELECT * FROM shop_opp
+"""
