@@ -136,6 +136,16 @@ BENCH_QUERIES = [
     "price_source_label",
     # round 4 continuation: salary/sentiment/consolidation tier
     "salary_normalize", "sentiment_fallback", "metadata_consolidate",
+    # round 4 continuation: recipes / source curation / facet sweep
+    "recipe_select", "source_site_actions", "facet_sweep_plan",
+    "facet_sweep_summary",
+    # round 4 continuation: image-product associations
+    "image_product_assoc", "image_product_assoc_limits",
+    "image_product_assoc_stats",
+    # round 4 continuation: job rule-tier classification
+    "job_rule_classify", "job_non_posting",
+    # round 4 continuation: SERP parse + opportunity builders
+    "serp_blocks_parse", "serp_opportunities",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
