@@ -3873,6 +3873,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parsed, so.synth_serp_subjects(d), limit=2)
     q["serp_opportunities"] = serp_opportunities
 
+    # --- mention keyword / LLM-visibility / domain cards (operators/
+    # mention_cards.py; reference mention_opportunity_service.py) ---
+
+    def mention_seed_fallback(spark, sf_dir):
+        # ordered seed candidates: trim, len>=3 drop, normalized-dedup
+        # first-wins — label -> brand -> aliases
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_cards as mc)
+        return mc.fallback_seeds(
+            mc.synth_seed_subjects(_docs(spark, sf_dir)))
+    q["mention_seed_fallback"] = mention_seed_fallback
+
+    def keyword_opportunity_cards(spark, sf_dir):
+        # volume-ranked slice BEFORE the <10 skip (slot consumption
+        # pinned), comma-grouped volumes, difficulty/intent segments,
+        # intent-matched action suffixes, volume-scaled priority
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_cards as mc)
+        d = _docs(spark, sf_dir)
+        return mc.keyword_opportunity_cards(
+            mc.synth_keyword_items(d), mc.synth_card_subjects(d),
+            limit=3)
+    q["keyword_opportunity_cards"] = keyword_opportunity_cards
+
+    def llm_visibility_cards(spark, sf_dir):
+        # absent/not-present card + the three share-of-voice tiers,
+        # per-model bullet lines in input order, falsy avg-rank skip,
+        # top-5 competitor line
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_cards as mc)
+        d = _docs(spark, sf_dir)
+        return mc.llm_visibility_cards(
+            mc.synth_llm_snapshots(d), mc.synth_llm_models(d),
+            mc.synth_llm_competitors(d), mc.synth_card_subjects(d))
+    q["llm_visibility_cards"] = llm_visibility_cards
+
+    def domain_snapshot_cards(spark, sf_dir):
+        # not-configured / not-indexed / snapshot narratives; the
+        # last-truthy metric fold (zeros never survive) runs in-plan
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_cards as mc)
+        d = _docs(spark, sf_dir)
+        return mc.domain_snapshot_cards(
+            mc.synth_card_subjects(d), mc.synth_domain_metrics(d))
+    q["domain_snapshot_cards"] = domain_snapshot_cards
+
     return q
 
 
@@ -4715,6 +4761,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
+    from mivaa_pdf_extractor_spark.operators import mention_cards as _mc
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8517,4 +8564,25 @@ def oracle_sql() -> dict[str, str]:
             WITH items_in AS ({_so.synth_serp_items_sql()}),
             subjects_in AS ({_so.SYNTH_SERP_SUBJECTS_SQL}),
             {_so.duck_opps_sql(2)}""",
+        "mention_seed_fallback": f"""
+            WITH subjects_in AS ({_mc.SYNTH_SEED_SUBJECTS_SQL}),
+            {_mc.DUCK_SEEDS_SQL}
+            SELECT * FROM seeds""",
+        "keyword_opportunity_cards": f"""
+            WITH items_in AS ({_mc.SYNTH_KEYWORD_ITEMS_SQL}),
+            subjects_in AS ({_mc.SYNTH_CARD_SUBJECTS_SQL}),
+            {_mc.duck_keyword_cards_sql(3)}
+            SELECT * FROM cards""",
+        "llm_visibility_cards": f"""
+            WITH snapshots_in AS ({_mc.SYNTH_LLM_SNAPSHOTS_SQL}),
+            models_in AS ({_mc.SYNTH_LLM_MODELS_SQL}),
+            competitors_in AS ({_mc.SYNTH_LLM_COMPETITORS_SQL}),
+            subjects_in AS ({_mc.SYNTH_CARD_SUBJECTS_SQL}),
+            {_mc.duck_llm_cards_sql()}
+            SELECT * FROM llm_cards""",
+        "domain_snapshot_cards": f"""
+            WITH metrics_in AS ({_mc.SYNTH_DOMAIN_METRICS_SQL}),
+            subjects_in AS ({_mc.SYNTH_CARD_SUBJECTS_SQL}),
+            {_mc.duck_domain_cards_sql()}
+            SELECT * FROM domain_cards""",
     }

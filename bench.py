@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "job_rule_classify", "job_non_posting",
     # round 4 continuation: SERP parse + opportunity builders
     "serp_blocks_parse", "serp_opportunities",
+    # round 4 continuation: keyword / LLM-visibility / domain cards
+    "mention_seed_fallback", "keyword_opportunity_cards",
+    "llm_visibility_cards", "domain_snapshot_cards",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
