@@ -3919,6 +3919,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mc.synth_card_subjects(d), mc.synth_domain_metrics(d))
     q["domain_snapshot_cards"] = domain_snapshot_cards
 
+    # --- mention discovery curation (operators/mention_curation.py;
+    # reference mention_search_service.py + tracked_mentions_service
+    # + mention_identity_service) ---
+
+    def mention_url_enrich(spark, sf_dir):
+        # canonical URL (tracking-prefix query strip, scheme fallback,
+        # path normalization), domain, outlet classify, country gate
+        # (TLD or curated allowlist) — one map-only projection
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        urls = mcu.synth_mention_urls(_docs(spark, sf_dir))
+        host = mcu.mention_domain_of(F.col("url"))
+        return urls.select(
+            "hit_id",
+            mcu.canonicalize_mention_url(F.col("url"))
+            .alias("canon_url"),
+            host.alias("domain"),
+            mcu.classify_outlet_type(host).alias("outlet_type"),
+            mcu.matches_country(host, ["GR", "DE"]).alias("country_ok"))
+    q["mention_url_enrich"] = mention_url_enrich
+
+    def mention_fanout(spark, sf_dir):
+        # all_aliases raw-dedup THEN the fanout filters + stripped
+        # dedup; primary-first + length-desc ordering; raw-label
+        # fallback when nothing survives
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        return mcu.fanout_queries(
+            mcu.synth_fanout_subjects(_docs(spark, sf_dir)), 3)
+    q["mention_fanout"] = mention_fanout
+
+    def mention_hits_dedupe(spark, sf_dir):
+        # sequential (url, content-hash) first-wins where rejected rows
+        # register neither key — per-subject kernel, recursive-CTE twin
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        return mcu.dedupe_mention_hits(
+            mcu.synth_mention_hits(_docs(spark, sf_dir)))
+    q["mention_hits_dedupe"] = mention_hits_dedupe
+
+    def mention_summary_30d(spark, sf_dir):
+        # per-subject rollup: sentiment counts, zero-coerced average,
+        # top outlets with first-appearance tiebreak, latest_at from
+        # the most recently PUBLISHED row
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        return mcu.mention_summary(
+            mcu.synth_mention_history(_docs(spark, sf_dir)))
+    q["mention_summary_30d"] = mention_summary_30d
+
+    def mention_anomalies(spark, sf_dir):
+        # trailing-median z-score flags (>= 5 samples gate, negative
+        # outliers only) with the pinned sigma reason string
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        d = _docs(spark, sf_dir)
+        return mcu.stamp_anomalies(mcu.synth_anomaly_rows(d),
+                                   mcu.synth_anomaly_trailing(d))
+    q["mention_anomalies"] = mention_anomalies
+
+    def mention_velocity(spark, sf_dir):
+        # trailing 7d velocity %: empty-history 100/0 edge + percent
+        # change vs daily average
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_curation as mcu)
+        return mcu.compute_velocity(
+            mcu.synth_velocity_stats(_docs(spark, sf_dir)))
+    q["mention_velocity"] = mention_velocity
+
     return q
 
 
@@ -4762,6 +4831,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
     from mivaa_pdf_extractor_spark.operators import mention_cards as _mc
+    from mivaa_pdf_extractor_spark.operators import (
+        mention_curation as _mcu)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8585,4 +8656,29 @@ def oracle_sql() -> dict[str, str]:
             subjects_in AS ({_mc.SYNTH_CARD_SUBJECTS_SQL}),
             {_mc.duck_domain_cards_sql()}
             SELECT * FROM domain_cards""",
+        "mention_url_enrich": f"""
+            WITH urls_in AS ({_mcu.SYNTH_MENTION_URLS_SQL}),
+            {_mcu.duck_url_enrich_sql(["GR", "DE"])}
+            SELECT * FROM enriched""",
+        "mention_fanout": f"""
+            WITH subjects_in AS ({_mcu.SYNTH_FANOUT_SUBJECTS_SQL}),
+            {_mcu.duck_fanout_sql(3)}
+            SELECT * FROM fanout""",
+        "mention_hits_dedupe": f"""
+            WITH RECURSIVE hits_in AS ({_mcu.SYNTH_MENTION_HITS_SQL}),
+            {_mcu.duck_dedupe_sql()}
+            SELECT * FROM deduped""",
+        "mention_summary_30d": f"""
+            WITH history_in AS ({_mcu.SYNTH_MENTION_HISTORY_SQL}),
+            {_mcu.DUCK_SUMMARY_SQL}
+            SELECT * FROM summary""",
+        "mention_anomalies": f"""
+            WITH rows_in AS ({_mcu.SYNTH_ANOMALY_ROWS_SQL}),
+            trailing_in AS ({_mcu.SYNTH_ANOMALY_TRAILING_SQL}),
+            {_mcu.DUCK_ANOMALIES_SQL}
+            SELECT * FROM anomalies""",
+        "mention_velocity": f"""
+            WITH stats_in AS ({_mcu.SYNTH_VELOCITY_STATS_SQL}),
+            {_mcu.DUCK_VELOCITY_SQL}
+            SELECT * FROM velocity""",
     }

@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     # round 4 continuation: keyword / LLM-visibility / domain cards
     "mention_seed_fallback", "keyword_opportunity_cards",
     "llm_visibility_cards", "domain_snapshot_cards",
+    # round 4 continuation: mention discovery curation
+    "mention_url_enrich", "mention_fanout", "mention_hits_dedupe",
+    "mention_summary_30d", "mention_anomalies", "mention_velocity",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -267,9 +267,11 @@ def apply_association_limits(assocs: DataFrame, doc_col: str = "doc_id",
     (bounded images x products per doc). Output adds ``pick_order``,
     the 1-based admission rank within the document.
     """
-    schema = assocs.select(doc_col, "image_id", "product_id",
-                           "overall_score", "confidence").schema \
-        .add("pick_order", "integer", False)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    schema = StructType(list(
+        assocs.select(doc_col, "image_id", "product_id",
+                      "overall_score", "confidence").schema.fields)
+        + [StructField("pick_order", IntegerType(), False)])
 
     mi, mp = int(max_per_image), int(max_per_product)
 
