@@ -3988,6 +3988,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mcu.synth_velocity_stats(_docs(spark, sf_dir)))
     q["mention_velocity"] = mention_velocity
 
+    # --- spec-vision page resolution + result shaping (operators/
+    # spec_vision.py; reference product_spec_vision_extractor.py) ---
+
+    def spec_page_resolve(spark, sf_dir):
+        # the folio-bug fix ladder: accent-folded name scan over the
+        # raw text layer, layout-cache fallback, then the bounded
+        # numeric page_range conversion — per-doc equi-join + ranks
+        from mivaa_pdf_extractor_spark.operators import (
+            spec_vision as sv)
+        d = _docs(spark, sf_dir)
+        return sv.resolve_product_pages(sv.synth_spec_products(d),
+                                        sv.synth_spec_pages(d))
+    q["spec_page_resolve"] = spec_page_resolve
+
+    def spec_result_merge(spark, sf_dir):
+        # field-by-field first non-empty scalar + unique-ordered list
+        # union across page extractions
+        from mivaa_pdf_extractor_spark.operators import (
+            spec_vision as sv)
+        out = sv.select_best_spec(
+            sv.synth_spec_results(_docs(spark, sf_dir)))
+        # arrays stringify asymmetrically through the compare harness —
+        # flatten at the contract boundary only
+        return out.select("product_id", "field", "value",
+                          F.array_join(F.col("merged"), "|")
+                           .alias("merged_str"))
+    q["spec_result_merge"] = spec_result_merge
+
+    def spec_metadata_map(spark, sf_dir):
+        # flat->nested section mapper with the three presence gates
+        # (truthy vs is-not-None vs not-in-(None,[],'')) and the
+        # nesting renames
+        from mivaa_pdf_extractor_spark.operators import (
+            spec_vision as sv)
+        return sv.map_specs_to_metadata(
+            sv.synth_spec_fields(_docs(spark, sf_dir)))
+    q["spec_metadata_map"] = spec_metadata_map
+
     return q
 
 
@@ -4833,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import mention_cards as _mc
     from mivaa_pdf_extractor_spark.operators import (
         mention_curation as _mcu)
+    from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8681,4 +8720,19 @@ def oracle_sql() -> dict[str, str]:
             WITH stats_in AS ({_mcu.SYNTH_VELOCITY_STATS_SQL}),
             {_mcu.DUCK_VELOCITY_SQL}
             SELECT * FROM velocity""",
+        "spec_page_resolve": f"""
+            WITH products_in AS ({_sv.SYNTH_SPEC_PRODUCTS_SQL}),
+            pages_in AS ({_sv.SYNTH_SPEC_PAGES_SQL}),
+            {_sv.duck_page_resolve_sql()}
+            SELECT * FROM resolved""",
+        "spec_result_merge": f"""
+            WITH results_in AS ({_sv.SYNTH_SPEC_RESULTS_SQL}),
+            {_sv.DUCK_SPEC_MERGE_SQL}
+            SELECT product_id, field, value,
+                   array_to_string(merged, '|') AS merged_str
+            FROM spec_merge""",
+        "spec_metadata_map": f"""
+            WITH specs_in AS ({_sv.synth_spec_fields_sql()}),
+            {_sv.duck_spec_map_sql()}
+            SELECT * FROM mapped""",
     }

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     # round 4 continuation: mention discovery curation
     "mention_url_enrich", "mention_fanout", "mention_hits_dedupe",
     "mention_summary_30d", "mention_anomalies", "mention_velocity",
+    # round 4 continuation: spec-vision halo
+    "spec_page_resolve", "spec_result_merge", "spec_metadata_map",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
