@@ -4026,6 +4026,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sv.synth_spec_fields(_docs(spark, sf_dir)))
     q["spec_metadata_map"] = spec_metadata_map
 
+    # --- request/response validation gates (operators/
+    # validation_gate.py; reference app/middleware/validation.py) ---
+
+    def request_security_gate(spark, sf_dir):
+        # blocked-pattern scan over keys + string values, depth-at-
+        # entry guard, array-length cap — per-request boolean rollup
+        from mivaa_pdf_extractor_spark.operators import (
+            validation_gate as vg)
+        return vg.security_gate(
+            vg.synth_json_nodes(_docs(spark, sf_dir)))
+    q["request_security_gate"] = request_security_gate
+
+    def payload_sanitize(spark, sf_dir):
+        # sensitive-key masking + anchored base64 / lowercase-hex
+        # leaf masking — map-only
+        from mivaa_pdf_extractor_spark.operators import (
+            validation_gate as vg)
+        return vg.sanitize_nodes(
+            vg.synth_string_leaves(_docs(spark, sf_dir)))
+    q["payload_sanitize"] = payload_sanitize
+
+    def response_security_flags(spark, sf_dir):
+        # sensitive-content battery, JSON-gated XSS battery, present-
+        # header value checks, first-prefix content-type ladder
+        from mivaa_pdf_extractor_spark.operators import (
+            validation_gate as vg)
+        return vg.response_security_flags(
+            vg.synth_responses(_docs(spark, sf_dir)))
+    q["response_security_flags"] = response_security_flags
+
     return q
 
 
@@ -4872,6 +4902,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         mention_curation as _mcu)
     from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
+    from mivaa_pdf_extractor_spark.operators import (
+        validation_gate as _vg)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8735,4 +8767,16 @@ def oracle_sql() -> dict[str, str]:
             WITH specs_in AS ({_sv.synth_spec_fields_sql()}),
             {_sv.duck_spec_map_sql()}
             SELECT * FROM mapped""",
+        "request_security_gate": f"""
+            WITH nodes_in AS ({_vg.SYNTH_JSON_NODES_SQL}),
+            {_vg.duck_security_gate_sql()}
+            SELECT * FROM gate""",
+        "payload_sanitize": f"""
+            WITH leaves_in AS ({_vg.SYNTH_STRING_LEAVES_SQL}),
+            {_vg.duck_sanitize_sql()}
+            SELECT * FROM sanitized""",
+        "response_security_flags": f"""
+            WITH responses_in AS ({_vg.SYNTH_RESPONSES_SQL}),
+            {_vg.duck_response_flags_sql()}
+            SELECT * FROM flags""",
     }

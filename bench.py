@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "mention_summary_30d", "mention_anomalies", "mention_velocity",
     # round 4 continuation: spec-vision halo
     "spec_page_resolve", "spec_result_merge", "spec_metadata_map",
+    # round 4 continuation: validation middleware gates
+    "request_security_gate", "payload_sanitize",
+    "response_security_flags",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
