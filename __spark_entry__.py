@@ -4056,6 +4056,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             vg.synth_responses(_docs(spark, sf_dir)))
     q["response_security_flags"] = response_security_flags
 
+    # --- job progress-tracker rollup (operators/progress.py;
+    # reference progress_tracker.py) ---
+
+    def job_progress_rollup_q(spark, sf_dir):
+        # per-event counters (no per-page guard — a page completed
+        # after a fail counts in BOTH; pct can exceed 100, unclamped),
+        # last-writer-wins stage/override, int()-truncated effective pct
+        from mivaa_pdf_extractor_spark.operators import progress as pg
+        d = _docs(spark, sf_dir)
+        return pg.job_progress_rollup(pg.synth_progress_events(d),
+                                      pg.synth_progress_jobs(d))
+    q["job_progress_rollup"] = job_progress_rollup_q
+
+    def job_page_statuses_q(spark, sf_dir):
+        # 1..total ledger with last-event status; stage set only by
+        # complete/fail, error_message by fail/skip (never cleared)
+        from mivaa_pdf_extractor_spark.operators import progress as pg
+        d = _docs(spark, sf_dir)
+        return pg.job_page_statuses(pg.synth_progress_events(d),
+                                    pg.synth_progress_jobs(d))
+    q["job_page_statuses"] = job_page_statuses_q
+
     return q
 
 
@@ -4904,6 +4926,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
+    from mivaa_pdf_extractor_spark.operators import progress as _pg
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -8779,4 +8802,14 @@ def oracle_sql() -> dict[str, str]:
             WITH responses_in AS ({_vg.SYNTH_RESPONSES_SQL}),
             {_vg.duck_response_flags_sql()}
             SELECT * FROM flags""",
+        "job_progress_rollup": f"""
+            WITH jobs_in AS ({_pg.SYNTH_PROGRESS_JOBS_SQL}),
+            events_in AS ({_pg.SYNTH_PROGRESS_EVENTS_SQL}),
+            {_pg.DUCK_PROGRESS_ROLLUP_SQL}
+            SELECT * FROM rollup""",
+        "job_page_statuses": f"""
+            WITH jobs_in AS ({_pg.SYNTH_PROGRESS_JOBS_SQL}),
+            events_in AS ({_pg.SYNTH_PROGRESS_EVENTS_SQL}),
+            {_pg.DUCK_PAGE_STATUS_SQL}
+            SELECT * FROM page_statuses""",
     }

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     # round 4 continuation: validation middleware gates
     "request_security_gate", "payload_sanitize",
     "response_security_flags",
+    # round 4 continuation: job progress tracker
+    "job_progress_rollup", "job_page_statuses",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
