@@ -1026,6 +1026,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spans_in_clip(spans, sheets)
     q["sheet_clip_spans"] = sheet_clip_spans
 
+    def _product_pages(spark, sf_dir):
+        # one product per doc%4==1, pinned to physical page doc%3+1
+        return (_docs(spark, sf_dir).select("doc_id")
+                .filter(F.col("doc_id") % 4 == 1)
+                .select("doc_id",
+                        ((F.col("doc_id") % 3) + 1).cast("int")
+                        .alias("physical_page"),
+                        F.concat(F.lit("prod_"),
+                                 F.col("doc_id").cast("string"))
+                        .alias("product_name")))
+
+    def page_number_overlay_q(spark, sf_dir):
+        # spread-aware page-number stamping plan: two numbers per spread
+        # sheet, one per single, green [product] labels where mapped
+        from mivaa_pdf_extractor_spark.operators import (
+            page_numbering as pn)
+        sheets = analyze_sheet_layout(_sheets(spark, sf_dir))
+        return pn.page_number_overlays(
+            sheets, product_pages=_product_pages(spark, sf_dir))
+    q["page_number_overlay"] = page_number_overlay_q
+
+    def page_numbering_stats_q(spark, sf_dir):
+        # per-doc numbering stats rollup (sheets vs physical pages,
+        # spread flag)
+        from mivaa_pdf_extractor_spark.operators import (
+            page_numbering as pn)
+        return pn.page_numbering_stats(
+            analyze_sheet_layout(_sheets(spark, sf_dir)))
+    q["page_numbering_stats"] = page_numbering_stats_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -4069,6 +4099,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       pg.synth_progress_jobs(d))
     q["job_progress_rollup"] = job_progress_rollup_q
 
+    def product_progress_fold_q(spark, sf_dir):
+        # state-guarded event fold: failed/init_existing open segments
+        # unconditionally, stage/stage_complete no-op in terminal
+        # state, complete guards only !=failed and REPLACES metrics
+        from mivaa_pdf_extractor_spark.operators import (
+            product_progress as pp)
+        return pp.fold_product_progress(
+            pp.synth_product_events(_docs(spark, sf_dir)))
+    q["product_progress_fold"] = product_progress_fold_q
+
+    def job_product_summary_q(spark, sf_dir):
+        # per-job status counts + completion pct over the folded rows
+        from mivaa_pdf_extractor_spark.operators import (
+            product_progress as pp)
+        return pp.job_product_summary(pp.fold_product_progress(
+            pp.synth_product_events(_docs(spark, sf_dir))))
+    q["job_product_summary"] = job_product_summary_q
+
     def job_page_statuses_q(spark, sf_dir):
         # 1..total ledger with last-event status; stage set only by
         # complete/fail, error_message by fail/skip (never cleared)
@@ -4927,6 +4975,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
     from mivaa_pdf_extractor_spark.operators import progress as _pg
+    from mivaa_pdf_extractor_spark.operators import (
+        product_progress as _ppr)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -5742,6 +5792,92 @@ def oracle_sql() -> dict[str, str]:
                    OR (vect AND (img_w >= width * 0.75) AND (chars < 200))
                        AS no_split
             FROM typed""",
+        "page_number_overlay": """
+            WITH sheets AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 4)) AS sheet_idx
+              FROM documents),
+            dims AS (
+              SELECT doc_id, sheet_idx,
+                     CASE WHEN (sheet_idx + doc_id) % 3 = 0
+                          THEN 1346.0 ELSE 595.0 END AS width,
+                     842.0 AS height
+              FROM sheets),
+            phys AS (
+              SELECT *,
+                     CASE WHEN width / height > 1.4
+                          THEN 'spread' ELSE 'single' END AS layout_type,
+                     CAST(coalesce(sum(CASE WHEN width / height > 1.4
+                                            THEN 2 ELSE 1 END) OVER (
+                          PARTITION BY doc_id ORDER BY sheet_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) + 1 AS INT) AS first_physical_page
+              FROM dims),
+            exploded AS (
+              SELECT p.*, u.side
+              FROM phys p,
+                   UNNEST(CASE WHEN layout_type = 'spread'
+                               THEN ['left', 'right']
+                               ELSE ['full'] END) AS u(side)),
+            nums AS (
+              SELECT doc_id, sheet_idx,
+                     CAST(first_physical_page
+                          + CASE WHEN side = 'right' THEN 1 ELSE 0 END
+                          AS INT) AS physical_page,
+                     side, 'page_number' AS kind,
+                     'Page ' || CAST(first_physical_page
+                          + CASE WHEN side = 'right' THEN 1 ELSE 0 END
+                          AS VARCHAR) AS text,
+                     CAST(CASE WHEN side = 'left' THEN 30.0
+                               WHEN side = 'right' THEN width - 80.0
+                               ELSE width - 60.0 END AS DOUBLE) AS x,
+                     CAST(height - 20.0 AS DOUBLE) AS y,
+                     CAST(10 AS INT) AS font_size, width
+              FROM exploded),
+            products AS (
+              SELECT doc_id,
+                     CAST(doc_id % 3 + 1 AS INT) AS physical_page,
+                     'prod_' || CAST(doc_id AS VARCHAR) AS product_name
+              FROM documents WHERE doc_id % 4 = 1)
+            SELECT doc_id, sheet_idx, physical_page, side, kind, text,
+                   x, y, font_size
+            FROM nums
+            UNION ALL
+            SELECT n.doc_id, n.sheet_idx, n.physical_page, n.side,
+                   'product_label' AS kind,
+                   '[' || pr.product_name || ']' AS text,
+                   CAST(CASE WHEN n.side = 'left' THEN 30.0
+                             WHEN n.side = 'right' THEN n.width / 2 + 30.0
+                             ELSE 10.0 END AS DOUBLE) AS x,
+                   CAST(20.0 AS DOUBLE) AS y, CAST(8 AS INT) AS font_size
+            FROM nums n JOIN products pr
+              ON pr.doc_id = n.doc_id
+             AND pr.physical_page = n.physical_page""",
+        "page_numbering_stats": """
+            WITH sheets AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 4)) AS sheet_idx
+              FROM documents),
+            dims AS (
+              SELECT doc_id, sheet_idx,
+                     CASE WHEN (sheet_idx + doc_id) % 3 = 0
+                          THEN 1346.0 ELSE 595.0 END AS width,
+                     842.0 AS height
+              FROM sheets),
+            typed AS (
+              SELECT doc_id,
+                     CASE WHEN width / height > 1.4 THEN 2 ELSE 1 END
+                       AS n_physical,
+                     width / height > 1.4 AS is_spread
+              FROM dims)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS total_pdf_pages,
+                   CAST(sum(n_physical) AS BIGINT) AS total_physical_pages,
+                   CAST(count(*) AS BIGINT) AS pages_numbered,
+                   CAST(sum(n_physical) AS BIGINT)
+                     AS physical_pages_numbered,
+                   bool_or(is_spread) AS has_spread_layout
+            FROM typed GROUP BY doc_id""",
         "sheet_clip_spans": """
             WITH sheets AS (
               SELECT doc_id,
@@ -8812,4 +8948,13 @@ def oracle_sql() -> dict[str, str]:
             events_in AS ({_pg.SYNTH_PROGRESS_EVENTS_SQL}),
             {_pg.DUCK_PAGE_STATUS_SQL}
             SELECT * FROM page_statuses""",
+        "product_progress_fold": f"""
+            WITH events_in AS ({_ppr.SYNTH_PRODUCT_EVENTS_SQL}),
+            {_ppr.DUCK_PRODUCT_FOLD_SQL}
+            SELECT * FROM folded""",
+        "job_product_summary": f"""
+            WITH events_in AS ({_ppr.SYNTH_PRODUCT_EVENTS_SQL}),
+            {_ppr.DUCK_PRODUCT_FOLD_SQL},
+            {_ppr.DUCK_JOB_SUMMARY_SQL}
+            SELECT * FROM summary""",
     }
