@@ -1056,6 +1056,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             analyze_sheet_layout(_sheets(spark, sf_dir)))
     q["page_numbering_stats"] = page_numbering_stats_q
 
+    def prototype_validate_q(spark, sf_dir):
+        # metadata prototype validation ladder: skip tiers, category
+        # thresholds, exact/variation tier (conf 1.0, first-in-order),
+        # strict-> semantic argmax, eps+clamp cosine
+        from mivaa_pdf_extractor_spark.operators import (
+            prototype_validate as pv)
+        emb = _emb(spark, sf_dir).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double"))
+            .alias("e"))
+        idx = spark.range(4).select(F.col("id").cast("int").alias("i"))
+        protos = (idx.join(emb, idx.i + 400 == emb.vec_id)
+                  .select(F.concat(F.lit("fk"), F.col("i").cast("string"))
+                          .alias("field_key"),
+                          F.col("e").alias("prop_embedding")))
+        jdx = (idx.crossJoin(spark.range(3).select(
+                   F.col("id").cast("int").alias("j"))))
+        pvals = (jdx.join(emb, jdx.i * 3 + jdx.j + 410 == emb.vec_id)
+                 .select(
+                     F.concat(F.lit("fk"), F.col("i").cast("string"))
+                     .alias("field_key"),
+                     F.col("j").alias("proto_pos"),
+                     F.concat(F.lit("pv_"), F.col("i").cast("string"),
+                              F.lit("_"), F.col("j").cast("string"))
+                     .alias("proto_value"),
+                     F.array(
+                         F.concat(F.lit("var_"), F.col("i").cast("string"),
+                                  F.lit("_"), F.col("j").cast("string")),
+                         F.concat(F.lit("alt_"), F.col("i").cast("string"),
+                                  F.lit("_"), F.col("j").cast("string")))
+                     .alias("variations"),
+                     F.when(F.col("j") == 2,
+                            F.lit(None).cast("array<double>"))
+                     .otherwise(F.col("e")).alias("proto_embedding")))
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        k, m6 = (F.col("doc") % 4).cast("int"), F.col("doc") % 6
+        val = (F.when(m6 == 0, F.concat(F.lit("pv_"), k.cast("string"),
+                                        F.lit("_1")))
+               .when(m6 == 1, F.concat(F.lit("VAR_"), k.cast("string"),
+                                       F.lit("_0")))
+               .when(m6 == 5, F.lit(None).cast("string"))
+               .otherwise(F.concat(F.lit("freetext_"),
+                                   F.col("doc").cast("string"))))
+        base = d.join(emb, d.doc % 500 == emb.vec_id)
+        main = base.select(
+            F.col("doc").alias("doc_id"),
+            F.concat(F.lit("fk"), k.cast("string")).alias("field_key"),
+            val.alias("field_value"),
+            F.when(m6 == 4, F.lit(None).cast("array<double>"))
+            .otherwise(F.col("e")).alias("value_embedding"),
+            F.concat(F.lit("cat"), (F.col("doc") % 3).cast("string"))
+            .alias("category_key"))
+        extras = base.select(
+            F.col("doc").alias("doc_id"),
+            F.explode(F.array(F.lit("_private"),
+                              F.concat(F.lit("nk"),
+                                       (F.col("doc") % 2).cast("string"))))
+            .alias("field_key"),
+            F.lit("plain").alias("field_value"),
+            F.col("e").alias("value_embedding"),
+            F.concat(F.lit("cat"), (F.col("doc") % 3).cast("string"))
+            .alias("category_key"))
+        fields = main.unionByName(extras)
+        thr = spark.createDataFrame(
+            [("CAT0 ", 0.9), ("cat1", 0.0)],
+            "category_key string, threshold double")
+        out = pv.validate_fields(
+            pv.resolve_thresholds(fields, thr).drop("category_key"),
+            protos, pvals)
+        return out.select("doc_id", "field_key", "original_value",
+                          "validated_value", "prototype_matched",
+                          F.round("confidence", 6).alias("confidence"),
+                          "reason")
+    q["prototype_validate"] = prototype_validate_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5878,6 +5954,150 @@ def oracle_sql() -> dict[str, str]:
                      AS physical_pages_numbered,
                    bool_or(is_spread) AS has_spread_layout
             FROM typed GROUP BY doc_id""",
+        "prototype_validate": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            protos AS (
+              SELECT 'fk' || CAST(i AS VARCHAR) AS field_key,
+                     e AS prop_embedding
+              FROM (SELECT unnest([0, 1, 2, 3]) AS i) t
+              JOIN emb ON emb.vec_id = 400 + i),
+            ij AS (SELECT i, j
+                   FROM (SELECT unnest([0, 1, 2, 3]) AS i) a
+                   CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) b),
+            pvals AS (
+              SELECT 'fk' || CAST(i AS VARCHAR) AS field_key,
+                     j AS proto_pos,
+                     'pv_' || CAST(i AS VARCHAR) || '_'
+                           || CAST(j AS VARCHAR) AS proto_value,
+                     ['var_' || CAST(i AS VARCHAR) || '_'
+                             || CAST(j AS VARCHAR),
+                      'alt_' || CAST(i AS VARCHAR) || '_'
+                             || CAST(j AS VARCHAR)] AS variations,
+                     CASE WHEN j = 2 THEN NULL ELSE e END
+                       AS proto_embedding
+              FROM ij JOIN emb ON emb.vec_id = i * 3 + j + 410),
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                     FROM documents),
+            main AS (
+              SELECT doc AS doc_id,
+                     'fk' || CAST(doc % 4 AS VARCHAR) AS field_key,
+                     CASE WHEN doc % 6 = 0 THEN
+                            'pv_' || CAST(doc % 4 AS VARCHAR) || '_1'
+                          WHEN doc % 6 = 1 THEN
+                            'VAR_' || CAST(doc % 4 AS VARCHAR) || '_0'
+                          WHEN doc % 6 = 5 THEN NULL
+                          ELSE 'freetext_' || CAST(doc AS VARCHAR)
+                     END AS field_value,
+                     CASE WHEN doc % 6 = 4 THEN NULL ELSE e END
+                       AS value_embedding,
+                     'cat' || CAST(doc % 3 AS VARCHAR) AS category_key
+              FROM docs JOIN emb ON emb.vec_id = doc % 500),
+            extras AS (
+              SELECT doc AS doc_id,
+                     UNNEST(['_private',
+                             'nk' || CAST(doc % 2 AS VARCHAR)])
+                       AS field_key,
+                     'plain' AS field_value, e AS value_embedding,
+                     'cat' || CAST(doc % 3 AS VARCHAR) AS category_key
+              FROM docs JOIN emb ON emb.vec_id = doc % 500),
+            fields AS (SELECT * FROM main
+                       UNION ALL SELECT * FROM extras),
+            thrs AS (SELECT lower(trim(ck)) AS ck, thr
+                     FROM (VALUES ('CAT0 ', 0.9), ('cat1', 0.0))
+                          t(ck, thr)),
+            fth AS (
+              SELECT f.*, COALESCE(t.thr, 0.8) AS threshold
+              FROM fields f
+              LEFT JOIN thrs t ON t.ck = lower(trim(f.category_key))),
+            fj AS (
+              SELECT f.*, p.prop_embedding,
+                     CASE WHEN f.field_value IS NULL
+                            THEN 'skipped_null'
+                          WHEN starts_with(f.field_key, '_')
+                            THEN 'skipped_private'
+                          WHEN p.prop_embedding IS NULL
+                            THEN 'no_prototype'
+                          WHEN f.value_embedding IS NULL
+                            THEN 'embedding_generation_failed'
+                     END AS pass
+              FROM fth f LEFT JOIN protos p USING (field_key)),
+            live AS (
+              SELECT *,
+                round(least(greatest(
+                  list_reduce(list_transform(
+                      list_zip(value_embedding, prop_embedding),
+                      p -> p[1] * p[2]), (a, b) -> a + b)
+                  / ((sqrt(list_reduce(list_transform(value_embedding,
+                          x -> x * x), (a, b) -> a + b)) + 1e-10)
+                   * (sqrt(list_reduce(list_transform(prop_embedding,
+                          x -> x * x), (a, b) -> a + b)) + 1e-10)),
+                  0.0), 1.0), 6) AS prop_sim
+              FROM fj WHERE pass IS NULL),
+            scored AS (
+              SELECT l.doc_id, l.field_key, l.field_value,
+                     v.proto_pos, v.proto_value,
+                     (lower(l.field_value) = lower(v.proto_value)
+                      OR len(list_filter(v.variations,
+                          x -> lower(x) = lower(l.field_value))) > 0)
+                       AS is_exact,
+                     CASE WHEN v.proto_embedding IS NOT NULL THEN
+                       round(least(greatest(
+                         list_reduce(list_transform(
+                             list_zip(l.value_embedding,
+                                      v.proto_embedding),
+                             p -> p[1] * p[2]), (a, b) -> a + b)
+                         / ((sqrt(list_reduce(list_transform(
+                                l.value_embedding, x -> x * x),
+                                (a, b) -> a + b)) + 1e-10)
+                          * (sqrt(list_reduce(list_transform(
+                                v.proto_embedding, x -> x * x),
+                                (a, b) -> a + b)) + 1e-10)),
+                         0.0), 1.0), 6) END AS sem_sim
+              FROM live l JOIN pvals v USING (field_key)
+              WHERE l.prop_sim >= l.threshold),
+            exact_best AS (
+              SELECT doc_id, field_key,
+                     arg_min(proto_value, proto_pos) AS exact_value
+              FROM scored WHERE is_exact GROUP BY doc_id, field_key),
+            sem_best AS (
+              SELECT doc_id, field_key, proto_value AS sem_value,
+                     COALESCE(sem_sim, 0.0) AS s
+              FROM scored
+              QUALIFY row_number() OVER (
+                  PARTITION BY doc_id, field_key
+                  ORDER BY COALESCE(sem_sim, 0.0) DESC,
+                           proto_pos ASC) = 1),
+            live_out AS (
+              SELECT l.doc_id, l.field_key,
+                     l.field_value AS original_value,
+                     CASE WHEN l.prop_sim >= l.threshold THEN
+                            COALESCE(eb.exact_value,
+                                CASE WHEN sb.s > 0 THEN sb.sem_value
+                                END, l.field_value)
+                          ELSE l.field_value END AS validated_value,
+                     l.prop_sim >= l.threshold AS prototype_matched,
+                     round(CASE WHEN l.prop_sim >= l.threshold THEN
+                             CASE WHEN eb.exact_value IS NOT NULL
+                                  THEN 1.0
+                                  ELSE COALESCE(sb.s, 0.0) END
+                           ELSE l.prop_sim END, 6) AS confidence,
+                     CASE WHEN l.prop_sim >= l.threshold
+                          THEN 'semantic_match'
+                          ELSE 'low_confidence' END AS reason
+              FROM live l
+              LEFT JOIN exact_best eb USING (doc_id, field_key)
+              LEFT JOIN sem_best sb USING (doc_id, field_key))
+            SELECT doc_id, field_key, original_value, validated_value,
+                   prototype_matched, confidence, reason
+            FROM live_out
+            UNION ALL
+            SELECT doc_id, field_key, field_value AS original_value,
+                   field_value AS validated_value,
+                   FALSE AS prototype_matched,
+                   0.0 AS confidence,
+                   pass AS reason
+            FROM fj WHERE pass IS NOT NULL""",
         "sheet_clip_spans": """
             WITH sheets AS (
               SELECT doc_id,

