@@ -1132,6 +1132,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "reason")
     q["prototype_validate"] = prototype_validate_q
 
+    def _diag_frames(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (  # noqa: F401
+            job_diagnosis as jd)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        stage = (F.when(F.col("doc") % 7 == 0, "extracting_images")
+                 .when(F.col("doc") % 7 == 1, "generating_embeddings")
+                 .when(F.col("doc") % 7 == 2, "product_discovery")
+                 .when(F.col("doc") % 7 == 3, "parsing")
+                 .when(F.col("doc") % 7 == 4, F.lit(None).cast("string"))
+                 .when(F.col("doc") % 7 == 5, "extracting_images")
+                 .otherwise("product_discovery"))
+        dur = (F.when(F.col("doc") % 8 == 0, 35.5)
+               .when(F.col("doc") % 8 == 1, 12.25)
+               .when(F.col("doc") % 8 == 2, 16.0)
+               .when(F.col("doc") % 8 == 3, 6.5)
+               .when(F.col("doc") % 8 == 4, 2.0)
+               .when(F.col("doc") % 8 == 5, 31.0)
+               .when(F.col("doc") % 8 == 6, 11.0)
+               .otherwise(4.0))
+        jobs = d.select(
+            F.concat(F.lit("job_"), F.col("doc").cast("string"))
+            .alias("job_id"),
+            F.concat(F.lit("f"), F.col("doc").cast("string"))
+            .alias("filename"),
+            F.when(F.col("doc") % 9 == 0, "completed")
+            .otherwise("processing").alias("status"),
+            stage.alias("stage"),
+            (F.col("doc") % 100).cast("long")
+            .alias("progress_percentage"),
+            (F.lit(1000.0) - dur).alias("updated_at_min"))
+        ck = (d.filter(F.col("doc") % 5 > 0)
+              .select("doc", F.explode(F.sequence(
+                  F.lit(0), (F.col("doc") % 5 - 1).cast("int")))
+                  .alias("ckpt_pos")))
+        ck_stage = (F.when(F.col("ckpt_pos") == 0, "parsing")
+                    .when(F.col("ckpt_pos") == 1, "extracting_images")
+                    .when(F.col("ckpt_pos") == 2, "parsing")
+                    .otherwise("generating_embeddings"))
+        checkpoints = ck.select(
+            F.concat(F.lit("job_"), F.col("doc").cast("string"))
+            .alias("job_id"),
+            F.col("ckpt_pos").cast("int").alias("ckpt_pos"),
+            ck_stage.alias("stage"),
+            (F.col("doc") * 10
+             + F.col("ckpt_pos") * F.col("ckpt_pos") * 3)
+            .cast("double").alias("created_at_sec"))
+        return jd, jobs, checkpoints
+
+    def stuck_job_diagnosis_q(spark, sf_dir):
+        # analyzer ladder: stage progression w/ dict-overwrite, first-
+        # insertion bottleneck ties, root-cause ladder, substring-
+        # triggered recommendation blocks, recovery options
+        jd, jobs, checkpoints = _diag_frames(spark, sf_dir)
+        return jd.analyze_stuck_jobs(jobs, checkpoints, now_min=1000.0)
+    q["stuck_job_diagnosis"] = stuck_job_diagnosis_q
+
+    def stuck_job_stats_q(spark, sf_dir):
+        # one-row rollup: stuck = processing & >30min stale; breakdown
+        # + canonical most-common stage
+        jd, jobs, _ = _diag_frames(spark, sf_dir)
+        return jd.stuck_job_statistics(jobs, now_min=1000.0)
+    q["stuck_job_stats"] = stuck_job_stats_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5053,6 +5117,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import progress as _pg
     from mivaa_pdf_extractor_spark.operators import (
         product_progress as _ppr)
+    from mivaa_pdf_extractor_spark.operators import (
+        job_diagnosis as _jd)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6098,6 +6164,107 @@ def oracle_sql() -> dict[str, str]:
                    0.0 AS confidence,
                    pass AS reason
             FROM fj WHERE pass IS NOT NULL""",
+        "stuck_job_diagnosis": f"""
+            WITH {_jd.DIAG_SYNTH_SQL},
+            timed AS (
+              SELECT *, round(COALESCE(created_at_sec
+                  - lag(created_at_sec) OVER (PARTITION BY job_id
+                      ORDER BY ckpt_pos), 0.0), 2) AS dur
+              FROM ckpts),
+            prog AS (
+              SELECT job_id, stage,
+                     arg_max(dur, ckpt_pos) AS duration_seconds,
+                     min(ckpt_pos) AS first_pos
+              FROM timed GROUP BY job_id, stage),
+            bott AS (
+              SELECT job_id, stage AS bottleneck_stage
+              FROM prog
+              QUALIFY row_number() OVER (PARTITION BY job_id
+                  ORDER BY duration_seconds DESC, first_pos ASC) = 1),
+            cnt AS (
+              SELECT job_id,
+                     CAST(count(*) AS BIGINT) AS checkpoints_completed,
+                     arg_max(stage, ckpt_pos) AS last_stage
+              FROM ckpts GROUP BY job_id),
+            base AS (
+              SELECT j.*,
+                     COALESCE(b.bottleneck_stage, 'unknown')
+                       AS bottleneck_stage,
+                     COALESCE(c.checkpoints_completed, 0)
+                       AS checkpoints_completed,
+                     c.last_stage,
+                     round(1000.0 - j.updated_at_min, 2)
+                       AS stuck_duration_minutes
+              FROM jobs j LEFT JOIN bott b USING (job_id)
+              LEFT JOIN cnt c USING (job_id)),
+            caused AS (
+              SELECT *, CASE
+                WHEN stuck_duration_minutes > 30
+                  THEN 'silent_crash_no_error_handling'
+                WHEN COALESCE(stage, 'unknown') = 'extracting_images'
+                     AND stuck_duration_minutes > 10
+                  THEN 'image_extraction_timeout_or_memory_exhaustion'
+                WHEN COALESCE(stage, 'unknown') = 'generating_embeddings'
+                     AND stuck_duration_minutes > 15
+                  THEN 'clip_api_timeout_or_rate_limit'
+                WHEN COALESCE(stage, 'unknown') = 'product_discovery'
+                     AND stuck_duration_minutes > 5
+                  THEN 'claude_api_timeout_or_failure'
+                WHEN checkpoints_completed = 0
+                  THEN 'job_never_started_background_task_failed'
+                ELSE 'unknown_timeout_or_unhandled_exception'
+                END AS root_cause
+              FROM base)
+            SELECT job_id, filename, status, stage AS current_stage,
+                   progress_percentage AS progress,
+                   stuck_duration_minutes, checkpoints_completed,
+                   bottleneck_stage, root_cause,
+                   flatten([
+                     CASE WHEN contains(root_cause, 'silent_crash')
+                       THEN ['Add comprehensive error handling with try-except blocks',
+                             'Implement heartbeat monitoring to detect crashes within 2 minutes',
+                             'Add timeout guards to all async operations']
+                       ELSE CAST([] AS VARCHAR[]) END,
+                     CASE WHEN contains(root_cause, 'memory_exhaustion')
+                       THEN ['Reduce batch size from 10 to 5 images',
+                             'Add memory pressure monitoring (pause at 80% usage)',
+                             'Implement streaming processing (page-by-page)']
+                       ELSE CAST([] AS VARCHAR[]) END,
+                     CASE WHEN contains(root_cause, 'timeout')
+                       THEN ['Reduce stuck job timeout from 30min to 5min',
+                             'Add circuit breaker for external API calls',
+                             'Implement progressive timeout strategy per stage']
+                       ELSE CAST([] AS VARCHAR[]) END,
+                     CASE WHEN contains(root_cause, 'api')
+                       THEN ['Add retry logic with exponential backoff',
+                             'Implement API call batching for parallel processing',
+                             'Add fallback models if primary API fails']
+                       ELSE CAST([] AS VARCHAR[]) END
+                   ]) AS recommendations,
+                   flatten([
+                     CASE WHEN checkpoints_completed > 0
+                       THEN ['Resume from last checkpoint: ' || last_stage]
+                       ELSE CAST([] AS VARCHAR[]) END,
+                     ['Restart job from beginning',
+                      'Mark job as failed and notify user']
+                   ]) AS recovery_options
+            FROM caused""",
+        "stuck_job_stats": f"""
+            WITH {_jd.DIAG_SYNTH_SQL},
+            stuck AS (
+              SELECT COALESCE(stage, 'unknown') AS stage FROM jobs
+              WHERE status = 'processing'
+                AND updated_at_min < 1000.0 - 30.0),
+            per AS (SELECT stage, CAST(count(*) AS BIGINT) AS n
+                    FROM stuck GROUP BY stage)
+            SELECT CAST(COALESCE(sum(n), 0) AS BIGINT)
+                     AS total_stuck_jobs,
+                   COALESCE(array_agg({{'stage': stage, 'n': n}}
+                            ORDER BY stage), []) AS stage_breakdown,
+                   COALESCE((SELECT stage FROM per
+                             ORDER BY n DESC, stage ASC LIMIT 1),
+                            'none') AS most_common_stuck_stage
+            FROM per""",
         "sheet_clip_spans": """
             WITH sheets AS (
               SELECT doc_id,
