@@ -1196,6 +1196,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jd.stuck_job_statistics(jobs, now_min=1000.0)
     q["stuck_job_stats"] = stuck_job_stats_q
 
+    def _monitor_frames(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (  # noqa: F401
+            job_monitor as jm)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        jobs = d.select(
+            F.concat(F.lit("job_"), F.col("doc").cast("string"))
+            .alias("job_id"),
+            F.when(F.col("doc") % 11 == 0, "completed")
+            .otherwise("processing").alias("status"),
+            F.when(F.col("doc") % 4 == 0, F.lit(0))
+            .otherwise((F.col("doc") % 100).cast("int")).cast("long")
+            .alias("progress"),
+            (F.lit(10000.0) - (F.col("doc") % 6) * 60.0)
+            .alias("created_at_sec"),
+            F.when(F.col("doc") % 13 == 0,
+                   F.lit(None).cast("double"))
+            .otherwise(F.lit(10000.0) - (F.col("doc") % 10) * 120.0)
+            .alias("last_heartbeat_sec"),
+            (F.lit(10000.0) - (F.col("doc") % 7) * 70.0)
+            .alias("updated_at_sec"),
+            F.when(F.col("doc") % 3 == 1, F.lit("parsing"))
+            .otherwise(F.lit(None).cast("string")).alias("meta_stage"),
+            F.lit(None).cast("string").alias("meta_current_stage"),
+            (F.col("doc") % 3).cast("int").alias("n_history"))
+        resume = d.select(
+            F.concat(F.lit("job_"), F.col("doc").cast("string"))
+            .alias("job_id"),
+            (F.col("doc") % 2 == 0).alias("can_resume"),
+            (F.col("doc") % 5 != 0).alias("checkpoint_valid"),
+            F.concat(F.lit("stage_"), (F.col("doc") % 4).cast("string"))
+            .alias("last_stage"))
+        return jm, jobs, resume
+
+    def job_monitor_detect_q(spark, sf_dir):
+        # three detection tiers (first-wins) + the checkpoint recovery
+        # decision ladder
+        jm, jobs, resume = _monitor_frames(spark, sf_dir)
+        return jm.plan_recovery(
+            jm.detect_stuck_jobs_tiers(jobs, now_sec=10000.0), resume)
+    q["job_monitor_detect"] = job_monitor_detect_q
+
+    def job_monitor_stats_q(spark, sf_dir):
+        # monitor stats counters over the recovery plan
+        jm, jobs, resume = _monitor_frames(spark, sf_dir)
+        return jm.recovery_stats(jm.plan_recovery(
+            jm.detect_stuck_jobs_tiers(jobs, now_sec=10000.0), resume))
+    q["job_monitor_stats"] = job_monitor_stats_q
+
+    def import_job_recovery_q(spark, sf_dir):
+        # stale import jobs failed with the pinned %.1f reason string
+        from mivaa_pdf_extractor_spark.operators import (
+            job_monitor as jm)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        imp = d.select(
+            F.concat(F.lit("imp_"), F.col("doc").cast("string"))
+            .alias("job_id"),
+            F.concat(F.lit("src"), (F.col("doc") % 5).cast("string"))
+            .alias("source_name"),
+            F.when(F.col("doc") % 8 == 0, "failed")
+            .otherwise("processing").alias("status"),
+            (F.lit(5000.0) - (F.col("doc") % 30) * 1.5)
+            .alias("updated_at_min"),
+            F.when(F.col("doc") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("job_"),
+                                F.col("doc").cast("string")))
+            .alias("background_job_id"))
+        return jm.recover_import_jobs(imp, now_min=5000.0)
+    q["import_job_recovery"] = import_job_recovery_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5119,6 +5190,8 @@ def oracle_sql() -> dict[str, str]:
         product_progress as _ppr)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
+    from mivaa_pdf_extractor_spark.operators import (
+        job_monitor as _jm)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6249,6 +6322,42 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "job_monitor_detect": f"""
+            WITH {_jm.MONITOR_SYNTH_SQL}
+            SELECT job_id, detection_tier, action, fail_reason,
+                   resume_stage
+            FROM planned""",
+        "job_monitor_stats": f"""
+            WITH {_jm.MONITOR_SYNTH_SQL}
+            SELECT CAST(count(*) AS BIGINT) AS stuck_jobs_detected,
+                   CAST(sum(CASE WHEN action = 'restart_from_checkpoint'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS jobs_restarted,
+                   CAST(sum(CASE WHEN action != 'restart_from_checkpoint'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS jobs_failed
+            FROM planned""",
+        "import_job_recovery": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            imp AS (
+              SELECT 'imp_' || CAST(doc AS VARCHAR) AS job_id,
+                     'src' || CAST(doc % 5 AS VARCHAR) AS source_name,
+                     CASE WHEN doc % 8 = 0 THEN 'failed'
+                          ELSE 'processing' END AS status,
+                     5000.0 - (doc % 30) * 1.5 AS updated_at_min,
+                     CASE WHEN doc % 3 = 0 THEN NULL
+                          ELSE 'job_' || CAST(doc AS VARCHAR) END
+                       AS background_job_id
+              FROM docs)
+            SELECT job_id, source_name, 'failed' AS new_status,
+                   'XML import job stuck for '
+                   || printf('%.1f', 5000.0 - updated_at_min)
+                   || ' minutes without progress' AS error_message,
+                   background_job_id,
+                   background_job_id IS NOT NULL
+                     AS update_background_job
+            FROM imp
+            WHERE status = 'processing'
+              AND updated_at_min < 5000.0 - 20.0""",
         "stuck_job_stats": f"""
             WITH {_jd.DIAG_SYNTH_SQL},
             stuck AS (
