@@ -1267,6 +1267,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jm.recover_import_jobs(imp, now_min=5000.0)
     q["import_job_recovery"] = import_job_recovery_q
 
+    def xml_import_progress_q(spark, sf_dir):
+        # fixed stage ladder -> int(idx/7*100); failed/unknown -> 0
+        from mivaa_pdf_extractor_spark.operators import (
+            import_stages as xs)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        stages = list(xs.XML_IMPORT_STAGE_ORDER) + ["failed", "bogus"]
+        st = F.lit("bogus")
+        for i, s in enumerate(stages):
+            st = F.when(F.col("doc") % 10 == i, F.lit(s)).otherwise(st)
+        rows = d.select(F.col("doc").alias("doc_id"),
+                        st.alias("stage"))
+        return rows.select(
+            "doc_id", "stage",
+            xs.xml_import_progress(F.col("stage")).alias("progress"),
+            xs.xml_import_description(F.col("stage"))
+            .alias("description"))
+    q["xml_import_progress"] = xml_import_progress_q
+
+    def material_quota_clamp_q(spark, sf_dir):
+        # plan-quota pre-flight: remaining = limit - non-service count,
+        # -1 unlimited, fail-open for unknown/null workspaces; first-N
+        # non-service rows admitted per workspace
+        from mivaa_pdf_extractor_spark.operators import quota as qt
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        rows = d.select(
+            F.col("doc").alias("row_id"),
+            F.when(F.col("doc") % 17 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("w"),
+                                (F.col("doc") % 10).cast("string")))
+            .alias("workspace_id"),
+            F.col("doc").alias("batch_pos"),
+            (F.col("doc") % 13 == 0).alias("is_service"))
+        i8 = spark.range(8).select(F.col("id").cast("long").alias("i"))
+        limits = i8.select(
+            F.concat(F.lit("w"), F.col("i").cast("string"))
+            .alias("workspace_id"),
+            F.when(F.col("i") == 6, F.lit(-1))
+            .when(F.col("i") == 7, F.lit(0))
+            .otherwise((F.col("i") + 1) * 5).cast("long")
+            .alias("plan_limit"))
+        counts = i8.select(
+            F.concat(F.lit("w"), F.col("i").cast("string"))
+            .alias("workspace_id"),
+            ((F.col("i") * 3) % 13).cast("long").alias("n_products"))
+        return qt.clamp_batch(rows, limits, counts)
+    q["material_quota_clamp"] = material_quota_clamp_q
+
+    def keyword_expansion_curate_q(spark, sf_dir):
+        # bucket-ordered normalize/dedupe, excluded-substring drop,
+        # caps 18/5, case-preserving phrasings
+        from mivaa_pdf_extractor_spark.operators import (
+            keyword_expansion as ke)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        arr = F.array
+        big = F.transform(F.sequence(F.lit(0), F.lit(24)),
+                          lambda i: F.concat(F.lit("kw"),
+                                             i.cast("string")))
+        raw = d.select(
+            F.col("doc").alias("req_id"),
+            F.when(F.col("doc") % 7 == 0, big).otherwise(arr(
+                F.lit("Alpha Dev"), F.lit(" beta dev "), F.lit(""),
+                F.lit("ALPHA DEV"))).alias("title_variants"),
+            arr(F.lit("senior alpha dev"),
+                F.concat(F.lit("gamma_"),
+                         (F.col("doc") % 3).cast("string")))
+            .alias("seniority_variants"),
+            F.when(F.col("doc") % 5 == 0,
+                   F.lit(None).cast("array<string>"))
+            .otherwise(arr(F.lit("AD"), F.lit("bd")))
+            .alias("abbreviations"),
+            arr(F.lit(" react native "), F.lit(""))
+            .alias("rejected_terms"),
+            arr(F.lit("Alpha Dev hiring 2026"),
+                F.lit("alpha dev HIRING 2026"), F.lit(" Beta roles "),
+                F.lit("")).alias("query_phrasings"),
+            F.when(F.col("doc") % 4 == 0, arr(F.lit("beta")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("excluded_keywords"))
+        return ke.curate_expansions(raw)
+    q["keyword_expansion_curate"] = keyword_expansion_curate_q
+
+    def query_cache_fold_q(spark, sf_dir):
+        # sha256(lower(trim)) keys; store upsert resets hit_count;
+        # lookups-before-store are misses
+        from mivaa_pdf_extractor_spark.operators import (
+            query_cache as qc)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        e = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(4)))
+                     .alias("k"))
+        base = (F.col("doc") % 50).cast("string")
+        kind = (F.when(F.col("k") == 0, "store")
+                .when((F.col("k") == 3) & (F.col("doc") % 2 == 0),
+                      "store")
+                .otherwise("lookup"))
+        query = (F.when(F.col("k") == 0,
+                        F.concat(F.lit("  Query "), base, F.lit(" ")))
+                 .when(F.col("k") == 3,
+                       F.concat(F.lit("QUERY "), base))
+                 .otherwise(F.concat(F.lit("query "), base)))
+        events = e.select((F.col("doc") * 10 + F.col("k"))
+                          .alias("event_ord"),
+                          kind.alias("kind"), query.alias("query"))
+        return qc.fold_cache_events(events)
+    q["query_cache_fold"] = query_cache_fold_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -6322,6 +6431,203 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "xml_import_progress": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            staged AS (
+              SELECT doc AS doc_id,
+                     CASE doc % 10 WHEN 0 THEN 'initialized'
+                          WHEN 1 THEN 'products_parsed'
+                          WHEN 2 THEN 'images_downloaded'
+                          WHEN 3 THEN 'images_classified'
+                          WHEN 4 THEN 'clips_generated'
+                          WHEN 5 THEN 'chunks_created'
+                          WHEN 6 THEN 'embeddings_queued'
+                          WHEN 7 THEN 'completed'
+                          WHEN 8 THEN 'failed'
+                          ELSE 'bogus' END AS stage
+              FROM docs)
+            SELECT doc_id, stage,
+                   CAST(CASE stage WHEN 'initialized' THEN 0
+                        WHEN 'products_parsed' THEN 14
+                        WHEN 'images_downloaded' THEN 28
+                        WHEN 'images_classified' THEN 42
+                        WHEN 'clips_generated' THEN 57
+                        WHEN 'chunks_created' THEN 71
+                        WHEN 'embeddings_queued' THEN 85
+                        WHEN 'completed' THEN 100
+                        ELSE 0 END AS INT) AS progress,
+                   CASE stage WHEN 'initialized' THEN 'Job initialized'
+                        WHEN 'products_parsed'
+                          THEN 'Parsing XML and extracting products'
+                        WHEN 'images_downloaded'
+                          THEN 'Downloading product images'
+                        WHEN 'images_classified'
+                          THEN 'Classifying images (material vs non-material)'
+                        WHEN 'clips_generated'
+                          THEN 'Generating SLIG embeddings for images'
+                        WHEN 'chunks_created'
+                          THEN 'Creating text chunks with quality scoring'
+                        WHEN 'embeddings_queued'
+                          THEN 'Queueing text embeddings for generation'
+                        WHEN 'completed'
+                          THEN 'Import completed successfully'
+                        WHEN 'failed' THEN 'Import failed'
+                   END AS description
+            FROM staged""",
+        "material_quota_clamp": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            rows_in AS (
+              SELECT doc AS row_id,
+                     CASE WHEN doc % 17 = 0 THEN NULL
+                          ELSE 'w' || CAST(doc % 10 AS VARCHAR) END
+                       AS workspace_id,
+                     doc AS batch_pos,
+                     doc % 13 = 0 AS is_service
+              FROM docs),
+            lims AS (
+              SELECT 'w' || CAST(i AS VARCHAR) AS workspace_id,
+                     CAST(CASE WHEN i = 6 THEN -1 WHEN i = 7 THEN 0
+                          ELSE (i + 1) * 5 END AS BIGINT) AS plan_limit,
+                     CAST((i * 3) % 13 AS BIGINT) AS n_products
+              FROM (SELECT unnest(generate_series(0, 7)) AS i)),
+            j AS (
+              SELECT r.*,
+                     CAST(COALESCE(CASE WHEN l.plan_limit IS NULL
+                              THEN NULL
+                              WHEN l.plan_limit = -1 THEN -1
+                              ELSE l.plan_limit
+                                   - COALESCE(l.n_products, 0) END,
+                          -1) AS BIGINT) AS remaining
+              FROM rows_in r
+              LEFT JOIN lims l USING (workspace_id)),
+            ranked AS (
+              SELECT *, SUM(CASE WHEN is_service THEN 0 ELSE 1 END)
+                     OVER (PARTITION BY workspace_id
+                           ORDER BY batch_pos) AS rk
+              FROM j)
+            SELECT row_id, workspace_id, batch_pos, is_service,
+                   remaining,
+                   (is_service OR remaining = -1 OR rk <= remaining)
+                     AS admitted,
+                   CASE WHEN is_service OR remaining = -1
+                             OR rk <= remaining THEN ''
+                        ELSE 'quota_exceeded' END AS refusal
+            FROM ranked""",
+        "keyword_expansion_curate": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            raw AS (
+              SELECT doc AS req_id,
+                     CASE WHEN doc % 7 = 0 THEN
+                       list_transform(generate_series(0, 24),
+                           i -> 'kw' || CAST(i AS VARCHAR))
+                     ELSE ['Alpha Dev', ' beta dev ', '', 'ALPHA DEV']
+                     END AS title_variants,
+                     ['senior alpha dev',
+                      'gamma_' || CAST(doc % 3 AS VARCHAR)]
+                       AS seniority_variants,
+                     CASE WHEN doc % 5 = 0 THEN NULL
+                          ELSE ['AD', 'bd'] END AS abbreviations,
+                     [' react native ', ''] AS rejected_terms,
+                     ['Alpha Dev hiring 2026', 'alpha dev HIRING 2026',
+                      ' Beta roles ', ''] AS query_phrasings,
+                     CASE WHEN doc % 4 = 0 THEN ['beta']
+                          ELSE CAST([] AS VARCHAR[]) END
+                       AS excluded_keywords
+              FROM docs),
+            merged AS (
+              SELECT req_id,
+                     COALESCE(title_variants, [])
+                       || COALESCE(seniority_variants, [])
+                       || COALESCE(abbreviations, []) AS m,
+                     list_filter(list_transform(
+                         COALESCE(excluded_keywords, []),
+                         e -> lower(COALESCE(e, ''))),
+                       e -> e != '') AS exl,
+                     rejected_terms, query_phrasings
+              FROM raw),
+            terms AS (
+              SELECT req_id, i, trim(lower(COALESCE(m[i], ''))) AS t,
+                     exl
+              FROM (SELECT *, unnest(generate_series(1, len(m))) AS i
+                    FROM merged)),
+            kept AS (
+              SELECT req_id, i, t FROM terms
+              WHERE t != ''
+                AND len(list_filter(exl,
+                        ex -> contains(t, ex))) = 0),
+            firsts AS (
+              SELECT req_id, t, min(i) AS fi
+              FROM kept GROUP BY req_id, t),
+            expanded AS (
+              SELECT req_id,
+                     list_slice(array_agg(t ORDER BY fi), 1, 18) AS e
+              FROM firsts GROUP BY req_id),
+            phr_terms AS (
+              SELECT req_id, i, trim(query_phrasings[i]) AS p
+              FROM (SELECT req_id, query_phrasings,
+                           unnest(generate_series(1,
+                               len(query_phrasings))) AS i
+                    FROM merged)
+              WHERE trim(COALESCE(query_phrasings[i], '')) != ''),
+            phr_first AS (
+              SELECT req_id, lower(p) AS lp, arg_min(p, i) AS p,
+                     min(i) AS fi
+              FROM phr_terms GROUP BY req_id, lower(p)),
+            phr AS (
+              SELECT req_id,
+                     list_slice(array_agg(p ORDER BY fi), 1, 5) AS ph
+              FROM phr_first GROUP BY req_id)
+            SELECT m.req_id,
+                   COALESCE(e.e, []) AS expanded,
+                   list_filter(list_transform(m.rejected_terms,
+                       r -> trim(COALESCE(r, ''))), r -> r != '')
+                     AS rejected,
+                   COALESCE(p.ph, []) AS query_phrasings
+            FROM merged m
+            LEFT JOIN expanded e USING (req_id)
+            LEFT JOIN phr p USING (req_id)""",
+        "query_cache_fold": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            ev AS (
+              SELECT doc * 10 + k AS event_ord,
+                     CASE WHEN k = 0 THEN 'store'
+                          WHEN k = 3 AND doc % 2 = 0 THEN 'store'
+                          ELSE 'lookup' END AS kind,
+                     CASE WHEN k = 0 THEN
+                            '  Query ' || CAST(doc % 50 AS VARCHAR)
+                            || ' '
+                          WHEN k = 3 THEN
+                            'QUERY ' || CAST(doc % 50 AS VARCHAR)
+                          ELSE 'query ' || CAST(doc % 50 AS VARCHAR)
+                     END AS query
+              FROM docs, (SELECT unnest(generate_series(0, 4)) AS k)),
+            keyed AS (
+              SELECT *, sha256(lower(trim(query))) AS query_hash
+              FROM ev),
+            ls AS (
+              SELECT query_hash,
+                     max(event_ord) FILTER (WHERE kind = 'store')
+                       AS last_store,
+                     arg_max(query, CASE WHEN kind = 'store'
+                             THEN event_ord END) AS query_text
+              FROM keyed GROUP BY query_hash)
+            SELECT l.query_hash, l.query_text,
+                   CAST(count(k.event_ord) FILTER (
+                       WHERE k.kind = 'lookup'
+                         AND k.event_ord > l.last_store) AS BIGINT)
+                     AS hit_count,
+                   l.last_store AS created_at_ord,
+                   CAST(COALESCE(max(k.event_ord) FILTER (
+                       WHERE k.kind = 'lookup'
+                         AND k.event_ord > l.last_store), -1)
+                     AS BIGINT) AS last_hit_ord
+            FROM ls l JOIN keyed k USING (query_hash)
+            WHERE l.last_store IS NOT NULL
+            GROUP BY l.query_hash, l.query_text, l.last_store""",
         "job_monitor_detect": f"""
             WITH {_jm.MONITOR_SYNTH_SQL}
             SELECT job_id, detection_tier, action, fail_reason,
