@@ -1376,6 +1376,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return qc.fold_cache_events(events)
     q["query_cache_fold"] = query_cache_fold_q
 
+    def text_backfill_products_q(spark, sf_dir):
+        # candidate selection (missing embedding, workspace, cap) +
+        # outcome ladder incl. dim gate and failure-marker resolution
+        from mivaa_pdf_extractor_spark.operators import (
+            text_backfill as tb)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        pid = F.concat(F.lit("p"), F.lpad(F.col("doc").cast("string"),
+                                          6, "0"))
+        products = d.select(
+            pid.alias("id"),
+            F.concat(F.lit("w"), (F.col("doc") % 3).cast("string"))
+            .alias("workspace_id"),
+            (F.col("doc") % 6 == 0).alias("has_embedding"),
+            F.when(F.col("doc") % 11 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("text "),
+                                F.col("doc").cast("string")))
+            .alias("embedding_text"),
+            F.when(F.col("doc") % 4 == 0, F.lit("marker"))
+            .alias("failure_marker"))
+        emb = d.select(
+            pid.alias("id"), (F.col("doc") % 5 != 0).alias("success"),
+            F.when(F.col("doc") % 7 == 0, 512).otherwise(1024)
+            .cast("int").alias("dim"),
+            F.lit("voyage-4").alias("model"))
+        cands = tb.select_product_candidates(
+            products, max_products=100, workspace_id="w1")
+        return tb.product_backfill_outcomes(cands, emb)
+    q["text_backfill_products"] = text_backfill_products_q
+
+    def text_backfill_chunks_q(spark, sf_dir):
+        # cap-then-blank-drop selection, 50-batches, batch-error /
+        # short-list / null-vector ladder
+        from mivaa_pdf_extractor_spark.operators import (
+            text_backfill as tb)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        cid = F.concat(F.lit("c"), F.lpad(F.col("doc").cast("string"),
+                                          6, "0"))
+        chunks = d.select(
+            cid.alias("id"), F.lit("w0").alias("workspace_id"),
+            F.when(F.col("doc") % 5 == 0, F.lit(True))
+            .when(F.col("doc") % 5 == 1, F.lit(False))
+            .alias("has_text_embedding"),
+            F.when(F.col("doc") % 9 == 0, F.lit(""))
+            .when(F.col("doc") % 9 == 1, F.lit("  "))
+            .otherwise(F.concat(F.lit("content "),
+                                F.col("doc").cast("string")))
+            .alias("content"))
+        vectors = (d.filter(F.col("doc") % 8 != 7)
+                   .select(cid.alias("id"),
+                           (F.col("doc") % 10 != 3).alias("vector_ok")))
+        berr = spark.createDataFrame([(1,)], "batch_index int")
+        cands = tb.select_chunk_candidates(chunks, max_chunks=120)
+        return tb.chunk_backfill_outcomes(cands, 50, berr, vectors)
+    q["text_backfill_chunks"] = text_backfill_chunks_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -6431,6 +6488,101 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "text_backfill_products": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            products AS (
+              SELECT 'p' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     'w' || CAST(doc % 3 AS VARCHAR) AS workspace_id,
+                     doc % 6 = 0 AS has_embedding,
+                     CASE WHEN doc % 11 = 0 THEN ''
+                          ELSE 'text ' || CAST(doc AS VARCHAR) END
+                       AS embedding_text,
+                     CASE WHEN doc % 4 = 0 THEN 'marker' END
+                       AS failure_marker,
+                     doc
+              FROM docs),
+            emb AS (
+              SELECT 'p' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     doc % 5 != 0 AS success,
+                     CAST(CASE WHEN doc % 7 = 0 THEN 512
+                          ELSE 1024 END AS INT) AS dim,
+                     'voyage-4' AS model
+              FROM docs),
+            cands AS (
+              SELECT * FROM products
+              WHERE NOT COALESCE(has_embedding, FALSE)
+                AND workspace_id = 'w1'
+              ORDER BY id LIMIT 100),
+            j AS (
+              SELECT c.*, e.success, e.dim, e.model,
+                     CASE WHEN trim(COALESCE(c.embedding_text, ''))
+                               = '' THEN 'failed_empty_text'
+                          WHEN NOT (COALESCE(e.success, FALSE)
+                               AND COALESCE(e.dim, 0) = 1024)
+                            THEN 'failed_embedding'
+                          ELSE 'embedded' END AS outcome
+              FROM cands c LEFT JOIN emb e USING (id))
+            SELECT id, outcome, outcome = 'embedded' AS set_embedding,
+                   CASE WHEN outcome = 'embedded' THEN model END
+                     AS model,
+                   outcome = 'embedded' AND failure_marker IS NOT NULL
+                     AS marker_resolved,
+                   CASE WHEN outcome = 'embedded'
+                             AND failure_marker IS NOT NULL
+                        THEN 'text_embedding_backfill' END
+                     AS resolved_by
+            FROM j""",
+        "text_backfill_chunks": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            chunks AS (
+              SELECT 'c' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     'w0' AS workspace_id,
+                     CASE WHEN doc % 5 = 0 THEN TRUE
+                          WHEN doc % 5 = 1 THEN FALSE END
+                       AS has_text_embedding,
+                     CASE WHEN doc % 9 = 0 THEN ''
+                          WHEN doc % 9 = 1 THEN '  '
+                          ELSE 'content ' || CAST(doc AS VARCHAR) END
+                       AS content,
+                     doc
+              FROM docs),
+            vectors AS (
+              SELECT 'c' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     doc % 10 != 3 AS vector_ok
+              FROM docs WHERE doc % 8 != 7),
+            limited AS (
+              SELECT * FROM chunks
+              WHERE has_text_embedding IS NULL
+                 OR has_text_embedding = FALSE
+              ORDER BY id LIMIT 120),
+            cands AS (
+              SELECT * FROM limited
+              WHERE trim(COALESCE(content, '')) != ''),
+            batched AS (
+              SELECT *, CAST((row_number() OVER (ORDER BY id) - 1)
+                        // 50 AS INT) AS batch_index,
+                     CAST((row_number() OVER (ORDER BY id) - 1)
+                        % 50 AS INT) AS pos_in_batch
+              FROM cands),
+            j AS (
+              SELECT b.*, v.vector_ok,
+                     v.id IS NOT NULL AS returned
+              FROM batched b LEFT JOIN vectors v USING (id))
+            SELECT id, batch_index, pos_in_batch,
+                   CASE WHEN batch_index = 1 THEN 'failed_batch'
+                        WHEN NOT returned THEN 'failed_short_list'
+                        WHEN NOT COALESCE(vector_ok, FALSE)
+                          THEN 'failed_null_vector'
+                        ELSE 'embedded' END AS outcome,
+                   CASE WHEN batch_index = 1 THEN 'failed_batch'
+                        WHEN NOT returned THEN 'failed_short_list'
+                        WHEN NOT COALESCE(vector_ok, FALSE)
+                          THEN 'failed_null_vector'
+                        ELSE 'embedded' END = 'embedded'
+                     AS set_embedding
+            FROM j""",
         "xml_import_progress": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
