@@ -1433,6 +1433,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tb.chunk_backfill_outcomes(cands, 50, berr, vectors)
     q["text_backfill_chunks"] = text_backfill_chunks_q
 
+    def product_rule_edges_q(spark, sf_dir):
+        # five rule-derived edge types over silver facets
+        from mivaa_pdf_extractor_spark.operators import (
+            product_edges as pe)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        products = d.select(
+            F.concat(F.lit("w"), (doc % 25).cast("string"))
+            .alias("workspace_id"),
+            F.concat(F.lit("p"), doc.cast("string"))
+            .alias("product_id"),
+            F.concat(F.lit("m"), (doc % 4).cast("string"))
+            .alias("material_type"),
+            F.when(doc % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("f"), (doc % 2).cast("string")))
+            .alias("finish"),
+            F.array(F.concat(F.lit("c"), (doc % 5).cast("string")),
+                    F.concat(F.lit("c"), ((doc + 1) % 5)
+                             .cast("string"))).alias("colors"),
+            F.when(doc % 7 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("col"), (doc % 6).cast("string")))
+            .alias("collection"),
+            F.concat(F.lit("s"), (doc % 3).cast("string"))
+            .alias("slip_rating"),
+            F.concat(F.lit("fr"), (doc % 2).cast("string"))
+            .alias("fire_rating"),
+            F.concat(F.lit("d"), (doc % 5).cast("string"))
+            .alias("dimensions"),
+            F.element_at(F.array(F.lit("tile"), F.lit("grout"),
+                                 F.lit("skirting"), F.lit("adhesive")),
+                         (doc % 4 + 1).cast("int")).alias("category"))
+        pairs = spark.createDataFrame(
+            [("tile", "grout"), ("grout", "tile"),
+             ("tile", "skirting"), ("skirting", "tile")],
+            "category_a string, category_b string")
+        return pe.rebuild_rule_edges(products, pairs)
+    q["product_rule_edges"] = product_rule_edges_q
+
+    def llm_edge_postprocess_q(spark, sf_dir):
+        # gate (conf>=0.6, known rel, non-blank), 3-tier exactly-one
+        # resolution w/ ambiguity abort, first-ref-per-dst dedup,
+        # pinned weights + truncations
+        from mivaa_pdf_extractor_spark.operators import (
+            product_edges as pe)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        ws = F.concat(F.lit("w"), (doc % 10).cast("string"))
+        identity = d.select(
+            ws.alias("workspace_id"),
+            F.concat(F.lit("p"), doc.cast("string"))
+            .alias("product_id"),
+            F.when(doc % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("sku"), doc.cast("string")))
+            .alias("external_sku"),
+            F.concat(F.lit("ms"), (doc % 50).cast("string"))
+            .alias("meta_sku"),
+            F.concat(F.lit("Name "), doc.cast("string")).alias("name"))
+        e = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                     .alias("pos"))
+        pos, edoc = F.col("pos"), F.col("doc")
+        ident0 = (F.when(edoc % 6 == 0,
+                         F.concat(F.lit("SKU"),
+                                  (edoc + 10).cast("string")))
+                  .when(edoc % 6 == 1,
+                        F.concat(F.lit("ms"),
+                                 ((edoc + 10) % 50).cast("string")))
+                  .when(edoc % 6 == 2,
+                        F.concat(F.lit("name "),
+                                 (edoc + 20).cast("string")))
+                  .when(edoc % 6 == 3, F.lit("x"))
+                  .when(edoc % 6 == 4, F.lit("zzz-unknown"))
+                  .otherwise(F.concat(F.lit("Name "),
+                                      edoc.cast("string"))))
+        ident = (F.when(pos.isin(0, 1), ident0)
+                 .otherwise(F.concat(F.lit("Name "),
+                                     (edoc + 30).cast("string"))))
+        rel = (F.when(pos == 0, "pairs_with")
+               .when(pos == 1, "replaces")
+               .otherwise(F.when(edoc % 2 == 0, "completes")
+                          .otherwise("equivalent_alternative")))
+        conf = (F.when((pos == 2) & (edoc % 5 == 0), 0.6)
+                .when(pos == 1, 0.95).otherwise(0.9))
+        evid = F.when((edoc % 9 == 0) & (pos == 0), F.lit("")) \
+            .otherwise(F.concat(F.lit("because the text says so "),
+                                edoc.cast("string"), F.lit(" #"),
+                                pos.cast("string")))
+        refs = e.select(
+            F.concat(F.lit("w"), (edoc % 10).cast("string"))
+            .alias("workspace_id"),
+            F.concat(F.lit("p"), edoc.cast("string"))
+            .alias("src_product_id"),
+            pos.cast("int").alias("ref_pos"),
+            ident.alias("referenced_identifier"), rel.alias(
+                "relationship"),
+            evid.alias("evidence"), conf.cast("double")
+            .alias("confidence"))
+        return pe.llm_edges_postprocess(refs, identity)
+    q["llm_edge_postprocess"] = llm_edge_postprocess_q
+
+    def edge_text_gate_q(spark, sf_dir):
+        # description + <=20 non-blank chunks, 40-char gate, 6000 cap
+        from mivaa_pdf_extractor_spark.operators import (
+            product_edges as pe)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        products = d.select(
+            F.lit("w0").alias("workspace_id"),
+            F.concat(F.lit("p"), doc.cast("string"))
+            .alias("product_id"),
+            F.when(doc % 4 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("Product description for item "),
+                                doc.cast("string")))
+            .alias("description"))
+        nch = F.when(doc % 31 == 0, F.lit(25)) \
+            .otherwise((doc % 6).cast("int"))
+        ch = (d.select("doc", nch.alias("nch"))
+              .filter(F.col("nch") >= 1)
+              .select("doc", F.explode(
+                  F.sequence(F.lit(1), F.col("nch"))).alias("j")))
+        chunks = ch.select(
+            F.lit("w0").alias("workspace_id"),
+            F.concat(F.lit("p"), F.col("doc").cast("string"))
+            .alias("product_id"),
+            F.col("j").cast("int").alias("chunk_index"),
+            F.when(F.col("j") % 3 == 1, F.lit("  "))
+            .otherwise(F.concat(F.lit("chunk text "),
+                                F.col("doc").cast("string"),
+                                F.lit(" #"), F.col("j").cast("string")))
+            .alias("content"))
+        out = pe.assemble_edge_text(products, chunks)
+        return out.select("workspace_id", "product_id", "description",
+                          F.length("text").alias("text_len"), "text")
+    q["edge_text_gate"] = edge_text_gate_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -6488,6 +6625,247 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "product_rule_edges": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            products AS (
+              SELECT 'w' || CAST(doc % 25 AS VARCHAR) AS workspace_id,
+                     'p' || CAST(doc AS VARCHAR) AS product_id,
+                     'm' || CAST(doc % 4 AS VARCHAR) AS material_type,
+                     CASE WHEN doc % 3 = 0 THEN NULL
+                          ELSE 'f' || CAST(doc % 2 AS VARCHAR) END
+                       AS finish,
+                     ['c' || CAST(doc % 5 AS VARCHAR),
+                      'c' || CAST((doc + 1) % 5 AS VARCHAR)] AS colors,
+                     CASE WHEN doc % 7 = 0 THEN NULL
+                          ELSE 'col' || CAST(doc % 6 AS VARCHAR) END
+                       AS collection,
+                     's' || CAST(doc % 3 AS VARCHAR) AS slip_rating,
+                     'fr' || CAST(doc % 2 AS VARCHAR) AS fire_rating,
+                     'd' || CAST(doc % 5 AS VARCHAR) AS dimensions,
+                     ['tile', 'grout', 'skirting',
+                      'adhesive'][doc % 4 + 1] AS category
+              FROM docs),
+            pairs AS (SELECT * FROM (VALUES ('tile', 'grout'),
+                      ('grout', 'tile'), ('tile', 'skirting'),
+                      ('skirting', 'tile')) t(category_a, category_b)),
+            pc AS (SELECT workspace_id, product_id, finish,
+                          unnest(colors) AS color
+                   FROM products)
+            SELECT a.workspace_id, a.product_id AS src_product_id,
+                   b.product_id AS dst_product_id,
+                   'material_family' AS edge_type,
+                   CAST(0.55 AS DOUBLE) AS weight,
+                   'rule' AS derived_from
+            FROM products a JOIN products b
+              ON a.workspace_id = b.workspace_id
+             AND a.material_type = b.material_type
+             AND a.product_id != b.product_id
+            UNION ALL
+            SELECT DISTINCT a.workspace_id, a.product_id,
+                   b.product_id, 'pattern_match',
+                   CAST(0.65 AS DOUBLE), 'rule'
+            FROM pc a JOIN pc b
+              ON a.workspace_id = b.workspace_id
+             AND a.finish IS NOT NULL AND a.finish = b.finish
+             AND a.color = b.color
+             AND a.product_id != b.product_id
+            UNION ALL
+            SELECT a.workspace_id, a.product_id, b.product_id,
+                   'collection', CAST(0.70 AS DOUBLE), 'rule'
+            FROM products a JOIN products b
+              ON a.workspace_id = b.workspace_id
+             AND a.collection = b.collection
+             AND a.product_id != b.product_id
+            UNION ALL
+            SELECT a.workspace_id, a.product_id, b.product_id,
+                   'complementary', CAST(0.60 AS DOUBLE), 'rule'
+            FROM products a
+            JOIN pairs cp ON a.category = cp.category_a
+            JOIN products b ON a.workspace_id = b.workspace_id
+             AND b.category = cp.category_b
+             AND a.product_id != b.product_id
+            UNION ALL
+            SELECT a.workspace_id, a.product_id, b.product_id,
+                   'alternative', CAST(0.75 AS DOUBLE), 'rule'
+            FROM products a JOIN products b
+              ON a.workspace_id = b.workspace_id
+             AND a.slip_rating = b.slip_rating
+             AND a.fire_rating = b.fire_rating
+             AND a.dimensions = b.dimensions
+             AND a.product_id != b.product_id""",
+        "llm_edge_postprocess": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            identity_t AS (
+              SELECT 'w' || CAST(doc % 10 AS VARCHAR) AS workspace_id,
+                     'p' || CAST(doc AS VARCHAR) AS product_id,
+                     CASE WHEN doc % 3 = 0 THEN NULL
+                          ELSE 'sku' || CAST(doc AS VARCHAR) END
+                       AS external_sku,
+                     'ms' || CAST(doc % 50 AS VARCHAR) AS meta_sku,
+                     'Name ' || CAST(doc AS VARCHAR) AS name
+              FROM docs),
+            refs AS (
+              SELECT 'w' || CAST(doc % 10 AS VARCHAR) AS workspace_id,
+                     'p' || CAST(doc AS VARCHAR) AS src_product_id,
+                     CAST(pos AS INT) AS ref_pos,
+                     CASE WHEN pos IN (0, 1) THEN
+                       CASE doc % 6
+                         WHEN 0 THEN 'SKU' || CAST(doc + 10 AS VARCHAR)
+                         WHEN 1 THEN
+                           'ms' || CAST((doc + 10) % 50 AS VARCHAR)
+                         WHEN 2 THEN
+                           'name ' || CAST(doc + 20 AS VARCHAR)
+                         WHEN 3 THEN 'x'
+                         WHEN 4 THEN 'zzz-unknown'
+                         ELSE 'Name ' || CAST(doc AS VARCHAR) END
+                     ELSE 'Name ' || CAST(doc + 30 AS VARCHAR) END
+                       AS referenced_identifier,
+                     CASE WHEN pos = 0 THEN 'pairs_with'
+                          WHEN pos = 1 THEN 'replaces'
+                          ELSE CASE WHEN doc % 2 = 0 THEN 'completes'
+                               ELSE 'equivalent_alternative' END END
+                       AS relationship,
+                     CASE WHEN pos = 0 AND doc % 9 = 0 THEN ''
+                          ELSE 'because the text says so '
+                               || CAST(doc AS VARCHAR) || ' #'
+                               || CAST(pos AS VARCHAR) END AS evidence,
+                     CAST(CASE WHEN pos = 2 AND doc % 5 = 0 THEN 0.6
+                          WHEN pos = 1 THEN 0.95 ELSE 0.9 END
+                          AS DOUBLE) AS confidence
+              FROM docs, (SELECT unnest([0, 1, 2]) AS pos)),
+            gated AS (
+              SELECT * FROM refs
+              WHERE trim(COALESCE(referenced_identifier, '')) != ''
+                AND trim(COALESCE(evidence, '')) != ''
+                AND COALESCE(confidence, 0) >= 0.6
+                AND relationship IN ('pairs_with', 'requires',
+                    'completes', 'replaces', 'equivalent_alternative')),
+            m AS (
+              SELECT g.src_product_id, g.ref_pos, 0 AS tier,
+                     i.product_id AS dst
+              FROM gated g JOIN identity_t i
+                ON i.workspace_id = g.workspace_id
+               AND i.product_id != g.src_product_id
+               AND lower(i.external_sku)
+                   = lower(trim(g.referenced_identifier))
+              UNION ALL
+              SELECT g.src_product_id, g.ref_pos, 1, i.product_id
+              FROM gated g JOIN identity_t i
+                ON i.workspace_id = g.workspace_id
+               AND i.product_id != g.src_product_id
+               AND lower(i.meta_sku)
+                   = lower(trim(g.referenced_identifier))
+              UNION ALL
+              SELECT g.src_product_id, g.ref_pos, 2, i.product_id
+              FROM gated g JOIN identity_t i
+                ON i.workspace_id = g.workspace_id
+               AND i.product_id != g.src_product_id
+               AND lower(i.name)
+                   = lower(trim(g.referenced_identifier))),
+            pt AS (
+              SELECT src_product_id, ref_pos, tier,
+                     count(*) AS n, min(dst) AS one
+              FROM m GROUP BY src_product_id, ref_pos, tier),
+            dec AS (
+              SELECT src_product_id, ref_pos, n, one FROM pt
+              QUALIFY row_number() OVER (
+                  PARTITION BY src_product_id, ref_pos
+                  ORDER BY tier) = 1),
+            res AS (
+              SELECT g.*,
+                     CASE WHEN length(trim(g.referenced_identifier))
+                               >= 2 AND d.n = 1
+                          THEN d.one END AS dst_product_id
+              FROM gated g LEFT JOIN dec d
+                USING (src_product_id, ref_pos)),
+            firsts AS (
+              SELECT * FROM res WHERE dst_product_id IS NOT NULL
+              QUALIFY row_number() OVER (
+                  PARTITION BY workspace_id, src_product_id,
+                               dst_product_id
+                  ORDER BY ref_pos) = 1),
+            rows_out AS (
+              SELECT workspace_id, src_product_id, dst_product_id,
+                     ref_pos,
+                     CASE relationship
+                       WHEN 'replaces' THEN 'alternative'
+                       WHEN 'equivalent_alternative'
+                         THEN 'alternative'
+                       ELSE 'complementary' END AS edge_type,
+                     CAST(CASE relationship
+                       WHEN 'replaces' THEN 0.83
+                       WHEN 'equivalent_alternative' THEN 0.83
+                       ELSE 0.88 END AS DOUBLE) AS weight,
+                     substr(trim(evidence), 1, 500) AS reason,
+                     substr(trim(referenced_identifier), 1, 200)
+                       AS referenced,
+                     confidence, 'llm' AS derived_from
+              FROM firsts)
+            SELECT workspace_id, src_product_id, dst_product_id,
+                   edge_type, weight, reason, referenced, confidence,
+                   derived_from
+            FROM rows_out
+            QUALIFY row_number() OVER (
+                PARTITION BY workspace_id, src_product_id,
+                             dst_product_id, edge_type
+                ORDER BY weight DESC, ref_pos) = 1""",
+        "edge_text_gate": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            products AS (
+              SELECT 'w0' AS workspace_id,
+                     'p' || CAST(doc AS VARCHAR) AS product_id,
+                     CASE WHEN doc % 4 = 0 THEN ''
+                          ELSE 'Product description for item '
+                               || CAST(doc AS VARCHAR) END
+                       AS description,
+                     doc
+              FROM docs),
+            nchs AS (SELECT doc,
+                            CASE WHEN doc % 31 = 0 THEN 25
+                                 ELSE CAST(doc % 6 AS INT) END AS nch
+                     FROM docs),
+            chunks AS (
+              SELECT 'w0' AS workspace_id,
+                     'p' || CAST(doc AS VARCHAR) AS product_id,
+                     CAST(j AS INT) AS chunk_index,
+                     CASE WHEN j % 3 = 1 THEN '  '
+                          ELSE 'chunk text ' || CAST(doc AS VARCHAR)
+                               || ' #' || CAST(j AS VARCHAR) END
+                       AS content
+              FROM nchs, UNNEST(generate_series(1, nch)) AS t(j)
+              WHERE nch >= 1),
+            lim AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY workspace_id, product_id
+                    ORDER BY chunk_index) AS rn
+                FROM chunks
+                WHERE trim(COALESCE(content, '')) != '')
+              WHERE rn <= 20),
+            agg AS (
+              SELECT workspace_id, product_id,
+                     string_agg(trim(content), e'\n\n'
+                                ORDER BY chunk_index) AS chunk_text
+              FROM lim GROUP BY workspace_id, product_id),
+            j AS (
+              SELECT p.workspace_id, p.product_id, p.description,
+                     CASE WHEN trim(COALESCE(p.description, '')) != ''
+                               AND a.chunk_text IS NOT NULL
+                          THEN trim(p.description) || e'\n\n'
+                               || a.chunk_text
+                          WHEN trim(COALESCE(p.description, '')) != ''
+                          THEN trim(p.description)
+                          ELSE COALESCE(a.chunk_text, '') END AS full_t
+              FROM products p LEFT JOIN agg a
+                USING (workspace_id, product_id))
+            SELECT workspace_id, product_id, description,
+                   CAST(length(substr(full_t, 1, 6000)) AS INT)
+                     AS text_len,
+                   substr(full_t, 1, 6000) AS text
+            FROM j WHERE length(full_t) >= 40""",
         "text_backfill_products": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
