@@ -1570,6 +1570,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.length("text").alias("text_len"), "text")
     q["edge_text_gate"] = edge_text_gate_q
 
+    def _persist_events(spark, sf_dir):
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        e = d.select("doc", F.explode(F.array(
+            F.lit(0), F.lit(1), F.lit(3), F.lit(5))).alias("k"))
+        doc, kk = F.col("doc"), F.col("k")
+        e = e.filter(~((kk == 3) & (doc % 5 == 1))
+                     & ~((kk == 5) & (doc % 7 != 0)))
+        status = (F.when(kk == 0, "pending")
+                  .when(kk == 1, F.when(doc % 4 == 2, "completed")
+                                  .when(doc % 4 == 3, "pending")
+                                  .otherwise("processing"))
+                  .when(kk == 3, F.when(doc % 2 == 0, "processing")
+                                  .otherwise("completed"))
+                  .otherwise(F.lit("completed")))
+        meta_t = "array<struct<key:string,value:string>>"
+        metadata = (F.when(kk == 0, F.array(F.struct(
+            F.lit("a").alias("key"), F.lit("1").alias("value"))))
+            .when((kk == 1) & (doc % 3 == 0), F.array(
+                F.struct(F.lit("b").alias("key"),
+                         F.lit("2").alias("value")),
+                F.struct(F.lit("a").alias("key"),
+                         F.lit("3").alias("value"))))
+            .otherwise(F.lit(None).cast(meta_t)))
+        persists = e.select(
+            (kk * 10000 + doc).alias("event_ord"),
+            F.lit("persist").alias("kind"),
+            F.concat(F.lit("j"), doc.cast("string")).alias("job_id"),
+            F.concat(F.lit("d"), doc.cast("string"))
+            .alias("document_id"),
+            F.concat(F.lit("f"), doc.cast("string")).alias("filename"),
+            status.alias("status"),
+            (F.when(kk == 0, 0).when(kk == 1, 50).when(kk == 3, 80)
+             .otherwise(100)).cast("long").alias("progress"),
+            F.when((kk == 3) & (doc % 6 == 0), F.lit("oops"))
+            .alias("error"),
+            metadata.alias("metadata"),
+            F.lit(None).cast("string").alias("reason"),
+            ((kk > 0) | (doc % 10 != 0)).alias("doc_exists"))
+        sweeps = spark.createDataFrame(
+            [(25000, "interrupt", "Service restart"),
+             (45000, "interrupt", "Second restart")],
+            "event_ord long, kind string, reason string"
+        ).select("event_ord", "kind",
+                 F.lit(None).cast("string").alias("job_id"),
+                 F.lit(None).cast("string").alias("document_id"),
+                 F.lit(None).cast("string").alias("filename"),
+                 F.lit(None).cast("string").alias("status"),
+                 F.lit(None).cast("long").alias("progress"),
+                 F.lit(None).cast("string").alias("error"),
+                 F.lit(None).cast(meta_t).alias("metadata"),
+                 "reason", F.lit(None).cast("boolean")
+                 .alias("doc_exists"))
+        return persists.unionByName(sweeps)
+
+    def job_persistence_fold_q(spark, sf_dir):
+        # upsert fold: scalar-only updates, dead-parent insert abort,
+        # per-key metadata merge, interrupt sweeps gated on current
+        # status with sticky interrupted_at
+        from mivaa_pdf_extractor_spark.operators import (
+            job_persistence as jp)
+        return jp.fold_job_events(_persist_events(spark, sf_dir))
+    q["job_persistence_fold"] = job_persistence_fold_q
+
+    def job_recovery_stats_q(spark, sf_dir):
+        # cleanup (completed/failed older than the window) + status
+        # counts over the survivors
+        from mivaa_pdf_extractor_spark.operators import (
+            job_persistence as jp)
+        rows = jp.fold_job_events(_persist_events(spark, sf_dir))
+        swept = jp.cleanup_old_jobs(rows, now_ord=60000,
+                                    keep_window=20000)
+        return jp.job_statistics(swept.filter(~F.col("deleted")))
+    q["job_recovery_stats"] = job_recovery_stats_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -6625,6 +6700,271 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "job_persistence_fold": """
+            WITH
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                     FROM documents),
+            pers AS (
+              SELECT k * 10000 + doc AS event_ord,
+                     'persist' AS kind,
+                     'j' || CAST(doc AS VARCHAR) AS job_id,
+                     'd' || CAST(doc AS VARCHAR) AS document_id,
+                     'f' || CAST(doc AS VARCHAR) AS filename,
+                     CASE WHEN k = 0 THEN 'pending'
+                          WHEN k = 1 THEN
+                            CASE WHEN doc % 4 = 2 THEN 'completed'
+                                 WHEN doc % 4 = 3 THEN 'pending'
+                                 ELSE 'processing' END
+                          WHEN k = 3 THEN
+                            CASE WHEN doc % 2 = 0 THEN 'processing'
+                                 ELSE 'completed' END
+                          ELSE 'completed' END AS status,
+                     CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 50
+                          WHEN 3 THEN 80 ELSE 100 END AS BIGINT)
+                       AS progress,
+                     CASE WHEN k = 3 AND doc % 6 = 0 THEN 'oops' END
+                       AS error,
+                     CASE WHEN k = 0 THEN [{'key': 'a', 'value': '1'}]
+                          WHEN k = 1 AND doc % 3 = 0 THEN
+                            [{'key': 'b', 'value': '2'},
+                             {'key': 'a', 'value': '3'}] END
+                       AS metadata,
+                     CAST(NULL AS VARCHAR) AS reason,
+                     (k > 0 OR doc % 10 != 0) AS doc_exists
+              FROM docs, (SELECT unnest([0, 1, 3, 5]) AS k)
+              WHERE NOT (k = 3 AND doc % 5 = 1)
+                AND NOT (k = 5 AND doc % 7 != 0)),
+            sweeps AS (SELECT * FROM (VALUES
+                (25000, 'Service restart'), (45000, 'Second restart'))
+                t(event_ord, reason)),
+            jobs AS (SELECT DISTINCT job_id FROM pers),
+            fanned AS (
+              SELECT event_ord, kind, job_id, document_id, filename,
+                     status, progress, error, metadata, reason,
+                     doc_exists
+              FROM pers
+              UNION ALL
+              SELECT s.event_ord, 'interrupt', j.job_id, NULL, NULL,
+                     NULL, NULL, NULL, NULL, s.reason, NULL
+              FROM sweeps s CROSS JOIN jobs j),
+            crt AS (
+              SELECT job_id,
+                     min(CASE WHEN kind = 'persist' AND doc_exists
+                         THEN event_ord END) AS create_ord
+              FROM fanned GROUP BY job_id),
+            e AS (
+              SELECT f.*, c.create_ord FROM fanned f
+              JOIN crt c USING (job_id)
+              WHERE c.create_ord IS NOT NULL
+                AND f.event_ord >= c.create_ord),
+            ann AS (
+              SELECT *,
+                max(CASE WHEN kind = 'persist' THEN event_ord END)
+                  OVER w_prev AS lp_ord,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 's': status} END) OVER w_prev).s
+                  AS lp_status,
+                max(CASE WHEN kind = 'interrupt' THEN event_ord END)
+                  OVER w_prev AS prev_int
+              FROM e
+              WINDOW w_prev AS (PARTITION BY job_id ORDER BY event_ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            marked AS (
+              SELECT *,
+                kind = 'interrupt'
+                AND COALESCE(lp_status IN ('processing', 'pending'),
+                             FALSE)
+                AND COALESCE(prev_int, -1) < COALESCE(lp_ord, -1)
+                  AS int_applied
+              FROM ann),
+            agg AS (
+              SELECT job_id,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': document_id} END)).v
+                  AS document_id,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': filename} END)).v
+                  AS filename,
+                (max(CASE WHEN kind = 'persist' OR int_applied THEN
+                     {'o': event_ord,
+                      'v': CASE WHEN kind = 'persist' THEN status
+                           ELSE 'interrupted' END} END)).v AS status,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': progress} END)).v
+                  AS progress,
+                (max(CASE WHEN kind = 'persist' OR int_applied THEN
+                     {'o': event_ord,
+                      'v': CASE WHEN kind = 'persist' THEN error
+                           ELSE reason END} END)).v AS error,
+                min(create_ord) AS created_at_ord,
+                max(CASE WHEN kind = 'persist' OR int_applied
+                    THEN event_ord END) AS updated_at_ord,
+                COALESCE(max(CASE WHEN int_applied THEN event_ord
+                             END), -1) AS interrupted_at_ord,
+                list_transform(
+                  array_agg(CASE WHEN kind = 'persist'
+                            AND metadata IS NOT NULL THEN
+                            {'o': event_ord, 'm': metadata} END
+                            ORDER BY event_ord)
+                  FILTER (WHERE kind = 'persist'
+                          AND metadata IS NOT NULL),
+                  x -> x.m) AS mlists
+              FROM marked GROUP BY job_id),
+            folded_jobs AS (
+              SELECT job_id, document_id, filename, status, progress,
+                     error, created_at_ord, updated_at_ord,
+                     interrupted_at_ord,
+                     CASE WHEN mlists IS NULL OR len(mlists) = 0
+                       THEN CAST([] AS
+                            STRUCT(key VARCHAR, value VARCHAR)[])
+                       ELSE list_sort(list_reduce(mlists,
+                         (acc, m) -> list_filter(acc,
+                             a -> len(list_filter(m,
+                                 n -> n.key = a.key)) = 0) || m))
+                       END AS metadata
+              FROM agg)
+            SELECT * FROM folded_jobs""",
+        "job_recovery_stats": """
+            WITH
+            docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                     FROM documents),
+            pers AS (
+              SELECT k * 10000 + doc AS event_ord,
+                     'persist' AS kind,
+                     'j' || CAST(doc AS VARCHAR) AS job_id,
+                     'd' || CAST(doc AS VARCHAR) AS document_id,
+                     'f' || CAST(doc AS VARCHAR) AS filename,
+                     CASE WHEN k = 0 THEN 'pending'
+                          WHEN k = 1 THEN
+                            CASE WHEN doc % 4 = 2 THEN 'completed'
+                                 WHEN doc % 4 = 3 THEN 'pending'
+                                 ELSE 'processing' END
+                          WHEN k = 3 THEN
+                            CASE WHEN doc % 2 = 0 THEN 'processing'
+                                 ELSE 'completed' END
+                          ELSE 'completed' END AS status,
+                     CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN 50
+                          WHEN 3 THEN 80 ELSE 100 END AS BIGINT)
+                       AS progress,
+                     CASE WHEN k = 3 AND doc % 6 = 0 THEN 'oops' END
+                       AS error,
+                     CASE WHEN k = 0 THEN [{'key': 'a', 'value': '1'}]
+                          WHEN k = 1 AND doc % 3 = 0 THEN
+                            [{'key': 'b', 'value': '2'},
+                             {'key': 'a', 'value': '3'}] END
+                       AS metadata,
+                     CAST(NULL AS VARCHAR) AS reason,
+                     (k > 0 OR doc % 10 != 0) AS doc_exists
+              FROM docs, (SELECT unnest([0, 1, 3, 5]) AS k)
+              WHERE NOT (k = 3 AND doc % 5 = 1)
+                AND NOT (k = 5 AND doc % 7 != 0)),
+            sweeps AS (SELECT * FROM (VALUES
+                (25000, 'Service restart'), (45000, 'Second restart'))
+                t(event_ord, reason)),
+            jobs AS (SELECT DISTINCT job_id FROM pers),
+            fanned AS (
+              SELECT event_ord, kind, job_id, document_id, filename,
+                     status, progress, error, metadata, reason,
+                     doc_exists
+              FROM pers
+              UNION ALL
+              SELECT s.event_ord, 'interrupt', j.job_id, NULL, NULL,
+                     NULL, NULL, NULL, NULL, s.reason, NULL
+              FROM sweeps s CROSS JOIN jobs j),
+            crt AS (
+              SELECT job_id,
+                     min(CASE WHEN kind = 'persist' AND doc_exists
+                         THEN event_ord END) AS create_ord
+              FROM fanned GROUP BY job_id),
+            e AS (
+              SELECT f.*, c.create_ord FROM fanned f
+              JOIN crt c USING (job_id)
+              WHERE c.create_ord IS NOT NULL
+                AND f.event_ord >= c.create_ord),
+            ann AS (
+              SELECT *,
+                max(CASE WHEN kind = 'persist' THEN event_ord END)
+                  OVER w_prev AS lp_ord,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 's': status} END) OVER w_prev).s
+                  AS lp_status,
+                max(CASE WHEN kind = 'interrupt' THEN event_ord END)
+                  OVER w_prev AS prev_int
+              FROM e
+              WINDOW w_prev AS (PARTITION BY job_id ORDER BY event_ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            marked AS (
+              SELECT *,
+                kind = 'interrupt'
+                AND COALESCE(lp_status IN ('processing', 'pending'),
+                             FALSE)
+                AND COALESCE(prev_int, -1) < COALESCE(lp_ord, -1)
+                  AS int_applied
+              FROM ann),
+            agg AS (
+              SELECT job_id,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': document_id} END)).v
+                  AS document_id,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': filename} END)).v
+                  AS filename,
+                (max(CASE WHEN kind = 'persist' OR int_applied THEN
+                     {'o': event_ord,
+                      'v': CASE WHEN kind = 'persist' THEN status
+                           ELSE 'interrupted' END} END)).v AS status,
+                (max(CASE WHEN kind = 'persist' THEN
+                     {'o': event_ord, 'v': progress} END)).v
+                  AS progress,
+                (max(CASE WHEN kind = 'persist' OR int_applied THEN
+                     {'o': event_ord,
+                      'v': CASE WHEN kind = 'persist' THEN error
+                           ELSE reason END} END)).v AS error,
+                min(create_ord) AS created_at_ord,
+                max(CASE WHEN kind = 'persist' OR int_applied
+                    THEN event_ord END) AS updated_at_ord,
+                COALESCE(max(CASE WHEN int_applied THEN event_ord
+                             END), -1) AS interrupted_at_ord,
+                list_transform(
+                  array_agg(CASE WHEN kind = 'persist'
+                            AND metadata IS NOT NULL THEN
+                            {'o': event_ord, 'm': metadata} END
+                            ORDER BY event_ord)
+                  FILTER (WHERE kind = 'persist'
+                          AND metadata IS NOT NULL),
+                  x -> x.m) AS mlists
+              FROM marked GROUP BY job_id),
+            folded_jobs AS (
+              SELECT job_id, document_id, filename, status, progress,
+                     error, created_at_ord, updated_at_ord,
+                     interrupted_at_ord,
+                     CASE WHEN mlists IS NULL OR len(mlists) = 0
+                       THEN CAST([] AS
+                            STRUCT(key VARCHAR, value VARCHAR)[])
+                       ELSE list_sort(list_reduce(mlists,
+                         (acc, m) -> list_filter(acc,
+                             a -> len(list_filter(m,
+                                 n -> n.key = a.key)) = 0) || m))
+                       END AS metadata
+              FROM agg),
+            swept AS (
+              SELECT * FROM folded_jobs
+              WHERE NOT (status IN ('completed', 'failed')
+                         AND updated_at_ord < 60000 - 20000))
+            SELECT CAST(count(*) AS BIGINT) AS total,
+                   CAST(COALESCE(sum(CASE WHEN status = 'pending'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS pending,
+                   CAST(COALESCE(sum(CASE WHEN status = 'processing'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS processing,
+                   CAST(COALESCE(sum(CASE WHEN status = 'completed'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS completed,
+                   CAST(COALESCE(sum(CASE WHEN status = 'failed'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS failed,
+                   CAST(COALESCE(sum(CASE WHEN status = 'interrupted'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS interrupted
+            FROM swept""",
         "product_rule_edges": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
