@@ -1645,6 +1645,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return jp.job_statistics(swept.filter(~F.col("deleted")))
     q["job_recovery_stats"] = job_recovery_stats_q
 
+    def _images_synth(spark, sf_dir):
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        cols = [
+            F.concat(F.lit("img"),
+                     F.lpad(doc.cast("string"), 6, "0")).alias("id"),
+            F.concat(F.lit("w"), (doc % 3).cast("string"))
+            .alias("workspace_id"),
+            F.when(doc % 6 == 0, F.lit(True))
+            .when(doc % 6 == 1, F.lit(False)).cast("boolean")
+            .alias("classification_pending"),
+            (doc % 4 != 0).alias("has_understanding_embedding"),
+            F.when(doc % 5 == 0, F.lit(None).cast("int"))
+            .otherwise(F.when(doc % 5 == 1, 1).otherwise(2)
+                       .cast("int"))
+            .alias("understanding_schema_version"),
+            F.when(doc % 7 == 0, F.lit("openai-clip"))
+            .when(doc % 7 == 1, F.lit(None).cast("string"))
+            .otherwise(F.lit("voyage-4"))
+            .alias("understanding_embedding_model"),
+        ]
+        from mivaa_pdf_extractor_spark.operators.image_backfill import (
+            ASPECT_NAMES)
+        for i, a in enumerate(ASPECT_NAMES):
+            cols += [
+                (doc % (3 + i) != 0).alias(f"has_{a}_slig"),
+                F.when(doc % (5 + i) == 0, F.lit(None).cast("int"))
+                .otherwise(F.lit(2).cast("int"))
+                .alias(f"{a}_aspect_schema_version"),
+                F.when(doc % (7 + i) == 0, F.lit("slig-legacy"))
+                .otherwise(F.lit("voyage-4"))
+                .alias(f"{a}_aspect_embedding_model"),
+            ]
+        return d.select(*cols)
+
+    def image_backfill_select_q(spark, sf_dir):
+        # limit-first understanding staleness + per-aspect stale flags
+        from mivaa_pdf_extractor_spark.operators import (
+            image_backfill as ib)
+        images = _images_synth(spark, sf_dir)
+        stale_u = ib.select_stale_understanding(
+            images, limit=200, current_version=2).select(
+            "id", F.lit("understanding").alias("tier"))
+        aspects = ib.aspect_staleness(images, current_version=2)
+        return aspects.select(
+            "id", "color_stale", "texture_stale", "style_stale",
+            "material_stale", "any_stale").join(
+            stale_u.select("id", F.lit(True).alias("understanding_stale")),
+            "id", "left").withColumn(
+            "understanding_stale",
+            F.coalesce("understanding_stale", F.lit(False)))
+    q["image_backfill_select"] = image_backfill_select_q
+
+    def image_classification_outcomes_q(spark, sf_dir):
+        # quarantine selection + outcome ladder + verdict stamp shape
+        from mivaa_pdf_extractor_spark.operators import (
+            image_backfill as ib)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        images = _images_synth(spark, sf_dir)
+        results = d.select(
+            F.concat(F.lit("img"),
+                     F.lpad(doc.cast("string"), 6, "0")).alias("id"),
+            (doc % 11 != 0).alias("bytes_ok"),
+            (doc % 13 == 0).alias("has_error"),
+            F.when(doc % 17 == 0, F.lit("opus_failed"))
+            .when(doc % 19 == 0, F.lit("opus_empty_response"))
+            .otherwise(F.lit("claude-opus")).alias("cls_model"),
+            F.when(doc % 23 == 0, F.lit("API key missing upstream"))
+            .otherwise(F.lit("looks like tile")).alias("reason"),
+            (doc % 2 == 0).alias("is_material"),
+            F.when(doc % 29 == 0, F.lit(None).cast("double"))
+            .otherwise((doc % 10).cast("double") / 10)
+            .alias("confidence"),
+            (doc % 31 != 0).alias("stamp_ok"),
+            (doc % 3 != 0).alias("embed_ok"))
+        cands = ib.select_quarantined(images, max_images=100)
+        out = ib.classification_outcomes(cands, results)
+        return out
+    q["image_classification_outcomes"] = image_classification_outcomes_q
+
+    def image_classification_summary_q(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (
+            image_backfill as ib)
+        # reuse the outcomes query end-to-end for the rollup
+        out = image_classification_outcomes_q(spark, sf_dir)
+        return ib.classification_summary(out)
+    q["image_classification_summary"] = image_classification_summary_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5570,6 +5661,8 @@ def oracle_sql() -> dict[str, str]:
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
         job_monitor as _jm)
+    from mivaa_pdf_extractor_spark.operators import (
+        image_backfill as _ib)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6700,6 +6793,169 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "image_backfill_select": f"""
+            WITH {_ib.IMAGES_SYNTH_SQL},
+            aspect_stale AS (
+              SELECT id, classification_pending,
+                (NOT COALESCE(has_color_slig, FALSE)
+                 OR color_aspect_schema_version IS NULL
+                 OR color_aspect_schema_version < 2
+                 OR NOT starts_with(
+                     COALESCE(color_aspect_embedding_model, ''),
+                     'voyage')) AS color_stale,
+                (NOT COALESCE(has_texture_slig, FALSE)
+                 OR texture_aspect_schema_version IS NULL
+                 OR texture_aspect_schema_version < 2
+                 OR NOT starts_with(
+                     COALESCE(texture_aspect_embedding_model, ''),
+                     'voyage')) AS texture_stale,
+                (NOT COALESCE(has_style_slig, FALSE)
+                 OR style_aspect_schema_version IS NULL
+                 OR style_aspect_schema_version < 2
+                 OR NOT starts_with(
+                     COALESCE(style_aspect_embedding_model, ''),
+                     'voyage')) AS style_stale,
+                (NOT COALESCE(has_material_slig, FALSE)
+                 OR material_aspect_schema_version IS NULL
+                 OR material_aspect_schema_version < 2
+                 OR NOT starts_with(
+                     COALESCE(material_aspect_embedding_model, ''),
+                     'voyage')) AS material_stale
+              FROM images),
+            stale_u AS (
+              SELECT id FROM (
+                SELECT * FROM images ORDER BY id LIMIT 200)
+              WHERE NOT COALESCE(classification_pending, FALSE)
+                AND (NOT COALESCE(has_understanding_embedding, FALSE)
+                     OR understanding_schema_version IS NULL
+                     OR understanding_schema_version < 2
+                     OR NOT starts_with(
+                         COALESCE(understanding_embedding_model, ''),
+                         'voyage')))
+            SELECT a.id, a.color_stale, a.texture_stale, a.style_stale,
+                   a.material_stale,
+                   ((a.color_stale OR a.texture_stale OR a.style_stale
+                     OR a.material_stale)
+                    AND NOT COALESCE(a.classification_pending, FALSE))
+                     AS any_stale,
+                   s.id IS NOT NULL AS understanding_stale
+            FROM aspect_stale a LEFT JOIN stale_u s USING (id)""",
+        "image_classification_outcomes": f"""
+            WITH {_ib.IMAGES_SYNTH_SQL},
+            results AS (
+              SELECT 'img' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     doc % 11 != 0 AS bytes_ok,
+                     doc % 13 = 0 AS has_error,
+                     CASE WHEN doc % 17 = 0 THEN 'opus_failed'
+                          WHEN doc % 19 = 0 THEN 'opus_empty_response'
+                          ELSE 'claude-opus' END AS cls_model,
+                     CASE WHEN doc % 23 = 0
+                          THEN 'API key missing upstream'
+                          ELSE 'looks like tile' END AS reason,
+                     doc % 2 = 0 AS is_material,
+                     CASE WHEN doc % 29 = 0 THEN NULL
+                          ELSE CAST(doc % 10 AS DOUBLE) / 10 END
+                       AS confidence,
+                     doc % 31 != 0 AS stamp_ok,
+                     doc % 3 != 0 AS embed_ok
+              FROM docs),
+            cands AS (
+              SELECT * FROM images
+              WHERE COALESCE(classification_pending, FALSE)
+              ORDER BY id LIMIT 100),
+            lad AS (
+              SELECT c.id, r.is_material, r.confidence,
+                CASE
+                  WHEN NOT COALESCE(r.bytes_ok, FALSE) THEN 'skipped'
+                  WHEN COALESCE(r.has_error, FALSE)
+                       OR contains(COALESCE(r.cls_model, ''),
+                                   '_failed')
+                       OR contains(COALESCE(r.cls_model, ''),
+                                   '_empty_response')
+                       OR contains(COALESCE(r.reason, ''),
+                                   'API key missing') THEN 'failed'
+                  WHEN NOT COALESCE(r.stamp_ok, FALSE) THEN 'failed'
+                  WHEN NOT COALESCE(r.is_material, FALSE)
+                    THEN 'non_material'
+                  WHEN COALESCE(r.embed_ok, FALSE)
+                    THEN 'material_embedded'
+                  ELSE 'material_unembedded' END AS outcome
+              FROM cands c LEFT JOIN results r USING (id))
+            SELECT id, outcome,
+                   outcome IN ('non_material', 'material_embedded',
+                               'material_unembedded')
+                     AS quarantine_cleared,
+                   CASE WHEN outcome IN ('non_material',
+                            'material_embedded', 'material_unembedded')
+                        THEN CASE WHEN COALESCE(is_material, FALSE)
+                             THEN 'material' ELSE 'non-material' END
+                   END AS classification,
+                   CASE WHEN outcome IN ('non_material',
+                            'material_embedded', 'material_unembedded')
+                        THEN CASE WHEN COALESCE(is_material, FALSE)
+                             THEN 'product' ELSE 'general' END
+                   END AS category,
+                   CASE WHEN outcome IN ('non_material',
+                            'material_embedded', 'material_unembedded')
+                        THEN COALESCE(confidence, 0.0)
+                   END AS confidence,
+                   CASE WHEN outcome IN ('non_material',
+                            'material_embedded', 'material_unembedded')
+                        THEN 'classification_backfill'
+                   END AS reclassified_by
+            FROM lad""",
+        "image_classification_summary": f"""
+            WITH {_ib.IMAGES_SYNTH_SQL},
+            results AS (
+              SELECT 'img' || lpad(CAST(doc AS VARCHAR), 6, '0') AS id,
+                     doc % 11 != 0 AS bytes_ok,
+                     doc % 13 = 0 AS has_error,
+                     CASE WHEN doc % 17 = 0 THEN 'opus_failed'
+                          WHEN doc % 19 = 0 THEN 'opus_empty_response'
+                          ELSE 'claude-opus' END AS cls_model,
+                     CASE WHEN doc % 23 = 0
+                          THEN 'API key missing upstream'
+                          ELSE 'looks like tile' END AS reason,
+                     doc % 2 = 0 AS is_material,
+                     doc % 31 != 0 AS stamp_ok,
+                     doc % 3 != 0 AS embed_ok
+              FROM docs),
+            cands AS (
+              SELECT * FROM images
+              WHERE COALESCE(classification_pending, FALSE)
+              ORDER BY id LIMIT 100),
+            lad AS (
+              SELECT CASE
+                  WHEN NOT COALESCE(r.bytes_ok, FALSE) THEN 'skipped'
+                  WHEN COALESCE(r.has_error, FALSE)
+                       OR contains(COALESCE(r.cls_model, ''),
+                                   '_failed')
+                       OR contains(COALESCE(r.cls_model, ''),
+                                   '_empty_response')
+                       OR contains(COALESCE(r.reason, ''),
+                                   'API key missing') THEN 'failed'
+                  WHEN NOT COALESCE(r.stamp_ok, FALSE) THEN 'failed'
+                  WHEN NOT COALESCE(r.is_material, FALSE)
+                    THEN 'non_material'
+                  WHEN COALESCE(r.embed_ok, FALSE)
+                    THEN 'material_embedded'
+                  ELSE 'material_unembedded' END AS outcome
+              FROM cands c LEFT JOIN results r USING (id))
+            SELECT CAST(count(*) AS BIGINT) AS scanned,
+                   CAST(COALESCE(sum(CASE WHEN outcome IN
+                        ('material_embedded', 'material_unembedded')
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS material,
+                   CAST(COALESCE(sum(CASE WHEN outcome =
+                        'non_material' THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS non_material,
+                   CAST(COALESCE(sum(CASE WHEN outcome =
+                        'material_embedded' THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS embedded,
+                   CAST(COALESCE(sum(CASE WHEN outcome = 'skipped'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS skipped,
+                   CAST(COALESCE(sum(CASE WHEN outcome = 'failed'
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS failed
+            FROM lad""",
         "job_persistence_fold": """
             WITH
             docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
