@@ -1736,6 +1736,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ib.classification_summary(out)
     q["image_classification_summary"] = image_classification_summary_q
 
+    def category_prompt_build_q(spark, sf_dir):
+        # registry-driven prompt sections: exact header/section/field
+        # formatting, fallback to general_materials for unknown keys
+        from mivaa_pdf_extractor_spark.operators import (
+            field_registry as fr)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        cats = fr.build_prompt_sections(fr.registry_df(spark))
+        req = d.select(
+            F.col("doc").alias("doc_id"),
+            F.element_at(F.array(F.lit("tiles"),
+                                 F.lit("general_materials"),
+                                 F.lit("mystery_cat")),
+                         (F.col("doc") % 3 + 1).cast("int"))
+            .alias("category_key"))
+        req = req.withColumn(
+            "resolved", fr.resolve_category(F.col("category_key")))
+        return (req.join(F.broadcast(cats),
+                         req["resolved"] == cats["category"])
+                .select("doc_id", "category_key", "resolved",
+                        "prompt_text", "hints_text", "skip_fields",
+                        "controlled_vocab"))
+    q["category_prompt_build"] = category_prompt_build_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5663,6 +5687,8 @@ def oracle_sql() -> dict[str, str]:
         job_monitor as _jm)
     from mivaa_pdf_extractor_spark.operators import (
         image_backfill as _ib)
+    from mivaa_pdf_extractor_spark.operators import (
+        field_registry as _fr)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6793,6 +6819,57 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "category_prompt_build": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            registry AS (SELECT * FROM {_fr.duck_registry_values()}),
+            lists AS (SELECT * FROM {_fr.duck_lists_values()}),
+            secs AS (
+              SELECT category, sec_pos,
+                     '**' || array_to_string(list_transform(
+                         string_split(replace(section, '_', ' '), ' '),
+                         w -> upper(substr(w, 1, 1))
+                              || lower(substr(w, 2))), ' ')
+                     || ':**' || chr(10)
+                     || string_agg('- ' || field_key || ': '
+                                   || field_desc, chr(10)
+                                   ORDER BY field_pos) AS sec_text
+              FROM registry GROUP BY category, section, sec_pos),
+            percat AS (
+              SELECT category,
+                     string_agg(sec_text, chr(10) || chr(10)
+                                ORDER BY sec_pos) AS sections_text
+              FROM secs GROUP BY category),
+            built AS (
+              SELECT p.category,
+                     'PRIORITY FIELDS for ' || upper(l.display)
+                     || ' products:' || chr(10)
+                     || '(Extract these if present — they are the most important for this category)'
+                     || chr(10) || chr(10) || p.sections_text
+                     || chr(10) AS prompt_text,
+                     CASE WHEN len(l.hints) > 0 THEN
+                       'CATEGORY-SPECIFIC EXTRACTION TIPS for '
+                       || l.display || ':' || chr(10)
+                       || array_to_string(list_transform(l.hints,
+                            h -> '- ' || h), chr(10))
+                     ELSE '' END AS hints_text,
+                     l.skips AS skip_fields,
+                     l.vocab AS controlled_vocab
+              FROM percat p JOIN lists l USING (category)),
+            req AS (
+              SELECT doc AS doc_id,
+                     ['tiles', 'general_materials',
+                      'mystery_cat'][doc % 3 + 1] AS category_key
+              FROM docs),
+            res AS (
+              SELECT *, CASE WHEN category_key IN
+                  ('tiles', 'general_materials') THEN category_key
+                  ELSE 'general_materials' END AS resolved
+              FROM req)
+            SELECT r.doc_id, r.category_key, r.resolved,
+                   b.prompt_text, b.hints_text, b.skip_fields,
+                   b.controlled_vocab
+            FROM res r JOIN built b ON b.category = r.resolved""",
         "image_backfill_select": f"""
             WITH {_ib.IMAGES_SYNTH_SQL},
             aspect_stale AS (
