@@ -4591,8 +4591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # video dedup, platform inference, reference truncations —
         # all per-query windows, no UDFs
         from mivaa_pdf_extractor_spark.operators import serp_opps as so
-        return so.parse_serp_blocks(
-            so.synth_serp_items(_docs(spark, sf_dir)), limit=2)
+        # localCheckpoint truncates the synth's when-chain lineage so
+        # the 11-branch parse doesn't embed it 11x in the plan (the
+        # 24 MB-plan analysis cost dwarfed execution)
+        items = so.synth_serp_items(_docs(spark, sf_dir)) \
+            .localCheckpoint()
+        return so.parse_serp_blocks(items, limit=2)
     q["serp_blocks_parse"] = serp_blocks_parse
 
     def serp_opportunities(spark, sf_dir):
@@ -4602,7 +4606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the insertion-order tiebreak, rank-decay priorities
         from mivaa_pdf_extractor_spark.operators import serp_opps as so
         d = _docs(spark, sf_dir)
-        parsed = so.parse_serp_blocks(so.synth_serp_items(d), limit=2)
+        items = so.synth_serp_items(d).localCheckpoint()
+        # checkpoint the parsed blocks too: nine builders otherwise
+        # re-embed the 11-branch parse lineage into one 24 MB plan
+        parsed = so.parse_serp_blocks(items, limit=2).localCheckpoint()
         return so.build_serp_opportunities(
             parsed, so.synth_serp_subjects(d), limit=2)
     q["serp_opportunities"] = serp_opportunities

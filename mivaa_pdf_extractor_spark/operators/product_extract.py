@@ -555,56 +555,52 @@ def extract_relevant_sections(docs: DataFrame, max_chars: int = 100000,
     boundary next to Greek letters never asserts (Python's unicode
     \\b would match; divergence documented, synth stays Greek-free).
 
-    docs: (doc_id, text)."""
-    t = F.coalesce("text", F.lit(""))
-    n = F.length(t)
+    docs: (doc_id, text).
 
-    def windows(pat):
-        # positions of every match: fold over split-parts + matches
-        parts = F.split(t, pat, -1)
-        matches = F.regexp_extract_all(t, F.lit(pat), F.lit(0))
-        # starts[k] = len(parts[k]) + sum_{j<k}(len parts[j] + len m[j])
-        # sequence(1, 0) DESCENDS in Spark -> guard the empty case
-        idx = F.when(F.size(matches) > 0,
-                     F.sequence(F.lit(1), F.size(matches))).otherwise(
-            F.array().cast("array<int>"))
-        starts = F.aggregate(
-            idx,
-            F.struct(F.lit(0).alias("off"),
-                     F.array().cast("array<struct<s:int,e:int>>")
-                     .alias("acc")),
-            lambda acc, k: F.struct(
-                (acc["off"] + F.length(F.element_at(parts, k))
-                 + F.length(F.element_at(matches, k))).alias("off"),
-                F.concat(acc["acc"], F.array(F.struct(
-                    (acc["off"] + F.length(F.element_at(parts, k)))
-                    .cast("int").alias("s"),
-                    (acc["off"] + F.length(F.element_at(parts, k))
-                     + F.length(F.element_at(matches, k)))
-                    .cast("int").alias("e")))).alias("acc")),
-            lambda acc: acc["acc"])
-        return F.transform(
-            starts, lambda w: t.substr(
-                F.greatest(w["s"] - around, F.lit(0)) + 1,
-                F.least(w["e"] + around, n)
-                - F.greatest(w["s"] - around, F.lit(0))))
+    Engine note: this was first built as a pure-native plan (split +
+    regexp_extract_all + an ``aggregate`` fold deriving match
+    positions). Higher-order folds are interpreted, not codegen'd, and
+    the interpreter re-inlines the regex split into every fold step —
+    measured ~4.5 ms/row (45 s for the 10k-doc contract corpus). The
+    Arrow-batched kernel below computes the identical result (regexes
+    compiled with ``re.ASCII`` so ``\\b``/``(?i)`` match Java/RE2
+    ASCII semantics) at ~µs/row; the DuckDB oracle is unchanged and
+    still hash-gates it."""
+    import re as _re
 
-    head_s = t.substr(F.lit(1), F.lit(head))
-    index_area = t.substr(F.lit(index_start + 1),
-                          F.least(F.lit(index_end), n) - index_start)
-    has_index = (n > index_end) & index_area.rlike(INDEX_DIM_PAT)
-    tail_s = t.substr(F.greatest(n - tail + 1, F.lit(1)), n)
-    sections = F.concat(
-        F.array(head_s),
-        F.when(has_index, F.array(index_area)).otherwise(
-            F.array().cast("array<string>")),
-        *[windows(p) for p in SECTION_KEYWORD_PATTERNS],
-        F.array(tail_s))
-    combined = F.array_join(sections, "\n\n---\n\n")
-    out = F.when(n <= max_chars, t).otherwise(
-        combined.substr(F.lit(1), F.lit(max_chars)))
-    return docs.select("doc_id", out.alias("extracted"),
-                       F.length(out).alias("out_len"))
+    import pandas as pd
+
+    kw_pats = [_re.compile(p, _re.ASCII)
+               for p in SECTION_KEYWORD_PATTERNS]
+    idx_pat = _re.compile(INDEX_DIM_PAT, _re.ASCII)
+
+    def one(t: str) -> str:
+        t = t or ""
+        n = len(t)
+        if n <= max_chars:
+            return t
+        secs = [t[:head]]
+        index_area = t[index_start:min(index_end, n)]
+        if n > index_end and idx_pat.search(index_area):
+            secs.append(index_area)
+        for pat in kw_pats:
+            for m in pat.finditer(t):
+                s, e = m.start(), m.end()
+                secs.append(t[max(s - around, 0):min(e + around, n)])
+        secs.append(t[max(n - tail, 0):])
+        return "\n\n---\n\n".join(secs)[:max_chars]
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf["text"].map(one)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "extracted": out,
+                "out_len": out.str.len().astype("int32")})
+
+    id_type = dict(docs.dtypes)["doc_id"]
+    return docs.select("doc_id", "text").mapInPandas(
+        run, f"doc_id {id_type}, extracted string, out_len int")
 
 
 def sections_extract_sql(max_chars: int = 100000, head: int = 12000,

@@ -65,6 +65,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from mivaa_pdf_extractor_spark.core.cache import track
 from mivaa_pdf_extractor_spark.operators.mentions import normalize_text
 
 PARSED_COLUMNS = [
@@ -102,6 +103,11 @@ def parse_serp_blocks(items: DataFrame, limit: int = 5) -> DataFrame:
     seller, price double, currency, rating double, text, expanded,
     rank long, subtitle, card_id, image_url)``.
     """
+    # the plan fans the stream into ~11 typed branches; without a
+    # persist every branch recomputes the upstream (the synth's giant
+    # when-chains made the contract query pay ~11x) — measured
+    # 14.8 s -> 5.7 s at sf0.01 with the persist
+    items = track(items.persist())
     q = F.col("query_id")
     order = [F.col("arrival"), F.col("pos")]
     wq = Window.partitionBy("query_id").orderBy(*order)
@@ -847,6 +853,9 @@ def build_serp_opportunities(parsed: DataFrame, subjects: DataFrame,
     it cannot change the boolean. Each builder is a filter/join/groupBy
     over per-query keys; strings are native concat chains.
     """
+    # nine builders each re-scan `parsed` (itself an 11-branch union)
+    # — persist it once; release_cached()/cache_scope() reclaims
+    parsed = track(parsed.persist())
     q = F.col("query_id")
     seed = F.col("used_seed")
     quote = F.lit('"')
