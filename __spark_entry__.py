@@ -4030,9 +4030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (product_spec_extractor_v2.py:64-537)
         from mivaa_pdf_extractor_spark.operators import spec_rows
         ev = _events(spark, sf_dir)
+        # checkpoint the synth inputs: the parser references both
+        # frames from many plan branches and re-embedding the synth
+        # lineage made analysis dominate (10.2 s -> 3.0 s)
         return spec_rows.parse_spec_rows(
-            spec_rows.synth_spec_spans(ev),
-            spec_rows.synth_spec_targets(ev))
+            spec_rows.synth_spec_spans(ev).localCheckpoint(),
+            spec_rows.synth_spec_targets(ev).localCheckpoint())
     q["spec_row_parse"] = spec_row_parse
 
     def _ai_val_mod():
