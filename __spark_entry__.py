@@ -1760,6 +1760,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "controlled_vocab"))
     q["category_prompt_build"] = category_prompt_build_q
 
+    def _monitor_events(spark, sf_dir):
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        job = F.concat(F.lit("j"), doc.cast("string"))
+        t1 = F.lit(200.0) + (doc % 3).cast("double") * 200.0
+        t2 = t1 + 100.0 + (doc % 4).cast("double") * 20.0
+        ns = F.lit(None).cast("string")
+        nd = F.lit(None).cast("double")
+        base_cols = ["job_id", "event_ord", "kind", "to_stage",
+                     "db_stage", "slow_op_operation",
+                     "slow_op_started", "slow_op_budget"]
+        start = d.select(job.alias("job_id"),
+                         F.lit(0.0).alias("event_ord"),
+                         F.lit("start").alias("kind"),
+                         ns.alias("to_stage"), ns.alias("db_stage"),
+                         ns.alias("slow_op_operation"),
+                         nd.alias("slow_op_started"),
+                         nd.alias("slow_op_budget"))
+        tr1 = d.select(job.alias("job_id"), t1.alias("event_ord"),
+                       F.lit("transition").alias("kind"),
+                       F.lit("downloading").alias("to_stage"),
+                       ns.alias("db_stage"),
+                       ns.alias("slow_op_operation"),
+                       nd.alias("slow_op_started"),
+                       nd.alias("slow_op_budget"))
+        tr2 = d.select(job.alias("job_id"), t2.alias("event_ord"),
+                       F.lit("transition").alias("kind"),
+                       F.lit("extracting_text").alias("to_stage"),
+                       ns.alias("db_stage"),
+                       ns.alias("slow_op_operation"),
+                       nd.alias("slow_op_started"),
+                       nd.alias("slow_op_budget"))
+        tk = d.select("doc", F.explode(F.sequence(
+            F.lit(0), F.lit(40))).alias("k"))
+        ktime = (F.col("k").cast("double") * 60.0 + 7.0)
+        op = (F.when((doc % 7 == 0) & (F.col("k") % 2 == 0),
+                     F.lit("stage15"))
+              .when((doc % 7 == 1) & (F.col("k") % 2 == 0),
+                    F.lit("op2")).otherwise(ns))
+        ticks = tk.select(
+            F.concat(F.lit("j"), doc.cast("string")).alias("job_id"),
+            ktime.alias("event_ord"), F.lit("tick").alias("kind"),
+            ns.alias("to_stage"),
+            (F.when((doc % 5 == 0) & (F.col("k") % 3 == 0),
+                    F.lit("downloading"))
+             .when((doc % 5 == 1) & (F.col("k") % 4 == 0),
+                   F.lit("weird_stage")).otherwise(ns))
+            .alias("db_stage"),
+            op.alias("slow_op_operation"),
+            F.when(op == "stage15", ktime - 500.0).otherwise(nd)
+            .alias("slow_op_started"),
+            F.when(op == "stage15",
+                   F.when(doc % 14 == 0, 400.0).otherwise(100.0))
+            .otherwise(nd).alias("slow_op_budget"))
+        return (start.unionByName(tr1).unionByName(tr2)
+                .unionByName(ticks.select(*base_cols)))
+
+    def monitor_alert_fold_q(spark, sf_dir):
+        # slow-stage transition alerts + stuck-tick alerts with the
+        # 600s refire limiter, effective-stage timeouts, and slow-op
+        # suppression ladder
+        from mivaa_pdf_extractor_spark.operators import (
+            monitor_alerts as ma)
+        return ma.fold_monitor_alerts(_monitor_events(spark, sf_dir))
+    q["monitor_alert_fold"] = monitor_alert_fold_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5699,6 +5766,8 @@ def oracle_sql() -> dict[str, str]:
         image_backfill as _ib)
     from mivaa_pdf_extractor_spark.operators import (
         field_registry as _fr)
+    from mivaa_pdf_extractor_spark.operators import (
+        monitor_alerts as _ma)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6829,6 +6898,112 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "monitor_alert_fold": f"""
+            WITH RECURSIVE docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
+            starts AS (
+              SELECT 'j' || CAST(doc AS VARCHAR) AS job_id,
+                     CAST(0.0 AS DOUBLE) AS event_ord,
+                     'start' AS kind,
+                     'initializing' AS to_stage
+              FROM docs),
+            trs AS (
+              SELECT 'j' || CAST(doc AS VARCHAR) AS job_id,
+                     CAST(200.0 + (doc % 3) * 200.0 AS DOUBLE)
+                       AS event_ord,
+                     'transition' AS kind, 'downloading' AS to_stage
+              FROM docs
+              UNION ALL
+              SELECT 'j' || CAST(doc AS VARCHAR),
+                     CAST(200.0 + (doc % 3) * 200.0 + 100.0
+                          + (doc % 4) * 20.0 AS DOUBLE),
+                     'transition', 'extracting_text'
+              FROM docs),
+            states AS (SELECT * FROM starts UNION ALL
+                       SELECT * FROM trs),
+            ticks AS (
+              SELECT 'j' || CAST(doc AS VARCHAR) AS job_id,
+                     CAST(k * 60.0 + 7.0 AS DOUBLE) AS event_ord,
+                     CASE WHEN doc % 5 = 0 AND k % 3 = 0
+                            THEN 'downloading'
+                          WHEN doc % 5 = 1 AND k % 4 = 0
+                            THEN 'weird_stage' END AS db_stage,
+                     CASE WHEN doc % 7 = 0 AND k % 2 = 0
+                            THEN 'stage15'
+                          WHEN doc % 7 = 1 AND k % 2 = 0
+                            THEN 'op2' END AS op,
+                     CAST(CASE WHEN doc % 7 = 0 AND k % 2 = 0
+                          THEN k * 60.0 + 7.0 - 500.0 END AS DOUBLE)
+                       AS started,
+                     CASE WHEN doc % 7 = 0 AND k % 2 = 0 THEN
+                          CAST(CASE WHEN doc % 14 = 0 THEN 400.0
+                               ELSE 100.0 END AS DOUBLE) END
+                       AS budget
+              FROM docs, UNNEST(generate_series(0, 40)) AS t(k)),
+            tr_ann AS (
+              SELECT s.job_id, s.event_ord, s.to_stage,
+                     lag(s.to_stage) OVER w AS closed,
+                     s.event_ord - lag(s.event_ord) OVER w AS dur
+              FROM states s
+              WINDOW w AS (PARTITION BY s.job_id ORDER BY s.event_ord)),
+            slow AS (
+              SELECT job_id, event_ord AS fired_at,
+                     'slow_stage' AS kind, closed AS stage,
+                     to_stage AS other_stage, dur AS seconds,
+                     {_ma.duck_timeout_case('closed', 300.0)}
+                       AS threshold
+              FROM tr_ann
+              WHERE closed IS NOT NULL
+                AND dur > {_ma.duck_timeout_case('closed', 300.0)}),
+            tick_ann AS (
+              SELECT t.*, st.cur, st.seg_start
+              FROM ticks t
+              JOIN LATERAL (
+                SELECT s.to_stage AS cur, s.event_ord AS seg_start
+                FROM states s
+                WHERE s.job_id = t.job_id
+                  AND s.event_ord < t.event_ord
+                ORDER BY s.event_ord DESC LIMIT 1) st ON TRUE),
+            cand AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY job_id, seg_start
+                  ORDER BY event_ord) AS rn
+              FROM (
+                SELECT job_id, event_ord, cur, seg_start,
+                       COALESCE(db_stage, cur) AS eff,
+                       event_ord - seg_start AS tin,
+                       {_ma.duck_timeout_case(
+                           "COALESCE(db_stage, cur)", 900.0)}
+                         AS timeout
+                FROM tick_ann
+                WHERE event_ord - seg_start
+                      > {_ma.duck_timeout_case(
+                          "COALESCE(db_stage, cur)", 900.0)}
+                  AND NOT (op IS NOT NULL AND (
+                      started IS NULL OR COALESCE(budget, 0) <= 0
+                      OR event_ord - started
+                         < COALESCE(budget, 0) * 1.5)))),
+            sel AS (
+              SELECT job_id, seg_start, rn, event_ord, cur, eff, tin,
+                     timeout, TRUE AS fired, event_ord AS last_fire
+              FROM cand WHERE rn = 1
+              UNION ALL
+              SELECT c.job_id, c.seg_start, c.rn, c.event_ord, c.cur,
+                     c.eff, c.tin, c.timeout,
+                     c.event_ord - s.last_fire >= 600.0,
+                     CASE WHEN c.event_ord - s.last_fire >= 600.0
+                          THEN c.event_ord ELSE s.last_fire END
+              FROM sel s JOIN cand c
+                ON c.job_id = s.job_id AND c.seg_start = s.seg_start
+               AND c.rn = s.rn + 1)
+            SELECT job_id, fired_at, kind, stage, other_stage,
+                   seconds, threshold
+            FROM slow
+            UNION ALL
+            SELECT job_id, event_ord AS fired_at, 'stuck' AS kind,
+                   cur AS stage, eff AS other_stage, tin AS seconds,
+                   timeout AS threshold
+            FROM sel WHERE fired""",
         "category_prompt_build": f"""
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
