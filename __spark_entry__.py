@@ -1827,6 +1827,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ma.fold_monitor_alerts(_monitor_events(spark, sf_dir))
     q["monitor_alert_fold"] = monitor_alert_fold_q
 
+    def pbr_maps_q(spark, sf_dir):
+        # deterministic PBR derivation over synthetic luminance grids
+        # (gaussian+sobel normal, local-stddev roughness, zero
+        # metalness); rows-only: convolution stacks are not
+        # SQL-expressible — pinned by tests/test_pbr.py instead
+        from mivaa_pdf_extractor_spark.operators import pbr
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc")) \
+            .filter(F.col("doc") % 5 == 0)
+        w, h = 16, 12
+        xy = spark.range(w * h).select(
+            F.col("id").cast("int").alias("i"))
+        grid = d.crossJoin(xy).select(
+            "doc",
+            ((((F.col("i") % w) * 7
+               + (F.col("i") / w).cast("int") * 13
+               + F.col("doc")) % 97).cast("double") / 96.0)
+            .alias("lv"), "i")
+        lum = grid.groupBy("doc").agg(
+            F.transform(F.sort_array(F.collect_list(
+                F.struct("i", F.col("lv").alias("v")))),
+                lambda s: s["v"]).alias("lum"))
+        images = lum.select(
+            F.concat(F.lit("img"), F.col("doc").cast("string"))
+            .alias("image_id"),
+            F.lit(w).cast("int").alias("width"),
+            F.lit(h).cast("int").alias("height"), "lum")
+        return pbr.derive_pbr_maps(images).drop("normal", "roughness")
+    q["pbr_maps"] = pbr_maps_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
