@@ -159,6 +159,18 @@ BENCH_QUERIES = [
     "response_security_flags",
     # round 4 continuation: job progress tracker
     "job_progress_rollup", "job_page_statuses",
+    # round 4 continuation-3: tracking/registry/backfill/edges batch
+    "product_progress_fold", "job_product_summary",
+    "page_number_overlay", "page_numbering_stats",
+    "prototype_validate", "stuck_job_diagnosis", "stuck_job_stats",
+    "job_monitor_detect", "import_job_recovery",
+    "xml_import_progress", "material_quota_clamp",
+    "keyword_expansion_curate", "query_cache_fold",
+    "text_backfill_products", "text_backfill_chunks",
+    "product_rule_edges", "llm_edge_postprocess", "edge_text_gate",
+    "job_persistence_fold", "job_recovery_stats",
+    "image_backfill_select", "image_classification_outcomes",
+    "category_prompt_build", "monitor_alert_fold", "pbr_maps",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
