@@ -1857,6 +1857,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pbr.derive_pbr_maps(images).drop("normal", "roughness")
     q["pbr_maps"] = pbr_maps_q
 
+    def storage_cleanup_scope_q(spark, sf_dir):
+        # document storage sweep scope: leaves under the tiles/legacy
+        # prefixes + the original-pdf resolution ladder (columns else
+        # file_url marker parse), with per-doc counts in a 2nd query
+        from mivaa_pdf_extractor_spark.operators import (
+            storage_cleanup as sc)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        did = F.concat(F.lit("d"), doc.cast("string"))
+        marker = "/storage/v1/object/public/"
+        docs = d.select(
+            did.alias("document_id"),
+            F.when(doc % 3 == 0, F.lit("pdf-documents"))
+            .alias("storage_bucket"),
+            F.when((doc % 3 == 0) & (doc % 5 != 0),
+                   F.concat(F.lit("u"), doc.cast("string"),
+                            F.lit("/orig.pdf")))
+            .alias("storage_object_path"),
+            F.when(doc % 4 == 0,
+                   F.concat(F.lit("https://h" + marker
+                                  + "pdf-documents/u"),
+                            doc.cast("string"),
+                            F.lit("/f.pdf?token=abc")))
+            .when(doc % 4 == 1, F.lit("https://x/no-marker"))
+            .when(doc % 4 == 2, F.lit("https://h" + marker
+                                      + "nosplit"))
+            .alias("file_url"))
+        files = d.select("doc", F.explode(F.array(
+            F.struct(F.lit("pdf-tiles").alias("bucket"),
+                     F.concat(F.lit("extracted/d"), doc.cast("string"),
+                              F.lit("/p1.png")).alias("path"),
+                     F.lit(False).alias("is_folder")),
+            F.struct(F.lit("pdf-tiles").alias("bucket"),
+                     F.concat(F.lit("extracted/d"), doc.cast("string"),
+                              F.lit("/sub/p2.png")).alias("path"),
+                     F.lit(False).alias("is_folder")),
+            F.struct(F.lit("pdf-tiles").alias("bucket"),
+                     F.concat(F.lit("extracted/d"),
+                              doc.cast("string")).alias("path"),
+                     F.lit(True).alias("is_folder")),
+            F.struct(F.lit("pdf-tiles").alias("bucket"),
+                     F.concat(F.lit("extracted/d"),
+                              doc.cast("string")).alias("path"),
+                     F.lit(False).alias("is_folder")),
+            F.struct(F.lit("documents").alias("bucket"),
+                     F.concat(F.lit("d"), doc.cast("string"),
+                              F.lit("/orig.bin")).alias("path"),
+                     F.lit(False).alias("is_folder")),
+            F.struct(F.lit("documents").alias("bucket"),
+                     F.lit("other/x.bin").alias("path"),
+                     F.lit(False).alias("is_folder")),
+        )).alias("f")).select("f.bucket", "f.path", "f.is_folder")
+        return sc.storage_delete_scope(files, docs)
+    q["storage_cleanup_scope"] = storage_cleanup_scope_q
+
+    def storage_cleanup_counts_q(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (
+            storage_cleanup as sc)
+        return sc.storage_cleanup_counts(
+            storage_cleanup_scope_q(spark, sf_dir))
+    q["storage_cleanup_counts"] = storage_cleanup_counts_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -6928,6 +6991,113 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "storage_cleanup_scope": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            drows AS (
+              SELECT 'd' || CAST(doc AS VARCHAR) AS document_id,
+                     CASE WHEN doc % 3 = 0 THEN 'pdf-documents' END
+                       AS storage_bucket,
+                     CASE WHEN doc % 3 = 0 AND doc % 5 != 0
+                          THEN 'u' || CAST(doc AS VARCHAR)
+                               || '/orig.pdf' END
+                       AS storage_object_path,
+                     CASE WHEN doc % 4 = 0 THEN
+                            'https://h/storage/v1/object/public/'
+                            || 'pdf-documents/u'
+                            || CAST(doc AS VARCHAR)
+                            || '/f.pdf?token=abc'
+                          WHEN doc % 4 = 1 THEN 'https://x/no-marker'
+                          WHEN doc % 4 = 2 THEN
+                            'https://h/storage/v1/object/public/'
+                            || 'nosplit' END AS file_url,
+                     doc
+              FROM docs),
+            files AS (
+              SELECT doc, 'pdf-tiles' AS bucket,
+                     'extracted/d' || CAST(doc AS VARCHAR)
+                       || '/p1.png' AS path, FALSE AS is_folder
+              FROM docs
+              UNION ALL SELECT doc, 'pdf-tiles',
+                     'extracted/d' || CAST(doc AS VARCHAR)
+                       || '/sub/p2.png', FALSE FROM docs
+              UNION ALL SELECT doc, 'pdf-tiles',
+                     'extracted/d' || CAST(doc AS VARCHAR), TRUE
+              FROM docs
+              UNION ALL SELECT doc, 'pdf-tiles',
+                     'extracted/d' || CAST(doc AS VARCHAR), FALSE
+              FROM docs
+              UNION ALL SELECT doc, 'documents',
+                     'd' || CAST(doc AS VARCHAR) || '/orig.bin',
+                     FALSE FROM docs
+              UNION ALL SELECT doc, 'documents', 'other/x.bin', FALSE
+              FROM docs),
+            leaves AS (SELECT * FROM files WHERE NOT is_folder),
+            tiles AS (
+              SELECT d.document_id, l.bucket, l.path,
+                     'tiles' AS tier
+              FROM leaves l JOIN drows d
+                ON l.bucket = 'pdf-tiles'
+               AND starts_with(l.path,
+                     'extracted/' || d.document_id || '/')),
+            legacy AS (
+              SELECT d.document_id, l.bucket, l.path,
+                     'legacy' AS tier
+              FROM leaves l JOIN drows d
+                ON l.bucket = 'documents'
+               AND starts_with(l.path, d.document_id || '/')),
+            resolved AS (
+              SELECT document_id,
+                CASE WHEN COALESCE(storage_bucket, '') != ''
+                          AND COALESCE(storage_object_path, '') != ''
+                       THEN storage_bucket
+                     WHEN contains(COALESCE(file_url, ''),
+                          '/storage/v1/object/public/')
+                          AND contains(string_split(
+                              COALESCE(file_url, ''),
+                              '/storage/v1/object/public/')[2], '/')
+                       THEN string_split(string_split(
+                            COALESCE(file_url, ''),
+                            '/storage/v1/object/public/')[2], '/')[1]
+                END AS bucket,
+                CASE WHEN COALESCE(storage_bucket, '') != ''
+                          AND COALESCE(storage_object_path, '') != ''
+                       THEN storage_object_path
+                     WHEN contains(COALESCE(file_url, ''),
+                          '/storage/v1/object/public/')
+                          AND contains(string_split(
+                              COALESCE(file_url, ''),
+                              '/storage/v1/object/public/')[2], '/')
+                       THEN string_split(substr(
+                            string_split(COALESCE(file_url, ''),
+                            '/storage/v1/object/public/')[2],
+                            strpos(string_split(COALESCE(file_url, ''),
+                            '/storage/v1/object/public/')[2], '/')
+                            + 1), '?')[1]
+                END AS path
+              FROM drows)
+            SELECT document_id, bucket, path, tier FROM tiles
+            UNION ALL SELECT document_id, bucket, path, tier
+            FROM legacy
+            UNION ALL SELECT document_id, bucket, path,
+                   'original' AS tier
+            FROM resolved WHERE bucket IS NOT NULL""",
+        "storage_cleanup_counts": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            drows AS (
+              SELECT 'd' || CAST(doc AS VARCHAR) AS document_id, doc,
+                     doc % 3 = 0 AND doc % 5 != 0 AS has_cols,
+                     doc % 4 = 0 AS has_url
+              FROM docs)
+            SELECT document_id,
+                   CAST(3 + CASE WHEN has_cols OR has_url THEN 1
+                        ELSE 0 END AS BIGINT) AS total,
+                   CAST(2 AS BIGINT) AS tiles,
+                   CAST(1 AS BIGINT) AS legacy,
+                   CAST(CASE WHEN has_cols OR has_url THEN 1 ELSE 0
+                        END AS BIGINT) AS original
+            FROM drows""",
         "monitor_alert_fold": f"""
             WITH RECURSIVE docs AS (
               SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
