@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "job_persistence_fold", "job_recovery_stats",
     "image_backfill_select", "image_classification_outcomes",
     "category_prompt_build", "monitor_alert_fold", "pbr_maps",
+    "storage_cleanup_scope", "aimd_fold",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
