@@ -1941,6 +1941,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return aimd.fold_aimd(events)
     q["aimd_fold"] = aimd_fold_q
 
+    def overload_classify_q(spark, sf_dir):
+        # overload-class exception routing: name markers OR'd with the
+        # carried 5xx/429 status; plus the max(in_mem, db-in_mem)
+        # active-job formula with its fail-open fallback
+        from mivaa_pdf_extractor_spark.operators import aimd
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        doc = F.col("doc")
+        names = F.array(
+            F.lit("APITimeoutError"), F.lit("ValueError"),
+            F.lit("ConnectionResetError"), F.lit("JSONDecodeError"),
+            F.lit("RateLimitError"), F.lit("HTTPStatusError"),
+            F.lit("ReadError"), F.lit("RemoteProtocolError"))
+        rows = d.select(
+            doc.alias("row_id"),
+            F.element_at(names, (doc % 8 + 1).cast("int"))
+            .alias("exc_type"),
+            F.when(doc % 6 == 0, F.lit(503))
+            .when(doc % 6 == 1, F.lit(400))
+            .when(doc % 6 == 2, F.lit(429))
+            .when(doc % 6 == 3, F.lit(None).cast("int"))
+            .when(doc % 6 == 4, F.lit(502)).otherwise(F.lit(200))
+            .cast("int").alias("status"),
+            (doc % 9).cast("long").alias("in_mem"),
+            (doc % 13).cast("long").alias("db_count"),
+            (doc % 4 != 0).alias("db_ok"))
+        return rows.select(
+            "row_id", "exc_type", "status",
+            aimd.classify_overload(F.col("exc_type"),
+                                   F.col("status"))
+            .alias("is_overload"),
+            aimd.active_job_count(F.col("in_mem"), F.col("db_count"),
+                                  F.col("db_ok")).cast("long")
+            .alias("active_jobs"))
+    q["overload_classify"] = overload_classify_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -7013,6 +7049,39 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "overload_classify": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            rows_in AS (
+              SELECT doc AS row_id,
+                     ['APITimeoutError', 'ValueError',
+                      'ConnectionResetError', 'JSONDecodeError',
+                      'RateLimitError', 'HTTPStatusError',
+                      'ReadError', 'RemoteProtocolError']
+                       [doc % 8 + 1] AS exc_type,
+                     CAST(CASE WHEN doc % 6 = 0 THEN 503
+                          WHEN doc % 6 = 1 THEN 400
+                          WHEN doc % 6 = 2 THEN 429
+                          WHEN doc % 6 = 3 THEN NULL
+                          WHEN doc % 6 = 4 THEN 502
+                          ELSE 200 END AS INT) AS status,
+                     CAST(doc % 9 AS BIGINT) AS in_mem,
+                     CAST(doc % 13 AS BIGINT) AS db_count,
+                     doc % 4 != 0 AS db_ok
+              FROM docs)
+            SELECT row_id, exc_type, status,
+                   (contains(COALESCE(exc_type, ''), 'Timeout')
+                    OR contains(COALESCE(exc_type, ''), 'Connection')
+                    OR contains(COALESCE(exc_type, ''), 'RateLimit')
+                    OR contains(COALESCE(exc_type, ''), 'ReadError')
+                    OR contains(COALESCE(exc_type, ''),
+                                'RemoteProtocol')
+                    OR COALESCE(status, 0) IN (429, 500, 502, 503,
+                                               504)) AS is_overload,
+                   CAST(CASE WHEN db_ok
+                        THEN greatest(in_mem, db_count - in_mem)
+                        ELSE in_mem END AS BIGINT) AS active_jobs
+            FROM rows_in""",
         "aimd_fold": f"""
             WITH RECURSIVE docs AS (
               SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),

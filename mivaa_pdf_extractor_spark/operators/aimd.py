@@ -155,3 +155,35 @@ def duck_aimd_sql(initial: int = 3, minimum: int = 1, maximum: int = 8,
                        ELSE s.lim != {minimum} END AS changed
               FROM aimd_state s JOIN numbered n
                 ON n.endpoint = s.endpoint AND n.rn = s.rn + 1)"""
+
+
+# ── endpoint-controller companions (endpoint_controller.py) ──────────
+
+OVERLOAD_NAME_MARKERS = ("Timeout", "Connection", "RateLimit",
+                         "ReadError", "RemoteProtocol")
+OVERLOAD_STATUSES = (429, 500, 502, 503, 504)
+
+
+def classify_overload(exc_type, status):
+    """`record_overload_exception` (endpoint_controller.py:169-195):
+    exception-CLASS-NAME substring markers OR'd with the carried HTTP
+    status in {429, 500, 502, 503, 504}; semantic errors (400s,
+    parse errors) are NOT capacity signals. Column → Column."""
+    from pyspark.sql import functions as F
+    name_hit = F.lit(False)
+    for m in OVERLOAD_NAME_MARKERS:
+        name_hit = name_hit | F.coalesce(exc_type, F.lit("")) \
+            .contains(m)
+    return name_hit | F.coalesce(status, F.lit(0)) \
+        .isin(list(OVERLOAD_STATUSES))
+
+
+def active_job_count(in_mem, db_count, db_ok):
+    """`_get_active_job_count` (endpoint_controller.py:119-146):
+    max(in-memory, db_count − in-memory) with a best-effort DB —
+    failures fall back to in-memory only (undercounts, never
+    overcounts)."""
+    from pyspark.sql import functions as F
+    return F.when(F.coalesce(db_ok, F.lit(False)),
+                  F.greatest(in_mem, db_count - in_mem)) \
+        .otherwise(in_mem)
