@@ -1977,6 +1977,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("active_jobs"))
     q["overload_classify"] = overload_classify_q
 
+    def db_health_fold_q(spark, sf_dir):
+        # health-check fold: one success recovers, unhealthy at 3
+        # consecutive failures, slow-query counter, rolling last-5
+        # query-time window, latest-success test timings
+        from mivaa_pdf_extractor_spark.operators import db_health
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        e = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(30)))
+                     .alias("k"))
+        doc, k = F.col("doc"), F.col("k")
+        ok = ((doc + k) % 6 != 0) & ~((k >= 28) & (doc % 9 == 0))
+        checks = e.select(
+            F.concat(F.lit("svc"), (doc % 20).cast("string"))
+            .alias("service"),
+            (doc * 100 + k).alias("check_ord"), ok.alias("ok"),
+            F.when(ok, (k % 7).cast("double") * 3.5 + 1.0)
+            .alias("conn_ms"),
+            F.when(ok, (k % 11).cast("double") * 150.0
+                   + (doc % 5).cast("double") * 100.0)
+            .alias("query_ms"),
+            F.when(~ok, F.concat(F.lit("err"), k.cast("string")))
+            .alias("error"))
+        return db_health.fold_health_checks(checks, history=5)
+    q["db_health_fold"] = db_health_fold_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -7049,6 +7074,76 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "db_health_fold": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            checks AS (
+              SELECT 'svc' || CAST(doc % 20 AS VARCHAR) AS service,
+                     doc * 100 + k AS check_ord,
+                     (doc + k) % 6 != 0
+                       AND NOT (k >= 28 AND doc % 9 = 0) AS ok,
+                     CASE WHEN (doc + k) % 6 != 0
+                               AND NOT (k >= 28 AND doc % 9 = 0)
+                       THEN CAST((k % 7) * 3.5 + 1.0 AS DOUBLE) END
+                       AS conn_ms,
+                     CASE WHEN (doc + k) % 6 != 0
+                               AND NOT (k >= 28 AND doc % 9 = 0)
+                       THEN CAST((k % 11) * 150.0
+                            + (doc % 5) * 100.0 AS DOUBLE) END
+                       AS query_ms,
+                     CASE WHEN NOT ((doc + k) % 6 != 0
+                               AND NOT (k >= 28 AND doc % 9 = 0))
+                       THEN 'err' || CAST(k AS VARCHAR) END AS error
+              FROM docs, UNNEST(generate_series(0, 30)) AS t(k)),
+            ann AS (
+              SELECT *,
+                max(CASE WHEN ok THEN check_ord END)
+                  OVER (PARTITION BY service) AS ls,
+                CASE WHEN ok THEN row_number() OVER (
+                    PARTITION BY service, ok
+                    ORDER BY check_ord DESC) END AS srank
+              FROM checks),
+            agg AS (
+              SELECT service,
+                sum(CASE WHEN NOT ok AND check_ord
+                         > COALESCE(ls, -1) THEN 1 ELSE 0 END)
+                  AS consecutive_failures,
+                CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)
+                     AS BIGINT) AS error_count,
+                CAST(sum(CASE WHEN ok AND query_ms > 1000.0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+                  AS slow_query_count,
+                (max(CASE WHEN NOT ok THEN
+                     {'o': check_ord, 'v': error} END)).v
+                  AS last_error,
+                CAST(COALESCE(max(CASE WHEN NOT ok THEN check_ord
+                     END), -1) AS BIGINT) AS last_error_ord,
+                (max(CASE WHEN ok THEN
+                     {'o': check_ord, 'v': conn_ms} END)).v
+                  AS connection_test_ms,
+                (max(CASE WHEN ok THEN
+                     {'o': check_ord, 'v': query_ms} END)).v
+                  AS query_test_ms,
+                CAST(COALESCE(max(CASE WHEN ok THEN check_ord END),
+                     -1) AS BIGINT) AS last_check_ord,
+                round(COALESCE(avg(CASE WHEN ok AND srank <= 5
+                      THEN query_ms END), 0.0), 2)
+                  AS avg_query_time_ms,
+                round(COALESCE(max(CASE WHEN ok AND srank <= 5
+                      THEN query_ms END), 0.0), 2)
+                  AS max_query_time_ms
+              FROM ann GROUP BY service)
+            SELECT service,
+                   consecutive_failures < 3 AS healthy,
+                   CASE WHEN consecutive_failures < 3 THEN 'healthy'
+                        ELSE 'unhealthy' END AS status,
+                   CAST(consecutive_failures AS BIGINT)
+                     AS consecutive_failures,
+                   error_count, slow_query_count, last_error,
+                   last_error_ord, connection_test_ms, query_test_ms,
+                   last_check_ord, avg_query_time_ms,
+                   max_query_time_ms
+            FROM agg""",
         "overload_classify": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
