@@ -2002,6 +2002,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return db_health.fold_health_checks(checks, history=5)
     q["db_health_fold"] = db_health_fold_q
 
+    def escalation_fold_q(spark, sf_dir):
+        # confidence-threshold escalation replay: per-task tables,
+        # haiku->sonnet->opus chain, cost-sensitive tasks never
+        # escalate, low-confidence 'poor' acceptance at the gate,
+        # error path fails when no next model
+        from mivaa_pdf_extractor_spark.operators import escalation
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        e = d.select("doc", F.explode(F.sequence(F.lit(0), F.lit(2)))
+                     .alias("attempt"))
+        doc, at = F.col("doc"), F.col("attempt")
+        task = F.element_at(F.array(
+            F.lit("material_classification"),
+            F.lit("product_extraction"), F.lit("image_analysis"),
+            F.lit("rag_search"), F.lit("custom_task")),
+            (doc % 5 + 1).cast("int"))
+        m7 = doc % 7
+        conf = (
+            F.when((m7 == 0) & (at == 0), 0.95)
+            .when((m7 == 1) & (at == 0), 0.5)
+            .when((m7 == 1) & (at == 1), 0.86)
+            .when((m7 == 1) & (at == 2), 0.99)
+            .when(m7 == 2, F.when(at == 0, 0.5).when(at == 1, 0.6)
+                  .otherwise(0.65))
+            .when((m7 == 3) & (at == 0),
+                  F.lit(None).cast("double"))
+            .when((m7 == 3), 0.9)
+            .when(m7 == 4, F.when(at == 0, 0.72).otherwise(0.74))
+            .when(m7 == 5, F.lit(None).cast("double"))
+            .otherwise(F.when(at == 0, 0.69)
+                       .when(at == 1, F.lit(None).cast("double"))
+                       .otherwise(0.97)))
+        attempts = e.select(
+            F.concat(F.lit("r"), doc.cast("string")).alias("run_id"),
+            task.alias("task_type"), at.cast("int").alias("attempt"),
+            conf.alias("confidence"),
+            F.when(conf.isNull(),
+                   F.concat(F.lit("boom"), at.cast("string")))
+            .alias("error"),
+            (F.lit(100) + at * 10 + doc % 3).cast("long")
+            .alias("latency_ms"))
+        return escalation.fold_escalation(attempts)
+    q["escalation_fold"] = escalation_fold_q
+
     def region_normalize(spark, sf_dir):
         # L7: clamp + order-correction over synthesized pixel regions
         # (one inverted box, one out-of-range, one NULL bbox, one doc class
@@ -5944,6 +5988,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         monitor_alerts as _ma)
     from mivaa_pdf_extractor_spark.operators import aimd as _aimd
+    from mivaa_pdf_extractor_spark.operators import (
+        escalation as _esc)
 
     def _pt_layer(tag: str, mod: int) -> str:
         # twin of the inline layer() synth in product_factory_object
@@ -7074,6 +7120,54 @@ def oracle_sql() -> dict[str, str]:
                       'Mark job as failed and notify user']
                    ]) AS recovery_options
             FROM caused""",
+        "escalation_fold": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            esc_attempts AS (
+              SELECT 'r' || CAST(doc AS VARCHAR) AS run_id,
+                     ['material_classification', 'product_extraction',
+                      'image_analysis', 'rag_search', 'custom_task']
+                       [doc % 5 + 1] AS task_type,
+                     CAST(a AS INT) AS attempt,
+                     CAST(CASE
+                       WHEN doc % 7 = 0 AND a = 0 THEN 0.95
+                       WHEN doc % 7 = 1 AND a = 0 THEN 0.5
+                       WHEN doc % 7 = 1 AND a = 1 THEN 0.86
+                       WHEN doc % 7 = 1 AND a = 2 THEN 0.99
+                       WHEN doc % 7 = 2 THEN CASE WHEN a = 0 THEN 0.5
+                            WHEN a = 1 THEN 0.6 ELSE 0.65 END
+                       WHEN doc % 7 = 3 AND a = 0 THEN NULL
+                       WHEN doc % 7 = 3 THEN 0.9
+                       WHEN doc % 7 = 4 THEN CASE WHEN a = 0
+                            THEN 0.72 ELSE 0.74 END
+                       WHEN doc % 7 = 5 THEN NULL
+                       ELSE CASE WHEN a = 0 THEN 0.69
+                            WHEN a = 1 THEN NULL ELSE 0.97 END
+                     END AS DOUBLE) AS confidence,
+                     CASE WHEN (CASE
+                       WHEN doc % 7 = 0 AND a = 0 THEN 0.95
+                       WHEN doc % 7 = 1 AND a = 0 THEN 0.5
+                       WHEN doc % 7 = 1 AND a = 1 THEN 0.86
+                       WHEN doc % 7 = 1 AND a = 2 THEN 0.99
+                       WHEN doc % 7 = 2 THEN CASE WHEN a = 0 THEN 0.5
+                            WHEN a = 1 THEN 0.6 ELSE 0.65 END
+                       WHEN doc % 7 = 3 AND a = 0 THEN NULL
+                       WHEN doc % 7 = 3 THEN 0.9
+                       WHEN doc % 7 = 4 THEN CASE WHEN a = 0
+                            THEN 0.72 ELSE 0.74 END
+                       WHEN doc % 7 = 5 THEN NULL
+                       ELSE CASE WHEN a = 0 THEN 0.69
+                            WHEN a = 1 THEN NULL ELSE 0.97 END
+                     END) IS NULL
+                       THEN 'boom' || CAST(a AS VARCHAR) END AS error,
+                     CAST(100 + a * 10 + doc % 3 AS BIGINT)
+                       AS latency_ms
+              FROM docs, (SELECT unnest([0, 1, 2]) AS a)),
+            {_esc.duck_escalation_sql()}
+            SELECT run_id, task_type, success, final_model,
+                   confidence_score, quality_level, escalation_count,
+                   attempts_used, total_latency_ms, warning, error
+            FROM esc_final""",
         "db_health_fold": """
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
                           FROM documents),
