@@ -5126,6 +5126,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     pg.synth_progress_jobs(d))
     q["job_page_statuses"] = job_page_statuses_q
 
+    # ── catalog knowledge / legend extraction folds ────────────────
+    def _ckb_knowledge(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import catalog_kb as kb
+        docs = kb.synth_knowledge_docs(_docs(spark, sf_dir))
+        scan = kb.knowledge_scan_pages(docs)
+        vision = kb.synth_knowledge_vision(scan)
+        return kb, scan, vision
+
+    def catalog_knowledge_pages_q(spark, sf_dir):
+        # v1 tail-page scan: min(10, max(1, pc//4)) pages, status
+        # ladder, strip-first title fallback (1-based page), key_points
+        # summary, 9-entry relationship map, whitespace-content pin
+        kb, scan, vision = _ckb_knowledge(spark, sf_dir)
+        out = kb.knowledge_page_outcomes(scan, vision)
+        return out.select(
+            "doc_id", F.col("page_idx").cast("long").alias("page_idx"),
+            "status", "page_type", "title", "content", "summary",
+            "relationship_type",
+            F.col("attach_count").cast("long").alias("attach_count"))
+    q["catalog_knowledge_pages"] = catalog_knowledge_pages_q
+
+    def catalog_knowledge_certs_q(spark, sf_dir):
+        # catalog-wide cert set: collected from every parsed page
+        # regardless of page_type, page order, first-wins on the
+        # space/hyphen-stripped lowercase norm; empty NORMS survive
+        kb, scan, vision = _ckb_knowledge(spark, sf_dir)
+        return kb.collect_knowledge_certs(scan, vision)
+    q["catalog_knowledge_certs"] = catalog_knowledge_certs_q
+
+    def knowledge_cert_propagate_q(spark, sf_dir):
+        # v1 merge: existing list kept VERBATIM (dups survive), unseen
+        # catalog certs appended in order, source 'catalog_knowledge'
+        kb, scan, vision = _ckb_knowledge(spark, sf_dir)
+        certs = kb.collect_knowledge_certs(scan, vision)
+        prods = kb.synth_products(_docs(spark, sf_dir))
+        return kb.propagate_certs(
+            prods, certs, source_label="catalog_knowledge",
+            rededupe=False)
+    q["knowledge_cert_propagate"] = knowledge_cert_propagate_q
+
+    def _ckb_legend(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import catalog_kb as kb
+        docs = kb.synth_legend_docs(_docs(spark, sf_dir))
+        plan = kb.legend_page_plan(docs)
+        ext = kb.extract_legend_pages(plan, kb.synth_legend_vision(plan),
+                                      kb.synth_legend_renders(plan))
+        return kb, ext
+
+    def catalog_legend_extract_q(spark, sf_dir):
+        # v2 plan + resolution: idempotent skip, last-12 unknown
+        # fallback, no-prompt/empty-pages skips, best-prompt ladder
+        # (strictly-greater score, dict-order ties, >=3 gate)
+        kb, ext = _ckb_legend(spark, sf_dir)
+        return ext.select(
+            "doc_id", F.col("seq").cast("long").alias("seq"),
+            "legend_type",
+            F.col("page_idx").cast("long").alias("page_idx"),
+            "status", "resolved_type", "title", "content_markdown",
+            "applies_globally")
+    q["catalog_legend_extract"] = catalog_legend_extract_q
+
+    def legend_cert_propagate_q(spark, sf_dir):
+        # v2 merge: _dedupe_norm over existing+catalog together —
+        # existing dups collapse, entries re-strip; icons-global codes
+        # included; source 'catalog_legend', confidence 0.9
+        kb, ext = _ckb_legend(spark, sf_dir)
+        certs = kb.collect_legend_certs(ext)
+        prods = kb.synth_products(_docs(spark, sf_dir))
+        return kb.propagate_certs(
+            prods, certs, source_label="catalog_legend", rededupe=True)
+    q["legend_cert_propagate"] = legend_cert_propagate_q
+
+    def catalog_legend_kb_docs_q(spark, sf_dir):
+        # one kb_doc per extracted legend with non-empty STRIPPED
+        # markdown; or-before-strip title pin; summary content[:300]
+        kb, ext = _ckb_legend(spark, sf_dir)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc"))
+        counts = d.select(
+            F.col("doc").alias("doc_id"),
+            (F.col("doc") % 7).cast("int").alias("n_products"))
+        out = kb.legend_kb_docs(ext, counts)
+        return out.select(
+            "doc_id", F.col("seq").cast("long").alias("seq"),
+            F.col("source_page_index").cast("long")
+            .alias("source_page_index"),
+            "legend_type", "title", "content", "summary",
+            "relationship_type",
+            F.col("attach_count").cast("long").alias("attach_count"))
+    q["catalog_legend_kb_docs"] = catalog_legend_kb_docs_q
+
     return q
 
 
@@ -5977,6 +6068,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import progress as _pg
     from mivaa_pdf_extractor_spark.operators import (
         product_progress as _ppr)
+    from mivaa_pdf_extractor_spark.operators import catalog_kb as _ckb
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -11644,4 +11736,34 @@ def oracle_sql() -> dict[str, str]:
             {_ppr.DUCK_PRODUCT_FOLD_SQL},
             {_ppr.DUCK_JOB_SUMMARY_SQL}
             SELECT * FROM summary""",
+        "catalog_knowledge_pages": f"""
+            WITH {_ckb.DUCK_KNOWLEDGE_BASE_SQL},
+            {_ckb.DUCK_KNOWLEDGE_PAGES_SQL}
+            SELECT * FROM kpages""",
+        "catalog_knowledge_certs": f"""
+            WITH {_ckb.DUCK_KNOWLEDGE_BASE_SQL},
+            {_ckb.DUCK_KNOWLEDGE_CERTS_SQL}
+            SELECT * FROM kcerts""",
+        "knowledge_cert_propagate": f"""
+            WITH {_ckb.DUCK_KNOWLEDGE_BASE_SQL},
+            {_ckb.DUCK_KNOWLEDGE_CERTS_SQL},
+            {_ckb.DUCK_PRODUCTS_SQL},
+            {_ckb.DUCK_KNOWLEDGE_PROP_SQL}
+            SELECT * FROM prop1""",
+        "catalog_legend_extract": f"""
+            WITH {_ckb.DUCK_LEGEND_BASE_SQL}
+            SELECT doc AS doc_id, seq, legend_type, page_idx, status,
+                   resolved_type, title, content_markdown,
+                   applies_globally
+            FROM lex""",
+        "legend_cert_propagate": f"""
+            WITH {_ckb.DUCK_LEGEND_BASE_SQL},
+            {_ckb.DUCK_LEGEND_CERTS_SQL},
+            {_ckb.DUCK_PRODUCTS_SQL},
+            {_ckb.DUCK_LEGEND_PROP_SQL}
+            SELECT * FROM prop""",
+        "catalog_legend_kb_docs": f"""
+            WITH {_ckb.DUCK_LEGEND_BASE_SQL},
+            {_ckb.DUCK_LEGEND_KB_SQL}
+            SELECT * FROM lkb""",
     }
