@@ -5217,6 +5217,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("attach_count").cast("long").alias("attach_count"))
     q["catalog_legend_kb_docs"] = catalog_legend_kb_docs_q
 
+    # ── input-validation framework folds ───────────────────────────
+    def security_scan_violations_q(spark, sf_dir):
+        # per (string, pattern) violation rows: findall count + first
+        # 5 matches, (?is) flags, 10-pattern table
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.scan_string_threats(
+            iv.synth_security_strings(_docs(spark, sf_dir)))
+    q["security_scan_violations"] = security_scan_violations_q
+
+    def security_sanitize_q(spark, sf_dir):
+        # the per-pattern re-escape cascade (& replaced LAST, runs for
+        # every pattern regardless of match) + aggressive sub chain
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.sanitize_strings(
+            iv.synth_security_strings(_docs(spark, sf_dir)))
+    q["security_sanitize"] = security_sanitize_q
+
+    def json_structure_validate_q(spark, sf_dir):
+        # depth-first then pre-order array violations, '; '-joined
+        # JSONStructureError message, default 10/1000 limits
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.validate_structure(
+            iv.synth_structure_nodes(_docs(spark, sf_dir)), 10, 1000)
+    q["json_structure_validate"] = json_structure_validate_q
+
+    def schema_registry_lookup_q(spark, sf_dir):
+        # exact-dict (last-write wins, disabled falls through) →
+        # wildcard exact → registration-order scan (priority IGNORED)
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.registry_lookup(
+            iv.synth_registrations(spark),
+            iv.synth_registry_requests(_docs(spark, sf_dir)))
+    q["schema_registry_lookup"] = schema_registry_lookup_q
+
+    def validation_profiles_q(spark, sf_dir):
+        # pinned default/production/development profile constants
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.validation_profiles(spark)
+    q["validation_profiles"] = validation_profiles_q
+
+    def validation_error_responses_q(spark, sf_dir):
+        # pydantic/http/generic/typed handler ladder: type mapping,
+        # VALIDATION_* codes, severity pins, [:497]+'...' truncation
+        from mivaa_pdf_extractor_spark.operators import (
+            input_validation as iv)
+        return iv.error_responses(
+            iv.synth_error_events(_docs(spark, sf_dir)))
+    q["validation_error_responses"] = validation_error_responses_q
+
     return q
 
 
@@ -6069,6 +6123,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         product_progress as _ppr)
     from mivaa_pdf_extractor_spark.operators import catalog_kb as _ckb
+    from mivaa_pdf_extractor_spark.operators import (
+        input_validation as _iv)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -11766,4 +11822,32 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ckb.DUCK_LEGEND_BASE_SQL},
             {_ckb.DUCK_LEGEND_KB_SQL}
             SELECT * FROM lkb""",
+        "security_scan_violations": f"""
+            WITH {_iv.DUCK_SECURITY_STRINGS_SQL},
+            {_iv._duck_scan_sql()}
+            SELECT * FROM vviol""",
+        "security_sanitize": f"""
+            WITH {_iv.DUCK_SECURITY_STRINGS_SQL},
+            {_iv._duck_sanitize_sql()}
+            SELECT * FROM vsan""",
+        "json_structure_validate": f"""
+            WITH {_iv.DUCK_STRUCTURE_SQL}
+            SELECT * FROM vstruct""",
+        "schema_registry_lookup": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_iv._duck_registry_sql()}
+            SELECT * FROM rlookup""",
+        "validation_profiles": """
+            SELECT * FROM (VALUES """ + ", ".join(
+            f"('{prof}', '{s}', CAST({v} AS DOUBLE))"
+            for s, vals in _iv.PROFILE_SETTINGS.items()
+            for prof, v in zip(("default", "production",
+                                "development"), vals)) + """)
+            AS t(profile, setting, value)""",
+        "validation_error_responses": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_iv._duck_errors_sql()}
+            SELECT * FROM vresp""",
     }
