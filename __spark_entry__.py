@@ -5271,6 +5271,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             iv.synth_error_events(_docs(spark, sf_dir)))
     q["validation_error_responses"] = validation_error_responses_q
 
+    # ── performance-monitor folds ──────────────────────────────────
+    def perf_retained_window_q(spark, sf_dir):
+        # collector trim replayed in closed form: trims at 1001 then
+        # every 501 appends, window = last N - 501*k values
+        from mivaa_pdf_extractor_spark.operators import (
+            perf_monitor as pm)
+        return pm.retained_window(
+            pm.synth_metric_values(_docs(spark, sf_dir)))
+    q["perf_retained_window"] = perf_retained_window_q
+
+    def perf_aggregated_stats_q(spark, sf_dir):
+        # count/min/max/avg over the retained window + the pinned
+        # int(p/100*len) index percentile (p50 of [1,2,3,4] is 3)
+        from mivaa_pdf_extractor_spark.operators import (
+            perf_monitor as pm)
+        return pm.aggregated_stats(
+            pm.synth_metric_values(_docs(spark, sf_dir)))
+    q["perf_aggregated_stats"] = perf_aggregated_stats_q
+
+    def perf_threshold_alerts_q(spark, sf_dir):
+        # warning/critical ladder + 300s cooldown keyed per
+        # (metric, level); disabled/missing thresholds skip
+        from mivaa_pdf_extractor_spark.operators import (
+            perf_monitor as pm)
+        return pm.threshold_alerts(
+            pm.synth_alert_metrics(_docs(spark, sf_dir)),
+            pm.synth_alert_thresholds(spark))
+    q["perf_threshold_alerts"] = perf_threshold_alerts_q
+
+    def perf_analysis_q(spark, sf_dir):
+        # optimizer fold: health 100 -20/-15/-10, pinned messages,
+        # absent metrics contribute nothing
+        from mivaa_pdf_extractor_spark.operators import (
+            perf_monitor as pm)
+        return pm.analyze_performance(
+            pm.synth_snapshot_stats(_docs(spark, sf_dir)))
+    q["perf_analysis"] = perf_analysis_q
+
+    def perf_slow_operations_q(spark, sf_dir):
+        # operation.* stats with p95 > 1000, ranked by p95 desc
+        from mivaa_pdf_extractor_spark.operators import (
+            perf_monitor as pm)
+        return pm.slow_operations(pm.aggregated_stats(
+            pm.synth_metric_values(_docs(spark, sf_dir))))
+    q["perf_slow_operations"] = perf_slow_operations_q
+
     return q
 
 
@@ -6125,6 +6171,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import catalog_kb as _ckb
     from mivaa_pdf_extractor_spark.operators import (
         input_validation as _iv)
+    from mivaa_pdf_extractor_spark.operators import (
+        perf_monitor as _pm)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -11850,4 +11898,25 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_iv._duck_errors_sql()}
             SELECT * FROM vresp""",
+        "perf_retained_window": f"""
+            WITH {_pm.DUCK_METRIC_VALUES_SQL},
+            {_pm.DUCK_WINDOW_SQL}
+            SELECT * FROM pwin""",
+        "perf_aggregated_stats": f"""
+            WITH {_pm.DUCK_METRIC_VALUES_SQL},
+            {_pm.DUCK_STATS_SQL}
+            SELECT * FROM pstats""",
+        "perf_threshold_alerts": f"""
+            WITH RECURSIVE {_pm.DUCK_ALERT_METRICS_SQL},
+            {_pm.duck_alerts_sql()}
+            SELECT * FROM alerts""",
+        "perf_analysis": f"""
+            WITH {_pm.DUCK_SNAPSHOT_STATS_SQL},
+            {_pm.duck_analysis_sql()}
+            SELECT * FROM sanalysis""",
+        "perf_slow_operations": f"""
+            WITH {_pm.DUCK_METRIC_VALUES_SQL},
+            {_pm.DUCK_STATS_SQL},
+            {_pm.DUCK_SLOW_OPS_SQL}
+            SELECT * FROM sslow""",
     }
