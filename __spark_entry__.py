@@ -5317,6 +5317,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pm.synth_metric_values(_docs(spark, sf_dir))))
     q["perf_slow_operations"] = perf_slow_operations_q
 
+    # ── PaddleOCR attempt ladder + GPU billing ─────────────────────
+    def ocr_attempt_ladder_q(spark, sf_dir):
+        # 3-attempt fold: config fail-fast on 401/403/404, retry on
+        # http/no-regions/all-dropped, {"regions": []} IS a success
+        from mivaa_pdf_extractor_spark.operators import (
+            ocr_attempts as oa)
+        return oa.attempt_metrics(
+            oa.synth_attempts(_docs(spark, sf_dir)))
+    q["ocr_attempt_ladder"] = ocr_attempt_ladder_q
+
+    def ocr_call_summary_q(spark, sf_dir):
+        # disabled/resume pre-gates + first-terminal verdict
+        from mivaa_pdf_extractor_spark.operators import (
+            ocr_attempts as oa)
+        return oa.call_summary(
+            oa.synth_attempts(_docs(spark, sf_dir)))
+    q["ocr_call_summary"] = ocr_call_summary_q
+
+    def ocr_gpu_cost_q(spark, sf_dir):
+        # per-attempt GPU-seconds billing: max(ms/1000, 0.001) *
+        # $1/3600, no markup, credits = $ * 100; failures billed too
+        from mivaa_pdf_extractor_spark.operators import (
+            ocr_attempts as oa)
+        return oa.gpu_cost_rows(
+            oa.synth_attempts(_docs(spark, sf_dir)))
+    q["ocr_gpu_cost"] = ocr_gpu_cost_q
+
     return q
 
 
@@ -6173,6 +6200,8 @@ def oracle_sql() -> dict[str, str]:
         input_validation as _iv)
     from mivaa_pdf_extractor_spark.operators import (
         perf_monitor as _pm)
+    from mivaa_pdf_extractor_spark.operators import (
+        ocr_attempts as _oa)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -11919,4 +11948,13 @@ def oracle_sql() -> dict[str, str]:
             {_pm.DUCK_STATS_SQL},
             {_pm.DUCK_SLOW_OPS_SQL}
             SELECT * FROM sslow""",
+        "ocr_attempt_ladder": f"""
+            WITH {_oa.DUCK_ATTEMPTS_SQL}
+            SELECT * FROM ometrics""",
+        "ocr_call_summary": f"""
+            WITH {_oa.DUCK_ATTEMPTS_SQL}
+            SELECT * FROM osummary""",
+        "ocr_gpu_cost": f"""
+            WITH {_oa.DUCK_ATTEMPTS_SQL}
+            SELECT * FROM ocost""",
     }
