@@ -5344,6 +5344,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             oa.synth_attempts(_docs(spark, sf_dir)))
     q["ocr_gpu_cost"] = ocr_gpu_cost_q
 
+    # ── per-unit / per-generation / firecrawl billing ──────────────
+    def external_unit_cost_q(spark, sf_dir):
+        # 14-service per-unit table, 1.5 markup, credits = $*100,
+        # pinned unknown-service message with the list repr
+        from mivaa_pdf_extractor_spark.operators import (
+            unit_billing as ub)
+        return ub.external_service_cost(
+            ub.synth_external_events(_docs(spark, sf_dir)))
+    q["external_unit_cost"] = external_unit_cost_q
+
+    def firecrawl_cost_q(spark, sf_dir):
+        # credits_used * $0.001; unknown ops silently use the
+        # scrape rate; 15 tokens per firecrawl credit
+        from mivaa_pdf_extractor_spark.operators import (
+            unit_billing as ub)
+        return ub.firecrawl_cost(
+            ub.synth_firecrawl_events(_docs(spark, sf_dir)))
+    q["firecrawl_cost"] = firecrawl_cost_q
+
+    def replicate_generation_cost_q(spark, sf_dir):
+        # DB overlay wins only when cost truthy (0.0 falls through),
+        # overlay markup `or 1.5`, unknown models error
+        from mivaa_pdf_extractor_spark.operators import (
+            unit_billing as ub)
+        return ub.replicate_cost(
+            ub.synth_replicate_events(_docs(spark, sf_dir)),
+            ub.synth_replicate_overlay(spark))
+    q["replicate_generation_cost"] = replicate_generation_cost_q
+
     return q
 
 
@@ -6202,6 +6231,8 @@ def oracle_sql() -> dict[str, str]:
         perf_monitor as _pm)
     from mivaa_pdf_extractor_spark.operators import (
         ocr_attempts as _oa)
+    from mivaa_pdf_extractor_spark.operators import (
+        unit_billing as _ub)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -11957,4 +11988,19 @@ def oracle_sql() -> dict[str, str]:
         "ocr_gpu_cost": f"""
             WITH {_oa.DUCK_ATTEMPTS_SQL}
             SELECT * FROM ocost""",
+        "external_unit_cost": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ub.duck_external_sql()}
+            SELECT * FROM extcost""",
+        "firecrawl_cost": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ub.DUCK_FIRECRAWL_SQL}
+            SELECT * FROM fccost""",
+        "replicate_generation_cost": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ub.duck_replicate_sql()}
+            SELECT * FROM repcost""",
     }
