@@ -5373,6 +5373,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ub.synth_replicate_overlay(spark))
     q["replicate_generation_cost"] = replicate_generation_cost_q
 
+    # ── marketplace facet filter + Skroutz hit assembly ────────────
+    def marketplace_adaptive_query_q(spark, sf_dir):
+        # 6-branch brand/model/sku query ladder, upper+strip+or-None
+        from mivaa_pdf_extractor_spark.operators import (
+            marketplace_facets as mf)
+        return mf.adaptive_query(
+            mf.synth_adaptive_requests(_docs(spark, sf_dir)))
+    q["marketplace_adaptive_query"] = marketplace_adaptive_query_q
+
+    def marketplace_facet_match_q(spark, sf_dir):
+        # sku-required haystack check (separator-only tokens pass
+        # vacuously), 8-family type synonyms, unknown-type permissive
+        from mivaa_pdf_extractor_spark.operators import (
+            marketplace_facets as mf)
+        return mf.facet_match(
+            mf.synth_facet_cands(_docs(spark, sf_dir)))
+    q["marketplace_facet_match"] = marketplace_facet_match_q
+
+    def skroutz_decision_q(spark, sf_dir):
+        # not_found/no_product_url/facet_mismatch/fanout/
+        # fallback_single/dropped_implausible ladder
+        from mivaa_pdf_extractor_spark.operators import (
+            marketplace_facets as mf)
+        d = _docs(spark, sf_dir)
+        return mf.skroutz_decisions(mf.synth_skroutz_search(d),
+                                    mf.synth_skroutz_merchants(d))
+    q["skroutz_decision"] = skroutz_decision_q
+
+    def skroutz_hit_assembly_q(spark, sf_dir):
+        # fanout PriceHits (availability token ladder, [:max(limit,1)]
+        # slice) + the single-hit fallback with the pinned notes
+        from mivaa_pdf_extractor_spark.operators import (
+            marketplace_facets as mf)
+        d = _docs(spark, sf_dir)
+        return mf.skroutz_hits(mf.synth_skroutz_search(d),
+                               mf.synth_skroutz_merchants(d))
+    q["skroutz_hit_assembly"] = skroutz_hit_assembly_q
+
     return q
 
 
@@ -6233,6 +6271,8 @@ def oracle_sql() -> dict[str, str]:
         ocr_attempts as _oa)
     from mivaa_pdf_extractor_spark.operators import (
         unit_billing as _ub)
+    from mivaa_pdf_extractor_spark.operators import (
+        marketplace_facets as _mf)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12003,4 +12043,22 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_ub.duck_replicate_sql()}
             SELECT * FROM repcost""",
+        "marketplace_adaptive_query": f"""
+            WITH {_mf.DUCK_ADAPTIVE_SQL}
+            SELECT * FROM aout""",
+        "marketplace_facet_match": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_mf.duck_facet_sql()}
+            SELECT * FROM ffinal""",
+        "skroutz_decision": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_mf.duck_skroutz_sql()}
+            SELECT * FROM sdecision""",
+        "skroutz_hit_assembly": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_mf.duck_skroutz_sql()}
+            SELECT * FROM shits""",
     }
