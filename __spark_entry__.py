@@ -5411,6 +5411,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                mf.synth_skroutz_merchants(d))
     q["skroutz_hit_assembly"] = skroutz_hit_assembly_q
 
+    # ── search-prompt folds ────────────────────────────────────────
+    def search_simple_enhancement_q(spark, sf_dir):
+        # first keyword→expansion mapping line wins, quote/dash strip
+        # chain, empty keyword matches everything
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        return sp.simple_enhancement(
+            sp.synth_enhance_reqs(_docs(spark, sf_dir)))
+    q["search_simple_enhancement"] = search_simple_enhancement_q
+
+    def search_simple_formatting_q(spark, sf_dir):
+        # availability → (in_stock, score) desc; elif price asc with
+        # 999999 default; stable ties
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        return sp.simple_formatting(
+            sp.synth_format_rows(_docs(spark, sf_dir)))
+    q["search_simple_formatting"] = search_simple_formatting_q
+
+    def search_simple_filtering_q(spark, sf_dir):
+        # prompt-gated out_of_stock / discontinued drops
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        return sp.simple_filtering(
+            sp.synth_filter_rows(_docs(spark, sf_dir)))
+    q["search_simple_filtering"] = search_simple_filtering_q
+
+    def search_llm_reorder_q(spark, sf_dir):
+        # order-list replay: negative wrap + double-emission pin,
+        # unmentioned tail, null/IndexError fallback
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        return sp.llm_reorder(
+            sp.synth_order_reqs(_docs(spark, sf_dir), key="order"))
+    q["search_llm_reorder"] = search_llm_reorder_q
+
+    def search_llm_filter_keep_q(spark, sf_dir):
+        # keep-list replay with the same negative wrap
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        return sp.llm_filter_keep(
+            sp.synth_order_reqs(_docs(spark, sf_dir), key="keep"))
+    q["search_llm_filter_keep"] = search_llm_filter_keep_q
+
+    def search_llm_enrich_q(spark, sf_dir):
+        # batch-of-10 local-index enrichment merge
+        from mivaa_pdf_extractor_spark.operators import (
+            search_prompts as sp)
+        d = _docs(spark, sf_dir)
+        return sp.llm_enrich(
+            sp.synth_result_rows(d).select("req_id", "idx", "name"),
+            sp.synth_enrichments(d))
+    q["search_llm_enrich"] = search_llm_enrich_q
+
     return q
 
 
@@ -6273,6 +6327,8 @@ def oracle_sql() -> dict[str, str]:
         unit_billing as _ub)
     from mivaa_pdf_extractor_spark.operators import (
         marketplace_facets as _mf)
+    from mivaa_pdf_extractor_spark.operators import (
+        search_prompts as _sp)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12061,4 +12117,34 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_mf.duck_skroutz_sql()}
             SELECT * FROM shits""",
+        "search_simple_enhancement": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.duck_enhance_sql()}
+            SELECT * FROM eout""",
+        "search_simple_formatting": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.duck_format_sql()}
+            SELECT * FROM sfmt""",
+        "search_simple_filtering": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.duck_filter_sql()}
+            SELECT * FROM sfout""",
+        "search_llm_reorder": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.duck_reorder_sql()}
+            SELECT * FROM oout""",
+        "search_llm_filter_keep": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.duck_keep_sql()}
+            SELECT * FROM kout""",
+        "search_llm_enrich": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sp.DUCK_ENRICH_SQL}
+            SELECT * FROM enout""",
     }

@@ -172,6 +172,16 @@ BENCH_QUERIES = [
     "image_backfill_select", "image_classification_outcomes",
     "category_prompt_build", "monitor_alert_fold", "pbr_maps",
     "storage_cleanup_scope", "aimd_fold",
+    # round 4 continuation-8: catalog kb / validation / perf / ocr /
+    # billing / marketplace batches
+    "catalog_knowledge_pages", "catalog_legend_extract",
+    "legend_cert_propagate", "catalog_legend_kb_docs",
+    "security_scan_violations", "security_sanitize",
+    "schema_registry_lookup", "validation_error_responses",
+    "perf_aggregated_stats", "perf_threshold_alerts",
+    "ocr_attempt_ladder", "ocr_gpu_cost", "external_unit_cost",
+    "replicate_generation_cost", "marketplace_facet_match",
+    "skroutz_hit_assembly",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
