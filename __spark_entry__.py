@@ -5465,6 +5465,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sp.synth_enrichments(d))
     q["search_llm_enrich"] = search_llm_enrich_q
 
+    # ── mention-monitoring cost + credit folds ─────────────────────
+    def mention_call_costs_q(spark, sf_dir):
+        # 7-kind rate table, perplexity per-call+token, probe rate
+        # ladder, #286 slug routing (only labs/serp honor the caller
+        # slug), round-6 raw/billed, [:120]/[:240] truncations
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_costs as mc)
+        return mc.call_cost_rows(
+            mc.synth_call_events(_docs(spark, sf_dir)))
+    q["mention_call_costs"] = mention_call_costs_q
+
+    def mention_credit_debit_q(spark, sf_dir):
+        # zero-amount ops free, missing user / exception / empty RPC
+        # reply fail, success=false row fails (audit #217 H3)
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_costs as mc)
+        return mc.credit_debit_fold(
+            mc.synth_debit_reqs(_docs(spark, sf_dir)))
+    q["mention_credit_debit"] = mention_credit_debit_q
+
+    def mention_lifetime_cost_q(spark, sf_dir):
+        # recompute_mention_cost: per-mention billed sum
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_costs as mc)
+        return mc.lifetime_cost(mc.call_cost_rows(
+            mc.synth_call_events(_docs(spark, sf_dir))))
+    q["mention_lifetime_cost"] = mention_lifetime_cost_q
+
     return q
 
 
@@ -6329,6 +6357,8 @@ def oracle_sql() -> dict[str, str]:
         marketplace_facets as _mf)
     from mivaa_pdf_extractor_spark.operators import (
         search_prompts as _sp)
+    from mivaa_pdf_extractor_spark.operators import (
+        mention_costs as _mc2)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12147,4 +12177,16 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_sp.DUCK_ENRICH_SQL}
             SELECT * FROM enout""",
+        "mention_call_costs": f"""
+            WITH {_mc2.DUCK_CALL_EVENTS_SQL},
+            {_mc2.DUCK_CALL_COSTS_SQL}
+            SELECT * FROM mcost""",
+        "mention_credit_debit": f"""
+            WITH {_mc2.DUCK_DEBIT_SQL}
+            SELECT * FROM dout""",
+        "mention_lifetime_cost": f"""
+            WITH {_mc2.DUCK_CALL_EVENTS_SQL},
+            {_mc2.DUCK_CALL_COSTS_SQL},
+            {_mc2.DUCK_LIFETIME_SQL}
+            SELECT * FROM mlife""",
     }
