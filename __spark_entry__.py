@@ -5493,6 +5493,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mc.synth_call_events(_docs(spark, sf_dir))))
     q["mention_lifetime_cost"] = mention_lifetime_cost_q
 
+    # ── segmentation post-processing ───────────────────────────────
+    def segment_zone_parse_q(spark, sf_dir):
+        # fence strip + truncation-recovering JSON array extraction +
+        # zone validation (clamps, defaults, original-index labels)
+        from mivaa_pdf_extractor_spark.operators import (
+            segmentation as sg)
+        return sg.parse_zone_responses(
+            sg.synth_zone_responses(_docs(spark, sf_dir)))
+    q["segment_zone_parse"] = segment_zone_parse_q
+
+    def media_type_magic_q(spark, sf_dir):
+        # base64-prefix magic bytes: jpeg/png/webp/gif, jpeg fallback
+        from mivaa_pdf_extractor_spark.operators import (
+            segmentation as sg)
+        return sg.detect_media_type(
+            sg.synth_media_images(_docs(spark, sf_dir)))
+    q["media_type_magic"] = media_type_magic_q
+
     return q
 
 
@@ -6359,6 +6377,8 @@ def oracle_sql() -> dict[str, str]:
         search_prompts as _sp)
     from mivaa_pdf_extractor_spark.operators import (
         mention_costs as _mc2)
+    from mivaa_pdf_extractor_spark.operators import (
+        segmentation as _sg)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12189,4 +12209,14 @@ def oracle_sql() -> dict[str, str]:
             {_mc2.DUCK_CALL_COSTS_SQL},
             {_mc2.DUCK_LIFETIME_SQL}
             SELECT * FROM mlife""",
+        "segment_zone_parse": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sg.duck_zone_sql()}
+            SELECT * FROM zones""",
+        "media_type_magic": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sg.duck_media_sql()}
+            SELECT * FROM mimg""",
     }
