@@ -5511,6 +5511,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sg.synth_media_images(_docs(spark, sf_dir)))
     q["media_type_magic"] = media_type_magic_q
 
+    # ── product-enrichment property combiner ───────────────────────
+    def product_enrich_properties_q(spark, sf_dir):
+        # first-5 analyzed images, truthy-props gate (only those
+        # contribute confidence), canonicalized set-dedupe, mean conf
+        from mivaa_pdf_extractor_spark.operators import (
+            enrich_props as ep)
+        return ep.combine_material_properties(
+            ep.synth_enrich_images(_docs(spark, sf_dir)))
+    q["product_enrich_properties"] = product_enrich_properties_q
+
+    def product_embedding_text_q(spark, sf_dir):
+        # "{name}. {desc}. Materials: .. Colors: .." join form
+        from mivaa_pdf_extractor_spark.operators import (
+            enrich_props as ep)
+        d = _docs(spark, sf_dir)
+        props = ep.combine_material_properties(
+            ep.synth_enrich_images(d))
+        prods = (d.select((F.col("doc_id").cast("long") % 80)
+                          .alias("product_id")).distinct()
+                 .select("product_id",
+                         F.concat(F.lit("Product "),
+                                  F.col("product_id").cast("string"))
+                         .alias("name"),
+                         F.when(F.col("product_id") % 9 == 0,
+                                F.lit(""))
+                         .otherwise(F.concat(
+                             F.lit("Desc "),
+                             F.col("product_id").cast("string")))
+                         .alias("description")))
+        return ep.embedding_text(props, prods)
+    q["product_embedding_text"] = product_embedding_text_q
+
     return q
 
 
@@ -6379,6 +6411,8 @@ def oracle_sql() -> dict[str, str]:
         mention_costs as _mc2)
     from mivaa_pdf_extractor_spark.operators import (
         segmentation as _sg)
+    from mivaa_pdf_extractor_spark.operators import (
+        enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12219,4 +12253,30 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_sg.duck_media_sql()}
             SELECT * FROM mimg""",
+        "product_enrich_properties": f"""
+            WITH {_ep.DUCK_ENRICH_SQL}
+            SELECT * FROM eprops""",
+        "product_embedding_text": f"""
+            WITH {_ep.DUCK_ENRICH_SQL},
+            eprod AS (
+              SELECT DISTINCT doc % 80 AS product_id FROM docs),
+            enamed AS (
+              SELECT product_id,
+                     'Product ' || CAST(product_id AS VARCHAR)
+                       AS name,
+                     CASE WHEN product_id % 9 = 0 THEN ''
+                          ELSE 'Desc ' || CAST(product_id AS VARCHAR)
+                     END AS description
+              FROM eprod)
+            SELECT n.product_id,
+                   coalesce(n.name, 'Unknown') || '. '
+                   || coalesce(n.description, '')
+                   || '. Materials: '
+                   || coalesce(array_to_string(p.materials, ', '),
+                               '')
+                   || '. Colors: '
+                   || coalesce(array_to_string(p.colors, ', '), '')
+                     AS embedding_text
+            FROM enamed n LEFT JOIN eprops p
+              ON n.product_id = p.product_id""",
     }
