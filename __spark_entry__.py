@@ -5543,6 +5543,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ep.embedding_text(props, prods)
     q["product_embedding_text"] = product_embedding_text_q
 
+    # ── LLM mention probes ─────────────────────────────────────────
+    def probe_prompts_build_q(spark, sf_dir):
+        # 4-template bank with ptype/brand/competitor interpolation
+        from mivaa_pdf_extractor_spark.operators import (
+            llm_probes as lp)
+        return lp.build_probes(
+            lp.synth_probe_subjects(_docs(spark, sf_dir)))
+    q["probe_prompts_build"] = probe_prompts_build_q
+
+    def probe_extract_deterministic_q(spark, sf_dir):
+        # alias containment, first numbered-list rank, substring
+        # sentiment ('top' in 'laptop' pin), competitors[:5]
+        from mivaa_pdf_extractor_spark.operators import (
+            llm_probes as lp)
+        return lp.extract_deterministic(
+            lp.synth_probe_responses(_docs(spark, sf_dir)))
+    q["probe_extract_deterministic"] = probe_extract_deterministic_q
+
+    def probe_snapshot_models_q(spark, sf_dir):
+        # per-model probes/mentions; rank 0 dropped from positions
+        from mivaa_pdf_extractor_spark.operators import (
+            llm_probes as lp)
+        return lp.snapshot_models(
+            lp.synth_probe_rows(_docs(spark, sf_dir)))
+    q["probe_snapshot_models"] = probe_snapshot_models_q
+
+    def probe_snapshot_run_q(spark, sf_dir):
+        # share-of-voice, avg position, top-10 competitors by count
+        # desc with first-seen tie-break
+        from mivaa_pdf_extractor_spark.operators import (
+            llm_probes as lp)
+        return lp.snapshot_run(
+            lp.synth_probe_rows(_docs(spark, sf_dir)))
+    q["probe_snapshot_run"] = probe_snapshot_run_q
+
     return q
 
 
@@ -6413,6 +6448,8 @@ def oracle_sql() -> dict[str, str]:
         segmentation as _sg)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
+    from mivaa_pdf_extractor_spark.operators import (
+        llm_probes as _lp)
     from mivaa_pdf_extractor_spark.operators import (
         job_diagnosis as _jd)
     from mivaa_pdf_extractor_spark.operators import (
@@ -12256,6 +12293,23 @@ def oracle_sql() -> dict[str, str]:
         "product_enrich_properties": f"""
             WITH {_ep.DUCK_ENRICH_SQL}
             SELECT * FROM eprops""",
+        "probe_prompts_build": f"""
+            WITH {_lp.DUCK_PROBE_SUBJECTS_SQL},
+            {_lp.DUCK_PROBE_BUILD_SQL}
+            SELECT * FROM pbank""",
+        "probe_extract_deterministic": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_lp.duck_probe_extract_sql()}
+            SELECT * FROM pextract""",
+        "probe_snapshot_models": f"""
+            WITH {_lp.DUCK_PROBE_ROWS_SQL},
+            {_lp.DUCK_SNAPSHOT_MODELS_SQL}
+            SELECT * FROM pmod""",
+        "probe_snapshot_run": f"""
+            WITH {_lp.DUCK_PROBE_ROWS_SQL},
+            {_lp.DUCK_SNAPSHOT_RUN_SQL}
+            SELECT * FROM prun""",
         "product_embedding_text": f"""
             WITH {_ep.DUCK_ENRICH_SQL},
             eprod AS (
