@@ -5578,6 +5578,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lp.synth_probe_rows(_docs(spark, sf_dir)))
     q["probe_snapshot_run"] = probe_snapshot_run_q
 
+    # ── Stage 3 image post-processing folds ────────────────────────
+    def stage3_page_assign_q(spark, sf_dir):
+        # spread-aware image->physical-page assignment: per-component
+        # normalized-vs-points bbox heuristic, scene detection,
+        # region-assisted + parity fallbacks (stage_3_images.py)
+        from mivaa_pdf_extractor_spark.operators import (
+            stage3_images as s3)
+        d = _docs(spark, sf_dir)
+        return s3.assign_image_pages(
+            s3.synth_images(d), s3.synth_sheets(d),
+            s3.synth_regions(d))
+    q["stage3_page_assign"] = stage3_page_assign_q
+
+    def stage3_ocr_gate_q(spark, sf_dir):
+        # text-bearing OCR gate: full_render/photo/embedded-no-text
+        # skips, local-path marker, exception/null/failed-method
+        # attempt accounting, ''->NULL text
+        from mivaa_pdf_extractor_spark.operators import (
+            stage3_images as s3)
+        return s3.phase3_ocr_gate(
+            s3.synth_ocr_rows(_docs(spark, sf_dir)))
+    q["stage3_ocr_gate"] = stage3_ocr_gate_q
+
+    def stage3_ocr_summary_q(spark, sf_dir):
+        # per-product attempted/succeeded/failed/skipped counts
+        from mivaa_pdf_extractor_spark.operators import (
+            stage3_images as s3)
+        return s3.phase3_ocr_summary(
+            s3.synth_ocr_rows(_docs(spark, sf_dir)))
+    q["stage3_ocr_summary"] = stage3_ocr_summary_q
+
+    def catalog_icon_stats_q(spark, sf_dir):
+        # supplementary-page icon pre-pass stats: raised-vs-err
+        # ladder, _physical_for inverted-map-min vs pdf_idx+1
+        from mivaa_pdf_extractor_spark.operators import (
+            stage3_images as s3)
+        d = _docs(spark, sf_dir)
+        return s3.catalog_icon_stats(
+            s3.synth_icon_pages(d), s3.synth_icon_candidates(d))
+    q["catalog_icon_stats"] = catalog_icon_stats_q
+
     return q
 
 
@@ -6461,6 +6502,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         monitor_alerts as _ma)
     from mivaa_pdf_extractor_spark.operators import aimd as _aimd
+    from mivaa_pdf_extractor_spark.operators import (
+        stage3_images as _s3)
     from mivaa_pdf_extractor_spark.operators import (
         escalation as _esc)
 
@@ -12333,4 +12376,16 @@ def oracle_sql() -> dict[str, str]:
                      AS embedding_text
             FROM enamed n LEFT JOIN eprops p
               ON n.product_id = p.product_id""",
+        "stage3_page_assign": f"""
+            WITH {_s3.DUCK_ASSIGN_SQL}
+            SELECT * FROM s3assign""",
+        "stage3_ocr_gate": f"""
+            WITH {_s3.DUCK_OCR_GATE_SQL}
+            SELECT * FROM s3out""",
+        "stage3_ocr_summary": f"""
+            WITH {_s3.DUCK_OCR_GATE_SQL}
+            SELECT * FROM s3sum""",
+        "catalog_icon_stats": f"""
+            WITH {_s3.DUCK_ICON_STATS_SQL}
+            SELECT * FROM s3istats""",
     }
