@@ -5619,6 +5619,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s3.synth_icon_pages(d), s3.synth_icon_candidates(d))
     q["catalog_icon_stats"] = catalog_icon_stats_q
 
+    # ── per-product pipeline folds (product_processor.py) ──────────
+    def product_resume_decision_q(spark, sf_dir):
+        # Fix E resume ladder: completed_empty re-runs, expected-vs-
+        # DB-count verification, partial chunks DELETE vs partial
+        # images REUSE+flag, whole-product skip ordering pins
+        from mivaa_pdf_extractor_spark.operators import (
+            stage4_product as s4)
+        d = _docs(spark, sf_dir)
+        return s4.resume_decision(
+            s4.synth_tracker(d), s4.synth_history(d),
+            s4.synth_db_state(d))
+    q["product_resume_decision"] = product_resume_decision_q
+
+    def stage4_chunk_rollup_q(spark, sf_dir):
+        # structured_metadata rollup: list elements added RAW,
+        # scalars STRIPPED; first non-blank studio in chunk order
+        from pyspark.sql import functions as F
+        from mivaa_pdf_extractor_spark.operators import (
+            stage4_product as s4)
+        r = s4.chunk_metadata_rollup(
+            s4.synth_chunk_sm(_docs(spark, sf_dir)))
+        return r.select(
+            "product",
+            *[F.array_join(F.col(c), "|").alias(c) for c in (
+                "dimensions", "available_colors",
+                "materials_mentioned", "key_features")],
+            "studio_name")
+    q["stage4_chunk_rollup"] = stage4_chunk_rollup_q
+
+    def stage4_metadata_merge_q(spark, sf_dir):
+        # deep merge: skip-empty, dict shallow-merge value-wins,
+        # scalar-list set-union, extracted-wins vs chunk-loses
+        from mivaa_pdf_extractor_spark.operators import (
+            stage4_product as s4)
+        d = _docs(spark, sf_dir)
+        return s4.merge_product_metadata(
+            s4.synth_existing_meta(d), s4.synth_extracted_meta(d),
+            s4.chunk_metadata_rollup(s4.synth_chunk_sm(d)))
+    q["stage4_metadata_merge"] = stage4_metadata_merge_q
+
+    def product_stage_progress_q(spark, sf_dir):
+        # clamp(int((100*(idx-1)+pct)/total)) — truncate then clamp
+        from mivaa_pdf_extractor_spark.operators import (
+            stage4_product as s4)
+        return s4.stage_progress(
+            s4.synth_progress_rows(_docs(spark, sf_dir)))
+    q["product_stage_progress"] = product_stage_progress_q
+
     return q
 
 
@@ -6504,6 +6552,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import aimd as _aimd
     from mivaa_pdf_extractor_spark.operators import (
         stage3_images as _s3)
+    from mivaa_pdf_extractor_spark.operators import (
+        stage4_product as _s4p)
     from mivaa_pdf_extractor_spark.operators import (
         escalation as _esc)
 
@@ -12388,4 +12438,25 @@ def oracle_sql() -> dict[str, str]:
         "catalog_icon_stats": f"""
             WITH {_s3.DUCK_ICON_STATS_SQL}
             SELECT * FROM s3istats""",
+        "product_resume_decision": f"""
+            WITH {_s4p.DUCK_RESUME_SQL}
+            SELECT * FROM s4resume""",
+        "stage4_chunk_rollup": f"""
+            WITH {_s4p.DUCK_ROLLUP_SQL}
+            SELECT product,
+                   {_s4p._sj('dimensions')} AS dimensions,
+                   {_s4p._sj('available_colors')}
+                     AS available_colors,
+                   {_s4p._sj('materials_mentioned')}
+                     AS materials_mentioned,
+                   {_s4p._sj('key_features')} AS key_features,
+                   studio_name
+            FROM s4rollup""",
+        "stage4_metadata_merge": f"""
+            WITH {_s4p.DUCK_ROLLUP_SQL},
+            {_s4p.DUCK_MERGE_SQL}
+            SELECT * FROM s4merge""",
+        "product_stage_progress": f"""
+            WITH {_s4p.DUCK_PROGRESS_SQL}
+            SELECT * FROM s4prog""",
     }
