@@ -5667,6 +5667,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s4.synth_progress_rows(_docs(spark, sf_dir)))
     q["product_stage_progress"] = product_stage_progress_q
 
+    # ── vision-analysis serialization + embedding slots ────────────
+    def va_legacy_coerce_q(spark, sf_dir):
+        # legacy-dict coercion: error-envelope-first rejection, falsy
+        # or-chains (empty values fall through), _as_list semantics
+        # incl. the scalar-'' -> [''] pin, confidence default 0.85
+        from pyspark.sql import functions as F
+        from mivaa_pdf_extractor_spark.operators import (
+            vision_embed as ve)
+        c = ve.coerce_legacy_vision(
+            ve.synth_legacy_vision(_docs(spark, sf_dir)))
+        # arrays joined to strings for the oracle hash (NULL stays
+        # NULL, [] joins to '' — the distinction is preserved)
+        return c.select(
+            "doc", "rejected", "material_type", "category",
+            "subcategory",
+            *[F.array_join(F.col(a), "|").alias(a) for a in (
+                "colors", "textures", "applications",
+                "detected_text")],
+            "finish", "surface_pattern", "description", "style",
+            "confidence")
+    q["va_legacy_coerce"] = va_legacy_coerce_q
+
+    def va_understanding_text_q(spark, sf_dir):
+        # fixed-order serializer + sorted material-props suffix with
+        # id/document_id/... key exclusions
+        from mivaa_pdf_extractor_spark.operators import (
+            vision_embed as ve)
+        d = _docs(spark, sf_dir)
+        return ve.understanding_text(
+            ve.coerce_legacy_vision(ve.synth_legacy_vision(d)),
+            ve.synth_material_props(d))
+    q["va_understanding_text"] = va_understanding_text_q
+
+    def va_aspect_texts_q(spark, sf_dir):
+        # 4 aspect serializers: strip-filter joins, NULL = skip;
+        # texture appends finish, style is style+pattern+applications
+        from mivaa_pdf_extractor_spark.operators import (
+            vision_embed as ve)
+        return ve.aspect_texts(ve.coerce_legacy_vision(
+            ve.synth_legacy_vision(_docs(spark, sf_dir))))
+    q["va_aspect_texts"] = va_aspect_texts_q
+
+    def va_embed_slots_q(spark, sf_dir):
+        # generate_all_embeddings fold: 4 aspect keys land together
+        # (None-valued keys COUNT toward produced), success=produced>0
+        from mivaa_pdf_extractor_spark.operators import (
+            vision_embed as ve)
+        c = ve.coerce_legacy_vision(
+            ve.synth_legacy_vision(_docs(spark, sf_dir)))
+        return ve.embed_slot_fold(c, ve.aspect_texts(c))
+    q["va_embed_slots"] = va_embed_slots_q
+
     return q
 
 
@@ -6513,6 +6565,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         mention_curation as _mcu)
     from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
+    from mivaa_pdf_extractor_spark.operators import vision_embed as _ve
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
     from mivaa_pdf_extractor_spark.operators import progress as _pg
@@ -12459,4 +12512,49 @@ def oracle_sql() -> dict[str, str]:
         "product_stage_progress": f"""
             WITH {_s4p.DUCK_PROGRESS_SQL}
             SELECT * FROM s4prog""",
+        "va_legacy_coerce": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ve.DUCK_VRAW_SQL},
+            {_ve.DUCK_VCOERCE_SQL}
+            SELECT doc, rejected, material_type, category,
+                   subcategory,
+                   CASE WHEN colors IS NOT NULL THEN
+                     coalesce(array_to_string(colors, '|'), '') END
+                     AS colors,
+                   CASE WHEN textures IS NOT NULL THEN
+                     coalesce(array_to_string(textures, '|'), '') END
+                     AS textures,
+                   CASE WHEN applications IS NOT NULL THEN
+                     coalesce(array_to_string(applications, '|'), '')
+                     END AS applications,
+                   CASE WHEN detected_text IS NOT NULL THEN
+                     coalesce(array_to_string(detected_text, '|'),
+                              '') END AS detected_text,
+                   finish, surface_pattern, description, style,
+                   confidence
+            FROM vcoerced""",
+        "va_understanding_text": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ve.DUCK_VRAW_SQL},
+            {_ve.DUCK_VCOERCE_SQL},
+            {_ve.DUCK_VTEXT_SQL},
+            {_ve.DUCK_VUNDER_SQL}
+            SELECT * FROM vunder""",
+        "va_aspect_texts": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ve.DUCK_VRAW_SQL},
+            {_ve.DUCK_VCOERCE_SQL},
+            {_ve.DUCK_VASPECT_SQL}
+            SELECT * FROM vaspect""",
+        "va_embed_slots": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ve.DUCK_VRAW_SQL},
+            {_ve.DUCK_VCOERCE_SQL},
+            {_ve.DUCK_VASPECT_SQL},
+            {_ve.DUCK_VSLOTS_SQL}
+            SELECT * FROM vslots""",
     }

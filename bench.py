@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "ocr_attempt_ladder", "ocr_gpu_cost", "external_unit_cost",
     "replicate_generation_cost", "marketplace_facet_match",
     "skroutz_hit_assembly",
+    # round 4 continuation-9: vision-analysis serialization folds
+    "va_legacy_coerce", "va_understanding_text", "va_aspect_texts",
+    "va_embed_slots",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
