@@ -5719,6 +5719,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ve.embed_slot_fold(c, ve.aspect_texts(c))
     q["va_embed_slots"] = va_embed_slots_q
 
+    # ── public-tools quota / cache / scan ladder ───────────────────
+    def public_query_hash_q(spark, sf_dir):
+        # normalize (lower+collapse+strip) + "type|query|CC" prehash;
+        # sha256 stand-in hashed on both sides, sha1 pinned in pytest
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.query_hashes(
+            pt.synth_hash_queries(_docs(spark, sf_dir))) \
+            .drop("qhash_sha1")
+    q["public_query_hash"] = public_query_hash_q
+
+    def public_quota_check_q(spark, sf_dir):
+        # success-only 24h count per user/ip key; no identity ->
+        # exhausted with reset_at = now; reset = oldest success + 24h
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        d = _docs(spark, sf_dir)
+        now_s = 1_700_000_000
+        return pt.check_quota(pt.synth_quota_log(d, now_s),
+                              pt.synth_quota_requests(d), now_s)
+    q["public_quota_check"] = public_quota_check_q
+
+    def public_market_stats_q(spark, sf_dir):
+        # priced-only stats; upper-middle odd median; modal currency
+        # with canonicalized smallest-tie
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.market_stats(
+            pt.synth_price_hits(_docs(spark, sf_dir)))
+    q["public_market_stats"] = public_market_stats_q
+
+    def public_scan_ladder_q(spark, sf_dir):
+        # captcha -> credits/quota -> cache -> debit-before-upstream
+        # -> refund arms; not-success resets balance_after (pin)
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.price_scan_ladder(
+            pt.synth_scan_requests(_docs(spark, sf_dir)))
+    q["public_scan_ladder"] = public_scan_ladder_q
+
     return q
 
 
@@ -6566,6 +6606,7 @@ def oracle_sql() -> dict[str, str]:
         mention_curation as _mcu)
     from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
     from mivaa_pdf_extractor_spark.operators import vision_embed as _ve
+    from mivaa_pdf_extractor_spark.operators import public_tools as _pt
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
     from mivaa_pdf_extractor_spark.operators import progress as _pg
@@ -12557,4 +12598,24 @@ def oracle_sql() -> dict[str, str]:
             {_ve.DUCK_VASPECT_SQL},
             {_ve.DUCK_VSLOTS_SQL}
             SELECT * FROM vslots""",
+        "public_query_hash": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_HASH_SQL}
+            SELECT * FROM pthash2""",
+        "public_quota_check": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.duck_quota_sql(1_700_000_000)}
+            SELECT * FROM ptquota""",
+        "public_market_stats": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_STATS_SQL}
+            SELECT * FROM ptstats""",
+        "public_scan_ladder": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_LADDER_SQL}
+            SELECT * FROM ptladder""",
     }

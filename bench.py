@@ -185,6 +185,9 @@ BENCH_QUERIES = [
     # round 4 continuation-9: vision-analysis serialization folds
     "va_legacy_coerce", "va_understanding_text", "va_aspect_texts",
     "va_embed_slots",
+    # round 4 continuation-9: public-tools quota/cache/scan ladder
+    "public_query_hash", "public_quota_check", "public_market_stats",
+    "public_scan_ladder",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
