@@ -5759,6 +5759,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pt.synth_scan_requests(_docs(spark, sf_dir)))
     q["public_scan_ladder"] = public_scan_ladder_q
 
+    def mention_facets_build_q(spark, sf_dir):
+        # label strip, alias strip-filter, must_have_tokens =
+        # [label]+aliases, language pinned 'en'
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.mention_facets(
+            pt.synth_mention_subjects(_docs(spark, sf_dir)))
+    q["mention_facets_build"] = mention_facets_build_q
+
+    def mention_hit_shape_q(spark, sf_dir):
+        # first-20 cap, excerpt[:280] with ''-excerpt -> NULL pin
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.mention_hit_shape(
+            pt.synth_mention_hits(_docs(spark, sf_dir)))
+    q["mention_hit_shape"] = mention_hit_shape_q
+
+    def mention_top_outlets_q(spark, sf_dir):
+        # top-5 domains, count desc, first-seen stable tie-break
+        from mivaa_pdf_extractor_spark.operators import (
+            public_tools as pt)
+        return pt.mention_top_outlets(
+            pt.synth_mention_hits(_docs(spark, sf_dir)))
+    q["mention_top_outlets"] = mention_top_outlets_q
+
     return q
 
 
@@ -12618,4 +12643,19 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_pt.DUCK_PT_LADDER_SQL}
             SELECT * FROM ptladder""",
+        "mention_facets_build": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_FACETS_SQL}
+            SELECT * FROM ptfacets""",
+        "mention_hit_shape": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_HITS_SQL}
+            SELECT * FROM pthshape""",
+        "mention_top_outlets": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_pt.DUCK_PT_HITS_SQL}
+            SELECT * FROM ptoutlets""",
     }

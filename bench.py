@@ -187,7 +187,8 @@ BENCH_QUERIES = [
     "va_embed_slots",
     # round 4 continuation-9: public-tools quota/cache/scan ladder
     "public_query_hash", "public_quota_check", "public_market_stats",
-    "public_scan_ladder",
+    "public_scan_ladder", "mention_facets_build", "mention_hit_shape",
+    "mention_top_outlets",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

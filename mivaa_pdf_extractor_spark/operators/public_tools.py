@@ -227,6 +227,72 @@ def price_scan_ladder(reqs: DataFrame) -> DataFrame:
         .alias("country_norm"))
 
 
+def mention_facets(subjects: DataFrame) -> DataFrame:
+    """Deterministic facets build (public_tools_routes.py:626-637):
+    label stripped, aliases strip-filtered, must_have_tokens =
+    [label] + aliases, language pinned ['en'].  ``subjects``: (doc,
+    subject_label, aliases array<string>, country)."""
+    label = F.trim(F.col("subject_label"))
+    aliases = F.transform(
+        F.filter(F.coalesce(F.col("aliases"),
+                            F.array().cast("array<string>")),
+                 lambda a: a.isNotNull() & (F.trim(a) != "")),
+        lambda a: F.trim(a))
+    return subjects.select(
+        "doc", label.alias("label"),
+        F.array_join(aliases, "|").alias("aliases_joined"),
+        F.array_join(F.concat(F.array(label), aliases), "|")
+        .alias("must_have_tokens"),
+        F.lit("en").alias("language_code"),
+        F.when(F.col("country").isNotNull()
+               & (F.col("country") != ""),
+               F.upper(F.col("country"))).alias("country_norm"))
+
+
+MENTION_HIT_CAP = 20       # :694 result.hits[:20]
+EXCERPT_CAP = 280          # :701
+TOP_OUTLET_CAP = 5         # :712
+
+
+def mention_hit_shape(hits: DataFrame) -> DataFrame:
+    """Public hit shaping over the FIRST 20 hits per scan
+    (:692-708).  Excerpt: ``(excerpt or "")[:280] if excerpt else
+    None`` — an EMPTY-STRING excerpt maps to NULL (pinned).
+    ``hits``: (scan_id, hit_ord, url, title, excerpt,
+    outlet_domain)."""
+    w = Window.partitionBy("scan_id").orderBy("hit_ord")
+    capped = (hits.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= MENTION_HIT_CAP).drop("_rn"))
+    return capped.select(
+        "scan_id", "hit_ord", "url", "title",
+        F.when(F.col("excerpt").isNotNull()
+               & (F.col("excerpt") != ""),
+               F.substring(F.col("excerpt"), 1, EXCERPT_CAP))
+        .alias("excerpt"),
+        "outlet_domain")
+
+
+def mention_top_outlets(hits: DataFrame) -> DataFrame:
+    """Top-5 outlet domains by count over the first-20 hits
+    (:693-713).  Python's stable sort keeps FIRST-SEEN order on
+    count ties — reproduced via min(hit_ord) tie-break."""
+    w = Window.partitionBy("scan_id").orderBy("hit_ord")
+    capped = (hits.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= MENTION_HIT_CAP))
+    counts = (capped
+              .where(F.col("outlet_domain").isNotNull()
+                     & (F.col("outlet_domain") != ""))
+              .groupBy("scan_id", "outlet_domain")
+              .agg(F.count("*").alias("count"),
+                   F.min("hit_ord").alias("_first")))
+    w2 = Window.partitionBy("scan_id").orderBy(
+        F.col("count").desc(), F.col("_first"))
+    return (counts.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= TOP_OUTLET_CAP)
+            .select("scan_id", "rank",
+                    F.col("outlet_domain").alias("domain"), "count"))
+
+
 # ──────────────────────────────────────────────────────────────────
 # Deterministic synthesis + DuckDB twins
 # ──────────────────────────────────────────────────────────────────
@@ -398,6 +464,113 @@ ptstats AS (
                     + vals[len(vals) // 2 + 1]) / 2 END AS median,
          CASE WHEN len(vals) > 0 THEN m.currency END AS currency
   FROM ptagg a LEFT JOIN ptmodal m USING (query_id))"""
+
+
+def synth_mention_subjects(docs: DataFrame) -> DataFrame:
+    g = F.col("doc_id").cast("long")
+    nul_a = F.lit(None).cast("array<string>")
+    return docs.select(
+        g.alias("doc"),
+        F.concat(F.lit("  Brand "), (g % 9).cast("string"),
+                 F.lit(" ")).alias("subject_label"),
+        F.when(g % 4 == 0, nul_a)
+        .when(g % 4 == 1, F.array().cast("array<string>"))
+        .when(g % 4 == 2, F.array(F.lit(" A1 "), F.lit(""),
+                                  F.lit("B2")))
+        .otherwise(F.array(F.lit("C3"))).alias("aliases"),
+        F.when(g % 3 == 0, F.lit(None).cast("string"))
+        .when(g % 3 == 1, F.lit("")).otherwise(F.lit("gr"))
+        .alias("country"))
+
+
+DUCK_PT_FACETS_SQL = """
+ptsubj AS (
+  SELECT doc,
+         '  Brand ' || CAST(doc % 9 AS VARCHAR) || ' '
+           AS subject_label,
+         CASE WHEN doc % 4 = 0 THEN NULL
+              WHEN doc % 4 = 1 THEN []::VARCHAR[]
+              WHEN doc % 4 = 2 THEN [' A1 ', '', 'B2']
+              ELSE ['C3'] END AS aliases,
+         CASE WHEN doc % 3 = 0 THEN NULL
+              WHEN doc % 3 = 1 THEN '' ELSE 'gr' END AS country
+  FROM docs),
+ptfacets AS (
+  SELECT doc,
+         trim(subject_label) AS label,
+         coalesce(array_to_string(list_transform(
+           list_filter(coalesce(aliases, []::VARCHAR[]),
+                       a -> a IS NOT NULL AND trim(a) != ''),
+           a -> trim(a)), '|'), '') AS aliases_joined,
+         coalesce(array_to_string(
+           [trim(subject_label)]
+           || list_transform(
+                list_filter(coalesce(aliases, []::VARCHAR[]),
+                            a -> a IS NOT NULL AND trim(a) != ''),
+                a -> trim(a)), '|'), '') AS must_have_tokens,
+         'en' AS language_code,
+         CASE WHEN country IS NOT NULL AND country != ''
+              THEN upper(country) END AS country_norm
+  FROM ptsubj)"""
+
+
+DOMAINS = ("alpha.com", "beta.io", None, "alpha.com", "",
+           "gamma.net", "delta.org")
+
+
+def synth_mention_hits(docs: DataFrame) -> DataFrame:
+    g = F.col("doc_id").cast("long")
+    return docs.select(
+        (g % 17).alias("scan_id"),
+        (g % 97).cast("int").alias("hit_ord"),
+        F.concat(F.lit("https://x/"), g.cast("string")).alias("url"),
+        F.concat(F.lit("T"), (g % 5).cast("string")).alias("title"),
+        F.when(g % 6 == 0, F.lit(None).cast("string"))
+        .when(g % 6 == 1, F.lit(""))
+        .otherwise(F.repeat(F.concat(F.lit("e"),
+                                     (g % 3).cast("string")),
+                            150)).alias("excerpt"),
+        F.element_at(F.array(*[F.lit(x) if x is not None
+                               else F.lit(None).cast("string")
+                               for x in DOMAINS]),
+                     (g % 7 + 1).cast("int")).alias("outlet_domain"))
+
+
+DUCK_PT_HITS_SQL = """
+ptmh AS (
+  SELECT doc % 17 AS scan_id,
+         CAST(doc % 97 AS INT) AS hit_ord,
+         'https://x/' || CAST(doc AS VARCHAR) AS url,
+         'T' || CAST(doc % 5 AS VARCHAR) AS title,
+         CASE WHEN doc % 6 = 0 THEN NULL
+              WHEN doc % 6 = 1 THEN ''
+              ELSE repeat('e' || CAST(doc % 3 AS VARCHAR), 150) END
+           AS excerpt,
+         (['alpha.com', 'beta.io', NULL, 'alpha.com', '',
+           'gamma.net', 'delta.org'])[CAST(doc % 7 AS INT) + 1]
+           AS outlet_domain
+  FROM docs),
+ptcapped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY scan_id
+                                 ORDER BY hit_ord) AS rn
+    FROM ptmh) WHERE rn <= 20),
+pthshape AS (
+  SELECT scan_id, hit_ord, url, title,
+         CASE WHEN excerpt IS NOT NULL AND excerpt != ''
+              THEN substring(excerpt, 1, 280) END AS excerpt,
+         outlet_domain
+  FROM ptcapped),
+ptoutlets AS (
+  SELECT scan_id, rank, domain, count FROM (
+    SELECT scan_id, outlet_domain AS domain, count(*) AS count,
+           row_number() OVER (PARTITION BY scan_id
+                              ORDER BY count(*) DESC,
+                                       min(hit_ord)) AS rank
+    FROM ptcapped
+    WHERE outlet_domain IS NOT NULL AND outlet_domain != ''
+    GROUP BY scan_id, outlet_domain)
+  WHERE rank <= 5)"""
 
 
 def synth_scan_requests(docs: DataFrame) -> DataFrame:

@@ -131,3 +131,30 @@ def test_quota_no_identity_is_exhausted(spark):
     for r in anon:
         assert (r.used, r.remaining, r.allowed,
                 r.reset_at_s) == (2, 0, False, NOW)
+
+
+def test_top_outlets_match_stable_sort(spark):
+    # transcription of :693-713 — dict insertion order + stable sort
+    got = {}
+    for r in pt.mention_top_outlets(pt.synth_mention_hits(
+            spark.read.parquet(SF))).collect():
+        got.setdefault(r.scan_id, []).append(
+            (r.rank, r.domain, r["count"]))
+    hits = {}
+    for g in _doc_ids(spark):
+        hits.setdefault(g % 17, []).append(
+            (g % 97, ["alpha.com", "beta.io", None, "alpha.com", "",
+                      "gamma.net", "delta.org"][g % 7]))
+    for sid, hs in hits.items():
+        counts = {}
+        for _, dom in sorted(hs)[:20]:
+            if dom:
+                counts[dom] = counts.get(dom, 0) + 1
+        want = [
+            {"domain": d, "count": c}
+            for d, c in sorted(counts.items(),
+                               key=lambda kv: kv[1],
+                               reverse=True)[:5]]
+        rows = sorted(got.get(sid, []))
+        assert [(r[1], r[2]) for r in rows] == \
+            [(w["domain"], w["count"]) for w in want], sid
