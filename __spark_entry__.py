@@ -5784,6 +5784,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pt.synth_mention_hits(_docs(spark, sf_dir)))
     q["mention_top_outlets"] = mention_top_outlets_q
 
+    # ── vecs multi-collection search fusion ────────────────────────
+    def vecs_multi_fusion_q(spark, sf_dir):
+        # image_only_weights renormalization, has_understanding needs
+        # RESULTS (failed specialized keeps weight — pin), 0.0 score
+        # defaults, combined sort + limit-20 trim
+        from mivaa_pdf_extractor_spark.operators import (
+            vecs_fusion as vf)
+        d = _docs(spark, sf_dir)
+        return vf.fuse_collections(vf.synth_results(d),
+                                   vf.synth_channels(d))
+    q["vecs_multi_fusion"] = vecs_multi_fusion_q
+
+    def vecs_collection_stats_q(spark, sf_dir):
+        # per-channel result counts incl. zero rows for failed/
+        # unqueried channels
+        from mivaa_pdf_extractor_spark.operators import (
+            vecs_fusion as vf)
+        d = _docs(spark, sf_dir)
+        return vf.collection_stats(vf.synth_results(d),
+                                   vf.synth_channels(d))
+    q["vecs_collection_stats"] = vecs_collection_stats_q
+
     return q
 
 
@@ -6632,6 +6654,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import spec_vision as _sv
     from mivaa_pdf_extractor_spark.operators import vision_embed as _ve
     from mivaa_pdf_extractor_spark.operators import public_tools as _pt
+    from mivaa_pdf_extractor_spark.operators import vecs_fusion as _vf
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
     from mivaa_pdf_extractor_spark.operators import progress as _pg
@@ -12658,4 +12681,14 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_pt.DUCK_PT_HITS_SQL}
             SELECT * FROM ptoutlets""",
+        "vecs_multi_fusion": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_vf.DUCK_VECS_SQL}
+            SELECT * FROM vfused""",
+        "vecs_collection_stats": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_vf.DUCK_VECS_SQL}
+            SELECT * FROM vstats""",
     }

@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "public_query_hash", "public_quota_check", "public_market_stats",
     "public_scan_ladder", "mention_facets_build", "mention_hit_shape",
     "mention_top_outlets",
+    # round 4 continuation-9: vecs multi-collection fusion
+    "vecs_multi_fusion", "vecs_collection_stats",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
