@@ -5806,6 +5806,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    vf.synth_channels(d))
     q["vecs_collection_stats"] = vecs_collection_stats_q
 
+    # ── image-analysis property extraction + quality scoring ──────
+    def image_props_extract_q(spark, sf_dir):
+        # vision fields behind success+analysis gate, falsy chains
+        # into legacy properties.*, claude fill-only-falsy + max-conf
+        from mivaa_pdf_extractor_spark.operators import (
+            image_analysis as ia)
+        return ia.extract_material_properties(
+            ia.synth_analysis_rows(_docs(spark, sf_dir)))
+    q["image_props_extract"] = image_props_extract_q
+
+    def image_props_vision_only_q(spark, sf_dir):
+        # gate ladder: analysis, ELIF no-error reads top level (pin)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_analysis as ia)
+        return ia.extract_vision_only(
+            ia.synth_analysis_rows(_docs(spark, sf_dir)))
+    q["image_props_vision_only"] = image_props_vision_only_q
+
+    def image_quality_unified_q(spark, sf_dir):
+        # zero components leave the denominator; props weight always
+        # counted; invalid SLIG excluded not penalized; 0.5 fallback
+        from mivaa_pdf_extractor_spark.operators import (
+            image_analysis as ia)
+        rows = ia.synth_analysis_rows(_docs(spark, sf_dir))
+        return ia.quality_score_unified(
+            rows, ia.extract_material_properties(rows))
+    q["image_quality_unified"] = image_quality_unified_q
+
     return q
 
 
@@ -6655,6 +6683,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import vision_embed as _ve
     from mivaa_pdf_extractor_spark.operators import public_tools as _pt
     from mivaa_pdf_extractor_spark.operators import vecs_fusion as _vf
+    from mivaa_pdf_extractor_spark.operators import image_analysis as _ia
     from mivaa_pdf_extractor_spark.operators import (
         validation_gate as _vg)
     from mivaa_pdf_extractor_spark.operators import progress as _pg
@@ -12691,4 +12720,19 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_vf.DUCK_VECS_SQL}
             SELECT * FROM vstats""",
+        "image_props_extract": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ia.DUCK_IA_PROPS_SQL}
+            SELECT * FROM iaprops""",
+        "image_props_vision_only": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ia.DUCK_IA_VISONLY_SQL}
+            SELECT * FROM iavo""",
+        "image_quality_unified": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_ia.DUCK_IA_QUALITY_SQL}
+            SELECT * FROM iaquality""",
     }

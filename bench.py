@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "mention_top_outlets",
     # round 4 continuation-9: vecs multi-collection fusion
     "vecs_multi_fusion", "vecs_collection_stats",
+    # round 4 continuation-9: image-analysis props + quality
+    "image_props_extract", "image_props_vision_only",
+    "image_quality_unified",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
