@@ -5834,6 +5834,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, ia.extract_material_properties(rows))
     q["image_quality_unified"] = image_quality_unified_q
 
+    # ── document extraction-status rollup ──────────────────────────
+    def product_field_coverage_q(spark, sf_dir):
+        # _count_populated skips _-sections + catalog_layout; present-
+        # but-empty critical field is missing; pct = min(100,
+        # int(n/40*100)); '' name -> '?'; source histogram w/ unknown
+        from mivaa_pdf_extractor_spark.operators import (
+            extraction_status as es)
+        d = _docs(spark, sf_dir)
+        return es.product_coverage(es.synth_status_products(d),
+                                   es.synth_status_entries(d))
+    q["product_field_coverage"] = product_field_coverage_q
+
+    def doc_extraction_status_q(spark, sf_dir):
+        # doc rollup: avg pct round 1 (0.0 on no products), bucket
+        # histogram, ordered issue ladder incl. legend_pages==0 firing
+        # when layer 1 never ran; legend types/certs empty w/o layer 2
+        from mivaa_pdf_extractor_spark.operators import (
+            extraction_status as es)
+        d = _docs(spark, sf_dir)
+        cov = es.product_coverage(es.synth_status_products(d),
+                                  es.synth_status_entries(d))
+        return es.document_status(es.synth_status_docs(d), cov)
+    q["doc_extraction_status"] = doc_extraction_status_q
+
     return q
 
 
@@ -6689,6 +6713,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import progress as _pg
     from mivaa_pdf_extractor_spark.operators import (
         product_progress as _ppr)
+    from mivaa_pdf_extractor_spark.operators import (
+        extraction_status as _es)
     from mivaa_pdf_extractor_spark.operators import catalog_kb as _ckb
     from mivaa_pdf_extractor_spark.operators import (
         input_validation as _iv)
@@ -12735,4 +12761,16 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_ia.DUCK_IA_QUALITY_SQL}
             SELECT * FROM iaquality""",
+        "product_field_coverage": f"""
+            WITH products_in AS ({_es.SYNTH_STATUS_PRODUCTS_SQL}),
+            entries_in AS ({_es.SYNTH_STATUS_ENTRIES_SQL}),
+            {_es.DUCK_PRODUCT_COVERAGE_SQL}
+            SELECT * FROM coverage_b""",
+        "doc_extraction_status": f"""
+            WITH products_in AS ({_es.SYNTH_STATUS_PRODUCTS_SQL}),
+            entries_in AS ({_es.SYNTH_STATUS_ENTRIES_SQL}),
+            docs_in AS ({_es.SYNTH_STATUS_DOCS_SQL}),
+            {_es.DUCK_PRODUCT_COVERAGE_SQL},
+            {_es.DUCK_DOC_STATUS_SQL}
+            SELECT * FROM doc_status""",
     }
