@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     # round 4 continuation-9: image-analysis props + quality
     "image_props_extract", "image_props_vision_only",
     "image_quality_unified",
+    # round 4 continuation-10: extraction-status rollup
+    "product_field_coverage", "doc_extraction_status",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
