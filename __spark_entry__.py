@@ -5858,6 +5858,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return es.document_status(es.synth_status_docs(d), cov)
     q["doc_extraction_status"] = doc_extraction_status_q
 
+    # ── Stage-0 product-creation idempotency/quota/repair ladder ───
+    def stage0_product_ledger_q(spark, sf_dir):
+        # _idem_key strip/lower + int-parse-or-None; DB map first-wins
+        # skipping falsy keys; reuse passes at zero quota; skipped keys
+        # NOT cached (dups re-skip); same-run cache stores falsy keys;
+        # repair-on-reuse popped once per db row
+        from mivaa_pdf_extractor_spark.operators import (
+            stage0_products as s0)
+        d = _docs(spark, sf_dir)
+        return s0.fold_stage0_creation(
+            s0.synth_discovered(d), s0.synth_existing(d),
+            s0.synth_quotas(d))
+    q["stage0_product_ledger"] = stage0_product_ledger_q
+
+    def stage0_creation_summary_q(spark, sf_dir):
+        # checkpoint counters: ready = reused+created+same-run (skips
+        # continue before the append); explicit skipped-quota marker
+        from mivaa_pdf_extractor_spark.operators import (
+            stage0_products as s0)
+        d = _docs(spark, sf_dir)
+        return s0.stage0_creation_summary(s0.fold_stage0_creation(
+            s0.synth_discovered(d), s0.synth_existing(d),
+            s0.synth_quotas(d)))
+    q["stage0_creation_summary"] = stage0_creation_summary_q
+
     return q
 
 
@@ -6715,6 +6740,8 @@ def oracle_sql() -> dict[str, str]:
         product_progress as _ppr)
     from mivaa_pdf_extractor_spark.operators import (
         extraction_status as _es)
+    from mivaa_pdf_extractor_spark.operators import (
+        stage0_products as _s0)
     from mivaa_pdf_extractor_spark.operators import catalog_kb as _ckb
     from mivaa_pdf_extractor_spark.operators import (
         input_validation as _iv)
@@ -12773,4 +12800,17 @@ def oracle_sql() -> dict[str, str]:
             {_es.DUCK_PRODUCT_COVERAGE_SQL},
             {_es.DUCK_DOC_STATUS_SQL}
             SELECT * FROM doc_status""",
+        "stage0_product_ledger": f"""
+            WITH discovered_in AS ({_s0.SYNTH_S0_DISCOVERED_SQL}),
+            existing_in AS ({_s0.SYNTH_S0_EXISTING_SQL}),
+            quotas_in AS ({_s0.SYNTH_S0_QUOTAS_SQL}),
+            {_s0.DUCK_S0_LEDGER_SQL}
+            SELECT * FROM ledger""",
+        "stage0_creation_summary": f"""
+            WITH discovered_in AS ({_s0.SYNTH_S0_DISCOVERED_SQL}),
+            existing_in AS ({_s0.SYNTH_S0_EXISTING_SQL}),
+            quotas_in AS ({_s0.SYNTH_S0_QUOTAS_SQL}),
+            {_s0.DUCK_S0_LEDGER_SQL},
+            {_s0.DUCK_S0_SUMMARY_SQL}
+            SELECT * FROM s0_summary""",
     }

@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "image_quality_unified",
     # round 4 continuation-10: extraction-status rollup
     "product_field_coverage", "doc_extraction_status",
+    # round 4 continuation-11: stage-0 creation ledger
+    "stage0_product_ledger", "stage0_creation_summary",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
