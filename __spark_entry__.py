@@ -4134,6 +4134,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jobs.synth_tracked_keywords(_events(spark, sf_dir)))
     q["job_query_variations"] = job_query_variations
 
+    def job_posted_at_norm(spark, sf_dir):
+        # normalize_posted_at: ISO passthrough, now-ish substring tokens
+        # (incl. the 'Renewed ... ago' pin), yesterday, N-unit-ago ladder
+        # with month=30d/year=365d, undatable -> NULL
+        # (job_research_service.py:87-148)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        h = jr.synth_refresh_hits(_events(spark, sf_dir))
+        return h.select(
+            "tracked_id", "hit_ord", "posted_at",
+            jr.posted_at_norm_col(F.col("posted_at")).alias("posted_norm"))
+    q["job_posted_at_norm"] = job_posted_at_norm
+
+    def job_refresh_cascade(spark, sf_dir):
+        # the refresh dedup cascade: url-unique -> role-identity collapse
+        # -> exclusions -> history hash/url anti-joins -> strict recency
+        # gate, first-failing-stage disposition
+        # (job_research_service.py:940-1046)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        e = _events(spark, sf_dir)
+        return jr.refresh_cascade(
+            jr.synth_refresh_hits(e), jr.synth_exclusions(spark),
+            *jr.synth_history(e), jr.synth_tracked(spark))
+    q["job_refresh_cascade"] = job_refresh_cascade
+
+    def job_refresh_outcome(spark, sf_dir):
+        # per-tracked-job refresh counters: deduped counted AFTER the
+        # exclusion filter, persisted skips 'mismatch' verdicts with
+        # missing verdicts defaulting 'unverifiable'
+        # (job_research_service.py:1076-1117, :1180-1186)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        e = _events(spark, sf_dir)
+        casc = jr.refresh_cascade(
+            jr.synth_refresh_hits(e), jr.synth_exclusions(spark),
+            *jr.synth_history(e), jr.synth_tracked(spark))
+        return jr.refresh_outcome(casc, jr.synth_verdicts(e))
+    q["job_refresh_outcome"] = job_refresh_outcome
+
+    def job_refresh_plan(spark, sf_dir):
+        # the refresh fan-out plan: original-keywords google_jobs,
+        # site-targeted SERP composition capped at 8, perplexity keyword
+        # chunks of 3 (cap 6) with sonar-pro on first/forced discovery,
+        # variation calls [:3], per-tracked-first CI source merges
+        # (job_research_service.py:605-830)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        return jr.refresh_task_plan(
+            jr.synth_tracked_plans(_events(spark, sf_dir)))
+    q["job_refresh_plan"] = job_refresh_plan
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6811,6 +6859,7 @@ def oracle_sql() -> dict[str, str]:
 
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
+    from mivaa_pdf_extractor_spark.operators import job_refresh as _jref
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12090,6 +12139,37 @@ def oracle_sql() -> dict[str, str]:
                    END AS query
             FROM x CROSS JOIN (VALUES (0), (1), (2), (3), (4))
                  v(variation_idx)""",
+        "job_posted_at_norm": f"""
+            WITH hits AS ({_jref.SYNTH_REFRESH_HITS_SQL})
+            SELECT tracked_id, hit_ord, posted_at,
+                   {_jref.posted_at_norm_sql('posted_at')} AS posted_norm
+            FROM hits""",
+        "job_refresh_cascade": _jref.cascade_sql(),
+        "job_refresh_plan": _jref.plan_sql(),
+        "job_refresh_outcome": f"""
+            WITH casc AS ({_jref.cascade_sql()}),
+            verd AS ({_jref.SYNTH_VERDICTS_SQL}),
+            j AS (SELECT casc.*, verd.relevance
+                  FROM casc LEFT JOIN verd
+                    ON verd.tracked_id = casc.tracked_id
+                   AND verd.hit_ord = casc.hit_ord)
+            SELECT tracked_id,
+                   CAST(count(*) AS BIGINT) AS discovered,
+                   CAST(sum(CASE WHEN disposition NOT IN
+                                 ('url_dup', 'role_dup', 'excluded')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS deduped,
+                   CAST(sum(CASE WHEN disposition = 'kept'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS candidates,
+                   CAST(sum(CASE WHEN disposition = 'kept'
+                                 AND coalesce(relevance, 'unverifiable')
+                                     <> 'mismatch'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS persisted,
+                   CAST(sum(CASE WHEN disposition = 'kept'
+                                 AND relevance = 'match'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+            FROM j GROUP BY tracked_id""",
         "product_field_mine": f"""
             WITH docs AS ({_enrich.SYNTH_CATALOG_SQL})
             {_enrich.mine_sql()}""",

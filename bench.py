@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "ai_cost_per_call", "ai_cost_rollup", "ai_cost_multimodal",
     # round 4 continuation: job-listing curation gates
     "job_listing_gate", "job_dedupe_hits", "job_query_variations",
+    "job_posted_at_norm", "job_refresh_cascade", "job_refresh_outcome",
+    "job_refresh_plan",
     # round 4 continuation: product enrichment field mining
     "product_field_mine", "vision_rollup", "propagate_fields",
     "enrich_merge_fields", "product_embedding_text",
