@@ -4182,6 +4182,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jr.synth_tracked_plans(_events(spark, sf_dir)))
     q["job_refresh_plan"] = job_refresh_plan
 
+    def job_feed_fallback(spark, sf_dir):
+        # RSS->Firecrawl cross-method fallback map: empty feeds retried
+        # against their derived HTML page unless a careers page already
+        # covers it (ci) or an earlier feed claimed the page
+        # (case-sensitive — the reference's dict-values check)
+        # (job_research_service.py:150-166, :858-872)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        e = _events(spark, sf_dir)
+        return jr.feed_fallback_plan(jr.synth_feed_rows(e),
+                                     jr.synth_career_rows(e))
+    q["job_feed_fallback"] = job_feed_fallback
+
+    def job_source_report(spark, sf_dir):
+        # per-source transparency: every configured board/feed/ATS/API
+        # source reported individually incl. zeros; recovered-via-
+        # firecrawl relabel, both-empty suffix, '(failed)' on -1,
+        # careers_pages/rss_feeds aggregates skipped
+        # (job_research_service.py:888-930)
+        from mivaa_pdf_extractor_spark.operators import job_refresh as jr
+        e = _events(spark, sf_dir)
+        rss = (jr.synth_feed_rows(e)
+               .withColumnRenamed("feed_ord", "ord")
+               .withColumnRenamed("feed_url", "url"))
+        return jr.source_report(jr.synth_career_rows(e), rss,
+                                jr.synth_ats_rows(e), jr.synth_api_rows(e))
+    q["job_source_report"] = job_source_report
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -12146,6 +12173,8 @@ def oracle_sql() -> dict[str, str]:
             FROM hits""",
         "job_refresh_cascade": _jref.cascade_sql(),
         "job_refresh_plan": _jref.plan_sql(),
+        "job_feed_fallback": _jref.fallback_plan_sql(),
+        "job_source_report": _jref.source_report_sql(),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),

@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     # round 4 continuation: job-listing curation gates
     "job_listing_gate", "job_dedupe_hits", "job_query_variations",
     "job_posted_at_norm", "job_refresh_cascade", "job_refresh_outcome",
-    "job_refresh_plan",
+    "job_refresh_plan", "job_feed_fallback", "job_source_report",
     # round 4 continuation: product enrichment field mining
     "product_field_mine", "vision_rollup", "propagate_fields",
     "enrich_merge_fields", "product_embedding_text",

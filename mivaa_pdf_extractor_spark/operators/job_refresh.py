@@ -1124,3 +1124,338 @@ def plan_sql() -> str:
                coalesce(payload, '') AS payload
         FROM tasks
     """
+
+
+# ---------------------------------------------------------------------------
+# RSS->Firecrawl fallback plan (:858-885, _feed_to_page_url :150-166) and
+# the per-source transparency report (:888-930)
+# ---------------------------------------------------------------------------
+
+def feed_to_page_col(feed: Column) -> Column:
+    """_feed_to_page_url (:150-166): best-effort HTML listing page for a
+    feed URL — drop query/fragment, strip .rss/.xml/.atom and trailing
+    /feed|/rss|/atom segments, rstrip '/'; NULL when nothing remains."""
+    u = F.trim(F.coalesce(feed, F.lit("")))
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    u = F.regexp_replace(u, r"(?i)\.(rss|xml|atom)$", "")
+    u = F.regexp_replace(u, r"(?i)/(feed|rss|atom)/?$", "")
+    u = F.regexp_replace(u, r"/+$", "")
+    return F.nullif(u, F.lit(""))
+
+
+def feed_to_page_sql(expr: str) -> str:
+    u = f"trim(coalesce({expr}, ''))"
+    u = f"regexp_replace({u}, '[?#].*$', '')"
+    u = f"regexp_replace({u}, '(?i)\\.(rss|xml|atom)$', '')"
+    u = f"regexp_replace({u}, '(?i)/(feed|rss|atom)/?$', '')"
+    u = f"regexp_replace({u}, '/+$', '')"
+    return f"nullif({u}, '')"
+
+
+def feed_fallback_plan(feeds: DataFrame, careers: DataFrame) -> DataFrame:
+    """The cross-method fallback map (:858-872): every configured feed
+    that returned nothing is retried via Firecrawl against its derived
+    HTML page — unless the page is already a configured careers page
+    (case-insensitive) or an EARLIER empty feed already claimed the same
+    page (the reference's ``_p not in _page_for.values()`` is
+    case-SENSITIVE — pinned). ``feeds``: (tracked_id, feed_ord, feed_url,
+    hits); ``careers``: (tracked_id, url)."""
+    c = (careers.groupBy("tracked_id")
+         .agg(F.collect_list(F.lower(F.trim(F.col("url"))))
+              .alias("_careers")))
+    f = (feeds.where(F.col("hits") == 0)
+         .withColumn("page_url", feed_to_page_col(F.col("feed_url")))
+         .where(F.col("page_url").isNotNull())
+         .join(F.broadcast(c), "tracked_id", "left")
+         .where(~F.coalesce(
+             F.array_contains(F.col("_careers"), F.lower("page_url")),
+             F.lit(False))))
+    w = Window.partitionBy("tracked_id", "page_url").orderBy("feed_ord")
+    return (f.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("tracked_id", "feed_ord", "feed_url", "page_url"))
+
+
+def parse_ats_key_col(entry: Column) -> Column:
+    """parse_ats_entry (job_search_service.py:1837-1857) as a column:
+    'provider:slug' (provider whitelisted, slug slash-stripped) else the
+    greenhouse/lever/ashby URL forms; NULL when unrecognised."""
+    e = F.trim(F.coalesce(entry, F.lit("")))
+    prov = F.lower(F.trim(F.substring_index(e, ":", 1)))
+    rest = F.regexp_extract(e, r"^[^:]*:(.*)$", 1)
+    slug = F.regexp_replace(F.trim(rest), r"^/+|/+$", "")
+    colon_ok = (~F.lower(e).startswith("http") & e.contains(":")
+                & prov.isin(*_ATS_PROVIDERS) & (slug != ""))
+    gh = F.regexp_extract(e, r"(?i)greenhouse\.io/(?:v1/boards/)?([^/?#]+)",
+                          1)
+    lv = F.regexp_extract(e, r"(?i)lever\.co/(?:v0/postings/)?([^/?#]+)", 1)
+    ab = F.regexp_extract(
+        e, r"(?i)ashbyhq\.com/(?:posting-api/job-board/)?([^/?#]+)", 1)
+    return (F.when(colon_ok, F.concat(prov, F.lit(":"), slug))
+            .when(gh != "", F.concat(F.lit("greenhouse:"), gh))
+            .when(lv != "", F.concat(F.lit("lever:"), lv))
+            .when(ab != "", F.concat(F.lit("ashby:"), ab)))
+
+
+def parse_ats_key_sql(expr: str) -> str:
+    e = f"trim(coalesce({expr}, ''))"
+    prov = f"lower(trim(string_split({e}, ':')[1]))"
+    rest = f"regexp_extract({e}, '^[^:]*:(.*)$', 1)"
+    slug = f"regexp_replace(trim({rest}), '^/+|/+$', '', 'g')"
+    provs = ", ".join(f"'{p}'" for p in _ATS_PROVIDERS)
+    colon_ok = (f"(NOT lower({e}) LIKE 'http%' AND contains({e}, ':') "
+                f"AND {prov} IN ({provs}) AND {slug} <> '')")
+    gh = f"regexp_extract({e}, '(?i)greenhouse\\.io/(?:v1/boards/)?([^/?#]+)', 1)"
+    lv = f"regexp_extract({e}, '(?i)lever\\.co/(?:v0/postings/)?([^/?#]+)', 1)"
+    ab = (f"regexp_extract({e}, "
+          f"'(?i)ashbyhq\\.com/(?:posting-api/job-board/)?([^/?#]+)', 1)")
+    return (f"CASE WHEN {colon_ok} THEN {prov} || ':' || {slug} "
+            f"WHEN {gh} <> '' THEN 'greenhouse:' || {gh} "
+            f"WHEN {lv} <> '' THEN 'lever:' || {lv} "
+            f"WHEN {ab} <> '' THEN 'ashby:' || {ab} END")
+
+
+def source_report(careers: DataFrame, rss: DataFrame, ats: DataFrame,
+                  api: DataFrame) -> DataFrame:
+    """PER-SOURCE TRANSPARENCY (:888-930): one report row per configured
+    board/feed/ATS entry/API source — ESPECIALLY the zeros — so a
+    silently-dead source is never hidden inside an aggregate total.
+
+    - careers (section 0): key = url; empty when 0 hits;
+    - rss (section 1): a dead feed recovered via the Firecrawl fallback
+      reports ``url (recovered via firecrawl)`` with the FALLBACK count
+      and is NOT empty; otherwise empty feeds carry the
+      ``(rss AND firecrawl fallback both empty)`` suffix only when a
+      fallback was actually attempted;
+    - ats (section 2): key = ``ats:provider:slug`` (parse_ats_entry) or
+      ``ats:raw-entry`` when unparseable;
+    - api (section 3): 'careers_pages'/'rss_feeds' aggregates are
+      SKIPPED (their per-URL rows already reported); -1 means the call
+      raised -> ``name (failed)``.
+
+    All four sections are map-only projections unioned by name."""
+    c = careers.select(
+        "tracked_id", F.lit(0).alias("section_ord"),
+        F.col("ord").alias("item_ord"), F.col("url").alias("report_key"),
+        F.col("hits").cast("long").alias("reported_count"),
+        F.when(F.col("hits") == 0, F.col("url")).alias("empty_label"))
+    recovered = (F.col("hits") == 0) & (F.col("fallback_hits") > 0)
+    r = rss.select(
+        "tracked_id", F.lit(1).alias("section_ord"),
+        F.col("ord").alias("item_ord"),
+        F.when(recovered,
+               F.concat(F.col("url"), F.lit(" (recovered via firecrawl)")))
+        .otherwise(F.col("url")).alias("report_key"),
+        F.when(recovered, F.col("fallback_hits")).otherwise(F.col("hits"))
+        .cast("long").alias("reported_count"),
+        F.when((F.col("hits") == 0) & ~recovered,
+               F.concat(F.col("url"),
+                        F.when(F.col("fallback_attempted"),
+                               F.lit(" (rss AND firecrawl fallback"
+                                     " both empty)"))
+                        .otherwise(F.lit("")))).alias("empty_label"))
+    akey = F.concat(F.lit("ats:"),
+                    F.coalesce(parse_ats_key_col(F.col("entry")),
+                               F.col("entry")))
+    a = ats.select(
+        "tracked_id", F.lit(2).alias("section_ord"),
+        F.col("ord").alias("item_ord"), akey.alias("report_key"),
+        F.col("hits").cast("long").alias("reported_count"),
+        F.when(F.col("hits") == 0, akey).alias("empty_label"))
+    p = (api.where(~F.col("name").isin("careers_pages", "rss_feeds"))
+         .select(
+             "tracked_id", F.lit(3).alias("section_ord"),
+             F.col("ord").alias("item_ord"),
+             F.col("name").alias("report_key"),
+             F.col("count").cast("long").alias("reported_count"),
+             F.when(F.col("count") == 0, F.col("name"))
+             .when(F.col("count") == -1,
+                   F.concat(F.col("name"), F.lit(" (failed)")))
+             .alias("empty_label")))
+    return c.unionByName(r).unionByName(a).unionByName(p)
+
+
+# --- synthesizers + twins for the fallback/report contract ---------------
+
+def synth_feed_rows(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    feed = (F.when(e % 6 == 0,
+                   F.lit("https://remoteok.com/remote-jobs.rss"))
+            .when(e % 6 == 1, F.lit("https://remotive.com/remote-jobs/feed"))
+            .when(e % 6 == 2, F.lit("https://jobspresso.co/?feed=job_feed"))
+            .when(e % 6 == 3,
+                  F.lit("https://boards.example.com/jobs.XML"))
+            .when(e % 6 == 4,
+                  F.lit("https://remoteok.com/remote-jobs.rss/"))
+            .otherwise(F.lit("https://live.example.com/feed")))
+    return events.select(
+        (e % 4).alias("tracked_id"), e.alias("feed_ord"),
+        feed.alias("feed_url"),
+        F.when(e % 5 == 0, F.lit(3)).otherwise(F.lit(0)).alias("hits"),
+        F.when(e % 7 == 0, F.lit(2)).otherwise(F.lit(0))
+        .alias("fallback_hits"),
+        (e % 3 == 0).alias("fallback_attempted"))
+
+
+SYNTH_FEED_ROWS_SQL = """
+    SELECT event_id % 4 AS tracked_id, event_id AS feed_ord,
+           CASE WHEN event_id % 6 = 0
+                THEN 'https://remoteok.com/remote-jobs.rss'
+                WHEN event_id % 6 = 1
+                THEN 'https://remotive.com/remote-jobs/feed'
+                WHEN event_id % 6 = 2
+                THEN 'https://jobspresso.co/?feed=job_feed'
+                WHEN event_id % 6 = 3
+                THEN 'https://boards.example.com/jobs.XML'
+                WHEN event_id % 6 = 4
+                THEN 'https://remoteok.com/remote-jobs.rss/'
+                ELSE 'https://live.example.com/feed' END AS feed_url,
+           CASE WHEN event_id % 5 = 0 THEN 3 ELSE 0 END AS hits,
+           CASE WHEN event_id % 7 = 0 THEN 2 ELSE 0 END AS fallback_hits,
+           event_id % 3 = 0 AS fallback_attempted
+    FROM events
+"""
+
+
+def synth_career_rows(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    url = (F.when(e % 3 == 0, F.lit("https://remoteok.com/remote-jobs"))
+           .otherwise(F.concat(F.lit("https://co"), (e % 9).cast("string"),
+                               F.lit(".example/careers"))))
+    return events.where(e % 2 == 0).select(
+        (e % 4).alias("tracked_id"), e.alias("ord"), url.alias("url"),
+        F.when(e % 10 == 0, F.lit(5)).otherwise(F.lit(0)).alias("hits"))
+
+
+SYNTH_CAREER_ROWS_SQL = """
+    SELECT event_id % 4 AS tracked_id, event_id AS ord,
+           CASE WHEN event_id % 3 = 0
+                THEN 'https://remoteok.com/remote-jobs'
+                ELSE 'https://co' || CAST(event_id % 9 AS VARCHAR)
+                     || '.example/careers' END AS url,
+           CASE WHEN event_id % 10 = 0 THEN 5 ELSE 0 END AS hits
+    FROM events WHERE event_id % 2 = 0
+"""
+
+
+def synth_ats_rows(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    entry = (F.when(e % 7 == 0, F.lit("greenhouse:stripe"))
+             .when(e % 7 == 1, F.lit("LEVER: zoom /"))
+             .when(e % 7 == 2,
+                   F.lit("https://boards.greenhouse.io/v1/boards/acme?x=1"))
+             .when(e % 7 == 3, F.lit("https://jobs.lever.co/netflix/"))
+             .when(e % 7 == 4,
+                   F.lit("https://jobs.ashbyhq.com/posting-api/"
+                         "job-board/Linear"))
+             .when(e % 7 == 5, F.lit("workday:corp"))
+             .otherwise(F.lit("justaword")))
+    return events.where(e % 3 == 0).select(
+        (e % 4).alias("tracked_id"), e.alias("ord"), entry.alias("entry"),
+        F.when(e % 6 == 0, F.lit(4)).otherwise(F.lit(0)).alias("hits"))
+
+
+SYNTH_ATS_ROWS_SQL = """
+    SELECT event_id % 4 AS tracked_id, event_id AS ord,
+           CASE WHEN event_id % 7 = 0 THEN 'greenhouse:stripe'
+                WHEN event_id % 7 = 1 THEN 'LEVER: zoom /'
+                WHEN event_id % 7 = 2
+                THEN 'https://boards.greenhouse.io/v1/boards/acme?x=1'
+                WHEN event_id % 7 = 3 THEN 'https://jobs.lever.co/netflix/'
+                WHEN event_id % 7 = 4
+                THEN 'https://jobs.ashbyhq.com/posting-api/job-board/Linear'
+                WHEN event_id % 7 = 5 THEN 'workday:corp'
+                ELSE 'justaword' END AS entry,
+           CASE WHEN event_id % 6 = 0 THEN 4 ELSE 0 END AS hits
+    FROM events WHERE event_id % 3 = 0
+"""
+
+
+def synth_api_rows(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    name = (F.when(e % 5 == 0, F.lit("google_jobs"))
+            .when(e % 5 == 1, F.lit("perplexity_primary"))
+            .when(e % 5 == 2, F.lit("careers_pages"))
+            .when(e % 5 == 3, F.lit("rss_feeds"))
+            .otherwise(F.lit("google_serp")))
+    cnt = (F.when(e % 4 == 0, F.lit(12))
+           .when(e % 4 == 1, F.lit(0))
+           .when(e % 4 == 3, F.lit(-1))
+           .otherwise(F.lit(3)))
+    return events.where(e % 2 == 1).select(
+        (e % 4).alias("tracked_id"), e.alias("ord"), name.alias("name"),
+        cnt.alias("count"))
+
+
+SYNTH_API_ROWS_SQL = """
+    SELECT event_id % 4 AS tracked_id, event_id AS ord,
+           CASE WHEN event_id % 5 = 0 THEN 'google_jobs'
+                WHEN event_id % 5 = 1 THEN 'perplexity_primary'
+                WHEN event_id % 5 = 2 THEN 'careers_pages'
+                WHEN event_id % 5 = 3 THEN 'rss_feeds'
+                ELSE 'google_serp' END AS name,
+           CASE WHEN event_id % 4 = 0 THEN 12
+                WHEN event_id % 4 = 1 THEN 0
+                WHEN event_id % 4 = 3 THEN -1
+                ELSE 3 END AS count
+    FROM events WHERE event_id % 2 = 1
+"""
+
+
+def fallback_plan_sql() -> str:
+    page = feed_to_page_sql("feed_url")
+    return f"""
+        WITH feeds AS ({SYNTH_FEED_ROWS_SQL}),
+        careers AS ({SYNTH_CAREER_ROWS_SQL}),
+        ca AS (SELECT tracked_id, list(lower(trim(url))) AS cl
+               FROM careers GROUP BY tracked_id),
+        f AS (SELECT feeds.*, ({page}) AS page_url
+              FROM feeds WHERE hits = 0),
+        g AS (SELECT f.* FROM f
+              LEFT JOIN ca ON ca.tracked_id = f.tracked_id
+              WHERE f.page_url IS NOT NULL
+                AND NOT coalesce(list_contains(ca.cl, lower(f.page_url)),
+                                 FALSE))
+        SELECT tracked_id, feed_ord, feed_url, page_url FROM (
+          SELECT *, row_number() OVER (
+                     PARTITION BY tracked_id, page_url
+                     ORDER BY feed_ord) AS rn
+          FROM g) WHERE rn = 1
+    """
+
+
+def source_report_sql() -> str:
+    akey = f"'ats:' || coalesce({parse_ats_key_sql('entry')}, entry)"
+    return f"""
+        WITH careers AS ({SYNTH_CAREER_ROWS_SQL}),
+        rss AS ({SYNTH_FEED_ROWS_SQL}),
+        ats AS ({SYNTH_ATS_ROWS_SQL}),
+        api AS ({SYNTH_API_ROWS_SQL})
+        SELECT tracked_id, 0 AS section_ord, ord AS item_ord,
+               url AS report_key, CAST(hits AS BIGINT) AS reported_count,
+               CASE WHEN hits = 0 THEN url END AS empty_label
+        FROM careers
+        UNION ALL
+        SELECT tracked_id, 1, feed_ord,
+               CASE WHEN hits = 0 AND fallback_hits > 0
+                    THEN feed_url || ' (recovered via firecrawl)'
+                    ELSE feed_url END,
+               CAST(CASE WHEN hits = 0 AND fallback_hits > 0
+                         THEN fallback_hits ELSE hits END AS BIGINT),
+               CASE WHEN hits = 0 AND NOT (fallback_hits > 0)
+                    THEN feed_url ||
+                         (CASE WHEN fallback_attempted
+                               THEN ' (rss AND firecrawl fallback'
+                                    || ' both empty)'
+                               ELSE '' END) END
+        FROM rss
+        UNION ALL
+        SELECT tracked_id, 2, ord, {akey}, CAST(hits AS BIGINT),
+               CASE WHEN hits = 0 THEN {akey} END
+        FROM ats
+        UNION ALL
+        SELECT tracked_id, 3, ord, name, CAST(count AS BIGINT),
+               CASE WHEN count = 0 THEN name
+                    WHEN count = -1 THEN name || ' (failed)' END
+        FROM api WHERE name NOT IN ('careers_pages', 'rss_feeds')
+    """

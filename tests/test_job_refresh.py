@@ -324,3 +324,72 @@ def test_plan_pins(spark):
     # 'greenhouse:stripe' and default 'GREENHOUSE:STRIPE'
     assert plan[(0, "ats_boards")]["payload"].startswith("greenhouse:stripe")
     assert "GREENHOUSE" not in plan[(0, "ats_boards")]["payload"]
+
+
+def test_feed_to_page_pins(spark):
+    cases = {
+        "https://remoteok.com/remote-jobs.rss":
+            "https://remoteok.com/remote-jobs",
+        "https://remotive.com/remote-jobs/feed":
+            "https://remotive.com/remote-jobs",
+        "https://jobspresso.co/?feed=job_feed": "https://jobspresso.co",
+        "https://x.com/jobs.XML": "https://x.com/jobs",
+        # rstrip('/') runs LAST, so a trailing slash shields the .rss
+        # suffix from the extension strip — reference order pinned
+        "https://remoteok.com/remote-jobs.rss/":
+            "https://remoteok.com/remote-jobs.rss",
+        "": None,
+        "?feed=x": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: r["p"] for r in df.select(
+        "u", jr.feed_to_page_col(F.col("u")).alias("p")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, u
+
+
+def test_parse_ats_key_pins(spark):
+    cases = {
+        "greenhouse:stripe": "greenhouse:stripe",
+        # slug.strip().strip('/') keeps an INNER trailing space once the
+        # slash is peeled — reference behavior pinned
+        "LEVER: zoom /": "lever:zoom ",
+        "https://boards.greenhouse.io/v1/boards/acme?x=1":
+            "greenhouse:acme",
+        "https://jobs.lever.co/netflix/": "lever:netflix",
+        "https://jobs.ashbyhq.com/posting-api/job-board/Linear":
+            "ashby:Linear",      # slug keeps its case (reference group(1))
+        "workday:corp": None,    # provider not whitelisted
+        "justaword": None,
+        "greenhouse:": None,     # empty slug
+    }
+    df = spark.createDataFrame([(e,) for e in cases], "e string")
+    got = {r["e"]: r["k"] for r in df.select(
+        "e", jr.parse_ats_key_col(F.col("e")).alias("k")).collect()}
+    for e, want in cases.items():
+        assert got[e] == want, e
+
+
+def test_source_report_labels(spark):
+    events = spark.range(0, 120).withColumnRenamed("id", "event_id")
+    rss = (jr.synth_feed_rows(events)
+           .withColumnRenamed("feed_ord", "ord")
+           .withColumnRenamed("feed_url", "url"))
+    rep = jr.source_report(jr.synth_career_rows(events), rss,
+                           jr.synth_ats_rows(events),
+                           jr.synth_api_rows(events)).collect()
+    keys = {r["report_key"] for r in rep}
+    labels = {r["empty_label"] for r in rep if r["empty_label"]}
+    # recovered feeds relabel and are NOT empty
+    rec = [r for r in rep if "recovered via firecrawl" in r["report_key"]]
+    assert rec and all(r["empty_label"] is None and r["reported_count"] > 0
+                       for r in rec)
+    # both-empty suffix only when a fallback was attempted
+    assert any(l.endswith("(rss AND firecrawl fallback both empty)")
+               for l in labels)
+    # failed API sources carry the (failed) suffix
+    assert any(l.endswith(" (failed)") for l in labels)
+    # aggregates skipped
+    assert "careers_pages" not in keys and "rss_feeds" not in keys
+    # unparseable ATS entries fall back to the raw entry
+    assert any(k == "ats:justaword" for k in keys)
