@@ -4209,6 +4209,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 jr.synth_ats_rows(e), jr.synth_api_rows(e))
     q["job_source_report"] = job_source_report
 
+    def job_source_curation(spark, sf_dir):
+        # post-refresh self-curation verdicts: registrable-domain collapse
+        # (2-part TLDs), curated yield bump, never-promote skip, index
+        # fold with >=3-employer x >=2-run promotion guardrails
+        # (job_source_curator.py:57-155)
+        from mivaa_pdf_extractor_spark.operators import job_curation as jc
+        return jc.curation_review(
+            jc.synth_match_rows(_events(spark, sf_dir)),
+            jc.synth_site_rows(spark), jc.synth_index_rows(spark))
+    q["job_source_curation"] = job_source_curation
+
+    def job_curation_summary(spark, sf_dir):
+        # per-run audit row: domains yielded, sorted promoted list,
+        # stale-auto-added disable count, summary line
+        # (job_source_curator.py:159-229)
+        from mivaa_pdf_extractor_spark.operators import job_curation as jc
+        rev = jc.curation_review(
+            jc.synth_match_rows(_events(spark, sf_dir)),
+            jc.synth_site_rows(spark), jc.synth_index_rows(spark))
+        return jc.curation_summary(
+            rev, jc.stale_auto_disable(jc.synth_site_rows(spark)))
+    q["job_curation_summary"] = job_curation_summary
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6887,6 +6910,7 @@ def oracle_sql() -> dict[str, str]:
     # job-listing curation twins (expression-lockstep with operators/jobs)
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
     from mivaa_pdf_extractor_spark.operators import job_refresh as _jref
+    from mivaa_pdf_extractor_spark.operators import job_curation as _jcur
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12175,6 +12199,8 @@ def oracle_sql() -> dict[str, str]:
         "job_refresh_plan": _jref.plan_sql(),
         "job_feed_fallback": _jref.fallback_plan_sql(),
         "job_source_report": _jref.source_report_sql(),
+        "job_source_curation": _jcur.curation_review_sql(),
+        "job_curation_summary": _jcur.curation_summary_sql(),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),
