@@ -4232,6 +4232,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rev, jc.stale_auto_disable(jc.synth_site_rows(spark)))
     q["job_curation_summary"] = job_curation_summary
 
+    def merchant_task_plan(spark, sf_dir):
+        # Google-Shopping task_post plan: dims-gated query strip, hot-set
+        # location map w/ GR default, depth clamp, post verdict ladder
+        # (dataforseo_merchant_service.py:136-199)
+        from mivaa_pdf_extractor_spark.operators import dataforseo as dfs
+        return dfs.merchant_task_plan(dfs.synth_requests(_events(spark,
+                                                                 sf_dir)))
+    q["merchant_task_plan"] = merchant_task_plan
+
+    def merchant_poll_outcome(spark, sf_dir):
+        # task_get poll fold: http-skip, 20000/terminal/40602 ladder,
+        # falsy cost chain, credit rounding
+        # (dataforseo_merchant_service.py:203-240)
+        from mivaa_pdf_extractor_spark.operators import dataforseo as dfs
+        return dfs.merchant_poll_outcome(dfs.synth_polls(_events(spark,
+                                                                 sf_dir)))
+    q["merchant_poll_outcome"] = merchant_poll_outcome
+
+    def merchant_parse_hits(spark, sf_dir):
+        # shopping SERP parse: seller chain, key-consuming dedupe,
+        # cap-then-sort, old_price sanity, aclk unquote
+        # (dataforseo_merchant_service.py:245-368)
+        from mivaa_pdf_extractor_spark.operators import dataforseo as dfs
+        return dfs.merchant_parse(dfs.synth_items(_events(spark, sf_dir)))
+    q["merchant_parse_hits"] = merchant_parse_hits
+
+    def dfs_envelope_costs(spark, sf_dir):
+        # unified-client envelope: per-task cost sum, items-or-inline
+        # flatten, country_to_location w/ US default
+        # (dataforseo_unified_client.py:85-96,181-203)
+        from mivaa_pdf_extractor_spark.operators import dataforseo as dfs
+        return dfs.dfs_envelope(dfs.synth_results(_events(spark, sf_dir)))
+    q["dfs_envelope_costs"] = dfs_envelope_costs
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6911,6 +6945,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import jobs as _jobs
     from mivaa_pdf_extractor_spark.operators import job_refresh as _jref
     from mivaa_pdf_extractor_spark.operators import job_curation as _jcur
+    from mivaa_pdf_extractor_spark.operators import dataforseo as _dfs
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12201,6 +12236,12 @@ def oracle_sql() -> dict[str, str]:
         "job_source_report": _jref.source_report_sql(),
         "job_source_curation": _jcur.curation_review_sql(),
         "job_curation_summary": _jcur.curation_summary_sql(),
+        "merchant_task_plan":
+            _dfs.merchant_task_plan_sql(_dfs.SYNTH_REQUESTS_SQL),
+        "merchant_poll_outcome":
+            _dfs.merchant_poll_outcome_sql(_dfs.SYNTH_POLLS_SQL),
+        "merchant_parse_hits": _dfs.merchant_parse_sql(_dfs.SYNTH_ITEMS_SQL),
+        "dfs_envelope_costs": _dfs.dfs_envelope_sql(_dfs.SYNTH_RESULTS_SQL),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),
