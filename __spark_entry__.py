@@ -4266,6 +4266,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dfs.dfs_envelope(dfs.synth_results(_events(spark, sf_dir)))
     q["dfs_envelope_costs"] = dfs_envelope_costs
 
+    def _cq_metrics(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.operators import (
+            chunk_quality_report as cq)
+        e = _events(spark, sf_dir)
+        return cq.quality_metrics(cq.synth_chunks(e), cq.synth_docs(e),
+                                  cq.synth_flags(e), cq.synth_jobs(e))
+
+    def chunk_quality_metrics(spark, sf_dir):
+        # per-workspace chunk-quality rollup: truthy-filtered scores,
+        # global (unscoped) 1000-row size/overlap sample, sample stdev
+        # from integer power sums (chunk_quality_routes.py:169-321)
+        return _cq_metrics(spark, sf_dir)
+    q["chunk_quality_metrics"] = chunk_quality_metrics
+
+    def chunk_quality_recs(spark, sf_dir):
+        # the recommendation ladder incl. the all-checkmark CURRENT
+        # CONFIG fallback and global-sample/workspace-count pct mixing
+        # (chunk_quality_routes.py:25-130)
+        from mivaa_pdf_extractor_spark.operators import (
+            chunk_quality_report as cq)
+        return cq.quality_recommendations(_cq_metrics(spark, sf_dir))
+    q["chunk_quality_recs"] = chunk_quality_recs
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6946,6 +6969,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import job_refresh as _jref
     from mivaa_pdf_extractor_spark.operators import job_curation as _jcur
     from mivaa_pdf_extractor_spark.operators import dataforseo as _dfs
+    from mivaa_pdf_extractor_spark.operators import (
+        chunk_quality_report as _cq)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12242,6 +12267,8 @@ def oracle_sql() -> dict[str, str]:
             _dfs.merchant_poll_outcome_sql(_dfs.SYNTH_POLLS_SQL),
         "merchant_parse_hits": _dfs.merchant_parse_sql(_dfs.SYNTH_ITEMS_SQL),
         "dfs_envelope_costs": _dfs.dfs_envelope_sql(_dfs.SYNTH_RESULTS_SQL),
+        "chunk_quality_metrics": _cq.quality_metrics_sql(),
+        "chunk_quality_recs": _cq.quality_recommendations_sql(),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),
