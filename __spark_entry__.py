@@ -4289,6 +4289,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cq.quality_recommendations(_cq_metrics(spark, sf_dir))
     q["chunk_quality_recs"] = chunk_quality_recs
 
+    def ai_track_job_summary(spark, sf_dir):
+        # per-job AI-call rollup: success rate, latency, token sums
+        # (ai_model_tracker.py:149-185)
+        from mivaa_pdf_extractor_spark.operators import ai_tracker as at
+        return at.job_summary(at.synth_calls(_events(spark, sf_dir)))
+    q["ai_track_job_summary"] = ai_track_job_summary
+
+    def ai_track_stage_details(spark, sf_dir):
+        # per-stage rollup: FIRST-SEEN model order, confidence mean incl.
+        # 0.0 scores vs truthy-gated token sums (ai_model_tracker.py:105-216)
+        from mivaa_pdf_extractor_spark.operators import ai_tracker as at
+        return at.stage_details(at.synth_calls(_events(spark, sf_dir)))
+    q["ai_track_stage_details"] = ai_track_stage_details
+
+    def ai_track_model_stats(spark, sf_dir):
+        # per-model rollup with sorted-canonicalized stage/task sets
+        # (ai_model_tracker.py:218-242)
+        from mivaa_pdf_extractor_spark.operators import ai_tracker as at
+        return at.model_stats(at.synth_calls(_events(spark, sf_dir)))
+    q["ai_track_model_stats"] = ai_track_model_stats
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6971,6 +6992,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import dataforseo as _dfs
     from mivaa_pdf_extractor_spark.operators import (
         chunk_quality_report as _cq)
+    from mivaa_pdf_extractor_spark.operators import ai_tracker as _at
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12269,6 +12291,9 @@ def oracle_sql() -> dict[str, str]:
         "dfs_envelope_costs": _dfs.dfs_envelope_sql(_dfs.SYNTH_RESULTS_SQL),
         "chunk_quality_metrics": _cq.quality_metrics_sql(),
         "chunk_quality_recs": _cq.quality_recommendations_sql(),
+        "ai_track_job_summary": _at.job_summary_sql(),
+        "ai_track_stage_details": _at.stage_details_sql(),
+        "ai_track_model_stats": _at.model_stats_sql(),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),
