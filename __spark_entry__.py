@@ -4310,6 +4310,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return at.model_stats(at.synth_calls(_events(spark, sf_dir)))
     q["ai_track_model_stats"] = ai_track_model_stats
 
+    def interior_gen_plan(spark, sf_dir):
+        # model-selection ladder (explicit ids hit BOTH gemini entries —
+        # pin), i2i/t2i routing, exclusions, enhanced-prompt build
+        # (interior_design_routes.py:52-87,670-700)
+        from mivaa_pdf_extractor_spark.operators import interior_gen as ig
+        return ig.select_models(ig.synth_requests(_events(spark, sf_dir)),
+                                ig.models_df(spark))
+    q["interior_gen_plan"] = interior_gen_plan
+
+    def interior_model_inputs(spark, sf_dir):
+        # per-schema input dispatch: requires-image verdicts, 'input' vs
+        # 'image' key, flux trigger-word gate, aspect_ratio fallback
+        # (interior_design_routes.py:180-303)
+        from mivaa_pdf_extractor_spark.operators import interior_gen as ig
+        return ig.model_inputs_plan(
+            ig.synth_requests(_events(spark, sf_dir)), ig.models_df(spark))
+    q["interior_model_inputs"] = interior_model_inputs
+
+    def interior_result_shape(spark, sf_dir):
+        # atomic model-result payload: image_urls key present only on
+        # success+url or failure+error (interior_design_routes.py:497-514)
+        from mivaa_pdf_extractor_spark.operators import interior_gen as ig
+        return ig.model_result_shape(
+            ig.synth_results(_events(spark, sf_dir)))
+    q["interior_result_shape"] = interior_result_shape
+
     def product_field_mine(spark, sf_dir):
         # chunk-text regex field mining: factory/designer/collection
         # modal picks, sku dict, grout zips, dims + imperial + Q-label,
@@ -6993,6 +7019,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         chunk_quality_report as _cq)
     from mivaa_pdf_extractor_spark.operators import ai_tracker as _at
+    from mivaa_pdf_extractor_spark.operators import interior_gen as _ig
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -12294,6 +12321,12 @@ def oracle_sql() -> dict[str, str]:
         "ai_track_job_summary": _at.job_summary_sql(),
         "ai_track_stage_details": _at.stage_details_sql(),
         "ai_track_model_stats": _at.model_stats_sql(),
+        "interior_gen_plan":
+            _ig.select_models_sql(_ig.SYNTH_REQUESTS_SQL),
+        "interior_model_inputs":
+            _ig.model_inputs_plan_sql(_ig.SYNTH_REQUESTS_SQL),
+        "interior_result_shape":
+            _ig.model_result_shape_sql(_ig.SYNTH_RESULTS_SQL),
         "job_refresh_outcome": f"""
             WITH casc AS ({_jref.cascade_sql()}),
             verd AS ({_jref.SYNTH_VERDICTS_SQL}),
