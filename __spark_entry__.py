@@ -6085,6 +6085,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s0.synth_quotas(d)))
     q["stage0_creation_summary"] = stage0_creation_summary_q
 
+    def stage2_chunk_plan_q(spark, sf_dir):
+        # Stage-2 per-product plan: layout-source priority ladder,
+        # NameError-pinned failed-page count, pages_chunked = ALL pages
+        # on success, failed/no_text split (stage_2_chunking.py:52-331)
+        from mivaa_pdf_extractor_spark.operators import stage2_plan as s2
+        ev = _events(spark, sf_dir)
+        return s2.chunk_plan(s2.synth_pages(ev), s2.synth_products(ev))
+    q["stage2_chunk_plan"] = stage2_chunk_plan_q
+
+    def stage2_page_texts_q(spark, sf_dir):
+        # per-page text resolution: page_text_from_layout_regions join
+        # (stable reading_order sort, None → 1e6), per-page fallback
+        # failure isolation, doc-open failure losing cached text
+        # (stage_2_chunking.py:199-299; stage_1_layout_precompute.py:
+        # 728-745)
+        from mivaa_pdf_extractor_spark.operators import stage2_plan as s2
+        return s2.page_texts(s2.synth_pages(_events(spark, sf_dir)))
+    q["stage2_page_texts"] = stage2_page_texts_q
+
     return q
 
 
@@ -7020,6 +7039,7 @@ def oracle_sql() -> dict[str, str]:
         chunk_quality_report as _cq)
     from mivaa_pdf_extractor_spark.operators import ai_tracker as _at
     from mivaa_pdf_extractor_spark.operators import interior_gen as _ig
+    from mivaa_pdf_extractor_spark.operators import stage2_plan as _s2plan
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13074,4 +13094,6 @@ def oracle_sql() -> dict[str, str]:
             {_s0.DUCK_S0_LEDGER_SQL},
             {_s0.DUCK_S0_SUMMARY_SQL}
             SELECT * FROM s0_summary""",
+        "stage2_chunk_plan": _s2plan.chunk_plan_sql(),
+        "stage2_page_texts": _s2plan.page_texts_sql(),
     }

@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "product_field_coverage", "doc_extraction_status",
     # round 4 continuation-11: stage-0 creation ledger
     "stage0_product_ledger", "stage0_creation_summary",
+    # round 4 continuation-13: stage-2 chunking plan
+    "stage2_chunk_plan", "stage2_page_texts",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
