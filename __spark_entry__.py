@@ -6104,6 +6104,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s2.page_texts(s2.synth_pages(_events(spark, sf_dir)))
     q["stage2_page_texts"] = stage2_page_texts_q
 
+    def auth_path_gate_q(spark, sf_dir):
+        # OPTIONS bypass, exact-root match (pentest #250 A1), prefix
+        # exclusion over the pinned 37-entry list (jwt_auth.py:79-163,
+        # 268-278)
+        from mivaa_pdf_extractor_spark.operators import auth_gate as ag
+        return ag.path_gate(ag.synth_requests(_events(spark, sf_dir)))
+    q["auth_path_gate"] = auth_path_gate_q
+
+    def auth_token_resolve_q(spark, sf_dir):
+        # bearer/cookie extraction (double-space pin), simple-key
+        # classification + no-JWT-fallback pin, supabase→api→mivaa
+        # ladder with crypto verdicts as flags (jwt_auth.py:279-372,
+        # 521-624)
+        from mivaa_pdf_extractor_spark.operators import auth_gate as ag
+        return ag.token_resolve(ag.synth_requests(_events(spark, sf_dir)))
+    q["auth_token_resolve"] = auth_token_resolve_q
+
+    def auth_workspace_context_q(spark, sf_dir):
+        # workspace-context fold: role ValueError → member, test-user
+        # bypass, material-platform always-access, X-Workspace-Id
+        # override (jwt_auth.py:219-231, 625-717)
+        from mivaa_pdf_extractor_spark.operators import auth_gate as ag
+        return ag.workspace_context(
+            ag.synth_claims(_events(spark, sf_dir)))
+    q["auth_workspace_context"] = auth_workspace_context_q
+
     return q
 
 
@@ -7040,6 +7066,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import ai_tracker as _at
     from mivaa_pdf_extractor_spark.operators import interior_gen as _ig
     from mivaa_pdf_extractor_spark.operators import stage2_plan as _s2plan
+    from mivaa_pdf_extractor_spark.operators import auth_gate as _auth
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13096,4 +13123,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM s0_summary""",
         "stage2_chunk_plan": _s2plan.chunk_plan_sql(),
         "stage2_page_texts": _s2plan.page_texts_sql(),
+        "auth_path_gate": _auth.path_gate_sql(),
+        "auth_token_resolve": _auth.token_resolve_sql(),
+        "auth_workspace_context": _auth.workspace_context_sql(),
     }

@@ -200,8 +200,9 @@ BENCH_QUERIES = [
     "product_field_coverage", "doc_extraction_status",
     # round 4 continuation-11: stage-0 creation ledger
     "stage0_product_ledger", "stage0_creation_summary",
-    # round 4 continuation-13: stage-2 chunking plan
+    # round 4 continuation-13: stage-2 chunking plan + auth gating
     "stage2_chunk_plan", "stage2_page_texts",
+    "auth_path_gate", "auth_token_resolve", "auth_workspace_context",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
