@@ -6130,6 +6130,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ag.synth_claims(_events(spark, sf_dir)))
     q["auth_workspace_context"] = auth_workspace_context_q
 
+    def job_status_admin_q(spark, sf_dir):
+        # DB-vs-memory comparison (.get present-NULL pin), sync-failure
+        # branch, delete preserve_outputs mode
+        # (management_routes.py:59-193,551-570)
+        from mivaa_pdf_extractor_spark.operators import job_admin as ja
+        return ja.status_fold(ja.synth_status_jobs(_events(spark, sf_dir)))
+    q["job_status_admin"] = job_status_admin_q
+
+    def job_restart_plan_q(spark, sf_dir):
+        # restart ladder: checkpoint → verify → job → doc → /tmp
+        # replacement flows through → url-vs-bucket split, .get resume
+        # params (management_routes.py:221-436)
+        from mivaa_pdf_extractor_spark.operators import job_admin as ja
+        return ja.restart_plan(
+            ja.synth_restart_jobs(_events(spark, sf_dir)))
+    q["job_restart_plan"] = job_restart_plan_q
+
+    def job_list_page_q(spark, sf_dir):
+        # sort 'field:direction' parse (case pins, two-colon ValueError),
+        # exact status filter, inclusive range pagination
+        # (management_routes.py:446-505)
+        from mivaa_pdf_extractor_spark.operators import job_admin as ja
+        ev = _events(spark, sf_dir)
+        return ja.list_page(ja.synth_list_requests(ev),
+                            ja.synth_list_jobs(ev))
+    q["job_list_page"] = job_list_page_q
+
     return q
 
 
@@ -7067,6 +7094,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import interior_gen as _ig
     from mivaa_pdf_extractor_spark.operators import stage2_plan as _s2plan
     from mivaa_pdf_extractor_spark.operators import auth_gate as _auth
+    from mivaa_pdf_extractor_spark.operators import job_admin as _jadmin
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13126,4 +13154,7 @@ def oracle_sql() -> dict[str, str]:
         "auth_path_gate": _auth.path_gate_sql(),
         "auth_token_resolve": _auth.token_resolve_sql(),
         "auth_workspace_context": _auth.workspace_context_sql(),
+        "job_status_admin": _jadmin.status_fold_sql(),
+        "job_restart_plan": _jadmin.restart_plan_sql(),
+        "job_list_page": _jadmin.list_page_sql(),
     }
