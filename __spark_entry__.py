@@ -6157,6 +6157,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             ja.synth_list_jobs(ev))
     q["job_list_page"] = job_list_page_q
 
+    def search_enhance_images_q(spark, sf_dir):
+        # per-result top-10 image join: limit BEFORE the image gate,
+        # dead .get defaults (stored NULLs pass through), falsy-id
+        # passthrough (query_routes.py:167-254)
+        from mivaa_pdf_extractor_spark.operators import (
+            search_enhance as se)
+        ev = _events(spark, sf_dir)
+        return se.enhance_images(se.synth_results(ev),
+                                 se.synth_assocs(ev))
+    q["search_enhance_images"] = search_enhance_images_q
+
+    def rag_ws_authz_q(spark, sf_dir):
+        # service/test trust shapes, sub-or-user_id falsy-or identity,
+        # check-error vs not-member 403 split (query_routes.py:41-92)
+        from mivaa_pdf_extractor_spark.operators import (
+            search_enhance as se)
+        return se.ws_authz(se.synth_authz_calls(_events(spark, sf_dir)))
+    q["rag_ws_authz"] = rag_ws_authz_q
+
     return q
 
 
@@ -7095,6 +7114,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import stage2_plan as _s2plan
     from mivaa_pdf_extractor_spark.operators import auth_gate as _auth
     from mivaa_pdf_extractor_spark.operators import job_admin as _jadmin
+    from mivaa_pdf_extractor_spark.operators import (
+        search_enhance as _senh)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13157,4 +13178,6 @@ def oracle_sql() -> dict[str, str]:
         "job_status_admin": _jadmin.status_fold_sql(),
         "job_restart_plan": _jadmin.restart_plan_sql(),
         "job_list_page": _jadmin.list_page_sql(),
+        "search_enhance_images": _senh.enhance_images_sql(),
+        "rag_ws_authz": _senh.ws_authz_sql(),
     }

@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     # round 4 continuation-13: stage-2 chunking plan + auth gating
     "stage2_chunk_plan", "stage2_page_texts",
     "auth_path_gate", "auth_token_resolve", "auth_workspace_context",
+    "job_status_admin", "job_restart_plan", "job_list_page",
+    "search_enhance_images", "rag_ws_authz",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
