@@ -6176,6 +6176,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return se.ws_authz(se.synth_authz_calls(_events(spark, sf_dir)))
     q["rag_ws_authz"] = rag_ws_authz_q
 
+    def kb_doc_upsert_q(spark, sf_dir):
+        # upsert keyed (ws, title, category) with NULL-category
+        # is-null match, content-changed re-embed gate, embedding
+        # outcome ladder (knowledge_base.py:132-248)
+        from mivaa_pdf_extractor_spark.operators import kb_docs as kbo
+        ev = _events(spark, sf_dir)
+        return kbo.upsert_plan(kbo.synth_upsert_requests(ev),
+                               kbo.synth_existing(ev))
+    q["kb_doc_upsert"] = kb_doc_upsert_q
+
+    def kb_search_validate_q(spark, sf_dir):
+        # RPC-row validation fold: LIVE .get defaults on absent keys,
+        # present-NULL passthrough (knowledge_base.py:823-852)
+        from mivaa_pdf_extractor_spark.operators import kb_docs as kbo
+        return kbo.validate_results(
+            kbo.synth_rpc_rows(_events(spark, sf_dir)))
+    q["kb_search_validate"] = kb_search_validate_q
+
+    def kb_rpc_args_q(spark, sf_dir):
+        # truthy-gated optional RPC filters, semantic-vs-text RPC pick
+        # (knowledge_base.py:776-815)
+        from mivaa_pdf_extractor_spark.operators import kb_docs as kbo
+        return kbo.rpc_args(kbo.synth_search_requests(_events(spark,
+                                                              sf_dir)))
+    q["kb_rpc_args"] = kb_rpc_args_q
+
     return q
 
 
@@ -7116,6 +7142,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import job_admin as _jadmin
     from mivaa_pdf_extractor_spark.operators import (
         search_enhance as _senh)
+    from mivaa_pdf_extractor_spark.operators import kb_docs as _kbd
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13180,4 +13207,7 @@ def oracle_sql() -> dict[str, str]:
         "job_list_page": _jadmin.list_page_sql(),
         "search_enhance_images": _senh.enhance_images_sql(),
         "rag_ws_authz": _senh.ws_authz_sql(),
+        "kb_doc_upsert": _kbd.upsert_plan_sql(),
+        "kb_search_validate": _kbd.validate_results_sql(),
+        "kb_rpc_args": _kbd.rpc_args_sql(),
     }

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "auth_path_gate", "auth_token_resolve", "auth_workspace_context",
     "job_status_admin", "job_restart_plan", "job_list_page",
     "search_enhance_images", "rag_ws_authz",
+    "kb_doc_upsert", "kb_search_validate", "kb_rpc_args",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
