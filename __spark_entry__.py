@@ -6202,6 +6202,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                               sf_dir)))
     q["kb_rpc_args"] = kb_rpc_args_q
 
+    def stage_timeouts_q(spark, sf_dir):
+        # progressive per-stage timeout formulas + memory-pressure
+        # multiplier tiers (timeout_guard.py:16-71,217-359)
+        from mivaa_pdf_extractor_spark.operators import ops_guard as ogd
+        return ogd.stage_timeouts(
+            ogd.synth_timeout_jobs(_events(spark, sf_dir)))
+    q["stage_timeouts"] = stage_timeouts_q
+
+    def retry_schedule_q(spark, sf_dir):
+        # exponential-backoff sleep fold: cap AFTER each multiply,
+        # first sleep uncapped (retry_helper.py:23-100)
+        from mivaa_pdf_extractor_spark.operators import ops_guard as ogd
+        return ogd.retry_schedule(
+            ogd.synth_retry_calls(_events(spark, sf_dir)))
+    q["retry_schedule"] = retry_schedule_q
+
+    def retry_classify_q(spark, sf_dir):
+        # DNS-then-connection substring tiers + httpx type verdict
+        # (retry_helper.py:102-178)
+        from mivaa_pdf_extractor_spark.operators import ops_guard as ogd
+        return ogd.classify_errors(
+            ogd.synth_errors(_events(spark, sf_dir)))
+    q["retry_classify"] = retry_classify_q
+
     return q
 
 
@@ -7143,6 +7167,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         search_enhance as _senh)
     from mivaa_pdf_extractor_spark.operators import kb_docs as _kbd
+    from mivaa_pdf_extractor_spark.operators import ops_guard as _ogd
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13210,4 +13235,7 @@ def oracle_sql() -> dict[str, str]:
         "kb_doc_upsert": _kbd.upsert_plan_sql(),
         "kb_search_validate": _kbd.validate_results_sql(),
         "kb_rpc_args": _kbd.rpc_args_sql(),
+        "stage_timeouts": _ogd.stage_timeouts_sql(),
+        "retry_schedule": _ogd.retry_schedule_sql(),
+        "retry_classify": _ogd.classify_errors_sql(),
     }

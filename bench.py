@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "job_status_admin", "job_restart_plan", "job_list_page",
     "search_enhance_images", "rag_ws_authz",
     "kb_doc_upsert", "kb_search_validate", "kb_rpc_args",
+    "stage_timeouts", "retry_schedule", "retry_classify",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
