@@ -6226,6 +6226,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ogd.synth_errors(_events(spark, sf_dir)))
     q["retry_classify"] = retry_classify_q
 
+    def claude_payload_build_q(spark, sf_dir):
+        # temperature prefix-drop gate, truthy system, extra OVERRIDES
+        # base payload keys (claude_helper.py:60-160)
+        from mivaa_pdf_extractor_spark.operators import llm_payload as lpd
+        return lpd.payload_build(lpd.synth_calls(_events(spark, sf_dir)))
+    q["claude_payload_build"] = claude_payload_build_q
+
+    def claude_response_parse_q(spark, sf_dir):
+        # block-type ABSENT-key default, LIVE `or 0` usage coercion,
+        # text/tool folds (claude_helper.py:115-139)
+        from mivaa_pdf_extractor_spark.operators import llm_payload as lpd
+        return lpd.response_parse(
+            lpd.synth_responses(_events(spark, sf_dir)))
+    q["claude_response_parse"] = claude_response_parse_q
+
     return q
 
 
@@ -7168,6 +7183,7 @@ def oracle_sql() -> dict[str, str]:
         search_enhance as _senh)
     from mivaa_pdf_extractor_spark.operators import kb_docs as _kbd
     from mivaa_pdf_extractor_spark.operators import ops_guard as _ogd
+    from mivaa_pdf_extractor_spark.operators import llm_payload as _lpd
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13238,4 +13254,6 @@ def oracle_sql() -> dict[str, str]:
         "stage_timeouts": _ogd.stage_timeouts_sql(),
         "retry_schedule": _ogd.retry_schedule_sql(),
         "retry_classify": _ogd.classify_errors_sql(),
+        "claude_payload_build": _lpd.payload_build_sql(),
+        "claude_response_parse": _lpd.response_parse_sql(),
     }

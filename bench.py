@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "search_enhance_images", "rag_ws_authz",
     "kb_doc_upsert", "kb_search_validate", "kb_rpc_args",
     "stage_timeouts", "retry_schedule", "retry_classify",
+    "claude_payload_build", "claude_response_parse",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
