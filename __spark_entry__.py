@@ -6241,6 +6241,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lpd.synth_responses(_events(spark, sf_dir)))
     q["claude_response_parse"] = claude_response_parse_q
 
+    def prompt_list_q(spark, sf_dir):
+        # 'all'/''/NULL all mean "no filter"; prompt_text-or-system
+        # falsy ladder; ABSENT-key is_custom/version defaults stay NULL
+        # (admin_prompt_service.py:25-83)
+        from mivaa_pdf_extractor_spark.operators import prompt_admin as pad
+        return pad.list_prompts(pad.synth_prompts(_events(spark, sf_dir)),
+                                pad.synth_combos(spark))
+    q["prompt_list"] = prompt_list_q
+
+    def prompt_update_resolve_q(spark, sf_dir):
+        # type-agnostic active-row lookup (audit #217 H9 fix), version+1
+        # vs insert-at-1, audit old_prompt reads LEGACY prompt_template
+        # (admin_prompt_service.py:101-193)
+        from mivaa_pdf_extractor_spark.operators import prompt_admin as pad
+        return pad.resolve_updates(pad.synth_prompts(_events(spark, sf_dir)),
+                                   pad.synth_updates(_events(spark, sf_dir)))
+    q["prompt_update_resolve"] = prompt_update_resolve_q
+
+    def prompt_history_top5_q(spark, sf_dir):
+        # per-prompt change log, latest 5 (admin_prompt_service.py:194-212)
+        from mivaa_pdf_extractor_spark.operators import prompt_admin as pad
+        return pad.history_top5(pad.synth_history(_events(spark, sf_dir)))
+    q["prompt_history_top5"] = prompt_history_top5_q
+
     return q
 
 
@@ -7184,6 +7208,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import kb_docs as _kbd
     from mivaa_pdf_extractor_spark.operators import ops_guard as _ogd
     from mivaa_pdf_extractor_spark.operators import llm_payload as _lpd
+    from mivaa_pdf_extractor_spark.operators import prompt_admin as _padm
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13256,4 +13281,7 @@ def oracle_sql() -> dict[str, str]:
         "retry_classify": _ogd.classify_errors_sql(),
         "claude_payload_build": _lpd.payload_build_sql(),
         "claude_response_parse": _lpd.response_parse_sql(),
+        "prompt_list": _padm.list_prompts_sql(),
+        "prompt_update_resolve": _padm.resolve_updates_sql(),
+        "prompt_history_top5": _padm.history_top5_sql(),
     }

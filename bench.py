@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "kb_doc_upsert", "kb_search_validate", "kb_rpc_args",
     "stage_timeouts", "retry_schedule", "retry_classify",
     "claude_payload_build", "claude_response_parse",
+    # round 4 continuation-14: admin prompt management
+    "prompt_list", "prompt_update_resolve", "prompt_history_top5",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
