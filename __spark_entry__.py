@@ -6265,6 +6265,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pad.history_top5(pad.synth_history(_events(spark, sf_dir)))
     q["prompt_history_top5"] = prompt_history_top5_q
 
+    def error_response_build_q(spark, sf_dir):
+        # exception -> HTTP envelope: dict-order isinstance chain (base
+        # 500 last), per-class to_dict detail shapes incl. the size_ratio
+        # falsy gate and the validation-details override
+        # (app/utils/exceptions.py:46-374)
+        from mivaa_pdf_extractor_spark.operators import error_taxonomy as et
+        return et.build_error_responses(
+            et.synth_errors(_events(spark, sf_dir)))
+    q["error_response_build"] = error_response_build_q
+
+    def error_wrap_resolve_q(spark, sf_dir):
+        # handle_extraction_errors: custom reraises unchanged, foreign
+        # wraps into PDFExtractionError, reraise=False swallows
+        # (app/utils/exceptions.py:414-456)
+        from mivaa_pdf_extractor_spark.operators import error_taxonomy as et
+        return et.resolve_wraps(et.synth_wrap_calls(_events(spark, sf_dir)))
+    q["error_wrap_resolve"] = error_wrap_resolve_q
+
+    def product_fanout_plan_q(spark, sf_dir):
+        # sequential iff parallel disabled or <= 2 products; 600 s
+        # default per-product timeout
+        # (parallel_product_processor.py:120-163)
+        from mivaa_pdf_extractor_spark.operators import product_fanout as pf
+        return pf.fanout_plan(pf.synth_fanout_docs(_events(spark, sf_dir)))
+    q["product_fanout_plan"] = product_fanout_plan_q
+
+    def product_fanout_rollup_q(spark, sf_dir):
+        # success-only metric sums; gather exceptions skip the failed
+        # counter; ''-error failures emit no error row; link post-pass
+        # (parallel_product_processor.py:212-373)
+        from mivaa_pdf_extractor_spark.operators import product_fanout as pf
+        ev = _events(spark, sf_dir)
+        return pf.fanout_rollup(pf.synth_fanout_results(ev),
+                                pf.synth_links(ev))
+    q["product_fanout_rollup"] = product_fanout_rollup_q
+
+    def product_failure_rows_q(spark, sf_dir):
+        # product_{index}_{name spaces->underscores} id synthesis +
+        # the pinned timeout message (parallel_product_processor.py:255-327)
+        from mivaa_pdf_extractor_spark.operators import product_fanout as pf
+        return pf.failure_rows(pf.synth_fanout_results(_events(spark,
+                                                               sf_dir)))
+    q["product_failure_rows"] = product_failure_rows_q
+
+    def product_progress_ladder_q(spark, sf_dir):
+        # progress = int((k/total)*70) + 15 after the k-th completion
+        # (parallel_product_processor.py:229-233)
+        from mivaa_pdf_extractor_spark.operators import product_fanout as pf
+        return pf.progress_ladder(pf.synth_fanout_docs(_events(spark,
+                                                               sf_dir)))
+    q["product_progress_ladder"] = product_progress_ladder_q
+
     return q
 
 
@@ -7209,6 +7261,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import ops_guard as _ogd
     from mivaa_pdf_extractor_spark.operators import llm_payload as _lpd
     from mivaa_pdf_extractor_spark.operators import prompt_admin as _padm
+    from mivaa_pdf_extractor_spark.operators import error_taxonomy as _etax
+    from mivaa_pdf_extractor_spark.operators import product_fanout as _pfan
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13284,4 +13338,10 @@ def oracle_sql() -> dict[str, str]:
         "prompt_list": _padm.list_prompts_sql(),
         "prompt_update_resolve": _padm.resolve_updates_sql(),
         "prompt_history_top5": _padm.history_top5_sql(),
+        "error_response_build": _etax.build_error_responses_sql(),
+        "error_wrap_resolve": _etax.resolve_wraps_sql(),
+        "product_fanout_plan": _pfan.fanout_plan_sql(),
+        "product_fanout_rollup": _pfan.fanout_rollup_sql(),
+        "product_failure_rows": _pfan.failure_rows_sql(),
+        "product_progress_ladder": _pfan.progress_ladder_sql(),
     }

@@ -210,6 +210,10 @@ BENCH_QUERIES = [
     "claude_payload_build", "claude_response_parse",
     # round 4 continuation-14: admin prompt management
     "prompt_list", "prompt_update_resolve", "prompt_history_top5",
+    # round 4 continuation-14: error taxonomy + product fan-out
+    "error_response_build", "error_wrap_resolve",
+    "product_fanout_plan", "product_fanout_rollup",
+    "product_failure_rows", "product_progress_ladder",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
