@@ -6317,6 +6317,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                                sf_dir)))
     q["product_progress_ladder"] = product_progress_ladder_q
 
+    def health_status_rollup_q(spark, sf_dir):
+        # /health per-service ladders + overall: cached-unhealthy and
+        # HF endpoints never touch overall; rag exception only degrades;
+        # storage's except is dead (app/main.py:1300-1778)
+        from mivaa_pdf_extractor_spark.operators import health_rollup as hr
+        return hr.health_status_rollup(
+            hr.synth_health_snaps(_events(spark, sf_dir)))
+    q["health_status_rollup"] = health_status_rollup_q
+
+    def health_resource_gate_q(spark, sf_dir):
+        # memory>85 / disk>90 degradation tiers + ', '-joined warnings
+        # (app/main.py:598-640)
+        from mivaa_pdf_extractor_spark.operators import health_rollup as hr
+        return hr.resource_gate(
+            hr.synth_resource_probes(_events(spark, sf_dir)))
+    q["health_resource_gate"] = health_resource_gate_q
+
+    def health_summary_counts_q(spark, sf_dir):
+        # healthy counts only DICT results with status healthy — the
+        # list-valued external_services entry can never count
+        # (app/main.py:726-730)
+        from mivaa_pdf_extractor_spark.operators import health_rollup as hr
+        return hr.summary_counts(
+            hr.synth_components(_events(spark, sf_dir)))
+    q["health_summary_counts"] = health_summary_counts_q
+
     return q
 
 
@@ -7263,6 +7289,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import prompt_admin as _padm
     from mivaa_pdf_extractor_spark.operators import error_taxonomy as _etax
     from mivaa_pdf_extractor_spark.operators import product_fanout as _pfan
+    from mivaa_pdf_extractor_spark.operators import health_rollup as _hlth
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13344,4 +13371,7 @@ def oracle_sql() -> dict[str, str]:
         "product_fanout_rollup": _pfan.fanout_rollup_sql(),
         "product_failure_rows": _pfan.failure_rows_sql(),
         "product_progress_ladder": _pfan.progress_ladder_sql(),
+        "health_status_rollup": _hlth.health_status_rollup_sql(),
+        "health_resource_gate": _hlth.resource_gate_sql(),
+        "health_summary_counts": _hlth.summary_counts_sql(),
     }

@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     "error_response_build", "error_wrap_resolve",
     "product_fanout_plan", "product_fanout_rollup",
     "product_failure_rows", "product_progress_ladder",
+    # round 4 continuation-14: unified health-check folds
+    "health_status_rollup", "health_resource_gate",
+    "health_summary_counts",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
