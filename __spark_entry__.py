@@ -6343,6 +6343,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hr.synth_components(_events(spark, sf_dir)))
     q["health_summary_counts"] = health_summary_counts_q
 
+    def exception_handler_dispatch_q(spark, sf_dir):
+        # app-level handler dispatch: 503 material-kai, HTTP_{code}
+        # envelope + Sentry routing ladder (401/403/404 silent), debug
+        # gate on the 500 detail (app/main.py:1094-1193)
+        from mivaa_pdf_extractor_spark.operators import error_taxonomy as et
+        return et.handler_dispatch(et.synth_raised(_events(spark, sf_dir)))
+    q["exception_handler_dispatch"] = exception_handler_dispatch_q
+
     return q
 
 
@@ -13374,4 +13382,5 @@ def oracle_sql() -> dict[str, str]:
         "health_status_rollup": _hlth.health_status_rollup_sql(),
         "health_resource_gate": _hlth.resource_gate_sql(),
         "health_summary_counts": _hlth.summary_counts_sql(),
+        "exception_handler_dispatch": _etax.handler_dispatch_sql(),
     }

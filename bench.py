@@ -216,7 +216,7 @@ BENCH_QUERIES = [
     "product_failure_rows", "product_progress_ladder",
     # round 4 continuation-14: unified health-check folds
     "health_status_rollup", "health_resource_gate",
-    "health_summary_counts",
+    "health_summary_counts", "exception_handler_dispatch",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

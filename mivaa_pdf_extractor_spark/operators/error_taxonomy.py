@@ -240,6 +240,50 @@ def resolve_wraps(calls: DataFrame) -> DataFrame:
         .cast("int").alias("raised_status"))
 
 
+def handler_dispatch(raised: DataFrame) -> DataFrame:
+    """The app-level exception handlers (app/main.py:1094-1193):
+
+    - MaterialKaiIntegrationError -> 503, fixed error text, detail =
+      str(exc), no Sentry call (log-only handler);
+    - HTTPException -> its own status, error ``HTTP_{code}``; Sentry
+      routing: >=500 capture_exception; 4xx EXCEPT {401,403,404}
+      capture_message at warning; the three noisy client codes send
+      nothing (pin);
+    - everything else -> 500 INTERNAL_SERVER_ERROR, capture_exception;
+      the detail appends ``: {str(exc)}`` ONLY in debug mode — prod
+      hides the message (pin).
+
+    (The historical dual-class MaterialKaiIntegrationError shadowing —
+    handler registered against one copy, services raising the other, so
+    material-search failures fell to the generic 500 — is documented at
+    material_kai_service.py:129-141 and FIXED there; this fold models
+    the post-fix identity dispatch.)
+    """
+    kind = F.col("exc_kind")
+    http_code = F.col("http_status")
+    return raised.select(
+        "raise_id",
+        F.when(kind == "material_kai", F.lit(503))
+        .when(kind == "http", http_code)
+        .otherwise(F.lit(500)).cast("int").alias("response_status"),
+        F.when(kind == "material_kai",
+               F.lit("Material Kai Vision Platform is not available"))
+        .when(kind == "http", F.concat(F.lit("HTTP_"), http_code))
+        .otherwise(F.lit("INTERNAL_SERVER_ERROR")).alias("error"),
+        F.when(kind == "general",
+               F.when(F.col("debug"),
+                      F.concat(F.lit("Internal server error: "),
+                               F.col("detail")))
+               .otherwise(F.lit("Internal server error")))
+        .otherwise(F.col("detail")).alias("detail_out"),
+        F.when(kind == "material_kai", F.lit("none"))
+        .when(kind == "general", F.lit("capture_exception"))
+        .when(http_code >= 500, F.lit("capture_exception"))
+        .when((http_code >= 400) & ~http_code.isin(401, 403, 404),
+              F.lit("capture_message"))
+        .otherwise(F.lit("none")).alias("sentry_action"))
+
+
 # ---------------------------------------------------------------------------
 # synthesizers + DuckDB twins
 # ---------------------------------------------------------------------------
@@ -504,4 +548,56 @@ def resolve_wraps_sql() -> str:
                          WHEN exc_class IN {_PDF_IN} THEN {_STATUS_SQL}
                          ELSE 422 END AS INT) AS raised_status
         FROM calls
+    """
+
+
+def synth_raised(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < 300).select(
+        e.alias("raise_id"),
+        F.when(e % 5 == 0, F.lit("material_kai"))
+        .when(e % 5 <= 2, F.lit("http"))
+        .otherwise(F.lit("general")).alias("exc_kind"),
+        (380 + e % 200).cast("long").alias("http_status"),
+        F.concat(F.lit("d-"), e).alias("detail"),
+        (e % 2 == 0).alias("debug"))
+
+
+SYNTH_RAISED_SQL = """
+    SELECT event_id AS raise_id,
+           CASE WHEN event_id % 5 = 0 THEN 'material_kai'
+                WHEN event_id % 5 <= 2 THEN 'http'
+                ELSE 'general' END AS exc_kind,
+           CAST(380 + event_id % 200 AS BIGINT) AS http_status,
+           'd-' || CAST(event_id AS VARCHAR) AS detail,
+           event_id % 2 = 0 AS debug
+    FROM events WHERE event_id < 300
+"""
+
+
+def handler_dispatch_sql() -> str:
+    return f"""
+        WITH raised AS ({SYNTH_RAISED_SQL})
+        SELECT raise_id,
+               CAST(CASE exc_kind WHEN 'material_kai' THEN 503
+                    WHEN 'http' THEN http_status ELSE 500 END AS INT)
+                   AS response_status,
+               CASE exc_kind
+                 WHEN 'material_kai'
+                   THEN 'Material Kai Vision Platform is not available'
+                 WHEN 'http' THEN 'HTTP_' || CAST(http_status AS VARCHAR)
+                 ELSE 'INTERNAL_SERVER_ERROR' END AS error,
+               CASE WHEN exc_kind = 'general' THEN
+                      CASE WHEN debug
+                           THEN 'Internal server error: ' || detail
+                           ELSE 'Internal server error' END
+                    ELSE detail END AS detail_out,
+               CASE WHEN exc_kind = 'material_kai' THEN 'none'
+                    WHEN exc_kind = 'general' THEN 'capture_exception'
+                    WHEN http_status >= 500 THEN 'capture_exception'
+                    WHEN http_status >= 400
+                     AND http_status NOT IN (401, 403, 404)
+                    THEN 'capture_message'
+                    ELSE 'none' END AS sentry_action
+        FROM raised
     """

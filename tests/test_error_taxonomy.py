@@ -169,3 +169,34 @@ def test_wrap_resolve_matches_reference(spark):
             assert g["raised_status"] == 422
         saw.add(g["outcome"])
     assert saw == {"default_return", "reraise_custom", "wrap_extraction"}
+
+
+def test_handler_dispatch_sentry_ladder(spark):
+    raised = spark.createDataFrame(
+        [(1, "http", 500, "x", False), (2, "http", 502, "x", False),
+         (3, "http", 400, "x", False), (4, "http", 401, "x", False),
+         (5, "http", 403, "x", False), (6, "http", 404, "x", False),
+         (7, "http", 422, "x", False),
+         (8, "material_kai", 500, "mk down", False),
+         (9, "general", 0, "boom", True),
+         (10, "general", 0, "boom", False)],
+        "raise_id long, exc_kind string, http_status long, "
+        "detail string, debug boolean")
+    got = {r["raise_id"]: r.asDict()
+           for r in et.handler_dispatch(raised).collect()}
+    # 5xx -> capture_exception; 4xx except the noisy three -> message
+    assert got[1]["sentry_action"] == "capture_exception"
+    assert got[2]["sentry_action"] == "capture_exception"
+    assert got[3]["sentry_action"] == "capture_message"
+    assert got[7]["sentry_action"] == "capture_message"
+    for rid in (4, 5, 6):  # 401/403/404 send nothing
+        assert got[rid]["sentry_action"] == "none"
+    assert got[1]["error"] == "HTTP_500"
+    # material-kai handler: fixed 503 envelope, no sentry
+    assert got[8]["response_status"] == 503
+    assert got[8]["sentry_action"] == "none"
+    assert got[8]["detail_out"] == "mk down"
+    # general: debug gate on the detail message
+    assert got[9]["detail_out"] == "Internal server error: boom"
+    assert got[10]["detail_out"] == "Internal server error"
+    assert got[10]["error"] == "INTERNAL_SERVER_ERROR"
