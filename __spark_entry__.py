@@ -6351,6 +6351,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return et.handler_dispatch(et.synth_raised(_events(spark, sf_dir)))
     q["exception_handler_dispatch"] = exception_handler_dispatch_q
 
+    def ocr_result_fold_q(spark, sf_dir):
+        # failure tiers stamp different attempt counts; success conf
+        # 0.85; no-text fires only when text.strip() AND blocks falsy
+        # (ocr_service.py:207-305)
+        from mivaa_pdf_extractor_spark.operators import ocr_agg as oa
+        ev = _events(spark, sf_dir)
+        return oa.paddle_result_fold(oa.synth_paddle_calls(ev),
+                                     oa.synth_paddle_regions(ev))
+    q["ocr_result_fold"] = ocr_result_fold_q
+
+    def ocr_blocks_pixels_q(spark, sf_dir):
+        # int() truncation on the products, width from the DIFFERENCE;
+        # blank contents dropped first (ocr_service.py:283-296)
+        from mivaa_pdf_extractor_spark.operators import ocr_agg as oa
+        ev = _events(spark, sf_dir)
+        return oa.blocks_pixels(oa.synth_paddle_calls(ev),
+                                oa.synth_paddle_regions(ev))
+    q["ocr_blocks_pixels"] = ocr_blocks_pixels_q
+
+    def ocr_confidence_agg_q(spark, sf_dir):
+        # inclusive >= threshold, zeroed empty envelope, no-strip join,
+        # truthy-gated distinct methods (ocr_service.py:357-411)
+        from mivaa_pdf_extractor_spark.operators import ocr_agg as oa
+        return oa.confidence_agg(oa.synth_ocr_results(_events(spark,
+                                                              sf_dir)))
+    q["ocr_confidence_agg"] = ocr_confidence_agg_q
+
+    def ocr_simple_text_q(spark, sf_dir):
+        # strip-gated ' ' join (ocr_service.py:338-356)
+        from mivaa_pdf_extractor_spark.operators import ocr_agg as oa
+        return oa.simple_text(oa.synth_ocr_results(_events(spark, sf_dir)))
+    q["ocr_simple_text"] = ocr_simple_text_q
+
     return q
 
 
@@ -7298,6 +7331,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import error_taxonomy as _etax
     from mivaa_pdf_extractor_spark.operators import product_fanout as _pfan
     from mivaa_pdf_extractor_spark.operators import health_rollup as _hlth
+    from mivaa_pdf_extractor_spark.operators import ocr_agg as _ocrg
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13383,4 +13417,8 @@ def oracle_sql() -> dict[str, str]:
         "health_resource_gate": _hlth.resource_gate_sql(),
         "health_summary_counts": _hlth.summary_counts_sql(),
         "exception_handler_dispatch": _etax.handler_dispatch_sql(),
+        "ocr_result_fold": _ocrg.paddle_result_fold_sql(),
+        "ocr_blocks_pixels": _ocrg.blocks_pixels_sql(),
+        "ocr_confidence_agg": _ocrg.confidence_agg_sql(),
+        "ocr_simple_text": _ocrg.simple_text_sql(),
     }

@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     # round 4 continuation-14: unified health-check folds
     "health_status_rollup", "health_resource_gate",
     "health_summary_counts", "exception_handler_dispatch",
+    # round 4 continuation-14: OCR result shaping
+    "ocr_result_fold", "ocr_blocks_pixels", "ocr_confidence_agg",
+    "ocr_simple_text",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
