@@ -6384,6 +6384,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return oa.simple_text(oa.synth_ocr_results(_events(spark, sf_dir)))
     q["ocr_simple_text"] = ocr_simple_text_q
 
+    def ocr_icon_fragments_q(spark, sf_dir):
+        # composed: result fold -> failed/empty gate -> per-block
+        # fragments carrying the PARENT result confidence, no-block
+        # fallback with NULL bbox (ocr_service.py:524-555)
+        from mivaa_pdf_extractor_spark.operators import ocr_agg as oa
+        ev = _events(spark, sf_dir)
+        calls, regions = oa.synth_paddle_calls(ev), \
+            oa.synth_paddle_regions(ev)
+        return oa.icon_fragments(oa.paddle_result_fold(calls, regions),
+                                 oa.blocks_pixels(calls, regions))
+    q["ocr_icon_fragments"] = ocr_icon_fragments_q
+
     return q
 
 
@@ -13421,4 +13433,5 @@ def oracle_sql() -> dict[str, str]:
         "ocr_blocks_pixels": _ocrg.blocks_pixels_sql(),
         "ocr_confidence_agg": _ocrg.confidence_agg_sql(),
         "ocr_simple_text": _ocrg.simple_text_sql(),
+        "ocr_icon_fragments": _ocrg.icon_fragments_sql(),
     }

@@ -219,7 +219,7 @@ BENCH_QUERIES = [
     "health_summary_counts", "exception_handler_dispatch",
     # round 4 continuation-14: OCR result shaping
     "ocr_result_fold", "ocr_blocks_pixels", "ocr_confidence_agg",
-    "ocr_simple_text",
+    "ocr_simple_text", "ocr_icon_fragments",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -149,6 +149,39 @@ def simple_text(results: DataFrame) -> DataFrame:
             lambda s: s["t"])).alias("text_joined"))
 
 
+def icon_fragments(results: DataFrame, blocks: DataFrame) -> DataFrame:
+    """extract_icon_metadata's OCR-fragment build (:524-555):
+
+    - results filter: drop ``paddleocr_failed`` AND anything with
+      neither stripping text NOR blocks (``r.text.strip() or
+      r.blocks`` — the same falsy gate again);
+    - fragments: one per block, carrying the block's text but the
+      PARENT RESULT's confidence (pin: block confidence is the
+      result-level 0.85, never per-block); results with no blocks but
+      stripping text emit ONE fallback fragment with a NULL bbox.
+    """
+    kept = results.filter(
+        (F.col("method") != "paddleocr_failed")
+        & ((F.trim(F.col("text")) != "") | (F.col("n_blocks") > 0)))
+    from_blocks = blocks.join(
+        kept.select("call_id", "confidence"), "call_id").select(
+        "call_id", F.col("region_idx").cast("long").alias("frag_idx"),
+        F.col("text"), F.col("confidence"),
+        F.lit(1).cast("int").alias("has_bbox"),
+        F.col("x").cast("long"), F.col("y").cast("long"),
+        F.col("w").cast("long"), F.col("h").cast("long"))
+    fallback = kept.filter((F.col("n_blocks") == 0)
+                           & (F.trim(F.col("text")) != "")).select(
+        "call_id", F.lit(0).cast("long").alias("frag_idx"),
+        F.col("text"), F.col("confidence"),
+        F.lit(0).cast("int").alias("has_bbox"),
+        F.lit(None).cast("long").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"))
+    return from_blocks.unionByName(fallback)
+
+
 # ---------------------------------------------------------------------------
 # synthesizers + DuckDB twins
 # ---------------------------------------------------------------------------
@@ -344,4 +377,51 @@ def simple_text_sql() -> str:
                    CASE WHEN trim(text) <> '' THEN text END,
                    ' ' ORDER BY idx), '') AS text_joined
         FROM results GROUP BY crop_id
+    """
+
+
+def icon_fragments_sql() -> str:
+    return f"""
+        WITH calls AS ({SYNTH_PADDLE_CALLS_SQL}),
+        regions AS ({SYNTH_PADDLE_REGIONS_SQL}),
+        nb AS (SELECT call_id, CAST(count(*) AS BIGINT) AS n_blocks
+               FROM regions
+               WHERE trim(coalesce(content, '')) <> ''
+               GROUP BY call_id),
+        res AS (
+          SELECT c.call_id,
+                 CASE WHEN NOT c.manager_present OR c.outcome <> 'ok'
+                      THEN 'paddleocr_failed' ELSE 'paddleocr' END
+                     AS method,
+                 CASE WHEN NOT c.manager_present OR c.outcome <> 'ok'
+                      THEN 0.0 ELSE {SUCCESS_CONFIDENCE} END
+                     AS confidence,
+                 CASE WHEN c.manager_present AND c.outcome = 'ok'
+                      THEN coalesce(c.generated_text, '') ELSE '' END
+                     AS text,
+                 CASE WHEN c.manager_present AND c.outcome = 'ok'
+                      THEN coalesce(nb.n_blocks, 0) ELSE 0 END
+                     AS n_blocks
+          FROM calls c LEFT JOIN nb USING (call_id)),
+        kept AS (SELECT * FROM res
+                 WHERE method <> 'paddleocr_failed'
+                   AND (trim(text) <> '' OR n_blocks > 0)),
+        px AS (
+          SELECT r.call_id, r.region_idx, r.content AS text,
+                 CAST(trunc(r.x0 * c.img_w) AS BIGINT) AS x,
+                 CAST(trunc(r.y0 * c.img_h) AS BIGINT) AS y,
+                 CAST(trunc((r.x1 - r.x0) * c.img_w) AS BIGINT) AS w,
+                 CAST(trunc((r.y1 - r.y0) * c.img_h) AS BIGINT) AS h
+          FROM regions r JOIN calls c USING (call_id)
+          WHERE c.manager_present AND c.outcome = 'ok'
+            AND trim(coalesce(r.content, '')) <> '')
+        SELECT p.call_id, CAST(p.region_idx AS BIGINT) AS frag_idx,
+               p.text, k.confidence, CAST(1 AS INT) AS has_bbox,
+               p.x, p.y, p.w, p.h
+        FROM px p JOIN kept k USING (call_id)
+        UNION ALL
+        SELECT call_id, CAST(0 AS BIGINT) AS frag_idx, text, confidence,
+               CAST(0 AS INT) AS has_bbox,
+               NULL AS x, NULL AS y, NULL AS w, NULL AS h
+        FROM kept WHERE n_blocks = 0 AND trim(text) <> ''
     """

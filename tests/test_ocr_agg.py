@@ -111,3 +111,26 @@ def test_simple_text_strip_gate(spark):
     # whitespace-only rows dropped; confidence plays no role here
     assert got[1] == "a b"
     assert got[2] == ""
+
+
+def test_icon_fragments(spark):
+    results = spark.createDataFrame(
+        [(1, "paddleocr", "hello", 0.85, 2, 0),
+         (2, "paddleocr", "fallback only", 0.85, 0, 0),
+         (3, "paddleocr", "  ", 0.85, 0, 1),        # gated out
+         (4, "paddleocr_failed", "x", 0.0, 0, 0)],  # gated out
+        "call_id long, method string, text string, confidence double, "
+        "n_blocks long, is_no_text int")
+    blocks = spark.createDataFrame(
+        [(1, 0, "b0", 5, 6, 7, 8), (1, 1, "b1", 1, 2, 3, 4)],
+        "call_id long, region_idx long, text string, x long, y long, "
+        "w long, h long")
+    got = sorted(oa.icon_fragments(results, blocks).collect(),
+                 key=lambda r: (r["call_id"], r["frag_idx"]))
+    assert [(r["call_id"], r["frag_idx"], r["text"]) for r in got] == \
+        [(1, 0, "b0"), (1, 1, "b1"), (2, 0, "fallback only")]
+    # block fragments carry the PARENT result confidence
+    assert all(r["confidence"] == 0.85 for r in got)
+    assert got[0]["has_bbox"] == 1 and got[0]["x"] == 5
+    # the no-block fallback has a NULL bbox
+    assert got[2]["has_bbox"] == 0 and got[2]["x"] is None
