@@ -6396,6 +6396,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  oa.blocks_pixels(calls, regions))
     q["ocr_icon_fragments"] = ocr_icon_fragments_q
 
+    def agent_run_gate_q(spark, sf_dir):
+        # empty MIVAA_API_KEY disables auth (pin); exact Bearer compare;
+        # unknown type 422 with the registry list repr
+        # (agent_routes.py:88-114)
+        from mivaa_pdf_extractor_spark.operators import agent_enrich as ae
+        return ae.run_gate(ae.synth_requests(_events(spark, sf_dir)))
+    q["agent_run_gate"] = agent_run_gate_q
+
+    def agent_batch_plan_q(spark, sf_dir):
+        # input_data overrides config; min(batch, 200); NULL-description
+        # / truthy category / image+untagged candidate gates, top-N by
+        # created_at (agent_routes.py:219-238, :309-330)
+        from mivaa_pdf_extractor_spark.operators import agent_enrich as ae
+        ev = _events(spark, sf_dir)
+        return ae.batch_plan(ae.synth_agent_runs(ev),
+                             ae.synth_agent_products(ev))
+    q["agent_batch_plan"] = agent_batch_plan_q
+
+    def agent_fence_strip_q(spark, sf_dir):
+        # lstrip("```json") is a CHARSET strip — "null" -> "ull" (the
+        # reference's own bug, reproduced) (agent_routes.py:278-280)
+        from mivaa_pdf_extractor_spark.operators import agent_enrich as ae
+        return ae.fence_strip(ae.synth_responses(_events(spark, sf_dir)))
+    q["agent_fence_strip"] = agent_fence_strip_q
+
+    def agent_update_build_q(spark, sf_dir):
+        # truthy-gated update fields, keywords->search_keywords rename,
+        # counted only when non-empty (agent_routes.py:283-289,:365-371)
+        from mivaa_pdf_extractor_spark.operators import agent_enrich as ae
+        return ae.update_build(ae.synth_parsed(_events(spark, sf_dir)))
+    q["agent_update_build"] = agent_update_build_q
+
+    def agent_run_rollup_q(spark, sf_dir):
+        # cancel discovered only at the next multiple-of-5 heartbeat —
+        # past the end it is MISSED and the run completes (pin)
+        # (agent_routes.py:119-231)
+        from mivaa_pdf_extractor_spark.operators import agent_enrich as ae
+        ev = _events(spark, sf_dir)
+        return ae.run_rollup(ae.synth_rollup_runs(ev),
+                             ae.synth_rollup_items(ev))
+    q["agent_run_rollup"] = agent_run_rollup_q
+
     return q
 
 
@@ -7344,6 +7386,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import product_fanout as _pfan
     from mivaa_pdf_extractor_spark.operators import health_rollup as _hlth
     from mivaa_pdf_extractor_spark.operators import ocr_agg as _ocrg
+    from mivaa_pdf_extractor_spark.operators import agent_enrich as _agen
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13434,4 +13477,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_confidence_agg": _ocrg.confidence_agg_sql(),
         "ocr_simple_text": _ocrg.simple_text_sql(),
         "ocr_icon_fragments": _ocrg.icon_fragments_sql(),
+        "agent_run_gate": _agen.run_gate_sql(),
+        "agent_batch_plan": _agen.batch_plan_sql(),
+        "agent_fence_strip": _agen.fence_strip_sql(),
+        "agent_update_build": _agen.update_build_sql(),
+        "agent_run_rollup": _agen.run_rollup_sql(),
     }

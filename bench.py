@@ -220,6 +220,9 @@ BENCH_QUERIES = [
     # round 4 continuation-14: OCR result shaping
     "ocr_result_fold", "ocr_blocks_pixels", "ocr_confidence_agg",
     "ocr_simple_text", "ocr_icon_fragments",
+    # round 4 continuation-14: background-agent folds
+    "agent_run_gate", "agent_batch_plan", "agent_fence_strip",
+    "agent_update_build", "agent_run_rollup",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

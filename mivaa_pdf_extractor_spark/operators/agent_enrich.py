@@ -1,0 +1,592 @@
+"""Background-agent folds (app/api/agent_routes.py) — the Claude calls
+are network; the dispatch, batching, response-shaping and run
+accounting around them are deterministic and pinned:
+
+- run gate (:88-114): auth fires only when MIVAA_API_KEY is non-empty
+  (``if expected_key and ...`` — an EMPTY configured key disables auth
+  entirely — pin); the header must equal ``Bearer {key}`` exactly;
+  unknown agent_type 422s with the Python list-repr of the registry
+  keys;
+- batch plan (:219-231, :309-324): cfg = ``{**config, **input_data}``
+  — input_data OVERRIDES config on key collisions (pin);
+  batch_size = min(int(cfg.get('batch_size', 20)), 200);
+  enrichment candidates: description IS NULL unless force_rewrite,
+  category filter applied only when TRUTHY ('' skips it — pin),
+  ordered by created_at, limit batch; tagger candidates: image_url
+  NOT NULL AND (material_type IS NULL OR tags = empty array);
+- fence strip (:278-280, :360-362):
+  ``.strip().lstrip("```json").rstrip("```").strip()`` — lstrip takes
+  a CHARACTER SET, not a prefix, so any leading run of {backtick, j,
+  s, o, n} is eaten: a bare response ``"null"`` loses its leading
+  ``n`` and becomes ``ull`` (pin — the reference's own bug,
+  reproduced faithfully);
+- update build (:283-289, :365-371): every field is TRUTHY-gated
+  ('' / [] / {} skipped); enrichment renames keywords ->
+  search_keywords; a row counts as enriched/tagged only when the
+  update dict is non-empty;
+- run rollup (:119-231): heartbeat fires before items 0, 5, 10, ...;
+  an admin cancel during item k is discovered at the NEXT multiple of
+  5 — and if that lands past the batch end the cancel is MISSED and
+  the run completes (pin); per-item exceptions only warn (the run
+  still completes); token sums accumulate over attempted items.
+
+Scale: gates and strips are map-only; the batch plan is a
+row_number-over-window top-N per run; the rollup is one groupBy(run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+AGENT_TYPES = ("product-enrichment", "material-tagger")
+CATALOG_REPR = "['product-enrichment', 'material-tagger']"
+# SQL-literal-escaped form for the DuckDB twin
+CATALOG_SQL = CATALOG_REPR.replace("'", "''")
+BATCH_CAP = 200
+DEFAULT_BATCH = 20
+HEARTBEAT_EVERY = 5
+
+
+def run_gate(requests: DataFrame) -> DataFrame:
+    """run_agent's auth + registry gate (:88-114)."""
+    key = F.col("expected_key")
+    auth_on = key.isNotNull() & (key != "")
+    # NULL-safe: a missing header with auth on is unauthorized
+    authed = ~auth_on | F.coalesce(
+        F.col("auth_header") == F.concat(F.lit("Bearer "), key),
+        F.lit(False))
+    known = F.col("agent_type").isin(*AGENT_TYPES)
+    return requests.select(
+        "request_id",
+        F.when(~authed, F.lit("unauthorized"))
+        .when(~known, F.lit("unknown_type"))
+        .otherwise(F.lit("accepted")).alias("outcome"),
+        F.when(~authed, F.lit(401))
+        .when(~known, F.lit(422))
+        .otherwise(F.lit(200)).cast("int").alias("status_code"),
+        F.when(~authed, F.lit("Unauthorized"))
+        .when(~known,
+              F.concat(F.lit("Unknown agent_type '"), F.col("agent_type"),
+                       F.lit(f"'. Available: {CATALOG_REPR}")))
+        .otherwise(F.concat(F.lit("Agent '"), F.col("agent_type"),
+                            F.lit("' accepted for background execution")))
+        .alias("detail"))
+
+
+def batch_plan(runs: DataFrame, products: DataFrame) -> DataFrame:
+    """Config merge + candidate selection per run (:219-238, :309-330)."""
+    from pyspark.sql import Window
+    eff_batch = F.least(
+        F.coalesce(F.col("input_batch_size"),   # {**config, **input}
+                   F.col("config_batch_size"),
+                   F.lit(DEFAULT_BATCH)),
+        F.lit(BATCH_CAP))
+    planned = runs.select(
+        "run_id", "agent_type",
+        eff_batch.cast("long").alias("batch_size"),
+        F.col("category_filter"), F.col("force_rewrite"))
+    j = planned.crossJoin(products)
+    enrich_ok = (F.col("force_rewrite") | F.col("description").isNull()) \
+        & (F.col("category_filter").isNull()
+           | (F.col("category_filter") == "")
+           | (F.col("category") == F.col("category_filter")))
+    tag_ok = F.col("image_url").isNotNull() \
+        & (F.col("material_type").isNull() | (F.size(F.col("tags")) == 0))
+    cand = j.filter(
+        F.when(F.col("agent_type") == "product-enrichment", enrich_ok)
+        .otherwise(tag_ok))
+    w = Window.partitionBy("run_id").orderBy("created_at", "product_id")
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("batch_size"))
+            .select("run_id", "agent_type", "product_id",
+                    (F.col("rn") - 1).cast("long").alias("item_idx"),
+                    "batch_size"))
+
+
+def _wstrip(c):
+    # Python .strip() removes ALL whitespace; SQL trim() only spaces
+    return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""),
+                            r"\s+$", "")
+
+
+def fence_strip(responses: DataFrame) -> DataFrame:
+    """The charset-lstrip fence bug (:278-280), verbatim."""
+    t = _wstrip(F.col("raw_text"))
+    t = F.regexp_replace(t, r"^[`json]+", "")   # lstrip("```json")
+    t = F.regexp_replace(t, r"`+$", "")          # rstrip("```")
+    return responses.select(
+        "response_id", _wstrip(t).alias("stripped"))
+
+
+def update_build(parsed: DataFrame) -> DataFrame:
+    """Truthy-gated update dict per parsed response (:283-289 /
+    :365-371), with the enrichment keywords -> search_keywords rename."""
+    tr = lambda c: c.isNotNull() & (c != "")
+    arr = lambda c: c.isNotNull() & (F.size(c) > 0)
+    is_enrich = F.col("agent_type") == "product-enrichment"
+    keys = F.concat_ws(
+        ",",
+        F.when(is_enrich & tr(F.col("description")), F.lit("description")),
+        F.when(is_enrich & arr(F.col("keywords")),
+               F.lit("search_keywords")),
+        F.when(is_enrich & tr(F.col("material_category")),
+               F.lit("material_type")),
+        F.when(~is_enrich & tr(F.col("material_type")),
+               F.lit("material_type")),
+        F.when(~is_enrich & tr(F.col("color")), F.lit("color")),
+        F.when(~is_enrich & tr(F.col("finish")), F.lit("finish")),
+        F.when(~is_enrich & tr(F.col("application")),
+               F.lit("application")),
+        F.when(~is_enrich & arr(F.col("tags")), F.lit("tags")))
+    return parsed.select(
+        "item_id", "agent_type",
+        keys.alias("update_keys"),
+        (keys != "").cast("int").alias("counted"))
+
+
+def run_rollup(runs: DataFrame, items: DataFrame) -> DataFrame:
+    """Run-status fold with cancel-at-heartbeat semantics (:119-231)."""
+    # cancel during item k is discovered at the next multiple of 5;
+    # past the end -> missed, run completes
+    discovered = (F.floor(F.col("cancel_point") / HEARTBEAT_EVERY) + 1) \
+        * HEARTBEAT_EVERY
+    stop = F.when(
+        F.col("cancel_point").isNotNull()
+        & (discovered < F.col("n_items")), discovered) \
+        .otherwise(F.col("n_items"))
+    bounds = runs.select(
+        "run_id", "outer_fail", "n_items",
+        stop.cast("long").alias("processed"),
+        (F.col("cancel_point").isNotNull()
+         & (discovered < F.col("n_items"))).alias("was_cancelled"))
+    agg = items.join(bounds, "run_id").filter(
+        F.col("item_idx") < F.col("processed")).groupBy("run_id").agg(
+        F.sum((F.col("parse_ok") & (F.col("update_keys") != ""))
+              .cast("long")).alias("enriched"),
+        F.sum("in_tok").cast("long").alias("input_tokens"),
+        F.sum("out_tok").cast("long").alias("output_tokens"),
+        F.sum((~F.col("parse_ok")).cast("long")).alias("warn_logs"))
+    return bounds.join(agg, "run_id", "left").select(
+        "run_id",
+        F.when(F.col("outer_fail"), F.lit("failed"))
+        .when(F.col("was_cancelled"), F.lit("cancelled"))
+        .otherwise(F.lit("completed")).alias("status"),
+        F.col("processed"),
+        F.coalesce(F.col("enriched"), F.lit(0)).cast("long")
+        .alias("enriched"),
+        F.coalesce(F.col("input_tokens"), F.lit(0)).cast("long")
+        .alias("input_tokens"),
+        F.coalesce(F.col("output_tokens"), F.lit(0)).cast("long")
+        .alias("output_tokens"),
+        # heartbeats fire before items 0, 5, 10, ... among processed
+        F.when(F.col("processed") > 0,
+               F.floor((F.col("processed") - 1) / HEARTBEAT_EVERY) + 1)
+        .otherwise(F.lit(0)).cast("long").alias("heartbeats"))
+
+
+# ---------------------------------------------------------------------------
+# synthesizers + DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def synth_requests(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < 200).select(
+        e.alias("request_id"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .when(e % 4 == 1, F.lit(""))  # empty key disables auth (pin)
+        .otherwise(F.concat(F.lit("key-"), e % 3)).alias("expected_key"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .when(e % 5 == 1, F.concat(F.lit("Bearer key-"), e % 3))
+        .when(e % 5 == 2, F.concat(F.lit("key-"), e % 3))  # no prefix
+        .otherwise(F.lit("Bearer wrong")).alias("auth_header"),
+        F.when(e % 3 == 0, F.lit("product-enrichment"))
+        .when(e % 3 == 1, F.lit("material-tagger"))
+        .otherwise(F.concat(F.lit("bogus-"), e % 2)).alias("agent_type"))
+
+
+SYNTH_AGENT_REQUESTS_SQL = """
+    SELECT event_id AS request_id,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                WHEN event_id % 4 = 1 THEN ''
+                ELSE 'key-' || CAST(event_id % 3 AS VARCHAR) END
+               AS expected_key,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1
+                  THEN 'Bearer key-' || CAST(event_id % 3 AS VARCHAR)
+                WHEN event_id % 5 = 2
+                  THEN 'key-' || CAST(event_id % 3 AS VARCHAR)
+                ELSE 'Bearer wrong' END AS auth_header,
+           CASE WHEN event_id % 3 = 0 THEN 'product-enrichment'
+                WHEN event_id % 3 = 1 THEN 'material-tagger'
+                ELSE 'bogus-' || CAST(event_id % 2 AS VARCHAR) END
+               AS agent_type
+    FROM events WHERE event_id < 200
+"""
+
+_N_RUNS = 40
+_N_PRODUCTS = 400
+
+
+def synth_agent_runs(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < _N_RUNS).select(
+        e.alias("run_id"),
+        F.when(e % 2 == 0, F.lit("product-enrichment"))
+        .otherwise(F.lit("material-tagger")).alias("agent_type"),
+        F.when(e % 3 == 0, F.lit(None).cast("long"))
+        .otherwise((5 + e % 12).cast("long")).alias("config_batch_size"),
+        F.when(e % 4 == 0, (300 * (1 + e % 2)).cast("long"))  # cap pin
+        .when(e % 4 == 1, (3 + e % 9).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("input_batch_size"),
+        F.when(e % 5 == 0, F.lit(""))
+        .when(e % 5 == 1, F.concat(F.lit("cat-"), e % 3))
+        .otherwise(F.lit(None).cast("string")).alias("category_filter"),
+        (e % 6 == 0).alias("force_rewrite"))
+
+
+SYNTH_AGENT_RUNS_SQL = f"""
+    SELECT event_id AS run_id,
+           CASE WHEN event_id % 2 = 0 THEN 'product-enrichment'
+                ELSE 'material-tagger' END AS agent_type,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(5 + event_id % 12 AS BIGINT) END
+               AS config_batch_size,
+           CASE WHEN event_id % 4 = 0
+                  THEN CAST(300 * (1 + event_id % 2) AS BIGINT)
+                WHEN event_id % 4 = 1 THEN CAST(3 + event_id % 9 AS BIGINT)
+                ELSE NULL END AS input_batch_size,
+           CASE WHEN event_id % 5 = 0 THEN ''
+                WHEN event_id % 5 = 1
+                  THEN 'cat-' || CAST(event_id % 3 AS VARCHAR)
+                ELSE NULL END AS category_filter,
+           event_id % 6 = 0 AS force_rewrite
+    FROM events WHERE event_id < {_N_RUNS}
+"""
+
+
+def synth_agent_products(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < _N_PRODUCTS).select(
+        e.alias("product_id"),
+        (e * 37 % 1000).cast("long").alias("created_at"),
+        F.when(e % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("desc-"), e)).alias("description"),
+        F.concat(F.lit("cat-"), e % 3).alias("category"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("img-"), e)).alias("image_url"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("mat-"), e % 4)).alias("material_type"),
+        F.when(e % 6 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("t-"), e % 3))).alias("tags"))
+
+
+SYNTH_AGENT_PRODUCTS_SQL = f"""
+    SELECT event_id AS product_id,
+           CAST(event_id * 37 % 1000 AS BIGINT) AS created_at,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE 'desc-' || CAST(event_id AS VARCHAR) END
+               AS description,
+           'cat-' || CAST(event_id % 3 AS VARCHAR) AS category,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE 'img-' || CAST(event_id AS VARCHAR) END AS image_url,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE 'mat-' || CAST(event_id % 4 AS VARCHAR) END
+               AS material_type,
+           CASE WHEN event_id % 6 = 0 THEN []
+                ELSE ['t-' || CAST(event_id % 3 AS VARCHAR)] END AS tags
+    FROM events WHERE event_id < {_N_PRODUCTS}
+"""
+
+
+def synth_responses(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < 300).select(
+        e.alias("response_id"),
+        F.when(e % 7 == 0, F.lit('```json\n{"a": 1}\n```'))
+        .when(e % 7 == 1, F.lit("null"))          # charset bug: -> 'ull'
+        .when(e % 7 == 2, F.lit("json stuff"))    # leading chars eaten
+        .when(e % 7 == 3, F.concat(F.lit('  {"v": '), e, F.lit("} ")))
+        .when(e % 7 == 4, F.lit("``` {\"b\": 2} ```"))
+        .when(e % 7 == 5, F.lit("no fences here"))
+        .otherwise(F.concat(F.lit('{"k": "'), e % 9, F.lit('"}```')))
+        .alias("raw_text"))
+
+
+SYNTH_AGENT_RESPONSES_SQL = """
+    SELECT event_id AS response_id,
+           CASE event_id % 7
+             WHEN 0 THEN '```json' || chr(10) || '{"a": 1}' || chr(10)
+                         || '```'
+             WHEN 1 THEN 'null'
+             WHEN 2 THEN 'json stuff'
+             WHEN 3 THEN '  {"v": ' || CAST(event_id AS VARCHAR) || '} '
+             WHEN 4 THEN '``` {"b": 2} ```'
+             WHEN 5 THEN 'no fences here'
+             ELSE '{"k": "' || CAST(event_id % 9 AS VARCHAR) || '"}```'
+           END AS raw_text
+    FROM events WHERE event_id < 300
+"""
+
+
+def synth_parsed(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    s = lambda pfx, m, gate: (
+        F.when(e % m == 0, F.lit(None).cast("string"))
+        .when(e % m == 1, F.lit(""))
+        .otherwise(F.concat(F.lit(pfx), e % gate)))
+    return events.filter(e < 300).select(
+        e.alias("item_id"),
+        F.when(e % 2 == 0, F.lit("product-enrichment"))
+        .otherwise(F.lit("material-tagger")).alias("agent_type"),
+        s("d-", 3, 7).alias("description"),
+        F.when(e % 4 == 0, F.lit(None).cast("array<string>"))
+        .when(e % 4 == 1, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("kw-"), e % 5))).alias("keywords"),
+        s("mc-", 5, 4).alias("material_category"),
+        s("mt-", 6, 4).alias("material_type"),
+        s("c-", 7, 5).alias("color"),
+        s("f-", 8, 3).alias("finish"),
+        s("a-", 9, 4).alias("application"),
+        F.when(e % 10 == 0, F.lit(None).cast("array<string>"))
+        .when(e % 10 == 1, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("tg-"), e % 4))).alias("tags"))
+
+
+SYNTH_AGENT_PARSED_SQL = """
+    SELECT event_id AS item_id,
+           CASE WHEN event_id % 2 = 0 THEN 'product-enrichment'
+                ELSE 'material-tagger' END AS agent_type,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                WHEN event_id % 3 = 1 THEN ''
+                ELSE 'd-' || CAST(event_id % 7 AS VARCHAR) END
+               AS description,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                WHEN event_id % 4 = 1 THEN []
+                ELSE ['kw-' || CAST(event_id % 5 AS VARCHAR)] END
+               AS keywords,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN ''
+                ELSE 'mc-' || CAST(event_id % 4 AS VARCHAR) END
+               AS material_category,
+           CASE WHEN event_id % 6 = 0 THEN NULL
+                WHEN event_id % 6 = 1 THEN ''
+                ELSE 'mt-' || CAST(event_id % 4 AS VARCHAR) END
+               AS material_type,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_id % 7 = 1 THEN ''
+                ELSE 'c-' || CAST(event_id % 5 AS VARCHAR) END AS color,
+           CASE WHEN event_id % 8 = 0 THEN NULL
+                WHEN event_id % 8 = 1 THEN ''
+                ELSE 'f-' || CAST(event_id % 3 AS VARCHAR) END AS finish,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                WHEN event_id % 9 = 1 THEN ''
+                ELSE 'a-' || CAST(event_id % 4 AS VARCHAR) END
+               AS application,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                WHEN event_id % 10 = 1 THEN []
+                ELSE ['tg-' || CAST(event_id % 4 AS VARCHAR)] END AS tags
+    FROM events WHERE event_id < 300
+"""
+
+_N_ROLLUP_RUNS = 60
+_ITEMS_PER_RUN = 23
+
+
+def synth_rollup_runs(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < _N_ROLLUP_RUNS).select(
+        e.alias("run_id"),
+        F.lit(_ITEMS_PER_RUN).cast("long").alias("n_items"),
+        F.when(e % 4 == 0, (e % 25).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("cancel_point"),
+        (e % 11 == 0).alias("outer_fail"))
+
+
+SYNTH_ROLLUP_RUNS_SQL = f"""
+    SELECT event_id AS run_id,
+           CAST({_ITEMS_PER_RUN} AS BIGINT) AS n_items,
+           CASE WHEN event_id % 4 = 0
+                THEN CAST(event_id % 25 AS BIGINT) END AS cancel_point,
+           event_id % 11 = 0 AS outer_fail
+    FROM events WHERE event_id < {_N_ROLLUP_RUNS}
+"""
+
+
+def synth_rollup_items(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.filter(e < _N_ROLLUP_RUNS * _ITEMS_PER_RUN).select(
+        (e % _N_ROLLUP_RUNS).cast("long").alias("run_id"),
+        F.floor(e / _N_ROLLUP_RUNS).cast("long").alias("item_idx"),
+        ((e * 3) % 7 != 0).alias("parse_ok"),
+        F.when((e * 5) % 6 == 0, F.lit(""))
+        .otherwise(F.lit("description")).alias("update_keys"),
+        (10 + e % 90).cast("long").alias("in_tok"),
+        (5 + e % 40).cast("long").alias("out_tok"))
+
+
+SYNTH_ROLLUP_ITEMS_SQL = f"""
+    SELECT CAST(event_id % {_N_ROLLUP_RUNS} AS BIGINT) AS run_id,
+           CAST(event_id // {_N_ROLLUP_RUNS} AS BIGINT) AS item_idx,
+           (event_id * 3) % 7 <> 0 AS parse_ok,
+           CASE WHEN (event_id * 5) % 6 = 0 THEN ''
+                ELSE 'description' END AS update_keys,
+           CAST(10 + event_id % 90 AS BIGINT) AS in_tok,
+           CAST(5 + event_id % 40 AS BIGINT) AS out_tok
+    FROM events WHERE event_id < {_N_ROLLUP_RUNS * _ITEMS_PER_RUN}
+"""
+
+
+def run_gate_sql() -> str:
+    return f"""
+        WITH requests AS ({SYNTH_AGENT_REQUESTS_SQL})
+        SELECT request_id,
+               CASE WHEN expected_key IS NOT NULL AND expected_key <> ''
+                     AND (auth_header IS NULL
+                          OR auth_header <> 'Bearer ' || expected_key)
+                    THEN 'unauthorized'
+                    WHEN agent_type NOT IN ('product-enrichment',
+                                            'material-tagger')
+                    THEN 'unknown_type'
+                    ELSE 'accepted' END AS outcome,
+               CAST(CASE WHEN expected_key IS NOT NULL
+                          AND expected_key <> ''
+                          AND (auth_header IS NULL
+                               OR auth_header <> 'Bearer ' || expected_key)
+                         THEN 401
+                         WHEN agent_type NOT IN ('product-enrichment',
+                                                 'material-tagger')
+                         THEN 422 ELSE 200 END AS INT) AS status_code,
+               CASE WHEN expected_key IS NOT NULL AND expected_key <> ''
+                     AND (auth_header IS NULL
+                          OR auth_header <> 'Bearer ' || expected_key)
+                    THEN 'Unauthorized'
+                    WHEN agent_type NOT IN ('product-enrichment',
+                                            'material-tagger')
+                    THEN 'Unknown agent_type ''' || agent_type ||
+                         '''. Available: {CATALOG_SQL}'
+                    ELSE 'Agent ''' || agent_type ||
+                         ''' accepted for background execution' END
+                   AS detail
+        FROM requests
+    """
+
+
+def batch_plan_sql() -> str:
+    return f"""
+        WITH runs AS ({SYNTH_AGENT_RUNS_SQL}),
+        products AS ({SYNTH_AGENT_PRODUCTS_SQL}),
+        planned AS (
+          SELECT run_id, agent_type,
+                 CAST(least(coalesce(input_batch_size, config_batch_size,
+                                     {DEFAULT_BATCH}), {BATCH_CAP})
+                      AS BIGINT) AS batch_size,
+                 category_filter, force_rewrite
+          FROM runs),
+        cand AS (
+          SELECT p.run_id, p.agent_type, pr.product_id, pr.created_at,
+                 p.batch_size,
+                 row_number() OVER (
+                   PARTITION BY p.run_id
+                   ORDER BY pr.created_at, pr.product_id) AS rn
+          FROM planned p CROSS JOIN products pr
+          WHERE CASE WHEN p.agent_type = 'product-enrichment'
+                THEN (p.force_rewrite OR pr.description IS NULL)
+                 AND (p.category_filter IS NULL OR p.category_filter = ''
+                      OR pr.category = p.category_filter)
+                ELSE pr.image_url IS NOT NULL
+                 AND (pr.material_type IS NULL OR len(pr.tags) = 0) END)
+        SELECT run_id, agent_type, product_id,
+               CAST(rn - 1 AS BIGINT) AS item_idx, batch_size
+        FROM cand WHERE rn <= batch_size
+    """
+
+
+def fence_strip_sql() -> str:
+    return f"""
+        WITH responses AS ({SYNTH_AGENT_RESPONSES_SQL})
+        SELECT response_id,
+               regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(raw_text,
+                     '^\\s+', ''), '\\s+$', ''),
+                   '^[`json]+', ''), '`+$', ''),
+                 '^\\s+', ''), '\\s+$', '') AS stripped
+        FROM responses
+    """
+
+
+def update_build_sql() -> str:
+    tr = lambda c: f"({c} IS NOT NULL AND {c} <> '')"
+    arr = lambda c: f"({c} IS NOT NULL AND len({c}) > 0)"
+    return f"""
+        WITH parsed AS ({SYNTH_AGENT_PARSED_SQL}),
+        k AS (
+          SELECT item_id, agent_type,
+                 concat_ws(',',
+                   CASE WHEN agent_type = 'product-enrichment'
+                         AND {tr('description')} THEN 'description' END,
+                   CASE WHEN agent_type = 'product-enrichment'
+                         AND {arr('keywords')} THEN 'search_keywords' END,
+                   CASE WHEN agent_type = 'product-enrichment'
+                         AND {tr('material_category')}
+                        THEN 'material_type' END,
+                   CASE WHEN agent_type <> 'product-enrichment'
+                         AND {tr('material_type')}
+                        THEN 'material_type' END,
+                   CASE WHEN agent_type <> 'product-enrichment'
+                         AND {tr('color')} THEN 'color' END,
+                   CASE WHEN agent_type <> 'product-enrichment'
+                         AND {tr('finish')} THEN 'finish' END,
+                   CASE WHEN agent_type <> 'product-enrichment'
+                         AND {tr('application')} THEN 'application' END,
+                   CASE WHEN agent_type <> 'product-enrichment'
+                         AND {arr('tags')} THEN 'tags' END) AS update_keys
+          FROM parsed)
+        SELECT item_id, agent_type, update_keys,
+               CAST(CASE WHEN update_keys <> '' THEN 1 ELSE 0 END AS INT)
+                   AS counted
+        FROM k
+    """
+
+
+def run_rollup_sql() -> str:
+    disc = f"(cancel_point // {HEARTBEAT_EVERY} + 1) * {HEARTBEAT_EVERY}"
+    return f"""
+        WITH runs AS ({SYNTH_ROLLUP_RUNS_SQL}),
+        items AS ({SYNTH_ROLLUP_ITEMS_SQL}),
+        bounds AS (
+          SELECT run_id, outer_fail, n_items,
+                 CAST(CASE WHEN cancel_point IS NOT NULL
+                            AND {disc} < n_items
+                           THEN {disc} ELSE n_items END AS BIGINT)
+                     AS processed,
+                 cancel_point IS NOT NULL AND {disc} < n_items
+                     AS was_cancelled
+          FROM runs),
+        agg AS (
+          SELECT i.run_id,
+                 CAST(sum(CASE WHEN i.parse_ok AND i.update_keys <> ''
+                               THEN 1 ELSE 0 END) AS BIGINT) AS enriched,
+                 CAST(sum(i.in_tok) AS BIGINT) AS input_tokens,
+                 CAST(sum(i.out_tok) AS BIGINT) AS output_tokens,
+                 CAST(sum(CASE WHEN NOT i.parse_ok THEN 1 ELSE 0 END)
+                      AS BIGINT) AS warn_logs
+          FROM items i JOIN bounds b USING (run_id)
+          WHERE i.item_idx < b.processed
+          GROUP BY i.run_id)
+        SELECT b.run_id,
+               CASE WHEN b.outer_fail THEN 'failed'
+                    WHEN b.was_cancelled THEN 'cancelled'
+                    ELSE 'completed' END AS status,
+               b.processed,
+               CAST(coalesce(a.enriched, 0) AS BIGINT) AS enriched,
+               CAST(coalesce(a.input_tokens, 0) AS BIGINT)
+                   AS input_tokens,
+               CAST(coalesce(a.output_tokens, 0) AS BIGINT)
+                   AS output_tokens,
+               CAST(CASE WHEN b.processed > 0
+                         THEN (b.processed - 1) // {HEARTBEAT_EVERY} + 1
+                         ELSE 0 END AS BIGINT) AS heartbeats
+        FROM bounds b LEFT JOIN agg a USING (run_id)
+    """
