@@ -6438,6 +6438,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              ae.synth_rollup_items(ev))
     q["agent_run_rollup"] = agent_run_rollup_q
 
+    def llm_fence_sanitize_q(spark, sf_dir):
+        # invisible/bidi strip -> delimiter look-alike swap -> unicode
+        # ws collapse -> strip -> 300-cap + ellipsis (llm_fence.py:55-68)
+        from mivaa_pdf_extractor_spark.operators import fencing as fnc
+        return fnc.fence_untrusted(
+            fnc.synth_fence_rows(_events(spark, sf_dir)))
+    q["llm_fence_sanitize"] = llm_fence_sanitize_q
+
+    def anthropic_error_tags_q(spark, sf_dir):
+        # ordered substring banks: credit -> rate -> auth -> other; raw
+        # substring checks ('4290 rows' fires '429' — pin); level=error
+        # only for credit_balance (anthropic_error_reporter.py:58-139)
+        from mivaa_pdf_extractor_spark.operators import (
+            error_reporting as erp)
+        return erp.classify_failures(
+            erp.synth_failures(_events(spark, sf_dir)))
+    q["anthropic_error_tags"] = anthropic_error_tags_q
+
+    def embed_context_build_q(spark, sf_dir):
+        # LIVE `embeddings.get(k) or []` ladder; dims + first-10 sample
+        # (embedding_to_text_service.py:86-113)
+        from mivaa_pdf_extractor_spark.operators import (
+            error_reporting as erp)
+        return erp.embed_context_build(
+            erp.synth_embeddings(_events(spark, sf_dir)))
+    q["embed_context_build"] = embed_context_build_q
+
+    def embed_response_fold_q(spark, sf_dir):
+        # GREEDY re.search(r'\{.*\}', DOTALL): first '{' .. LAST '}'
+        # spans multiple objects (pin); integer micro-dollar cost
+        # in*3 + out*15 (embedding_to_text_service.py:146-171)
+        from mivaa_pdf_extractor_spark.operators import (
+            error_reporting as erp)
+        return erp.embed_response_fold(
+            erp.synth_responses(_events(spark, sf_dir)))
+    q["embed_response_fold"] = embed_response_fold_q
+
+    def queue_job_plan_q(spark, sf_dir):
+        # image jobs carry max_retries=3, AI jobs DON'T (asymmetric
+        # insert shapes — pin) (async_queue_service.py:23-106)
+        from mivaa_pdf_extractor_spark.operators import queue_folds as qfl
+        imgs, chks = qfl.synth_queue_items(_events(spark, sf_dir))
+        return qfl.queue_job_plan(imgs, chks)
+    q["queue_job_plan"] = queue_job_plan_q
+
+    def queue_retry_fold_q(spark, sf_dir):
+        # table pick: 'image' exact else ai (even 'IMAGE'); <3 requeue
+        # +1; else failed, 'Max retries exceeded: ' prefix, retry_count
+        # untouched (async_queue_service.py:146-185)
+        from mivaa_pdf_extractor_spark.operators import queue_folds as qfl
+        return qfl.queue_retry_fold(
+            qfl.synth_failures(_events(spark, sf_dir)))
+    q["queue_retry_fold"] = queue_retry_fold_q
+
+    def queue_metrics_q(spark, sf_dir):
+        # per-(queue,status) counts + distinct-truthy-doc active count
+        # (async_queue_service.py:108-144)
+        from mivaa_pdf_extractor_spark.operators import queue_folds as qfl
+        ev = _events(spark, sf_dir)
+        return qfl.queue_metrics(qfl.synth_queue_state(ev),
+                                 qfl.synth_bg_jobs(ev))
+    q["queue_metrics"] = queue_metrics_q
+
+    def validation_queue_stats_q(spark, sf_dir):
+        # priority-ordered pending rows batched by 10; progress =
+        # int(done/total*100) after each batch
+        # (claude_validation_service.py:96-183)
+        from mivaa_pdf_extractor_spark.operators import queue_folds as qfl
+        return qfl.validation_queue_stats(
+            qfl.synth_validation_queue(_events(spark, sf_dir)))
+    q["validation_queue_stats"] = validation_queue_stats_q
+
+    def validation_retry_fold_q(spark, sf_dir):
+        # ABSENT-key .get defaults (0 / 3); rc+1 >= max -> failed else
+        # re-queued pending (claude_validation_service.py:259-287)
+        from mivaa_pdf_extractor_spark.operators import queue_folds as qfl
+        return qfl.validation_retry_fold(
+            qfl.synth_validation_jobs(_events(spark, sf_dir)))
+    q["validation_retry_fold"] = validation_retry_fold_q
+
     return q
 
 
@@ -7387,6 +7467,9 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import health_rollup as _hlth
     from mivaa_pdf_extractor_spark.operators import ocr_agg as _ocrg
     from mivaa_pdf_extractor_spark.operators import agent_enrich as _agen
+    from mivaa_pdf_extractor_spark.operators import fencing as _fnc
+    from mivaa_pdf_extractor_spark.operators import error_reporting as _erep
+    from mivaa_pdf_extractor_spark.operators import queue_folds as _qfl
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13482,4 +13565,13 @@ def oracle_sql() -> dict[str, str]:
         "agent_fence_strip": _agen.fence_strip_sql(),
         "agent_update_build": _agen.update_build_sql(),
         "agent_run_rollup": _agen.run_rollup_sql(),
+        "llm_fence_sanitize": _fnc.fence_sql(),
+        "anthropic_error_tags": _erep.classify_sql(),
+        "embed_context_build": _erep.embed_context_sql(),
+        "embed_response_fold": _erep.embed_response_sql(),
+        "queue_job_plan": _qfl.queue_plan_sql(),
+        "queue_retry_fold": _qfl.queue_retry_sql(),
+        "queue_metrics": _qfl.queue_metrics_sql(),
+        "validation_queue_stats": _qfl.validation_stats_sql(),
+        "validation_retry_fold": _qfl.validation_retry_sql(),
     }
