@@ -4393,7 +4393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("colors3"), F.col("spec_strs"),
                 F.col("spec_flags"), F.col("spec_lists"),
                 F.col("page_body")).alias("embedding_text"))
-    q["product_embedding_text"] = product_embedding_text
+    # "_canonical": the enrich-props join form registers the plain
+    # "product_embedding_text" name below; this is the stage-4 builder
+    q["product_embedding_text_canonical"] = product_embedding_text
 
     def product_default_unit(spark, sf_dir):
         # 5-tier unit resolution: fine vocab > admin overlay > coarse
@@ -12813,7 +12815,7 @@ def oracle_sql() -> dict[str, str]:
         "enrich_merge_fields": f"""
             WITH inputs AS ({_emerge.synth_enrich_sql()})
             {_emerge.merge_sql()}""",
-        "product_embedding_text": f"""
+        "product_embedding_text_canonical": f"""
             WITH p AS ({_ptext.SYNTH_EMBED_SQL})
             {_ptext.embedding_text_sql()}""",
         "product_default_unit": f"""
