@@ -6520,6 +6520,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qfl.synth_validation_jobs(_events(spark, sf_dir)))
     q["validation_retry_fold"] = validation_retry_fold_q
 
+    def circuit_breaker_replay_q(spark, sf_dir):
+        # 3-state breaker replay (claude defaults: threshold 3,
+        # timeout 120 s): lazy OPEN->HALF_OPEN at call time, failure
+        # count carried INTO half-open (one failure re-opens), dead
+        # recovery_timeout (circuit_breaker.py:58-189)
+        from mivaa_pdf_extractor_spark.operators import (
+            breaker_replay as cbr)
+        return cbr.fold_breaker(
+            cbr.synth_breaker_events(_events(spark, sf_dir)),
+            failure_threshold=3, timeout_seconds=120,
+            half_open_max_calls=3)
+    q["circuit_breaker_replay"] = circuit_breaker_replay_q
+
+    def circuit_breaker_stats_q(spark, sf_dir):
+        # get_stats rollup: success_rate denominator INCLUDES rejected
+        # fail-fast calls (circuit_breaker.py:191-209)
+        from mivaa_pdf_extractor_spark.operators import (
+            breaker_replay as cbr)
+        return cbr.breaker_stats(circuit_breaker_replay_q(spark, sf_dir))
+    q["circuit_breaker_stats"] = circuit_breaker_stats_q
+
     return q
 
 
@@ -7472,6 +7493,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import fencing as _fnc
     from mivaa_pdf_extractor_spark.operators import error_reporting as _erep
     from mivaa_pdf_extractor_spark.operators import queue_folds as _qfl
+    from mivaa_pdf_extractor_spark.operators import breaker_replay as _cbr
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13576,4 +13598,31 @@ def oracle_sql() -> dict[str, str]:
         "queue_metrics": _qfl.queue_metrics_sql(),
         "validation_queue_stats": _qfl.validation_stats_sql(),
         "validation_retry_fold": _qfl.validation_retry_sql(),
+        "circuit_breaker_replay": f"""
+            WITH RECURSIVE cb_events AS ({_cbr.SYNTH_BREAKER_SQL}),
+            {_cbr.duck_breaker_sql(3, 120, 3)}
+            SELECT breaker, event_ord, t, outcome, state_before,
+                   disposition, state_after,
+                   CAST(fc AS INT) AS failure_count
+            FROM cb_state""",
+        "circuit_breaker_stats": f"""
+            WITH RECURSIVE cb_events AS ({_cbr.SYNTH_BREAKER_SQL}),
+            {_cbr.duck_breaker_sql(3, 120, 3)}
+            SELECT breaker,
+                   CAST(count(*) AS BIGINT) AS total_calls,
+                   CAST(sum(CASE WHEN disposition = 'executed'
+                            AND outcome = 'ok' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS successful_calls,
+                   CAST(sum(CASE WHEN disposition = 'executed'
+                            AND outcome = 'err' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS failed_calls,
+                   CAST(sum(CASE WHEN disposition = 'rejected'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS rejected_calls,
+                   max_by(state_after, event_ord) AS state,
+                   CAST(max_by(fc, event_ord) AS INT) AS failure_count,
+                   sum(CASE WHEN disposition = 'executed'
+                       AND outcome = 'ok' THEN 1 ELSE 0 END) * 100.0
+                       / count(*) AS success_rate
+            FROM cb_state GROUP BY breaker""",
     }
