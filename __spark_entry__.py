@@ -6541,6 +6541,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cbr.breaker_stats(circuit_breaker_replay_q(spark, sf_dir))
     q["circuit_breaker_stats"] = circuit_breaker_stats_q
 
+    def query_metrics_track_q(spark, sf_dir):
+        # decorator fold: STRICT > threshold; error path stamps
+        # 'ERROR: {e}' and still times (query_metrics.py:88,168-208)
+        from mivaa_pdf_extractor_spark.operators import db_metrics as dbm
+        return dbm.track_queries(
+            dbm.synth_query_calls(_events(spark, sf_dir)))
+    q["query_metrics_track"] = query_metrics_track_q
+
+    def query_metrics_global_q(spark, sf_dir):
+        # get_metrics global block: times rounded 2 (floor-half-up on
+        # both engines), percentage UNROUNDED, inf->0.0 min sentinel
+        # (query_metrics.py:113-133)
+        from mivaa_pdf_extractor_spark.operators import db_metrics as dbm
+        return dbm.query_metrics_global(
+            dbm.synth_query_calls(_events(spark, sf_dir)))
+    q["query_metrics_global"] = query_metrics_global_q
+
+    def query_metrics_tables_q(spark, sf_dir):
+        # per-table count/avg/max/slow_count — no min, no pct at table
+        # grain (query_metrics.py:134-141)
+        from mivaa_pdf_extractor_spark.operators import db_metrics as dbm
+        return dbm.query_metrics_tables(
+            dbm.synth_query_calls(_events(spark, sf_dir)))
+    q["query_metrics_tables"] = query_metrics_tables_q
+
+    def query_metrics_recent_slow_q(spark, sf_dir):
+        # 10-slot ring buffer reported [-5:] — effective window is 5
+        # (query_metrics.py:102-104,142)
+        from mivaa_pdf_extractor_spark.operators import db_metrics as dbm
+        return dbm.recent_slow_queries(
+            dbm.synth_query_calls(_events(spark, sf_dir)))
+    q["query_metrics_recent_slow"] = query_metrics_recent_slow_q
+
+    def resource_lifecycle_replay_q(spark, sf_dir):
+        # event-based cleanup replay: re-register keeps READY state,
+        # discard of a never-holder still triggers the emptiness
+        # check, shutdown ignores in_use_by
+        # (resource_manager.py:56-175)
+        from mivaa_pdf_extractor_spark.operators import (
+            resource_lifecycle as rlc)
+        return rlc.fold_resources(
+            rlc.synth_resource_events(_events(spark, sf_dir)))
+    q["resource_lifecycle_replay"] = resource_lifecycle_replay_q
+
+    def janitor_sweep_q(spark, sf_dir):
+        # /tmp orphan-PDF janitor: (tmp*&&*.pdf)|pdf_processor_* gate,
+        # strict mtime>cutoff recency (boundary file IS deleted),
+        # stat errors short-circuit (resource_manager.py:222-289)
+        from mivaa_pdf_extractor_spark.operators import (
+            resource_lifecycle as rlc)
+        return rlc.janitor_dispositions(
+            rlc.synth_tmp_listing(_events(spark, sf_dir),
+                                  now=1_800_000_000),
+            now=1_800_000_000)
+    q["janitor_sweep"] = janitor_sweep_q
+
+    def mem_pressure_tier_q(spark, sf_dir):
+        # hardcoded dataclass thresholds 65/75 (ctor's 80/90 are dead
+        # params); gc on both elevated tiers (memory_monitor.py:33-47,
+        # 100-131)
+        from mivaa_pdf_extractor_spark.operators import (
+            mem_pressure as mem)
+        return mem.pressure_tier(
+            mem.synth_mem_samples(_events(spark, sf_dir)))
+    q["mem_pressure_tier"] = mem_pressure_tier_q
+
+    def mem_batch_size_q(spark, sf_dir):
+        # <50 -> min(default,max) skipping the MIN clamp; >65 (not the
+        # commented 80) -> min; else int(avail*0.8/item) clamped
+        # (memory_monitor.py:183-231)
+        from mivaa_pdf_extractor_spark.operators import (
+            mem_pressure as mem)
+        return mem.optimal_batch_size(
+            mem.synth_mem_samples(_events(spark, sf_dir)),
+            default_batch_size=8, min_batch_size=2, max_batch_size=20,
+            memory_per_item_mb=10.0)
+    q["mem_batch_size"] = mem_batch_size_q
+
+    def mem_wait_outcome_q(spark, sf_dir):
+        # first available>=required probe proceeds (inclusive) even
+        # past max_wait; timeout fires only on unsatisfied probes
+        # strictly past it (memory_monitor.py:133-176)
+        from mivaa_pdf_extractor_spark.operators import (
+            mem_pressure as mem)
+        return mem.wait_outcome(
+            mem.synth_wait_probes(_events(spark, sf_dir)))
+    q["mem_wait_outcome"] = mem_wait_outcome_q
+
     return q
 
 
@@ -7494,6 +7582,10 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import error_reporting as _erep
     from mivaa_pdf_extractor_spark.operators import queue_folds as _qfl
     from mivaa_pdf_extractor_spark.operators import breaker_replay as _cbr
+    from mivaa_pdf_extractor_spark.operators import db_metrics as _dbm
+    from mivaa_pdf_extractor_spark.operators import (
+        resource_lifecycle as _rlc)
+    from mivaa_pdf_extractor_spark.operators import mem_pressure as _mem
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13625,4 +13717,22 @@ def oracle_sql() -> dict[str, str]:
                        AND outcome = 'ok' THEN 1 ELSE 0 END) * 100.0
                        / count(*) AS success_rate
             FROM cb_state GROUP BY breaker""",
+        "query_metrics_track": _dbm.track_sql(),
+        "query_metrics_global": _dbm.global_sql(),
+        "query_metrics_tables": _dbm.tables_sql(),
+        "query_metrics_recent_slow": _dbm.recent_slow_sql(),
+        "resource_lifecycle_replay": f"""
+            WITH RECURSIVE res_events AS ({_rlc.SYNTH_RESOURCE_SQL}),
+            {_rlc.duck_resources_sql()}
+            SELECT resource, event_ord, kind, job, alive, state,
+                   CAST(len(user_list) AS INT) AS n_users,
+                   coalesce(array_to_string(user_list, ','), '')
+                       AS users, cleaned
+            FROM res_state""",
+        "janitor_sweep": _rlc.janitor_sql(now=1_800_000_000),
+        "mem_pressure_tier": _mem.pressure_tier_sql(),
+        "mem_batch_size": _mem.batch_size_sql(
+            default_batch_size=8, min_batch_size=2, max_batch_size=20,
+            memory_per_item_mb=10.0),
+        "mem_wait_outcome": _mem.wait_outcome_sql(),
     }
