@@ -6629,6 +6629,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mem.synth_wait_probes(_events(spark, sf_dir)))
     q["mem_wait_outcome"] = mem_wait_outcome_q
 
+    def credits_ai_debit_q(spark, sf_dir):
+        # log rounds costs to 8 dp / credits to 2; the job aggregate
+        # rounds billed to SIX — two sinks disagree (pin); error
+        # ladder: absent-key 'Unknown error' default is live,
+        # present-NULL passes through
+        # (credits_integration_service.py:62-180)
+        from mivaa_pdf_extractor_spark.operators import (
+            credits_debit as crd)
+        return crd.ai_debit_fold(
+            crd.synth_ai_attempts(_events(spark, sf_dir)))
+    q["credits_ai_debit"] = credits_ai_debit_q
+
+    def credits_firecrawl_debit_q(spark, sf_dir):
+        # platform credits UNROUNDED float; debit op prefixed
+        # firecrawl_ but log op unprefixed; model hardcoded
+        # 'firecrawl-scrape' (credits_integration_service.py:180-286)
+        from mivaa_pdf_extractor_spark.operators import (
+            credits_debit as crd)
+        return crd.firecrawl_debit_fold(
+            crd.synth_firecrawl_attempts(_events(spark, sf_dir)))
+    q["credits_firecrawl_debit"] = credits_firecrawl_debit_q
+
+    def credits_external_debit_q(spark, sf_dir):
+        # credits<=0 short-circuits to zero success with NO usage row;
+        # '(N unit[s])' pluralizes 0 as plural; api_provider =
+        # split('-')[0] (credits_integration_service.py:430-549)
+        from mivaa_pdf_extractor_spark.operators import (
+            credits_debit as crd)
+        return crd.external_debit_fold(
+            crd.synth_external_attempts(_events(spark, sf_dir)))
+    q["credits_external_debit"] = credits_external_debit_q
+
     return q
 
 
@@ -7586,6 +7618,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         resource_lifecycle as _rlc)
     from mivaa_pdf_extractor_spark.operators import mem_pressure as _mem
+    from mivaa_pdf_extractor_spark.operators import credits_debit as _crd
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13735,4 +13768,7 @@ def oracle_sql() -> dict[str, str]:
             default_batch_size=8, min_batch_size=2, max_batch_size=20,
             memory_per_item_mb=10.0),
         "mem_wait_outcome": _mem.wait_outcome_sql(),
+        "credits_ai_debit": _crd.ai_debit_sql(),
+        "credits_firecrawl_debit": _crd.firecrawl_debit_sql(),
+        "credits_external_debit": _crd.external_debit_sql(),
     }
