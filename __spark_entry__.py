@@ -6661,6 +6661,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             crd.synth_external_attempts(_events(spark, sf_dir)))
     q["credits_external_debit"] = credits_external_debit_q
 
+    def export_rate_replay_q(spark, sf_dir):
+        # 5/hour sliding window: inclusive evict at exactly 3600 s,
+        # rejected attempts never extend the lockout
+        # (app/api/images.py:82-106)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_export as imx)
+        return imx.rate_limit_replay(
+            imx.synth_rate_attempts(_events(spark, sf_dir)))
+    q["export_rate_replay"] = export_rate_replay_q
+
+    def export_gate_q(spark, sf_dir):
+        # 429 -> 400(upper-cased fmt) -> 404 -> tenancy-404 with the
+        # SAME message (id-enum defense) -> 413 count -> 413 size
+        # (app/api/images.py:835-897)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_export as imx)
+        return imx.export_gate(
+            imx.synth_export_requests(_events(spark, sf_dir)))
+    q["export_gate"] = export_gate_q
+
+    def export_manifest_q(spark, sf_dir):
+        # {idx:03d}_{stem}.{ext}, JPEG->jpg; URL-less images consume
+        # indices and still appear in metadata.json
+        # (app/api/images.py:915-980)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_export as imx)
+        return imx.export_manifest(
+            imx.synth_export_images(_events(spark, sf_dir)),
+            fmt="JPEG")
+    q["export_manifest"] = export_manifest_q
+
+    def image_reclassify_update_q(spark, sf_dir):
+        # asymmetric confidence defaults: 0.0 top-level, NULL in
+        # nested ai_classification (app/api/images.py:1005-1030)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_export as imx)
+        return imx.reclassify_update(
+            imx.synth_reclassify(_events(spark, sf_dir)))
+    q["image_reclassify_update"] = image_reclassify_update_q
+
+    def segment_source_resolve_q(spark, sf_dir):
+        # code prefers base64 though the docstring says prefer url
+        # (comment lies); SSRF/fetch/missing 400 ladder
+        # (app/api/images.py:1087-1107)
+        from mivaa_pdf_extractor_spark.operators import (
+            image_export as imx)
+        return imx.segment_source(
+            imx.synth_segment_requests(_events(spark, sf_dir)))
+    q["segment_source_resolve"] = segment_source_resolve_q
+
     return q
 
 
@@ -7619,6 +7669,7 @@ def oracle_sql() -> dict[str, str]:
         resource_lifecycle as _rlc)
     from mivaa_pdf_extractor_spark.operators import mem_pressure as _mem
     from mivaa_pdf_extractor_spark.operators import credits_debit as _crd
+    from mivaa_pdf_extractor_spark.operators import image_export as _imx
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13771,4 +13822,9 @@ def oracle_sql() -> dict[str, str]:
         "credits_ai_debit": _crd.ai_debit_sql(),
         "credits_firecrawl_debit": _crd.firecrawl_debit_sql(),
         "credits_external_debit": _crd.external_debit_sql(),
+        "export_rate_replay": _imx.rate_replay_sql(),
+        "export_gate": _imx.export_gate_sql(),
+        "export_manifest": _imx.export_manifest_sql(fmt="JPEG"),
+        "image_reclassify_update": _imx.reclassify_sql(),
+        "segment_source_resolve": _imx.segment_source_sql(),
     }
