@@ -6711,6 +6711,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             imx.synth_segment_requests(_events(spark, sf_dir)))
     q["segment_source_resolve"] = segment_source_resolve_q
 
+    def save_image_row_q(spark, sf_dir):
+        # document_images row shaping: url falsy ladder + placeholder
+        # skip, page-0 falls through, 10-char reason gate, hardcoded
+        # confidence 0.95, asymmetric layer(or)/cvg(is-not-None)
+        # fallbacks (supabase_client.py:393-645)
+        from mivaa_pdf_extractor_spark.operators import image_row as imr
+        return imr.save_image_row(
+            imr.synth_image_infos(_events(spark, sf_dir)))
+    q["save_image_row"] = save_image_row_q
+
+    def bbox_validate_q(spark, sf_dir):
+        # 4 elements, all in [0,1] INCLUSIVE, else NULL (never fails
+        # the insert) (supabase_client.py:505-523)
+        from mivaa_pdf_extractor_spark.operators import image_row as imr
+        return imr.validate_bbox(
+            imr.synth_bboxes(_events(spark, sf_dir)))
+    q["bbox_validate"] = bbox_validate_q
+
     return q
 
 
@@ -7670,6 +7688,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import mem_pressure as _mem
     from mivaa_pdf_extractor_spark.operators import credits_debit as _crd
     from mivaa_pdf_extractor_spark.operators import image_export as _imx
+    from mivaa_pdf_extractor_spark.operators import image_row as _imr
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13827,4 +13846,6 @@ def oracle_sql() -> dict[str, str]:
         "export_manifest": _imx.export_manifest_sql(fmt="JPEG"),
         "image_reclassify_update": _imx.reclassify_sql(),
         "segment_source_resolve": _imx.segment_source_sql(),
+        "save_image_row": _imr.save_image_row_sql(),
+        "bbox_validate": _imr.validate_bbox_sql(),
     }
