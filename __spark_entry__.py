@@ -6729,6 +6729,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             imr.synth_bboxes(_events(spark, sf_dir)))
     q["bbox_validate"] = bbox_validate_q
 
+    def template_prompt_resolve_q(spark, sf_dir):
+        # 4-tier ladder; tier 2/3 require the STORED axis NULL (the
+        # docstring's "any category" lies); tier 4 canonicalized
+        # updated_at DESC, id (unified_prompt_service.py:207-283)
+        from mivaa_pdf_extractor_spark.operators import (
+            prompt_resolve as prs)
+        ev = _events(spark, sf_dir)
+        return prs.resolve_template_prompt(
+            prs.synth_resolve_requests(ev), prs.synth_prompts(ev))
+    q["template_prompt_resolve"] = template_prompt_resolve_q
+
+    def template_response_shape_q(spark, sf_dir):
+        # _num type-of-default coercion (int('100.7') raises ->
+        # default); absent is_active -> True but present-NULL -> False
+        # (prompt_template_service.py:86-119)
+        from mivaa_pdf_extractor_spark.operators import (
+            prompt_resolve as prs)
+        return prs.template_response_shape(
+            prs.synth_template_rows(_events(spark, sf_dir)))
+    q["template_response_shape"] = template_response_shape_q
+
     return q
 
 
@@ -7689,6 +7710,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import credits_debit as _crd
     from mivaa_pdf_extractor_spark.operators import image_export as _imx
     from mivaa_pdf_extractor_spark.operators import image_row as _imr
+    from mivaa_pdf_extractor_spark.operators import prompt_resolve as _prs
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13848,4 +13870,6 @@ def oracle_sql() -> dict[str, str]:
         "segment_source_resolve": _imx.segment_source_sql(),
         "save_image_row": _imr.save_image_row_sql(),
         "bbox_validate": _imr.validate_bbox_sql(),
+        "template_prompt_resolve": _prs.resolve_sql(),
+        "template_response_shape": _prs.template_shape_sql(),
     }
