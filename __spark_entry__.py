@@ -6750,6 +6750,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prs.synth_template_rows(_events(spark, sf_dir)))
     q["template_response_shape"] = template_response_shape_q
 
+    def desc_chunk_clean_q(spark, sf_dir):
+        # ordered regex passes + the >0.15 English ratio (docstring
+        # claims 40% — pin) (product_description_writer.py:66-104)
+        from mivaa_pdf_extractor_spark.operators import (
+            desc_writer as dsw)
+        return dsw.clean_chunks(
+            dsw.synth_desc_chunks(_events(spark, sf_dir)))
+    q["desc_chunk_clean"] = desc_chunk_clean_q
+
+    def desc_chunks_assemble_q(spark, sf_dir):
+        # English-first THEN shorter-first stable sort; 6000-char cap
+        # truncates the boundary chunk; join separators uncounted
+        # (product_description_writer.py:137-166)
+        from mivaa_pdf_extractor_spark.operators import (
+            desc_writer as dsw)
+        return dsw.assemble_chunks_text(
+            dsw.synth_desc_chunks(_events(spark, sf_dir)))
+    q["desc_chunks_assemble"] = desc_chunks_assemble_q
+
+    def desc_response_shape_q(spark, sf_dir):
+        # quote/backtick strips (the ``` fence branch is dead after
+        # strip('`') — pin), here-is colon split, <20 -> NULL,
+        # 1500-cap + ellipsis (product_description_writer.py:190-206)
+        from mivaa_pdf_extractor_spark.operators import (
+            desc_writer as dsw)
+        return dsw.shape_response(
+            dsw.synth_responses(_events(spark, sf_dir)))
+    q["desc_response_shape"] = desc_response_shape_q
+
     return q
 
 
@@ -7711,6 +7740,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import image_export as _imx
     from mivaa_pdf_extractor_spark.operators import image_row as _imr
     from mivaa_pdf_extractor_spark.operators import prompt_resolve as _prs
+    from mivaa_pdf_extractor_spark.operators import desc_writer as _dsw
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13872,4 +13902,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_validate": _imr.validate_bbox_sql(),
         "template_prompt_resolve": _prs.resolve_sql(),
         "template_response_shape": _prs.template_shape_sql(),
+        "desc_chunk_clean": _dsw.clean_chunks_sql(),
+        "desc_chunks_assemble": _dsw.assemble_sql(),
+        "desc_response_shape": _dsw.shape_response_sql(),
     }
