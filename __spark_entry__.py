@@ -6779,6 +6779,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dsw.synth_responses(_events(spark, sf_dir)))
     q["desc_response_shape"] = desc_response_shape_q
 
+    def prototype_embed_avg_q(spark, sf_dir):
+        # `if embedding:` gate drops falsy embeddings silently; mean
+        # over survivors (category_prototypes.py:85-109)
+        from mivaa_pdf_extractor_spark.operators import (
+            cat_prototypes as cpt)
+        return cpt.prototype_embed_avg(
+            cpt.synth_proto_embeds(_events(spark, sf_dir)))
+    q["prototype_embed_avg"] = prototype_embed_avg_q
+
+    def prototype_populate_rollup_q(spark, sf_dir):
+        # overall success = success_count > 0 (one of ten wins — pin)
+        # (category_prototypes.py:113-187)
+        from mivaa_pdf_extractor_spark.operators import (
+            cat_prototypes as cpt)
+        return cpt.populate_rollup(
+            cpt.synth_outcomes(_events(spark, sf_dir)))
+    q["prototype_populate_rollup"] = prototype_populate_rollup_q
+
     return q
 
 
@@ -7741,6 +7759,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import image_row as _imr
     from mivaa_pdf_extractor_spark.operators import prompt_resolve as _prs
     from mivaa_pdf_extractor_spark.operators import desc_writer as _dsw
+    from mivaa_pdf_extractor_spark.operators import cat_prototypes as _cpt
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13905,4 +13924,6 @@ def oracle_sql() -> dict[str, str]:
         "desc_chunk_clean": _dsw.clean_chunks_sql(),
         "desc_chunks_assemble": _dsw.assemble_sql(),
         "desc_response_shape": _dsw.shape_response_sql(),
+        "prototype_embed_avg": _cpt.embed_avg_sql(),
+        "prototype_populate_rollup": _cpt.rollup_sql(),
     }
