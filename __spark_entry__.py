@@ -6797,6 +6797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cpt.synth_outcomes(_events(spark, sf_dir)))
     q["prototype_populate_rollup"] = prototype_populate_rollup_q
 
+    def request_log_route_q(spark, sf_dir):
+        # 4xx logs INFO (only >=500 warns); system_logs substring
+        # suppression skips request/response logs but NOT the
+        # exception path (error_logging.py:61-168)
+        from mivaa_pdf_extractor_spark.operators import (
+            request_log as rql)
+        return rql.route_request_logs(
+            rql.synth_requests(_events(spark, sf_dir)))
+    q["request_log_route"] = request_log_route_q
+
     return q
 
 
@@ -7760,6 +7770,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import prompt_resolve as _prs
     from mivaa_pdf_extractor_spark.operators import desc_writer as _dsw
     from mivaa_pdf_extractor_spark.operators import cat_prototypes as _cpt
+    from mivaa_pdf_extractor_spark.operators import request_log as _rql
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13926,4 +13937,5 @@ def oracle_sql() -> dict[str, str]:
         "desc_response_shape": _dsw.shape_response_sql(),
         "prototype_embed_avg": _cpt.embed_avg_sql(),
         "prototype_populate_rollup": _cpt.rollup_sql(),
+        "request_log_route": _rql.route_sql(),
     }
