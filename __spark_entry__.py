@@ -6807,6 +6807,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rql.synth_requests(_events(spark, sf_dir)))
     q["request_log_route"] = request_log_route_q
 
+    def job_cost_calls_q(spark, sf_dir):
+        # provider rate formulas; 'sonar-pro' EXACT match (any other
+        # string gets the cheap base — pin); query/location/url
+        # truncations (job_cost_logger.py:30-160)
+        from mivaa_pdf_extractor_spark.operators import job_costs as jcs
+        return jcs.job_cost_calls(
+            jcs.synth_cost_calls(_events(spark, sf_dir)))
+    q["job_cost_calls"] = job_cost_calls_q
+
+    def job_credit_gate_q(spark, sf_dir):
+        # amount<=0 'succeeds' even with no user; success=false rows
+        # honoured (audit H3); refund op suffixed .refund
+        # (job_cost_logger.py:169-208)
+        from mivaa_pdf_extractor_spark.operators import job_costs as jcs
+        return jcs.credit_gate(
+            jcs.synth_credit_ops(_events(spark, sf_dir)))
+    q["job_credit_gate"] = job_credit_gate_q
+
     return q
 
 
@@ -7771,6 +7789,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import desc_writer as _dsw
     from mivaa_pdf_extractor_spark.operators import cat_prototypes as _cpt
     from mivaa_pdf_extractor_spark.operators import request_log as _rql
+    from mivaa_pdf_extractor_spark.operators import job_costs as _jcs
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13938,4 +13957,6 @@ def oracle_sql() -> dict[str, str]:
         "prototype_embed_avg": _cpt.embed_avg_sql(),
         "prototype_populate_rollup": _cpt.rollup_sql(),
         "request_log_route": _rql.route_sql(),
+        "job_cost_calls": _jcs.cost_calls_sql(),
+        "job_credit_gate": _jcs.credit_gate_sql(),
     }
