@@ -6825,6 +6825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jcs.synth_credit_ops(_events(spark, sf_dir)))
     q["job_credit_gate"] = job_credit_gate_q
 
+    def agent_run_lifecycle_q(spark, sf_dir):
+        # 'processing' not 'running' (audit M7); [:480] truncations;
+        # int(x or 0) folds; run_count bumped only on complete, fail
+        # leaves it (pin) (job_agent_runs.py:97-226)
+        from mivaa_pdf_extractor_spark.operators import agent_runs as arn
+        return arn.fold_run_events(
+            arn.synth_run_events(_events(spark, sf_dir)))
+    q["agent_run_lifecycle"] = agent_run_lifecycle_q
+
     return q
 
 
@@ -7790,6 +7799,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import cat_prototypes as _cpt
     from mivaa_pdf_extractor_spark.operators import request_log as _rql
     from mivaa_pdf_extractor_spark.operators import job_costs as _jcs
+    from mivaa_pdf_extractor_spark.operators import agent_runs as _arn
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13959,4 +13969,5 @@ def oracle_sql() -> dict[str, str]:
         "request_log_route": _rql.route_sql(),
         "job_cost_calls": _jcs.cost_calls_sql(),
         "job_credit_gate": _jcs.credit_gate_sql(),
+        "agent_run_lifecycle": _arn.run_events_sql(),
     }
