@@ -6834,6 +6834,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             arn.synth_run_events(_events(spark, sf_dir)))
     q["agent_run_lifecycle"] = agent_run_lifecycle_q
 
+    def log_sink_gate_q(spark, sf_dir):
+        # WARNING+ never dropped; un-dotted prefix denylist (the
+        # 'middleware' prefix also denies 'middlewares'); '-'/''
+        # uuid sentinels fold to NULL
+        # (supabase_logging_handler.py:101-178)
+        from mivaa_pdf_extractor_spark.operators import (
+            request_log as rql)
+        return rql.log_sink_gate(
+            rql.synth_log_records(_events(spark, sf_dir)))
+    q["log_sink_gate"] = log_sink_gate_q
+
     return q
 
 
@@ -13970,4 +13981,5 @@ def oracle_sql() -> dict[str, str]:
         "job_cost_calls": _jcs.cost_calls_sql(),
         "job_credit_gate": _jcs.credit_gate_sql(),
         "agent_run_lifecycle": _arn.run_events_sql(),
+        "log_sink_gate": _rql.log_sink_sql(),
     }

@@ -155,3 +155,120 @@ def route_sql() -> str:
                TRUE AS correlation_header
         FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# Supabase DB log-sink gate (app/utils/supabase_logging_handler.py)
+# ---------------------------------------------------------------------------
+
+DENY_PREFIXES = (
+    'httpx', 'httpcore', 'urllib3', 'hpack', 'asyncio',
+    'openai', 'anthropic', 'botocore',
+    'middleware', 'app.middleware.error_logging',
+)  # supabase_logging_handler.py:27-31 (default denylist, env-tunable)
+
+WARNING_LEVELNO = 30
+
+
+def log_sink_gate(records: DataFrame) -> DataFrame:
+    """supabase_logging_handler.py:101-178 pins:
+
+    - WARNING+ is NEVER dropped regardless of logger (:110-112);
+      below that, ``record.name.startswith(deny_prefixes)`` — a RAW
+      prefix tuple, so 'middleware' also denies a logger named
+      'middlewares' (un-dotted prefix match — pin);
+    - the uuid sentinel guard folds '-' AND '' AND None to NULL for
+      job_id/user_id/request_id (:160-164 — Supabase uuid columns
+      reject '-' with 22P02);
+    - every surviving row is tagged source='backend'."""
+    deny = F.lit(False)
+    for p in DENY_PREFIXES:
+        deny = deny | F.col("logger_name").startswith(p)
+    dropped = (F.col("levelno") < WARNING_LEVELNO) & deny
+
+    def uuid_or_null(c):
+        return F.when((F.col(c) == "-") | (F.col(c) == ""),
+                      F.lit(None).cast("string")) \
+            .otherwise(F.col(c))
+
+    return records.select(
+        "record_id", dropped.alias("dropped"),
+        F.when(~dropped, F.col("level_name")).alias("level"),
+        F.when(~dropped, uuid_or_null("job_id")).alias("job_id_out"),
+        F.when(~dropped, uuid_or_null("request_id"))
+        .alias("request_id_out"),
+        F.when(~dropped, F.lit("backend")).alias("source"))
+
+
+def synth_log_records(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("record_id"),
+        F.when(e % 7 == 0, "httpx.client")
+        .when(e % 7 == 1, "middlewares.custom")    # un-dotted match
+        .when(e % 7 == 2, "app.services.pdf")
+        .when(e % 7 == 3, "anthropic")
+        .otherwise(F.concat(F.lit("app.mod"), (e % 9).cast("string")))
+        .alias("logger_name"),
+        F.when(e % 5 == 0, 10).when(e % 5 == 1, 20)
+        .when(e % 5 == 2, 30).when(e % 5 == 3, 40).otherwise(50)
+        .cast("int").alias("levelno"),
+        F.when(e % 5 == 0, "DEBUG").when(e % 5 == 1, "INFO")
+        .when(e % 5 == 2, "WARNING").when(e % 5 == 3, "ERROR")
+        .otherwise("CRITICAL").alias("level_name"),
+        F.when(e % 4 == 0, "-").when(e % 4 == 1, F.lit(""))
+        .when(e % 4 == 2, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("00000000-0000-0000-0000-"),
+                            F.lpad((e % 999).cast("string"), 12, "0")))
+        .alias("job_id"),
+        F.when(e % 3 == 0, "-")
+        .otherwise(F.concat(F.lit("req-"), (e % 50).cast("string")))
+        .alias("request_id"))
+
+
+SYNTH_LOG_RECORDS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS record_id,
+           CASE event_id % 7 WHEN 0 THEN 'httpx.client'
+                WHEN 1 THEN 'middlewares.custom'
+                WHEN 2 THEN 'app.services.pdf'
+                WHEN 3 THEN 'anthropic'
+                ELSE 'app.mod' || CAST(event_id % 9 AS VARCHAR) END
+               AS logger_name,
+           CAST(CASE event_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 20
+                WHEN 2 THEN 30 WHEN 3 THEN 40 ELSE 50 END AS INT)
+               AS levelno,
+           CASE event_id % 5 WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+                WHEN 2 THEN 'WARNING' WHEN 3 THEN 'ERROR'
+                ELSE 'CRITICAL' END AS level_name,
+           CASE event_id % 4 WHEN 0 THEN '-' WHEN 1 THEN ''
+                WHEN 2 THEN NULL
+                ELSE '00000000-0000-0000-0000-'
+                     || lpad(CAST(event_id % 999 AS VARCHAR), 12,
+                             '0') END AS job_id,
+           CASE WHEN event_id % 3 = 0 THEN '-'
+                ELSE 'req-' || CAST(event_id % 50 AS VARCHAR) END
+               AS request_id
+    FROM events
+"""
+
+
+def log_sink_sql() -> str:
+    deny = " OR ".join(
+        f"logger_name LIKE '{p}%'" for p in DENY_PREFIXES)
+    return f"""
+        WITH r AS ({SYNTH_LOG_RECORDS_SQL}),
+        g AS (SELECT *, levelno < {WARNING_LEVELNO}
+                        AND ({deny}) AS dropped
+              FROM r)
+        SELECT record_id, dropped,
+               CASE WHEN NOT dropped THEN level_name END AS level,
+               CASE WHEN NOT dropped THEN
+                 CASE WHEN job_id = '-' OR job_id = '' THEN NULL
+                      ELSE job_id END END AS job_id_out,
+               CASE WHEN NOT dropped THEN
+                 CASE WHEN request_id = '-' OR request_id = ''
+                      THEN NULL ELSE request_id END END
+                   AS request_id_out,
+               CASE WHEN NOT dropped THEN 'backend' END AS source
+        FROM g
+    """
