@@ -6845,6 +6845,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rql.synth_log_records(_events(spark, sf_dir)))
     q["log_sink_gate"] = log_sink_gate_q
 
+    def pagination_derive_q(spark, sf_dir):
+        # total_pages = max(1, ceil) — empty results still report 1
+        # page (common.py:108-121)
+        from mivaa_pdf_extractor_spark.operators import (
+            schema_gate as sgt)
+        return sgt.derive_pagination(
+            sgt.synth_pages(_events(spark, sf_dir)))
+    q["pagination_derive"] = pagination_derive_q
+
+    def request_validators_q(spark, sf_dir):
+        # inclusive [10,3600] timeout, image_id XOR image_url with
+        # distinct messages, [0,1] bbox, type banks
+        # (common.py:89-242, images.py:37-81)
+        from mivaa_pdf_extractor_spark.operators import (
+            schema_gate as sgt)
+        return sgt.validate_requests(
+            sgt.synth_validation_reqs(_events(spark, sf_dir)))
+    q["request_validators"] = request_validators_q
+
     return q
 
 
@@ -7811,6 +7830,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import request_log as _rql
     from mivaa_pdf_extractor_spark.operators import job_costs as _jcs
     from mivaa_pdf_extractor_spark.operators import agent_runs as _arn
+    from mivaa_pdf_extractor_spark.operators import schema_gate as _sgt
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -13982,4 +14002,6 @@ def oracle_sql() -> dict[str, str]:
         "job_credit_gate": _jcs.credit_gate_sql(),
         "agent_run_lifecycle": _arn.run_events_sql(),
         "log_sink_gate": _rql.log_sink_sql(),
+        "pagination_derive": _sgt.pagination_sql(),
+        "request_validators": _sgt.validation_sql(),
     }
