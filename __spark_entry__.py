@@ -6864,6 +6864,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sgt.synth_validation_reqs(_events(spark, sf_dir)))
     q["request_validators"] = request_validators_q
 
+    def db_conn_probe_q(spark, sf_dir):
+        # tiered connectivity ladder: dead auth + configured URL still
+        # 'healthy'; non-healthy rungs only DEGRADE the overall;
+        # exactly-1000ms latency is 'slow'
+        # (app/database/connection.py:15-196)
+        from mivaa_pdf_extractor_spark.operators import db_health as dbh
+        return dbh.fold_conn_probe(
+            dbh.synth_conn_probes(_events(spark, sf_dir)))
+    q["db_conn_probe"] = db_conn_probe_q
+
     return q
 
 
@@ -7831,6 +7841,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import job_costs as _jcs
     from mivaa_pdf_extractor_spark.operators import agent_runs as _arn
     from mivaa_pdf_extractor_spark.operators import schema_gate as _sgt
+    from mivaa_pdf_extractor_spark.operators import db_health as _dbh2
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14004,4 +14015,5 @@ def oracle_sql() -> dict[str, str]:
         "log_sink_gate": _rql.log_sink_sql(),
         "pagination_derive": _sgt.pagination_sql(),
         "request_validators": _sgt.validation_sql(),
+        "db_conn_probe": _dbh2.conn_probe_sql(),
     }

@@ -88,3 +88,128 @@ def fold_health_checks(checks: DataFrame,
         F.coalesce("last_check_ord", F.lit(-1)).cast("long")
          .alias("last_check_ord"),
         "avg_query_time_ms", "max_query_time_ms")
+
+
+# ---------------------------------------------------------------------------
+# Connection-probe ladder (app/database/connection.py:15-196) — distinct
+# from the DatabaseHealthService check-loop above.
+# ---------------------------------------------------------------------------
+
+def fold_conn_probe(probes: DataFrame) -> DataFrame:
+    """connection.py pins:
+
+    - check_supabase_health ladder (:46-140): import failure ->
+      'unavailable'; missing wrapper/client -> 'unavailable' with the
+      SAME 'Supabase client not initialized' reason at two rungs; a
+      RuntimeError from the .client property carries the exception
+      text; auth success -> healthy; auth failure falls back to the
+      has-url probe which is ALSO 'healthy' (note 'Basic connectivity
+      confirmed') — a dead auth with a configured URL still reports
+      healthy (pin); missing url -> error.
+    - get_database_health (:15-43): ANY non-healthy supabase status
+      (unavailable AND error alike) only DEGRADES the overall status
+      (pin); an outer exception -> 'error'.
+    - test_database_performance (:158-193): latency < 1000 STRICT ->
+      'healthy', exactly 1000 ms is 'slow' (pin).
+    """
+    p = probes
+    status = (
+        F.when(~p["import_ok"], "unavailable")
+        .when(~p["wrapper_ok"], "unavailable")
+        .when(p["client_prop_raises"], "unavailable")
+        .when(~p["client_ok"], "unavailable")
+        .when(p["auth_ok"], "healthy")
+        .when(p["has_url"], "healthy")
+        .otherwise("error"))
+    reason = (
+        F.when(~p["import_ok"], "Supabase client not available")
+        .when(~p["wrapper_ok"], "Supabase client not initialized")
+        .when(p["client_prop_raises"],
+              F.concat(F.lit("Supabase client not properly "
+                             "initialized: "), p["prop_error"]))
+        .when(~p["client_ok"], "Supabase client not initialized"))
+    note = F.when(p["import_ok"] & p["wrapper_ok"]
+                  & ~p["client_prop_raises"] & p["client_ok"]
+                  & ~p["auth_ok"] & p["has_url"],
+                  F.lit("Basic connectivity confirmed"))
+    overall = (F.when(p["outer_raises"], "error")
+               .when(status == "healthy", "healthy")
+               .otherwise("degraded"))       # never 'error' from rung
+    perf = F.when(p["latency_ms"] < 1000, "healthy").otherwise("slow")
+    return probes.select(
+        "probe_id", status.alias("supabase_status"),
+        reason.alias("reason"), note.alias("note"),
+        overall.alias("overall_status"),
+        perf.alias("latency_status"))
+
+
+def synth_conn_probes(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("probe_id"),
+        (e % 13 != 0).alias("import_ok"),
+        (e % 7 != 0).alias("wrapper_ok"),
+        (e % 11 == 0).alias("client_prop_raises"),
+        F.concat(F.lit("no creds "), (e % 3).cast("string"))
+        .alias("prop_error"),
+        (e % 5 != 0).alias("client_ok"),
+        (e % 3 != 0).alias("auth_ok"),
+        (e % 4 != 0).alias("has_url"),
+        (e % 17 == 0).alias("outer_raises"),
+        F.when(e % 6 == 0, F.lit(1000.0))
+        .otherwise((e % 2000).cast("double") * 0.75)
+        .alias("latency_ms"))
+
+
+SYNTH_CONN_PROBES_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS probe_id,
+           event_id % 13 <> 0 AS import_ok,
+           event_id % 7 <> 0 AS wrapper_ok,
+           event_id % 11 = 0 AS client_prop_raises,
+           'no creds ' || CAST(event_id % 3 AS VARCHAR) AS prop_error,
+           event_id % 5 <> 0 AS client_ok,
+           event_id % 3 <> 0 AS auth_ok,
+           event_id % 4 <> 0 AS has_url,
+           event_id % 17 = 0 AS outer_raises,
+           CASE WHEN event_id % 6 = 0 THEN 1000.0
+                ELSE CAST(event_id % 2000 AS DOUBLE) * 0.75 END
+               AS latency_ms
+    FROM events
+"""
+
+
+def conn_probe_sql() -> str:
+    return f"""
+        WITH p AS ({SYNTH_CONN_PROBES_SQL}),
+        s AS (
+          SELECT *,
+                 CASE WHEN NOT import_ok THEN 'unavailable'
+                      WHEN NOT wrapper_ok THEN 'unavailable'
+                      WHEN client_prop_raises THEN 'unavailable'
+                      WHEN NOT client_ok THEN 'unavailable'
+                      WHEN auth_ok THEN 'healthy'
+                      WHEN has_url THEN 'healthy'
+                      ELSE 'error' END AS supabase_status
+          FROM p)
+        SELECT probe_id, supabase_status,
+               CASE WHEN NOT import_ok
+                      THEN 'Supabase client not available'
+                    WHEN NOT wrapper_ok
+                      THEN 'Supabase client not initialized'
+                    WHEN client_prop_raises
+                      THEN 'Supabase client not properly '
+                           || 'initialized: ' || prop_error
+                    WHEN NOT client_ok
+                      THEN 'Supabase client not initialized'
+               END AS reason,
+               CASE WHEN import_ok AND wrapper_ok
+                         AND NOT client_prop_raises AND client_ok
+                         AND NOT auth_ok AND has_url
+                    THEN 'Basic connectivity confirmed' END AS note,
+               CASE WHEN outer_raises THEN 'error'
+                    WHEN supabase_status = 'healthy' THEN 'healthy'
+                    ELSE 'degraded' END AS overall_status,
+               CASE WHEN latency_ms < 1000 THEN 'healthy'
+                    ELSE 'slow' END AS latency_status
+        FROM s
+    """
