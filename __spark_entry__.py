@@ -6874,6 +6874,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dbh.synth_conn_probes(_events(spark, sf_dir)))
     q["db_conn_probe"] = db_conn_probe_q
 
+    def logs_admin_query_q(spark, sf_dir):
+        # truthy-gated filters (hours=0 disables the cutoff), level
+        # UPPERCASED, ilike search, range pagination + has_more
+        # (logs_routes.py:105-181)
+        from mivaa_pdf_extractor_spark.operators import logs_admin as lga
+        return lga.logs_query(
+            lga.synth_system_logs(_events(spark, sf_dir)),
+            now=lga.NOW, hours=100, level="error", search="failed",
+            page=2, page_size=50)
+    q["logs_admin_query"] = logs_admin_query_q
+
+    def logs_clear_scope_q(spark, sf_dir):
+        # truthy hours deletes STRICTLY older; 0/None wipes all
+        # (pinned in pytest) (logs_routes.py:183-214)
+        from mivaa_pdf_extractor_spark.operators import logs_admin as lga
+        return lga.logs_clear_scope(
+            lga.synth_system_logs(_events(spark, sf_dir)),
+            now=lga.NOW, hours=72)
+    q["logs_clear_scope"] = logs_clear_scope_q
+
+    def log_stats_q(spark, sf_dir):
+        # by-level + top-10 loggers with absent-key 'UNKNOWN'/'unknown'
+        # labels (logs_routes.py:216-259)
+        from mivaa_pdf_extractor_spark.operators import logs_admin as lga
+        return lga.log_stats(
+            lga.synth_system_logs(_events(spark, sf_dir)),
+            now=lga.NOW, hours=96)
+    q["log_stats"] = log_stats_q
+
+    def frontend_log_rows_q(spark, sf_dir):
+        # level UPPERCASED; source='frontend' overrides caller context;
+        # user_agent falsy-or header fallback (logs_routes.py:56-103)
+        from mivaa_pdf_extractor_spark.operators import logs_admin as lga
+        return lga.frontend_log_rows(
+            lga.synth_frontend_reqs(_events(spark, sf_dir)))
+    q["frontend_log_rows"] = frontend_log_rows_q
+
     return q
 
 
@@ -7842,6 +7879,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import agent_runs as _arn
     from mivaa_pdf_extractor_spark.operators import schema_gate as _sgt
     from mivaa_pdf_extractor_spark.operators import db_health as _dbh2
+    from mivaa_pdf_extractor_spark.operators import logs_admin as _lga
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14016,4 +14054,10 @@ def oracle_sql() -> dict[str, str]:
         "pagination_derive": _sgt.pagination_sql(),
         "request_validators": _sgt.validation_sql(),
         "db_conn_probe": _dbh2.conn_probe_sql(),
+        "logs_admin_query": _lga.logs_query_sql(
+            hours=100, level="error", search="failed", page=2,
+            page_size=50),
+        "logs_clear_scope": _lga.logs_clear_sql(hours=72),
+        "log_stats": _lga.log_stats_sql(hours=96),
+        "frontend_log_rows": _lga.frontend_rows_sql(),
     }
