@@ -6911,6 +6911,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lga.synth_frontend_reqs(_events(spark, sf_dir)))
     q["frontend_log_rows"] = frontend_log_rows_q
 
+    def ai_metrics_summary_q(spark, sf_dir):
+        # get-or-0 LIVE folds; 4/2/2-dp rounding grains in one payload
+        # (ai_metrics_routes.py:260-280)
+        from mivaa_pdf_extractor_spark.operators import ai_metrics as aim
+        return aim.ai_summary(
+            aim.synth_ai_logs(_events(spark, sf_dir)))
+    q["ai_metrics_summary"] = ai_metrics_summary_q
+
+    def ai_metrics_model_usage_q(spark, sf_dir):
+        # per-model rollup keyed model-or-unknown; 4-dp cost, 2-dp
+        # averages (ai_metrics_routes.py:283-318)
+        from mivaa_pdf_extractor_spark.operators import ai_metrics as aim
+        return aim.ai_model_usage(
+            aim.synth_ai_logs(_events(spark, sf_dir)))
+    q["ai_metrics_model_usage"] = ai_metrics_model_usage_q
+
+    def ai_metrics_confidence_bands_q(spark, sf_dir):
+        # strict < band edges (exactly 0.2 -> '0.2-0.4'); ELSE last
+        # band catches >1.0; 1-dp percentages
+        # (ai_metrics_routes.py:349-372)
+        from mivaa_pdf_extractor_spark.operators import ai_metrics as aim
+        return aim.ai_confidence_bands(
+            aim.synth_ai_logs(_events(spark, sf_dir)))
+    q["ai_metrics_confidence_bands"] = ai_metrics_confidence_bands_q
+
     return q
 
 
@@ -7880,6 +7905,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import schema_gate as _sgt
     from mivaa_pdf_extractor_spark.operators import db_health as _dbh2
     from mivaa_pdf_extractor_spark.operators import logs_admin as _lga
+    from mivaa_pdf_extractor_spark.operators import ai_metrics as _aim
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14060,4 +14086,7 @@ def oracle_sql() -> dict[str, str]:
         "logs_clear_scope": _lga.logs_clear_sql(hours=72),
         "log_stats": _lga.log_stats_sql(hours=96),
         "frontend_log_rows": _lga.frontend_rows_sql(),
+        "ai_metrics_summary": _aim.summary_sql(),
+        "ai_metrics_model_usage": _aim.model_usage_sql(),
+        "ai_metrics_confidence_bands": _aim.confidence_bands_sql(),
     }
