@@ -6936,6 +6936,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             aim.synth_ai_logs(_events(spark, sf_dir)))
     q["ai_metrics_confidence_bands"] = ai_metrics_confidence_bands_q
 
+    def ext_provider_resolve_q(spark, sf_dir):
+        # nested provider ladder (api_provider > source > req.source >
+        # req.api_provider), lowercased before the 5-provider set
+        # (ai_metrics_routes.py:443-461)
+        from mivaa_pdf_extractor_spark.operators import ai_metrics as aim
+        return aim.ext_provider_resolve(
+            aim.synth_ext_logs(_events(spark, sf_dir)))
+    q["ext_provider_resolve"] = ext_provider_resolve_q
+
+    def ext_usage_by_service_q(spark, sf_dir):
+        # service = model_name or api_provider or 'unknown'; kept rows
+        # only (ai_metrics_routes.py:466-480)
+        from mivaa_pdf_extractor_spark.operators import ai_metrics as aim
+        return aim.ext_usage_by_service(
+            aim.synth_ext_logs(_events(spark, sf_dir)))
+    q["ext_usage_by_service"] = ext_usage_by_service_q
+
     return q
 
 
@@ -14089,4 +14106,6 @@ def oracle_sql() -> dict[str, str]:
         "ai_metrics_summary": _aim.summary_sql(),
         "ai_metrics_model_usage": _aim.model_usage_sql(),
         "ai_metrics_confidence_bands": _aim.confidence_bands_sql(),
+        "ext_provider_resolve": _aim.ext_resolve_sql(),
+        "ext_usage_by_service": _aim.ext_by_service_sql(),
     }

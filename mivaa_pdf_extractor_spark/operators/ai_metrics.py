@@ -242,3 +242,138 @@ def confidence_bands_sql() -> str:
                ELSE 0.0 END AS percentage
         FROM allb LEFT JOIN c USING (range), t
     """
+
+
+# ---------------------------------------------------------------------------
+# External-service usage (ai_metrics_routes.py:399-530)
+# ---------------------------------------------------------------------------
+
+EXT_PROVIDERS = ("zernio", "apollo", "hunter", "zerobounce",
+                 "firecrawl")
+
+
+def ext_provider_resolve(logs: DataFrame) -> DataFrame:
+    """Provider ladder (:443-461): metadata.api_provider or
+    metadata.source or request.source or request.api_provider —
+    nested LIVE ors; the resolved value is LOWERCASED before the
+    5-provider membership test, so 'Apollo' passes but the ladder
+    itself is case-preserving (pin); rows with no resolvable provider
+    or a foreign provider are dropped."""
+    lad = F.col("meta_api_provider")
+    prov = (F.when(lad.isNotNull() & (lad != ""), lad)
+            .when(F.col("meta_source").isNotNull()
+                  & (F.col("meta_source") != ""), F.col("meta_source"))
+            .when(F.col("req_source").isNotNull()
+                  & (F.col("req_source") != ""), F.col("req_source"))
+            .otherwise(F.col("req_api_provider")))
+    low = F.lower(prov)
+    return logs.select(
+        "log_id", low.alias("api_provider"),
+        (low.isNotNull() & low.isin(*EXT_PROVIDERS)).alias("kept"))
+
+
+def ext_usage_by_service(logs: DataFrame) -> DataFrame:
+    """(:466-480): service key = model_name or api_provider or
+    'unknown' (LIVE or); credits/cost get-or-0 folds; kept rows only.
+    """
+    resolved = ext_provider_resolve(logs).where(F.col("kept"))
+    j = logs.join(resolved.select("log_id", "api_provider"), "log_id")
+    svc = (F.when(F.col("model_name").isNotNull()
+                  & (F.col("model_name") != ""), F.col("model_name"))
+           .when(F.col("api_provider").isNotNull(),
+                 F.col("api_provider"))
+           .otherwise(F.lit("unknown")))
+    return (j.groupBy(svc.alias("service"))
+            .agg(F.count("*").cast("long").alias("operations"),
+                 F.sum(F.coalesce(F.col("credits_debited"),
+                                  F.lit(0.0))).alias("credits"),
+                 F.sum(F.coalesce(F.col("billed_cost_usd"),
+                                  F.lit(0.0))).alias("cost_usd")))
+
+
+def synth_ext_logs(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("log_id"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .when(e % 5 == 1, F.lit(""))
+        .when(e % 5 == 2, "Apollo").when(e % 5 == 3, "stripe")
+        .otherwise("firecrawl").alias("meta_api_provider"),
+        F.when(e % 4 == 0, "zernio")
+        .otherwise(F.lit(None).cast("string")).alias("meta_source"),
+        F.when(e % 3 == 0, "HUNTER")
+        .otherwise(F.lit(None).cast("string")).alias("req_source"),
+        F.when(e % 7 == 0, "zerobounce")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("req_api_provider"),
+        F.when(e % 6 == 0, F.lit(None).cast("string"))
+        .when(e % 6 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("svc-"), (e % 4).cast("string")))
+        .alias("model_name"),
+        F.when(e % 9 == 0, F.lit(None).cast("double"))
+        .otherwise((e % 80).cast("double") * 0.25)
+        .alias("credits_debited"),
+        ((e % 50).cast("double") * 0.0025).alias("billed_cost_usd"))
+
+
+SYNTH_EXT_LOGS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS log_id,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN ''
+                WHEN event_id % 5 = 2 THEN 'Apollo'
+                WHEN event_id % 5 = 3 THEN 'stripe'
+                ELSE 'firecrawl' END AS meta_api_provider,
+           CASE WHEN event_id % 4 = 0 THEN 'zernio' END
+               AS meta_source,
+           CASE WHEN event_id % 3 = 0 THEN 'HUNTER' END AS req_source,
+           CASE WHEN event_id % 7 = 0 THEN 'zerobounce' END
+               AS req_api_provider,
+           CASE WHEN event_id % 6 = 0 THEN NULL
+                WHEN event_id % 6 = 1 THEN ''
+                ELSE 'svc-' || CAST(event_id % 4 AS VARCHAR) END
+               AS model_name,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE CAST(event_id % 80 AS DOUBLE) * 0.25 END
+               AS credits_debited,
+           CAST(event_id % 50 AS DOUBLE) * 0.0025 AS billed_cost_usd
+    FROM events
+"""
+
+_PROV_LADDER_SQL = """
+    lower(CASE
+      WHEN meta_api_provider IS NOT NULL AND meta_api_provider <> ''
+        THEN meta_api_provider
+      WHEN meta_source IS NOT NULL AND meta_source <> ''
+        THEN meta_source
+      WHEN req_source IS NOT NULL AND req_source <> ''
+        THEN req_source
+      ELSE req_api_provider END)
+"""
+
+
+def ext_resolve_sql() -> str:
+    provs = ", ".join(f"'{p}'" for p in EXT_PROVIDERS)
+    return f"""
+        WITH l AS ({SYNTH_EXT_LOGS_SQL})
+        SELECT log_id, {_PROV_LADDER_SQL} AS api_provider,
+               coalesce({_PROV_LADDER_SQL} IN ({provs}), FALSE)
+                   AS kept
+        FROM l
+    """
+
+
+def ext_by_service_sql() -> str:
+    provs = ", ".join(f"'{p}'" for p in EXT_PROVIDERS)
+    return f"""
+        WITH l AS ({SYNTH_EXT_LOGS_SQL}),
+        r AS (SELECT *, {_PROV_LADDER_SQL} AS api_provider FROM l),
+        k AS (SELECT * FROM r WHERE api_provider IN ({provs}))
+        SELECT CASE WHEN model_name IS NOT NULL AND model_name <> ''
+                    THEN model_name
+                    WHEN api_provider IS NOT NULL THEN api_provider
+                    ELSE 'unknown' END AS service,
+               CAST(count(*) AS BIGINT) AS operations,
+               sum(coalesce(credits_debited, 0.0)) AS credits,
+               sum(coalesce(billed_cost_usd, 0.0)) AS cost_usd
+        FROM k GROUP BY 1
+    """
