@@ -6953,6 +6953,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             aim.synth_ext_logs(_events(spark, sf_dir)))
     q["ext_usage_by_service"] = ext_usage_by_service_q
 
+    def bucket_stats_fold_q(spark, sf_dir):
+        # folders/non-dicts skipped pre-count; size-less files count
+        # with 0 bytes; 2dp MB / 3dp GB
+        # (monitoring_routes.py:66-110)
+        from mivaa_pdf_extractor_spark.operators import (
+            storage_monitor as smn)
+        return smn.bucket_stats(
+            smn.synth_bucket_listing(_events(spark, sf_dir)))
+    q["bucket_stats_fold"] = bucket_stats_fold_q
+
+    def storage_status_fold_q(spark, sf_dir):
+        # strict >90/>80/>50 tiers (docstring's 50-80 bands are
+        # off-by-boundary); can_upload <95 allows uploads while
+        # already critical (monitoring_routes.py:208-307)
+        from mivaa_pdf_extractor_spark.operators import (
+            storage_monitor as smn)
+        return smn.storage_status(
+            smn.synth_bucket_listing(_events(spark, sf_dir)))
+    q["storage_status_fold"] = storage_status_fold_q
+
+    def upload_estimate_fold_q(spark, sf_dir):
+        # flat 0.2 MB/image; is_safe = projected < 90 strict
+        # (monitoring_routes.py:368-417)
+        from mivaa_pdf_extractor_spark.operators import (
+            storage_monitor as smn)
+        return smn.upload_estimate(
+            smn.synth_upload_requests(_events(spark, sf_dir)))
+    q["upload_estimate_fold"] = upload_estimate_fold_q
+
     return q
 
 
@@ -7923,6 +7952,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import db_health as _dbh2
     from mivaa_pdf_extractor_spark.operators import logs_admin as _lga
     from mivaa_pdf_extractor_spark.operators import ai_metrics as _aim
+    from mivaa_pdf_extractor_spark.operators import (
+        storage_monitor as _smn)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14108,4 +14139,7 @@ def oracle_sql() -> dict[str, str]:
         "ai_metrics_confidence_bands": _aim.confidence_bands_sql(),
         "ext_provider_resolve": _aim.ext_resolve_sql(),
         "ext_usage_by_service": _aim.ext_by_service_sql(),
+        "bucket_stats_fold": _smn.bucket_stats_sql(),
+        "storage_status_fold": _smn.storage_status_sql(),
+        "upload_estimate_fold": _smn.upload_estimate_sql(),
     }
