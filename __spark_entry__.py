@@ -6982,6 +6982,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             smn.synth_upload_requests(_events(spark, sf_dir)))
     q["upload_estimate_fold"] = upload_estimate_fold_q
 
+    def api_key_gate_q(spark, sf_dir):
+        # case-INSENSITIVE bearer (vs the JWT gate's case-sensitive);
+        # malformed expiry = expired; EMPTY allowed_endpoints list
+        # allows all; int(override or 60) clamp [1,600]
+        # (price_lookup_routes.py:48-157)
+        from mivaa_pdf_extractor_spark.operators import (
+            api_key_gate as akg)
+        return akg.api_key_gate(
+            akg.synth_key_requests(_events(spark, sf_dir)))
+    q["api_key_gate"] = api_key_gate_q
+
     return q
 
 
@@ -7954,6 +7965,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import ai_metrics as _aim
     from mivaa_pdf_extractor_spark.operators import (
         storage_monitor as _smn)
+    from mivaa_pdf_extractor_spark.operators import api_key_gate as _akg
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14142,4 +14154,5 @@ def oracle_sql() -> dict[str, str]:
         "bucket_stats_fold": _smn.bucket_stats_sql(),
         "storage_status_fold": _smn.storage_status_sql(),
         "upload_estimate_fold": _smn.upload_estimate_sql(),
+        "api_key_gate": _akg.api_key_gate_sql(),
     }
