@@ -6993,6 +6993,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             akg.synth_key_requests(_events(spark, sf_dir)))
     q["api_key_gate"] = api_key_gate_q
 
+    def detailed_health_rollup_q(spark, sf_dir):
+        # derived circuit block; monitor 'unhealthy' NOT checked (only
+        # 'degraded' compared) so it leaves the overall healthy;
+        # slow% > 20 strict (app/api/health.py:123-204)
+        from mivaa_pdf_extractor_spark.operators import db_health as dbh
+        return dbh.detailed_health_rollup(
+            dbh.synth_health_states(_events(spark, sf_dir)))
+    q["detailed_health_rollup"] = detailed_health_rollup_q
+
     return q
 
 
@@ -14155,4 +14164,5 @@ def oracle_sql() -> dict[str, str]:
         "storage_status_fold": _smn.storage_status_sql(),
         "upload_estimate_fold": _smn.upload_estimate_sql(),
         "api_key_gate": _akg.api_key_gate_sql(),
+        "detailed_health_rollup": _dbh2.detailed_rollup_sql(),
     }

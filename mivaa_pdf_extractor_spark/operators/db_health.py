@@ -213,3 +213,76 @@ def conn_probe_sql() -> str:
                     ELSE 'slow' END AS latency_status
         FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# /api/health detailed rollup (app/api/health.py:123-204)
+# ---------------------------------------------------------------------------
+
+def detailed_health_rollup(states: DataFrame) -> DataFrame:
+    """health.py:168-190 pins:
+
+    - the 'circuit breaker' block is DERIVED, not a real breaker:
+      state = 'closed' iff the database is healthy else 'open', with
+      failure_count echoing consecutive_failures (pin);
+    - overall ladder: db unhealthy -> 'unhealthy'; elif monitor
+      health == 'degraded' -> 'degraded'; elif slow_query_percentage
+      > 20 STRICT -> 'degraded'; else 'healthy'.  A monitor reporting
+      'unhealthy' is NOT checked — it leaves the overall status
+      HEALTHY when the db is fine (only the 'degraded' literal is
+      compared — pin); exactly 20% slow queries is healthy.
+    """
+    db_ok = F.col("db_healthy")
+    return states.select(
+        "state_id",
+        F.when(db_ok, "closed").otherwise("open")
+        .alias("circuit_state"),
+        F.col("consecutive_failures").cast("int")
+        .alias("circuit_failure_count"),
+        (F.when(~db_ok, "unhealthy")
+         .when(F.col("monitor_health") == "degraded", "degraded")
+         .when(F.col("slow_query_percentage") > 20, "degraded")
+         .otherwise("healthy")).alias("overall_status"))
+
+
+def synth_health_states(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("state_id"),
+        (e % 5 != 0).alias("db_healthy"),
+        (e % 7).cast("int").alias("consecutive_failures"),
+        F.when(e % 4 == 0, "healthy").when(e % 4 == 1, "degraded")
+        .otherwise("unhealthy").alias("monitor_health"),
+        F.when(e % 6 == 0, F.lit(20.0))
+        .otherwise((e % 45).cast("double"))
+        .alias("slow_query_percentage"))
+
+
+SYNTH_HEALTH_STATES_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS state_id,
+           event_id % 5 <> 0 AS db_healthy,
+           CAST(event_id % 7 AS INT) AS consecutive_failures,
+           CASE event_id % 4 WHEN 0 THEN 'healthy'
+                WHEN 1 THEN 'degraded' ELSE 'unhealthy' END
+               AS monitor_health,
+           CASE WHEN event_id % 6 = 0 THEN 20.0
+                ELSE CAST(event_id % 45 AS DOUBLE) END
+               AS slow_query_percentage
+    FROM events
+"""
+
+
+def detailed_rollup_sql() -> str:
+    return f"""
+        WITH s AS ({SYNTH_HEALTH_STATES_SQL})
+        SELECT state_id,
+               CASE WHEN db_healthy THEN 'closed' ELSE 'open' END
+                   AS circuit_state,
+               CAST(consecutive_failures AS INT)
+                   AS circuit_failure_count,
+               CASE WHEN NOT db_healthy THEN 'unhealthy'
+                    WHEN monitor_health = 'degraded' THEN 'degraded'
+                    WHEN slow_query_percentage > 20 THEN 'degraded'
+                    ELSE 'healthy' END AS overall_status
+        FROM s
+    """
