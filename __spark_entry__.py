@@ -7002,6 +7002,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dbh.synth_health_states(_events(spark, sf_dir)))
     q["detailed_health_rollup"] = detailed_health_rollup_q
 
+    def claude_status_ladders_q(spark, sf_dir):
+        # image valid/needs_review/invalid at >=0.7/>=0.5 vs enrich
+        # enriched/partial/failed at >=0.7/>=0.4 — shared top rung,
+        # divergent middle (anthropic_routes.py:228-234,339-345)
+        from mivaa_pdf_extractor_spark.operators import ai_validation
+        return ai_validation.claude_status_ladders(
+            ai_validation.synth_claude_results(_events(spark, sf_dir)))
+    q["claude_status_ladders"] = claude_status_ladders_q
+
     return q
 
 
@@ -14165,4 +14174,5 @@ def oracle_sql() -> dict[str, str]:
         "upload_estimate_fold": _smn.upload_estimate_sql(),
         "api_key_gate": _akg.api_key_gate_sql(),
         "detailed_health_rollup": _dbh2.detailed_rollup_sql(),
+        "claude_status_ladders": _aival.claude_ladders_sql(),
     }

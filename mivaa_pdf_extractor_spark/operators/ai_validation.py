@@ -762,3 +762,87 @@ SELECT event_id AS row_id,
             ELSE '' END AS content,
        event_id % 3 = 0 AS has_images
 FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# Claude validation/enrichment status ladders (app/api/anthropic_routes.py)
+# ---------------------------------------------------------------------------
+
+def claude_status_ladders(results: DataFrame) -> DataFrame:
+    """anthropic_routes.py pins:
+
+    - image validation (:228-234): quality_score >= 0.7 'valid',
+      >= 0.5 'needs_review', else 'invalid' — INCLUSIVE boundaries
+      (exactly 0.7 is valid, exactly 0.5 needs_review); an ABSENT
+      quality_score defaults 0 -> 'invalid' (pin);
+    - product enrichment (:339-345): confidence >= 0.7 'enriched',
+      >= 0.4 'partial', else 'failed' — the two ladders share the 0.7
+      top rung but diverge at the middle one (0.5 vs 0.4 — pin);
+    - the vision prompt's product-group context block is emitted only
+      for a non-empty list (:161-165) — None and [] both omit it.
+    """
+    from pyspark.sql import functions as F
+    q = F.when(F.col("has_quality"), F.col("quality_score")) \
+        .otherwise(F.lit(0.0))
+    c = F.when(F.col("has_confidence"), F.col("confidence_score")) \
+        .otherwise(F.lit(0.0))
+    return results.select(
+        "result_id",
+        (F.when(q >= 0.7, "valid").when(q >= 0.5, "needs_review")
+         .otherwise("invalid")).alias("validation_status"),
+        (F.when(c >= 0.7, "enriched").when(c >= 0.4, "partial")
+         .otherwise("failed")).alias("enrichment_status"),
+        (F.col("n_product_groups") > 0).alias("groups_context_emitted"))
+
+
+def synth_claude_results(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("result_id"),
+        (e % 7 != 0).alias("has_quality"),
+        F.when(e % 9 == 0, F.lit(0.7)).when(e % 9 == 1, F.lit(0.5))
+        .otherwise((e % 100).cast("double") / 100)
+        .alias("quality_score"),
+        (e % 5 != 0).alias("has_confidence"),
+        F.when(e % 8 == 0, F.lit(0.4))
+        .otherwise((e % 100).cast("double") / 100)
+        .alias("confidence_score"),
+        (e % 4).cast("int").alias("n_product_groups"))
+
+
+SYNTH_CLAUDE_RESULTS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS result_id,
+           event_id % 7 <> 0 AS has_quality,
+           CASE WHEN event_id % 9 = 0 THEN 0.7
+                WHEN event_id % 9 = 1 THEN 0.5
+                ELSE CAST(event_id % 100 AS DOUBLE) / 100 END
+               AS quality_score,
+           event_id % 5 <> 0 AS has_confidence,
+           CASE WHEN event_id % 8 = 0 THEN 0.4
+                ELSE CAST(event_id % 100 AS DOUBLE) / 100 END
+               AS confidence_score,
+           CAST(event_id % 4 AS INT) AS n_product_groups
+    FROM events
+"""
+
+
+def claude_ladders_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_CLAUDE_RESULTS_SQL}),
+        g AS (SELECT *,
+                     CASE WHEN has_quality THEN quality_score
+                          ELSE 0.0 END AS q,
+                     CASE WHEN has_confidence THEN confidence_score
+                          ELSE 0.0 END AS c
+              FROM r)
+        SELECT result_id,
+               CASE WHEN q >= 0.7 THEN 'valid'
+                    WHEN q >= 0.5 THEN 'needs_review'
+                    ELSE 'invalid' END AS validation_status,
+               CASE WHEN c >= 0.7 THEN 'enriched'
+                    WHEN c >= 0.4 THEN 'partial'
+                    ELSE 'failed' END AS enrichment_status,
+               n_product_groups > 0 AS groups_context_emitted
+        FROM g
+    """
