@@ -75,17 +75,21 @@ def resolve_template_prompt(requests: DataFrame,
               & (F.col("p_category") == F.col("category"))
               & F.col("p_industry").isNull(), 3)
         .when(F.col("is_default"), 4))
-    j = j.withColumn("tier", tier).where(F.col("tier").isNotNull())
+    # NULLS-LAST rank keeps unmatched requests without a second join:
+    # the left join guarantees >= 1 row per request, and a row whose
+    # tier is NULL only wins when NO prompt matched — it then emits
+    # NULL prompt_id/tier, exactly the re-join's left-miss shape.
+    j = j.withColumn("tier", tier)
     w = Window.partitionBy("request_id").orderBy(
-        F.col("tier").asc(), F.col("updated_at").desc(),
+        F.col("tier").asc_nulls_last(), F.col("updated_at").desc(),
         F.col("p_id").asc())
-    best = (j.withColumn("rk", F.row_number().over(w))
+    return (j.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
-            .select("request_id", F.col("p_id").alias("prompt_id"),
+            .select("request_id", "workspace_id", "stage", "category",
+                    "industry",
+                    F.when(F.col("tier").isNotNull(), F.col("p_id"))
+                    .alias("prompt_id"),
                     F.col("tier").cast("int").alias("tier")))
-    return (requests.select("request_id", "workspace_id", "stage",
-                            "category", "industry")
-            .join(best, "request_id", "left"))
 
 
 def cache_key(requests: DataFrame) -> DataFrame:
