@@ -7011,6 +7011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ai_validation.synth_claude_results(_events(spark, sf_dir)))
     q["claude_status_ladders"] = claude_status_ladders_q
 
+    def processing_options_validate_q(spark, sf_dir):
+        # max>min STRICT with the absent-min 100 default; 'pdf'
+        # SUBSTRING url check (pdfviewer passes); positive pages
+        # (models/processing.py:23-142)
+        from mivaa_pdf_extractor_spark.operators import (
+            schema_gate as sgt)
+        return sgt.processing_options_validate(
+            sgt.synth_processing_reqs(_events(spark, sf_dir)))
+    q["processing_options_validate"] = processing_options_validate_q
+
     return q
 
 
@@ -14175,4 +14185,5 @@ def oracle_sql() -> dict[str, str]:
         "api_key_gate": _akg.api_key_gate_sql(),
         "detailed_health_rollup": _dbh2.detailed_rollup_sql(),
         "claude_status_ladders": _aival.claude_ladders_sql(),
+        "processing_options_validate": _sgt.processing_validate_sql(),
     }

@@ -219,3 +219,148 @@ def validation_sql() -> str:
                END AS valid
         FROM r
     """
+
+
+# ---------------------------------------------------------------------------
+# PDF ProcessingOptions validators (app/models/processing.py:23-142)
+# ---------------------------------------------------------------------------
+
+def processing_options_validate(reqs: DataFrame) -> DataFrame:
+    """processing.py pins:
+
+    - pages: every entry must be >= 1 (:96-104); NULL list passes;
+    - max_image_size must be STRICTLY greater than min_image_size —
+      equality rejects (:106-113); the comparison reads
+      ``info.data.get('min_image_size', 100)`` so an ABSENT min uses
+      100 while a PRESENT one (even invalid elsewhere) is used as-is
+      (pin);
+    - image_dpi in [72, 600] / download timeout [5, 300] inclusive
+      Field gates;
+    - pdf_url (:131-141): scheme must be http(s), then
+      ``'pdf' in url.lower()`` — ANY 'pdf' SUBSTRING passes
+      ('https://x/pdfviewer?id=3' is accepted as "a PDF file" — pin);
+      NULL url passes.
+    """
+    pages_ok = (F.col("pages").isNull()
+                | (F.size(F.filter(F.col("pages"),
+                                   lambda p: p < 1)) == 0))
+    min_size = F.when(F.col("has_min_size"), F.col("min_image_size")) \
+        .otherwise(F.lit(100))
+    size_ok = F.col("max_image_size") > min_size
+    dpi_ok = (F.col("image_dpi") >= 72) & (F.col("image_dpi") <= 600)
+    timeout_ok = ((F.col("download_timeout") >= 5)
+                  & (F.col("download_timeout") <= 300))
+    url = F.col("pdf_url")
+    scheme_ok = (url.startswith("http://")
+                 | url.startswith("https://"))
+    pdfish = F.lower(url).contains("pdf")
+    url_err = (F.when(url.isNull(), F.lit(None).cast("string"))
+               .when(~scheme_ok,
+                     "PDF URL must start with http:// or https://")
+               .when(~pdfish, "URL should point to a PDF file"))
+    err = (F.when(~pages_ok, "Page numbers must be positive")
+           .when(~size_ok,
+                 "max_image_size must be greater than min_image_size")
+           .when(~dpi_ok, "image_dpi out of range")
+           .when(~timeout_ok, "download_timeout out of range")
+           .otherwise(url_err))
+    return reqs.select("row_id", err.alias("validation_error"),
+                       err.isNull().alias("valid"))
+
+
+def synth_processing_reqs(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("row_id"),
+        F.when(e % 6 == 0, F.lit(None).cast("array<int>"))
+        .when(e % 6 == 1, F.array(F.lit(1), F.lit(3)))
+        .when(e % 6 == 2, F.array(F.lit(0), F.lit(2)))
+        .when(e % 6 == 3, F.array(F.lit(-1)))
+        .otherwise(F.array((e % 40 + 1).cast("int"))).alias("pages"),
+        (e % 5 != 0).alias("has_min_size"),
+        ((e % 300) + 10).cast("int").alias("min_image_size"),
+        F.when(e % 7 == 0, F.lit(100))      # equals default -> reject
+        .otherwise(((e % 500) + 50).cast("int"))
+        .alias("max_image_size"),
+        F.when(e % 9 == 0, 71).when(e % 9 == 1, 72)
+        .when(e % 9 == 2, 600).when(e % 9 == 3, 601)
+        .otherwise(250).cast("int").alias("image_dpi"),
+        F.when(e % 8 == 0, 4).when(e % 8 == 1, 5)
+        .when(e % 8 == 2, 300).when(e % 8 == 3, 301)
+        .otherwise(30).cast("int").alias("download_timeout"),
+        F.when(e % 10 == 0, F.lit(None).cast("string"))
+        .when(e % 10 == 1, "ftp://x/a.pdf")
+        .when(e % 10 == 2, "https://x/pdfviewer?id=3")
+        .when(e % 10 == 3, "https://x/report.docx")
+        .when(e % 10 == 4, "https://x/a.PDF")
+        .otherwise(F.concat(F.lit("https://x/f"), e.cast("string"),
+                            F.lit(".pdf"))).alias("pdf_url"))
+
+
+SYNTH_PROCESSING_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS row_id,
+           CASE event_id % 6 WHEN 0 THEN NULL
+                WHEN 1 THEN [1, 3] WHEN 2 THEN [0, 2]
+                WHEN 3 THEN [-1]
+                ELSE [CAST(event_id % 40 + 1 AS INT)] END AS pages,
+           event_id % 5 <> 0 AS has_min_size,
+           CAST(event_id % 300 + 10 AS INT) AS min_image_size,
+           CAST(CASE WHEN event_id % 7 = 0 THEN 100
+                ELSE event_id % 500 + 50 END AS INT)
+               AS max_image_size,
+           CAST(CASE event_id % 9 WHEN 0 THEN 71 WHEN 1 THEN 72
+                WHEN 2 THEN 600 WHEN 3 THEN 601 ELSE 250 END AS INT)
+               AS image_dpi,
+           CAST(CASE event_id % 8 WHEN 0 THEN 4 WHEN 1 THEN 5
+                WHEN 2 THEN 300 WHEN 3 THEN 301 ELSE 30 END AS INT)
+               AS download_timeout,
+           CASE event_id % 10 WHEN 0 THEN NULL
+                WHEN 1 THEN 'ftp://x/a.pdf'
+                WHEN 2 THEN 'https://x/pdfviewer?id=3'
+                WHEN 3 THEN 'https://x/report.docx'
+                WHEN 4 THEN 'https://x/a.PDF'
+                ELSE 'https://x/f' || CAST(event_id AS VARCHAR)
+                     || '.pdf' END AS pdf_url
+    FROM events
+"""
+
+
+def processing_validate_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_PROCESSING_SQL}),
+        g AS (
+          SELECT *,
+                 pages IS NULL OR len(list_filter(pages, p -> p < 1))
+                     = 0 AS pages_ok,
+                 max_image_size > CASE WHEN has_min_size
+                                       THEN min_image_size
+                                       ELSE 100 END AS size_ok,
+                 image_dpi BETWEEN 72 AND 600 AS dpi_ok,
+                 download_timeout BETWEEN 5 AND 300 AS timeout_ok,
+                 pdf_url LIKE 'http://%'
+                     OR pdf_url LIKE 'https://%' AS scheme_ok,
+                 strpos(lower(pdf_url), 'pdf') > 0 AS pdfish
+          FROM r)
+        SELECT row_id,
+               CASE WHEN NOT pages_ok
+                      THEN 'Page numbers must be positive'
+                    WHEN NOT size_ok
+                      THEN 'max_image_size must be greater than '
+                           || 'min_image_size'
+                    WHEN NOT dpi_ok THEN 'image_dpi out of range'
+                    WHEN NOT timeout_ok
+                      THEN 'download_timeout out of range'
+                    WHEN pdf_url IS NULL THEN NULL
+                    WHEN NOT scheme_ok
+                      THEN 'PDF URL must start with http:// or '
+                           || 'https://'
+                    WHEN NOT pdfish
+                      THEN 'URL should point to a PDF file'
+               END AS validation_error,
+               CASE WHEN NOT pages_ok OR NOT size_ok OR NOT dpi_ok
+                         OR NOT timeout_ok THEN FALSE
+                    WHEN pdf_url IS NULL THEN TRUE
+                    WHEN NOT scheme_ok OR NOT pdfish THEN FALSE
+                    ELSE TRUE END AS valid
+        FROM g
+    """
