@@ -7021,6 +7021,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sgt.synth_processing_reqs(_events(spark, sf_dir)))
     q["processing_options_validate"] = processing_options_validate_q
 
+    def import_job_status_q(spark, sf_dir):
+        # int-truncated progress (0 when total 0); ETA = remaining x 2s
+        # only while 'processing' (data_import_routes.py:131-196)
+        from mivaa_pdf_extractor_spark.operators import (
+            import_stages as xs)
+        return xs.import_job_status(
+            xs.synth_import_jobs(_events(spark, sf_dir)))
+    q["import_job_status"] = import_job_status_q
+
     return q
 
 
@@ -7994,6 +8003,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         storage_monitor as _smn)
     from mivaa_pdf_extractor_spark.operators import api_key_gate as _akg
+    from mivaa_pdf_extractor_spark.operators import (
+        import_stages as _xstg)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14186,4 +14197,5 @@ def oracle_sql() -> dict[str, str]:
         "detailed_health_rollup": _dbh2.detailed_rollup_sql(),
         "claude_status_ladders": _aival.claude_ladders_sql(),
         "processing_options_validate": _sgt.processing_validate_sql(),
+        "import_job_status": _xstg.import_status_sql(),
     }
