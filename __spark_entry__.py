@@ -7030,6 +7030,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             xs.synth_import_jobs(_events(spark, sf_dir)))
     q["import_job_status"] = import_job_status_q
 
+    def platform_secret_resolve_q(spark, sf_dir):
+        # env > db > default, each rung strip-truthy (whitespace-only
+        # falls through) (platform_secret_resolver.py:73-94)
+        from mivaa_pdf_extractor_spark.operators import ops_guard as ogd
+        return ogd.resolve_secrets(
+            ogd.synth_secret_rows(_events(spark, sf_dir)))
+    q["platform_secret_resolve"] = platform_secret_resolve_q
+
     return q
 
 
@@ -14198,4 +14206,5 @@ def oracle_sql() -> dict[str, str]:
         "claude_status_ladders": _aival.claude_ladders_sql(),
         "processing_options_validate": _sgt.processing_validate_sql(),
         "import_job_status": _xstg.import_status_sql(),
+        "platform_secret_resolve": _ogd.resolve_secrets_sql(),
     }

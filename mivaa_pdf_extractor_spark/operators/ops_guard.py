@@ -321,3 +321,93 @@ def classify_errors_sql() -> str:
                     OR is_httpx_network_type AS INT) AS should_retry
         FROM e
     """
+
+
+# ---------------------------------------------------------------------------
+# Platform-secret resolution ladder
+# (app/services/integrations/platform_secret_resolver.py:73-94)
+# ---------------------------------------------------------------------------
+
+def resolve_secrets(rows: DataFrame) -> DataFrame:
+    """Env-first, DB-fallback ladder: each rung requires the value
+    BOTH truthy and strip-truthy — a whitespace-only env var falls
+    through to the DB value, and a whitespace-only DB value falls to
+    the default (pin); all empty -> source 'missing' with NULL value.
+    require_secret raises on missing (modeled as the would_raise
+    flag)."""
+    from pyspark.sql import functions as F
+
+    def live(c):
+        return c.isNotNull() & (F.trim(c) != "")
+
+    env, db, dflt = F.col("env_val"), F.col("db_val"), F.col("default_val")
+    res = (F.when(live(env), F.struct(env.alias("value"),
+                                      F.lit("env").alias("source")))
+           .when(live(db), F.struct(db.alias("value"),
+                                    F.lit("db").alias("source")))
+           .when(live(dflt), F.struct(dflt.alias("value"),
+                                      F.lit("default").alias("source")))
+           .otherwise(F.struct(F.lit(None).cast("string").alias("value"),
+                               F.lit("missing").alias("source"))))
+    return rows.select(
+        "key", res.getField("value").alias("value"),
+        res.getField("source").alias("source"),
+        res.getField("value").isNull().alias("would_raise"))
+
+
+def synth_secret_rows(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+
+    def v(base, null_mod, ws_mod):
+        return (F.when(e % null_mod == 0, F.lit(None).cast("string"))
+                .when(e % ws_mod == 1, F.lit("   "))
+                .otherwise(F.concat(F.lit(base), (e % 40).cast("string"))))
+
+    return events.select(
+        F.concat(F.lit("KEY_"), (e % 60).cast("string")).alias("key"),
+        v("env-", 3, 5).alias("env_val"),
+        v("db-", 4, 7).alias("db_val"),
+        v("def-", 5, 9).alias("default_val"))
+
+
+SYNTH_SECRET_ROWS_SQL = """
+    SELECT 'KEY_' || CAST(event_id % 60 AS VARCHAR) AS key,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN '   '
+                ELSE 'env-' || CAST(event_id % 40 AS VARCHAR) END
+               AS env_val,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                WHEN event_id % 7 = 1 THEN '   '
+                ELSE 'db-' || CAST(event_id % 40 AS VARCHAR) END
+               AS db_val,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 9 = 1 THEN '   '
+                ELSE 'def-' || CAST(event_id % 40 AS VARCHAR) END
+               AS default_val
+    FROM events
+"""
+
+
+def resolve_secrets_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_SECRET_ROWS_SQL}),
+        g AS (
+          SELECT *,
+                 env_val IS NOT NULL AND trim(env_val) <> ''
+                     AS env_live,
+                 db_val IS NOT NULL AND trim(db_val) <> '' AS db_live,
+                 default_val IS NOT NULL AND trim(default_val) <> ''
+                     AS def_live
+          FROM r)
+        SELECT key,
+               CASE WHEN env_live THEN env_val
+                    WHEN db_live THEN db_val
+                    WHEN def_live THEN default_val END AS value,
+               CASE WHEN env_live THEN 'env'
+                    WHEN db_live THEN 'db'
+                    WHEN def_live THEN 'default'
+                    ELSE 'missing' END AS source,
+               NOT (env_live OR db_live OR def_live) AS would_raise
+        FROM g
+    """
