@@ -7038,6 +7038,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ogd.synth_secret_rows(_events(spark, sf_dir)))
     q["platform_secret_resolve"] = platform_secret_resolve_q
 
+    def seo_agent_gate_q(spark, sf_dir):
+        # unset CRON_SECRET fails CLOSED (every request 401);
+        # whitelist/missing-method 404s; per-section failures fold
+        # into errors without failing the call
+        # (seo_agent_routes.py:47-52,141-260)
+        from mivaa_pdf_extractor_spark.operators import (
+            dataforseo as dfs)
+        return dfs.seo_agent_gate(
+            dfs.synth_seo_requests(_events(spark, sf_dir)))
+    q["seo_agent_gate"] = seo_agent_gate_q
+
     return q
 
 
@@ -14207,4 +14218,5 @@ def oracle_sql() -> dict[str, str]:
         "processing_options_validate": _sgt.processing_validate_sql(),
         "import_job_status": _xstg.import_status_sql(),
         "platform_secret_resolve": _ogd.resolve_secrets_sql(),
+        "seo_agent_gate": _dfs.seo_gate_sql(),
     }

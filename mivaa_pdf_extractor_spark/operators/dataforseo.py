@@ -663,3 +663,144 @@ SYNTH_RESULTS_SQL = """
                 ELSE 'DE' END AS country_code
     FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# SEO-agent route gates (app/api/seo_agent_routes.py:47-52,141-260)
+# ---------------------------------------------------------------------------
+
+def seo_agent_gate(reqs: DataFrame) -> DataFrame:
+    """Pins:
+
+    - `_check_secret` (:47-52): `not expected or secret != expected`
+      — an UNSET/empty CRON_SECRET makes EVERY request 401 (the
+      endpoint fails closed, not open — pin); header compare is
+      exact.
+    - dispatch (:157-162): a kind outside the whitelist 404s with
+      'unknown endpoint kind: {kind}'; a whitelisted kind missing on
+      the client 404s with 'client method missing: {kind}'; bad
+      params (TypeError) -> 400 'bad params: {e}'.
+    - site-review section folding (:247-259): an exception truncates
+      to [:200] into errors; a non-ok result stores
+      `error or 'unknown error'` (LIVE or — '' folds, pin); ok
+      sections land in `sections` — per-section failures never fail
+      the call (success always TRUE).
+    """
+    from pyspark.sql import functions as F
+    secret_ok = (F.col("expected_secret").isNotNull()
+                 & (F.col("expected_secret") != "")
+                 & (F.col("header_secret") == F.col("expected_secret")))
+    status = (F.when(~secret_ok, 401)
+              .when(~F.col("kind_whitelisted"), 404)
+              .when(~F.col("method_exists"), 404)
+              .when(F.col("params_type_error"), 400)
+              .otherwise(200))
+    detail = (F.when(~secret_ok, F.lit("bad cron secret"))
+              .when(~F.col("kind_whitelisted"),
+                    F.concat(F.lit("unknown endpoint kind: "),
+                             F.col("kind")))
+              .when(~F.col("method_exists"),
+                    F.concat(F.lit("client method missing: "),
+                             F.col("kind")))
+              .when(F.col("params_type_error"),
+                    F.concat(F.lit("bad params: "),
+                             F.col("type_error_msg"))))
+    section_err = (
+        F.when(F.col("section_raised"),
+               F.substring(F.col("section_exc"), 1, 200))
+        .when(~F.col("section_ok"),
+              F.when(F.col("section_error").isNotNull()
+                     & (F.col("section_error") != ""),
+                     F.col("section_error"))
+              .otherwise(F.lit("unknown error"))))
+    return reqs.select(
+        "req_id", status.cast("int").alias("status"),
+        detail.alias("detail"), section_err.alias("section_error_out"),
+        (~F.col("section_raised") & F.col("section_ok"))
+        .alias("section_emitted"))
+
+
+def synth_seo_requests(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("req_id"),
+        F.when(e % 7 == 0, F.lit(None).cast("string"))
+        .when(e % 7 == 1, F.lit(""))
+        .otherwise(F.lit("s3cret")).alias("expected_secret"),
+        F.when(e % 5 == 0, "wrong").otherwise("s3cret")
+        .alias("header_secret"),
+        (e % 4 != 0).alias("kind_whitelisted"),
+        (e % 9 != 0).alias("method_exists"),
+        (e % 11 == 0).alias("params_type_error"),
+        F.concat(F.lit("unexpected kw "), (e % 3).cast("string"))
+        .alias("type_error_msg"),
+        F.concat(F.lit("kind"), (e % 6).cast("string")).alias("kind"),
+        (e % 13 == 0).alias("section_raised"),
+        F.concat(F.lit("boom "), F.repeat(F.lit("x"), 220))
+        .alias("section_exc"),
+        (e % 3 != 0).alias("section_ok"),
+        F.when(e % 8 == 0, F.lit(None).cast("string"))
+        .when(e % 8 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("dfs err "), (e % 4).cast("string")))
+        .alias("section_error"))
+
+
+SYNTH_SEO_REQ_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS req_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_id % 7 = 1 THEN ''
+                ELSE 's3cret' END AS expected_secret,
+           CASE WHEN event_id % 5 = 0 THEN 'wrong'
+                ELSE 's3cret' END AS header_secret,
+           event_id % 4 <> 0 AS kind_whitelisted,
+           event_id % 9 <> 0 AS method_exists,
+           event_id % 11 = 0 AS params_type_error,
+           'unexpected kw ' || CAST(event_id % 3 AS VARCHAR)
+               AS type_error_msg,
+           'kind' || CAST(event_id % 6 AS VARCHAR) AS kind,
+           event_id % 13 = 0 AS section_raised,
+           'boom ' || repeat('x', 220) AS section_exc,
+           event_id % 3 <> 0 AS section_ok,
+           CASE WHEN event_id % 8 = 0 THEN NULL
+                WHEN event_id % 8 = 1 THEN ''
+                ELSE 'dfs err ' || CAST(event_id % 4 AS VARCHAR) END
+               AS section_error
+    FROM events
+"""
+
+
+def seo_gate_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_SEO_REQ_SQL}),
+        g AS (SELECT *,
+                     expected_secret IS NOT NULL
+                         AND expected_secret <> ''
+                         AND header_secret = expected_secret
+                         AS secret_ok
+              FROM r)
+        SELECT req_id,
+               CAST(CASE WHEN NOT secret_ok THEN 401
+                    WHEN NOT kind_whitelisted THEN 404
+                    WHEN NOT method_exists THEN 404
+                    WHEN params_type_error THEN 400
+                    ELSE 200 END AS INT) AS status,
+               CASE WHEN NOT secret_ok THEN 'bad cron secret'
+                    WHEN NOT kind_whitelisted
+                      THEN 'unknown endpoint kind: ' || kind
+                    WHEN NOT method_exists
+                      THEN 'client method missing: ' || kind
+                    WHEN params_type_error
+                      THEN 'bad params: ' || type_error_msg
+               END AS detail,
+               CASE WHEN section_raised
+                      THEN substring(section_exc, 1, 200)
+                    WHEN NOT section_ok THEN
+                      CASE WHEN section_error IS NOT NULL
+                                AND section_error <> ''
+                           THEN section_error
+                           ELSE 'unknown error' END
+               END AS section_error_out,
+               NOT section_raised AND section_ok AS section_emitted
+        FROM g
+    """
