@@ -7049,6 +7049,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dfs.synth_seo_requests(_events(spark, sf_dir)))
     q["seo_agent_gate"] = seo_agent_gate_q
 
+    def mention_access_gates_q(spark, sf_dir):
+        # _is_admin fails CLOSED on any error; _module_enabled fails
+        # OPEN on missing rows/read errors but a present-NULL enabled
+        # DISABLES; 404-before-403 owner gate
+        # (mention_monitoring_routes.py:79-146)
+        from mivaa_pdf_extractor_spark.operators import mentions as mo
+        return mo.mention_access_gates(
+            mo.synth_access_reqs(_events(spark, sf_dir)))
+    q["mention_access_gates"] = mention_access_gates_q
+
     return q
 
 
@@ -8024,6 +8034,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import api_key_gate as _akg
     from mivaa_pdf_extractor_spark.operators import (
         import_stages as _xstg)
+    from mivaa_pdf_extractor_spark.operators import mentions as _mnt
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14219,4 +14230,5 @@ def oracle_sql() -> dict[str, str]:
         "import_job_status": _xstg.import_status_sql(),
         "platform_secret_resolve": _ogd.resolve_secrets_sql(),
         "seo_agent_gate": _dfs.seo_gate_sql(),
+        "mention_access_gates": _mnt.mention_access_sql(),
     }

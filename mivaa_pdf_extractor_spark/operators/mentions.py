@@ -241,3 +241,122 @@ def opportunity_feed(mentions: DataFrame, subjects: DataFrame,
     return (allofthem.withColumn("feed_rank", F.row_number().over(w))
             .select("subject_id", "feed_rank", "type", "title",
                     "priority_score"))
+
+
+# ---------------------------------------------------------------------------
+# Mention-monitoring access gates (app/api/mention_monitoring_routes.py:79-146)
+# ---------------------------------------------------------------------------
+
+def mention_access_gates(reqs: DataFrame) -> DataFrame:
+    """Pins:
+
+    - `_is_admin` (:79-96): role name must be in ('admin',
+      'super_admin'); a missing role_id, an unknown role row, or ANY
+      exception all fold to False — fails CLOSED;
+    - `_module_enabled` (:118-131): fails OPEN — a MISSING modules
+      row and a read error both return True, but a PRESENT row with
+      enabled=NULL returns bool(None)=False (present-NULL disables
+      while absent enables — pin); the reference documents why
+      (defense-in-depth behind the edge cron's fail-closed gate);
+    - `_check_owner_or_admin` (:134-146): 404 before 403; owner
+      compare is str()-normalized; a non-owner admin passes.
+    """
+    from pyspark.sql import functions as F
+    is_admin = (~F.col("role_read_raises")
+                & F.col("role_id").isNotNull()
+                & (F.col("role_id") != "")
+                & F.col("role_name").isin("admin", "super_admin"))
+    module_on = (F.when(F.col("module_read_raises"), F.lit(True))
+                 .when(~F.col("module_row_exists"), F.lit(True))
+                 .otherwise(F.coalesce(F.col("module_enabled"),
+                                       F.lit(False))))
+    owner_gate = (
+        F.when(~F.col("mention_row_exists"),
+               F.struct(F.lit(404).alias("status"),
+                        F.lit("tracked_mention not found")
+                        .alias("detail")))
+        .when((F.col("row_user_id") != F.col("caller_user_id"))
+              & ~is_admin,
+              F.struct(F.lit(403).alias("status"),
+                       F.lit("not the owner").alias("detail")))
+        .otherwise(F.struct(F.lit(200).alias("status"),
+                            F.lit(None).cast("string")
+                            .alias("detail"))))
+    return reqs.select(
+        "req_id", is_admin.alias("is_admin"),
+        module_on.alias("module_enabled_out"),
+        owner_gate.getField("status").alias("owner_status"),
+        owner_gate.getField("detail").alias("owner_detail"))
+
+
+def synth_access_reqs(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("req_id"),
+        (e % 13 == 0).alias("role_read_raises"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .when(e % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("r"), (e % 9).cast("string")))
+        .alias("role_id"),
+        F.when(e % 4 == 0, "admin").when(e % 4 == 1, "super_admin")
+        .when(e % 4 == 2, "member").otherwise("viewer")
+        .alias("role_name"),
+        (e % 11 == 0).alias("module_read_raises"),
+        (e % 3 != 0).alias("module_row_exists"),
+        F.when(e % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("module_enabled"),
+        (e % 9 != 0).alias("mention_row_exists"),
+        F.concat(F.lit("u"), (e % 6).cast("string"))
+        .alias("row_user_id"),
+        F.concat(F.lit("u"), (e % 4).cast("string"))
+        .alias("caller_user_id"))
+
+
+SYNTH_ACCESS_REQ_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS req_id,
+           event_id % 13 = 0 AS role_read_raises,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN ''
+                ELSE 'r' || CAST(event_id % 9 AS VARCHAR) END
+               AS role_id,
+           CASE event_id % 4 WHEN 0 THEN 'admin'
+                WHEN 1 THEN 'super_admin' WHEN 2 THEN 'member'
+                ELSE 'viewer' END AS role_name,
+           event_id % 11 = 0 AS module_read_raises,
+           event_id % 3 <> 0 AS module_row_exists,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE event_id % 2 = 0 END AS module_enabled,
+           event_id % 9 <> 0 AS mention_row_exists,
+           'u' || CAST(event_id % 6 AS VARCHAR) AS row_user_id,
+           'u' || CAST(event_id % 4 AS VARCHAR) AS caller_user_id
+    FROM events
+"""
+
+
+def mention_access_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_ACCESS_REQ_SQL}),
+        g AS (
+          SELECT *,
+                 NOT role_read_raises AND role_id IS NOT NULL
+                     AND role_id <> ''
+                     AND role_name IN ('admin', 'super_admin')
+                     AS is_admin,
+                 CASE WHEN module_read_raises THEN TRUE
+                      WHEN NOT module_row_exists THEN TRUE
+                      ELSE coalesce(module_enabled, FALSE) END
+                     AS module_enabled_out
+          FROM r)
+        SELECT req_id, is_admin, module_enabled_out,
+               CAST(CASE WHEN NOT mention_row_exists THEN 404
+                    WHEN row_user_id <> caller_user_id
+                         AND NOT is_admin THEN 403
+                    ELSE 200 END AS INT) AS owner_status,
+               CASE WHEN NOT mention_row_exists
+                      THEN 'tracked_mention not found'
+                    WHEN row_user_id <> caller_user_id
+                         AND NOT is_admin THEN 'not the owner'
+               END AS owner_detail
+        FROM g
+    """
