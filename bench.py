@@ -223,6 +223,12 @@ BENCH_QUERIES = [
     # round 4 continuation-14: background-agent folds
     "agent_run_gate", "agent_batch_plan", "agent_fence_strip",
     "agent_update_build", "agent_run_rollup",
+    # round 4 continuation 16: sequential replays + heavier folds
+    "circuit_breaker_replay", "resource_lifecycle_replay",
+    "export_rate_replay", "save_image_row", "api_key_gate",
+    "desc_chunks_assemble", "template_prompt_resolve",
+    "query_metrics_tables", "ai_metrics_model_usage",
+    "credits_ai_debit", "request_log_route", "log_sink_gate",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
