@@ -7059,6 +7059,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mo.synth_access_reqs(_events(spark, sf_dir)))
     q["mention_access_gates"] = mention_access_gates_q
 
+    def firecrawl_request_build_q(spark, sf_dir):
+        # described-fields-only hints; JS render doubles timeout +
+        # adds the 3s wait action (firecrawl_client.py:186-230)
+        from mivaa_pdf_extractor_spark.operators import (
+            firecrawl_shapes as fcs)
+        return fcs.build_requests(
+            fcs.synth_build_reqs(_events(spark, sf_dir)))
+    q["firecrawl_request_build"] = firecrawl_request_build_q
+
+    def firecrawl_retry_classify_q(spark, sf_dir):
+        # 200+success=false RETRIES; fail-fast non-429 4xx raises;
+        # [:200] body truncation (firecrawl_client.py:232-268)
+        from mivaa_pdf_extractor_spark.operators import (
+            firecrawl_shapes as fcs)
+        return fcs.classify_attempts(
+            fcs.synth_attempts(_events(spark, sf_dir)))
+    q["firecrawl_retry_classify"] = firecrawl_retry_classify_q
+
     return q
 
 
@@ -8035,6 +8053,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         import_stages as _xstg)
     from mivaa_pdf_extractor_spark.operators import mentions as _mnt
+    from mivaa_pdf_extractor_spark.operators import (
+        firecrawl_shapes as _fcs)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14231,4 +14251,6 @@ def oracle_sql() -> dict[str, str]:
         "platform_secret_resolve": _ogd.resolve_secrets_sql(),
         "seo_agent_gate": _dfs.seo_gate_sql(),
         "mention_access_gates": _mnt.mention_access_sql(),
+        "firecrawl_request_build": _fcs.build_requests_sql(),
+        "firecrawl_retry_classify": _fcs.classify_sql(),
     }
