@@ -7077,6 +7077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fcs.synth_attempts(_events(spark, sf_dir)))
     q["firecrawl_retry_classify"] = firecrawl_retry_classify_q
 
+    def stage5_result_shape_q(spark, sf_dir):
+        # breaker-open folds validation to zeros; SPN-7: checkpoint
+        # first, completed only on nonzero output (all-zero runs leave
+        # the checkpoint validation owning FAILED)
+        # (stage_5_quality.py:78-137)
+        from mivaa_pdf_extractor_spark.operators import (
+            checkpoints as ckp)
+        return ckp.stage5_result_shape(
+            ckp.synth_stage5_runs(_events(spark, sf_dir)))
+    q["stage5_result_shape"] = stage5_result_shape_q
+
     return q
 
 
@@ -8055,6 +8066,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import mentions as _mnt
     from mivaa_pdf_extractor_spark.operators import (
         firecrawl_shapes as _fcs)
+    from mivaa_pdf_extractor_spark.operators import checkpoints as _ckp
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14253,4 +14265,5 @@ def oracle_sql() -> dict[str, str]:
         "mention_access_gates": _mnt.mention_access_sql(),
         "firecrawl_request_build": _fcs.build_requests_sql(),
         "firecrawl_retry_classify": _fcs.classify_sql(),
+        "stage5_result_shape": _ckp.stage5_shape_sql(),
     }

@@ -184,3 +184,91 @@ def audit_checkpoints(last: DataFrame, chunks: DataFrame,
 
     return j.select("job_id", "stage", reason.alias("reason"),
                     reason.startswith("valid").alias("valid"))
+
+
+# ---------------------------------------------------------------------------
+# Stage-5 completion shaping (app/api/pdf_processing/stage_5_quality.py)
+# ---------------------------------------------------------------------------
+
+def stage5_result_shape(runs: "DataFrame") -> "DataFrame":
+    """stage_5_quality.py pins:
+
+    - a Claude circuit-breaker-open validation folds to
+      {validated: 0, avg_improvement: 0} instead of failing the stage
+      (:78-81);
+    - pages_skipped = |[1..total_pages] \\ physical_pages| (:104);
+    - SPN-7 ordering (:108-137): the COMPLETED checkpoint is created
+      FIRST; the job is marked completed ONLY when products OR chunks
+      OR images > 0 — an all-zero run leaves the checkpoint
+      validation owning the terminal FAILED status (completed would
+      have flip-flopped it — pin).
+    """
+    from pyspark.sql import functions as F
+    validated = F.when(F.col("breaker_open"), F.lit(0)) \
+        .otherwise(F.col("validated"))
+    skipped = F.size(F.array_except(
+        F.sequence(F.lit(1), F.col("total_pages")),
+        F.col("physical_pages")))
+    nonzero = ((F.col("products_created") > 0)
+               | (F.col("chunks_created") > 0)
+               | (F.col("images_processed") > 0))
+    return runs.select(
+        "job_id", validated.cast("int").alias("claude_validations"),
+        F.size("physical_pages").alias("pages_processed"),
+        skipped.cast("int").alias("pages_skipped"),
+        F.lit(True).alias("checkpoint_created_first"),
+        nonzero.alias("marked_completed"))
+
+
+def synth_stage5_runs(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    total = (e % 12 + 2).cast("int")
+    return (events.where(e % 7 == 0).select(
+        F.concat(F.lit("job"), e.cast("string")).alias("job_id"),
+        (e % 5 == 0).alias("breaker_open"),
+        (e % 9).cast("int").alias("validated"),
+        total.alias("total_pages"),
+        F.filter(F.sequence(F.lit(1), total),
+                 lambda p: (p + e) % 3 != 0).alias("physical_pages"),
+        F.when(e % 4 == 0, 0).otherwise((e % 6).cast("int"))
+        .alias("products_created"),
+        F.when(e % 4 == 0, 0).otherwise((e % 11).cast("int"))
+        .alias("chunks_created"),
+        F.when(e % 4 == 0, 0).otherwise((e % 3).cast("int"))
+        .alias("images_processed")))
+
+
+SYNTH_STAGE5_SQL = """
+    SELECT 'job' || CAST(event_id AS VARCHAR) AS job_id,
+           event_id % 5 = 0 AS breaker_open,
+           CAST(event_id % 9 AS INT) AS validated,
+           CAST(event_id % 12 + 2 AS INT) AS total_pages,
+           list_filter(generate_series(1, event_id % 12 + 2),
+                       p -> (p + event_id) % 3 <> 0)
+               AS physical_pages,
+           CAST(CASE WHEN event_id % 4 = 0 THEN 0
+                ELSE event_id % 6 END AS INT) AS products_created,
+           CAST(CASE WHEN event_id % 4 = 0 THEN 0
+                ELSE event_id % 11 END AS INT) AS chunks_created,
+           CAST(CASE WHEN event_id % 4 = 0 THEN 0
+                ELSE event_id % 3 END AS INT) AS images_processed
+    FROM events WHERE event_id % 7 = 0
+"""
+
+
+def stage5_shape_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_STAGE5_SQL})
+        SELECT job_id,
+               CAST(CASE WHEN breaker_open THEN 0 ELSE validated END
+                    AS INT) AS claude_validations,
+               CAST(len(physical_pages) AS INT) AS pages_processed,
+               CAST(len(list_filter(generate_series(1, total_pages),
+                    p -> NOT list_contains(physical_pages, p)))
+                    AS INT) AS pages_skipped,
+               TRUE AS checkpoint_created_first,
+               products_created > 0 OR chunks_created > 0
+                   OR images_processed > 0 AS marked_completed
+        FROM r
+    """
