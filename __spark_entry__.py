@@ -7088,6 +7088,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ckp.synth_stage5_runs(_events(spark, sf_dir)))
     q["stage5_result_shape"] = stage5_result_shape_q
 
+    def stage1_page_validate_q(spark, sf_dir):
+        # falsy bound disables the upper check; out-of-bounds pages
+        # counted loud vs non-positive pages dropped SILENTLY (two
+        # buckets) (stage_1_focused_extraction.py:87-121)
+        from mivaa_pdf_extractor_spark.operators import pages as pgs
+        return pgs.stage1_page_validate(
+            pgs.synth_stage1_reqs(_events(spark, sf_dir)))
+    q["stage1_page_validate"] = stage1_page_validate_q
+
     return q
 
 
@@ -8067,6 +8076,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import (
         firecrawl_shapes as _fcs)
     from mivaa_pdf_extractor_spark.operators import checkpoints as _ckp
+    from mivaa_pdf_extractor_spark.operators import pages as _pgs
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14266,4 +14276,5 @@ def oracle_sql() -> dict[str, str]:
         "firecrawl_request_build": _fcs.build_requests_sql(),
         "firecrawl_retry_classify": _fcs.classify_sql(),
         "stage5_result_shape": _ckp.stage5_shape_sql(),
+        "stage1_page_validate": _pgs.stage1_validate_sql(),
     }

@@ -221,3 +221,101 @@ def page_embed_summary(decisions: DataFrame,
                  F.sum("already").alias("n_already"),
                  F.sum("over_cap").alias("n_over_cap"),
                  F.max("refusal").alias("refusal")))
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 physical-page validation
+# (app/api/pdf_processing/stage_1_focused_extraction.py:87-121)
+# ---------------------------------------------------------------------------
+
+def stage1_page_validate(reqs: "DataFrame") -> "DataFrame":
+    """Pins:
+
+    - the bound gate is `if physical_page_upper_bound and page >
+      bound` — a FALSY bound (0/None) disables the upper check
+      entirely (pin); the comparison is STRICT so page == bound is
+      kept;
+    - pages land in TWO different drop buckets: out-of-bounds pages
+      are counted + logged loud (the 2026-05-01 sheets-vs-physical
+      regression), while non-positive pages are dropped SILENTLY by
+      the `> 0` keep (pin);
+    - order: bound check first — with a falsy bound a non-positive
+      page still silently drops.
+    """
+    from pyspark.sql import functions as F
+    bound = F.col("upper_bound")
+    has_bound = bound.isNotNull() & (bound != 0)
+    pages = F.coalesce(F.col("page_range"),
+                       F.array().cast("array<int>"))
+    oob = F.when(has_bound,
+                 F.filter(pages, lambda p: p > bound)) \
+        .otherwise(F.array().cast("array<int>"))
+    kept = F.filter(pages,
+                    lambda p: (~has_bound | (p <= bound)) & (p > 0))
+    return reqs.select(
+        "req_id",
+        F.size(kept).alias("n_physical_pages"),
+        F.array_join(F.transform(kept,
+                                 lambda p: p.cast("string")), ",")
+        .alias("physical_pages"),
+        F.size(oob).alias("n_dropped_out_of_bounds"),
+        (F.size(pages) - F.size(kept) - F.size(oob)).cast("int")
+        .alias("n_dropped_silently"))
+
+
+def synth_stage1_reqs(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return (events.where(e % 11 == 0).select(
+        e.cast("long").alias("req_id"),
+        F.when(e % 5 == 0, F.lit(None).cast("int"))
+        .when(e % 5 == 1, F.lit(0))
+        .otherwise((e % 20 + 4).cast("int")).alias("upper_bound"),
+        F.when(e % 7 == 0, F.lit(None).cast("array<int>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (e % 6 + 2).cast("int")),
+            lambda k: ((e + k * 7) % 30 - 3).cast("int")))
+        .alias("page_range")))
+
+
+SYNTH_STAGE1_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS req_id,
+           CAST(CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN 0
+                ELSE event_id % 20 + 4 END AS INT) AS upper_bound,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE list_transform(
+                  generate_series(0, event_id % 6 + 2),
+                  k -> CAST((event_id + k * 7) % 30 - 3 AS INT)) END
+               AS page_range
+    FROM events WHERE event_id % 11 = 0
+"""
+
+
+def stage1_validate_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_STAGE1_SQL}),
+        g AS (
+          SELECT *,
+                 upper_bound IS NOT NULL AND upper_bound <> 0
+                     AS has_bound,
+                 coalesce(page_range, CAST([] AS INT[])) AS pages
+          FROM r),
+        k AS (
+          SELECT *,
+                 CASE WHEN has_bound THEN list_filter(pages,
+                      p -> p > upper_bound)
+                      ELSE CAST([] AS INT[]) END AS oob,
+                 list_filter(pages, p -> (NOT has_bound
+                      OR p <= upper_bound) AND p > 0) AS kept
+          FROM g)
+        SELECT req_id,
+               CAST(len(kept) AS INT) AS n_physical_pages,
+               coalesce(array_to_string(list_transform(kept,
+                   p -> CAST(p AS VARCHAR)), ','), '')
+                   AS physical_pages,
+               CAST(len(oob) AS INT) AS n_dropped_out_of_bounds,
+               CAST(len(pages) - len(kept) - len(oob) AS INT)
+                   AS n_dropped_silently
+        FROM k
+    """
