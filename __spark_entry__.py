@@ -7097,6 +7097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pgs.synth_stage1_reqs(_events(spark, sf_dir)))
     q["stage1_page_validate"] = stage1_page_validate_q
 
+    def notify_rows_q(spark, sf_dir):
+        # title()-fallback labels; presence-gated FIXED-order stats
+        # ('0 images' renders); `error or` default
+        # (notification_service.py:89-167)
+        from mivaa_pdf_extractor_spark.operators import agent_runs as arn
+        return arn.notify_rows(
+            arn.synth_notify_jobs(_events(spark, sf_dir)))
+    q["notify_rows"] = notify_rows_q
+
     return q
 
 
@@ -14277,4 +14286,5 @@ def oracle_sql() -> dict[str, str]:
         "firecrawl_retry_classify": _fcs.classify_sql(),
         "stage5_result_shape": _ckp.stage5_shape_sql(),
         "stage1_page_validate": _pgs.stage1_validate_sql(),
+        "notify_rows": _arn.notify_rows_sql(),
     }

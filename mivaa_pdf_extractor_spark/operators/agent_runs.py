@@ -165,3 +165,186 @@ def run_events_sql() -> str:
                    AS last_run_status_written
         FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# Job-notification shaping (app/services/utilities/notification_service.py)
+# ---------------------------------------------------------------------------
+
+JOB_LABELS = (
+    ("pdf_processing", "PDF Processing"),
+    ("web_scraping", "Web Scraping"),
+    ("product_discovery_upload", "Product Discovery"),
+    ("image_embedding_regeneration", "Image Embedding Regeneration"),
+    ("xml_import", "XML Import"),
+)  # notification_service.py:147-153
+
+
+def notify_rows(jobs: DataFrame) -> DataFrame:
+    """notification_service.py pins:
+
+    - unknown job types fall back to replace('_',' ').title()
+      (:145-154);
+    - completed message ladder (:100-107): 'Completed successfully'
+      + ' in {duration}' under a TRUTHY duration gate + the stats
+      block appended with a blank line only when non-empty;
+    - _format_stats (:156-167) is key-PRESENCE gated in a FIXED order
+      (images, embeddings, chunks, products) — a present 0 still
+      renders '0 images' (pin);
+    - failed message = `error or` the pinned default (LIVE or — ''
+      falls to the default).
+    """
+    from pyspark.sql import functions as F
+    label = F.col("job_type")
+    lab = None
+    for k, v in JOB_LABELS:
+        cond = (F.col("job_type") == k)
+        lab = F.when(cond, v) if lab is None else lab.when(cond, v)
+    lab = lab.otherwise(F.initcap(F.regexp_replace("job_type", "_",
+                                                   " ")))
+    stats_parts = F.array_join(F.filter(F.array(
+        F.when(F.col("has_images"),
+               F.concat(F.col("images_processed").cast("string"),
+                        F.lit(" images"))),
+        F.when(F.col("has_embeddings"),
+               F.concat(F.col("embeddings_generated").cast("string"),
+                        F.lit(" embeddings"))),
+        F.when(F.col("has_chunks"),
+               F.concat(F.col("chunks_created").cast("string"),
+                        F.lit(" chunks"))),
+        F.when(F.col("has_products"),
+               F.concat(F.col("products_created").cast("string"),
+                        F.lit(" products")))),
+        lambda x: x.isNotNull()), ", ")
+    msg = F.lit("Completed successfully")
+    msg = F.when(F.col("duration").isNotNull()
+                 & (F.col("duration") != ""),
+                 F.concat(msg, F.lit(" in "), F.col("duration"))) \
+        .otherwise(msg)
+    msg = F.when(F.col("has_stats") & (stats_parts != ""),
+                 F.concat(msg, F.lit("\n\n"), stats_parts)) \
+        .otherwise(msg)
+    fail_msg = F.when(F.col("error").isNotNull()
+                      & (F.col("error") != ""), F.col("error")) \
+        .otherwise(F.lit("The job encountered an error and could "
+                         "not complete."))
+    return jobs.select(
+        "job_id",
+        F.concat(F.lit("✅ "), lab, F.lit(" Completed"))
+        .alias("completed_title"),
+        msg.alias("completed_message"),
+        F.concat(F.lit("❌ "), lab, F.lit(" Failed"))
+        .alias("failed_title"),
+        fail_msg.alias("failed_message"),
+        F.concat(F.lit("/admin/async-jobs?job="), F.col("job_id"))
+        .alias("action_url"))
+
+
+def synth_notify_jobs(events: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        F.concat(F.lit("nj"), e.cast("string")).alias("job_id"),
+        F.when(e % 6 == 0, "pdf_processing")
+        .when(e % 6 == 1, "xml_import")
+        .when(e % 6 == 2, "web_scraping")
+        .otherwise("custom_batch_sync").alias("job_type"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .when(e % 4 == 1, F.lit(""))
+        .otherwise(F.concat((e % 50).cast("string"), F.lit("s")))
+        .alias("duration"),
+        (e % 3 != 0).alias("has_stats"),
+        (e % 5 != 0).alias("has_images"),
+        (e % 7).cast("int").alias("images_processed"),
+        (e % 4 == 2).alias("has_embeddings"),
+        (e % 9).cast("int").alias("embeddings_generated"),
+        (e % 2 == 0).alias("has_chunks"),
+        (e % 13).cast("int").alias("chunks_created"),
+        (e % 11 == 0).alias("has_products"),
+        (e % 5).cast("int").alias("products_created"),
+        F.when(e % 8 == 0, F.lit(None).cast("string"))
+        .when(e % 8 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("timeout after "),
+                            (e % 30).cast("string"), F.lit("s")))
+        .alias("error"))
+
+
+SYNTH_NOTIFY_SQL = """
+    SELECT 'nj' || CAST(event_id AS VARCHAR) AS job_id,
+           CASE event_id % 6 WHEN 0 THEN 'pdf_processing'
+                WHEN 1 THEN 'xml_import' WHEN 2 THEN 'web_scraping'
+                ELSE 'custom_batch_sync' END AS job_type,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                WHEN event_id % 4 = 1 THEN ''
+                ELSE CAST(event_id % 50 AS VARCHAR) || 's' END
+               AS duration,
+           event_id % 3 <> 0 AS has_stats,
+           event_id % 5 <> 0 AS has_images,
+           CAST(event_id % 7 AS INT) AS images_processed,
+           event_id % 4 = 2 AS has_embeddings,
+           CAST(event_id % 9 AS INT) AS embeddings_generated,
+           event_id % 2 = 0 AS has_chunks,
+           CAST(event_id % 13 AS INT) AS chunks_created,
+           event_id % 11 = 0 AS has_products,
+           CAST(event_id % 5 AS INT) AS products_created,
+           CASE WHEN event_id % 8 = 0 THEN NULL
+                WHEN event_id % 8 = 1 THEN ''
+                ELSE 'timeout after ' || CAST(event_id % 30 AS VARCHAR)
+                     || 's' END AS error
+    FROM events
+"""
+
+
+def notify_rows_sql() -> str:
+    label = """
+        CASE job_type
+          WHEN 'pdf_processing' THEN 'PDF Processing'
+          WHEN 'web_scraping' THEN 'Web Scraping'
+          WHEN 'product_discovery_upload' THEN 'Product Discovery'
+          WHEN 'image_embedding_regeneration'
+            THEN 'Image Embedding Regeneration'
+          WHEN 'xml_import' THEN 'XML Import'
+          ELSE list_aggregate(list_transform(
+                 string_split(replace(job_type, '_', ' '), ' '),
+                 w -> upper(w[1]) || lower(w[2:])),
+               'string_agg', ' ')
+        END
+    """
+    stats = """
+        array_to_string(list_filter([
+          CASE WHEN has_images
+               THEN CAST(images_processed AS VARCHAR)
+                    || ' images' END,
+          CASE WHEN has_embeddings
+               THEN CAST(embeddings_generated AS VARCHAR)
+                    || ' embeddings' END,
+          CASE WHEN has_chunks
+               THEN CAST(chunks_created AS VARCHAR) || ' chunks' END,
+          CASE WHEN has_products
+               THEN CAST(products_created AS VARCHAR)
+                    || ' products' END], x -> x IS NOT NULL), ', ')
+    """
+    return f"""
+        WITH j AS ({SYNTH_NOTIFY_SQL}),
+        g AS (SELECT *, {label} AS lab,
+                     coalesce({stats}, '') AS stats_parts
+              FROM j),
+        m AS (SELECT *,
+                     'Completed successfully'
+                     || CASE WHEN duration IS NOT NULL
+                             AND duration <> ''
+                        THEN ' in ' || duration ELSE '' END AS base
+              FROM g)
+        SELECT job_id,
+               chr(9989) || ' ' || lab || ' Completed'
+                   AS completed_title,
+               base || CASE WHEN has_stats AND stats_parts <> ''
+                       THEN chr(10) || chr(10) || stats_parts
+                       ELSE '' END AS completed_message,
+               chr(10060) || ' ' || lab || ' Failed' AS failed_title,
+               CASE WHEN error IS NOT NULL AND error <> '' THEN error
+                    ELSE 'The job encountered an error and could '
+                         || 'not complete.' END AS failed_message,
+               '/admin/async-jobs?job=' || job_id AS action_url
+        FROM m
+    """
