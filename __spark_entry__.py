@@ -7106,6 +7106,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             arn.synth_notify_jobs(_events(spark, sf_dir)))
     q["notify_rows"] = notify_rows_q
 
+    def manual_debit_plan_q(spark, sf_dir):
+        # 1 + n_images credits; root never billed but an is_root READ
+        # ERROR bills the owner (fail-billed pin); failed debit 402
+        # (products.py:524-541)
+        from mivaa_pdf_extractor_spark.operators import (
+            manual_product as mpr)
+        return mpr.manual_debit_plan(
+            mpr.synth_manual_reqs(_events(spark, sf_dir)))
+    q["manual_debit_plan"] = manual_debit_plan_q
+
+    def manual_passthrough_q(spark, sf_dir):
+        # is-not-None gates (explicit 0 cost and '' category write)
+        # vs truthy dict gates (empty specs/properties SKIPPED);
+        # cost drags currency-or-EUR + source manual
+        # (products.py:612-632)
+        from mivaa_pdf_extractor_spark.operators import (
+            manual_product as mpr)
+        return mpr.manual_passthrough(
+            mpr.synth_passthrough_reqs(_events(spark, sf_dir)))
+    q["manual_passthrough"] = manual_passthrough_q
+
     return q
 
 
@@ -8086,6 +8107,8 @@ def oracle_sql() -> dict[str, str]:
         firecrawl_shapes as _fcs)
     from mivaa_pdf_extractor_spark.operators import checkpoints as _ckp
     from mivaa_pdf_extractor_spark.operators import pages as _pgs
+    from mivaa_pdf_extractor_spark.operators import (
+        manual_product as _mpr)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14287,4 +14310,6 @@ def oracle_sql() -> dict[str, str]:
         "stage5_result_shape": _ckp.stage5_shape_sql(),
         "stage1_page_validate": _pgs.stage1_validate_sql(),
         "notify_rows": _arn.notify_rows_sql(),
+        "manual_debit_plan": _mpr.debit_plan_sql(),
+        "manual_passthrough": _mpr.passthrough_sql(),
     }
