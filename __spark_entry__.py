@@ -7127,6 +7127,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mpr.synth_passthrough_reqs(_events(spark, sf_dir)))
     q["manual_passthrough"] = manual_passthrough_q
 
+    def tracked_query_response_q(spark, sf_dir):
+        # three default conventions in one response: live ors (0
+        # interval -> 24), absent-True/present-NULL-False bools, and
+        # or-False alerts (tracked_queries_routes.py:207-231)
+        from mivaa_pdf_extractor_spark.operators import prices as prc
+        return prc.tracked_query_response(
+            prc.synth_tq_rows(_events(spark, sf_dir)))
+    q["tracked_query_response"] = tracked_query_response_q
+
+    def track_credit_outcome_q(spark, sf_dir):
+        # failed debit 402; exception/no-data refunds; a clean refresh
+        # with ZERO retailers keeps the credit
+        # (tracked_queries_routes.py:251-296)
+        from mivaa_pdf_extractor_spark.operators import prices as prc
+        return prc.track_credit_outcome(
+            prc.synth_track_runs(_events(spark, sf_dir)))
+    q["track_credit_outcome"] = track_credit_outcome_q
+
     return q
 
 
@@ -14312,4 +14330,6 @@ def oracle_sql() -> dict[str, str]:
         "notify_rows": _arn.notify_rows_sql(),
         "manual_debit_plan": _mpr.debit_plan_sql(),
         "manual_passthrough": _mpr.passthrough_sql(),
+        "tracked_query_response": _prices.tq_response_sql(),
+        "track_credit_outcome": _prices.track_outcome_sql(),
     }

@@ -957,3 +957,190 @@ SELECT event_id AS hit_id,
             WHEN event_id % 9 = 7 THEN NULL
             ELSE '' END AS source
 FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# Tracked-query route shaping (app/api/tracked_queries_routes.py:195-300)
+# ---------------------------------------------------------------------------
+
+def tracked_query_response(rows: "DataFrame") -> "DataFrame":
+    """_to_response defaults (:207-231) mix THREE conventions (pin):
+
+    - LIVE ors: refresh_interval int(x or 24) — an explicit 0 falls
+      to 24; total_credits or 0; search_query or '';
+    - .get(k, default) ABSENT-key defaults for verify_prices /
+      is_active (default True) — but bool() wraps them, so a
+      present-NULL folds FALSE (absent True / present-NULL False);
+    - `or False` alert booleans — absent, NULL and False collapse.
+    """
+    from pyspark.sql import functions as F
+
+    def live_or(col, default):
+        return F.when(col.isNotNull() & (col != 0), col) \
+            .otherwise(F.lit(default))
+
+    return rows.select(
+        "row_id",
+        F.coalesce(F.when(F.col("search_query") != "",
+                          F.col("search_query")), F.lit(""))
+        .alias("search_query_out"),
+        live_or(F.col("refresh_interval_hours"), 24).cast("int")
+        .alias("refresh_interval_out"),
+        F.coalesce(F.col("total_credits_used"), F.lit(0))
+        .cast("int").alias("total_credits_out"),
+        (F.when(F.col("has_verify_prices"),
+                F.coalesce(F.col("verify_prices"), F.lit(False)))
+         .otherwise(F.lit(True))).alias("verify_prices_out"),
+        (F.when(F.col("has_is_active"),
+                F.coalesce(F.col("is_active"), F.lit(False)))
+         .otherwise(F.lit(True))).alias("is_active_out"),
+        F.coalesce(F.col("alert_on_price_drop"), F.lit(False))
+        .alias("alert_on_price_drop_out"))
+
+
+def track_credit_outcome(runs: "DataFrame") -> "DataFrame":
+    """Create-route credit ladder (:251-296): failed debit -> 402; a
+    create exception refunds; a created row with last_error OR no
+    last_refreshed_at refunds (no usable data) — but a SUCCESSFUL
+    refresh with zero retailers KEEPS the credit (the upstream calls
+    ran — pin)."""
+    from pyspark.sql import functions as F
+    billed = F.col("has_user")
+    debit_fail = billed & ~F.col("debit_ok")
+    refunded = (billed & ~debit_fail
+                & (F.col("create_raised")
+                   | F.col("last_error").isNotNull()
+                   | ~F.col("has_last_refreshed")))
+    return runs.select(
+        "row_id",
+        F.when(debit_fail, 402)
+        .when(F.col("create_raised"), 500).otherwise(201).cast("int")
+        .alias("status"),
+        refunded.alias("refunded"),
+        # zero retailers with a clean refresh keeps the credit (pin)
+        (billed & ~debit_fail & ~refunded).alias("credit_kept"))
+
+
+def synth_tq_rows(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("row_id"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .when(e % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("oak flooring "),
+                            (e % 9).cast("string")))
+        .alias("search_query"),
+        F.when(e % 4 == 0, F.lit(None).cast("int"))
+        .when(e % 4 == 1, F.lit(0)).otherwise((e % 96).cast("int"))
+        .alias("refresh_interval_hours"),
+        F.when(e % 6 == 0, F.lit(None).cast("int"))
+        .otherwise((e % 40).cast("int")).alias("total_credits_used"),
+        (e % 3 != 0).alias("has_verify_prices"),
+        F.when(e % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 0).alias("verify_prices"),
+        (e % 4 != 1).alias("has_is_active"),
+        F.when(e % 8 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 2 == 1).alias("is_active"),
+        F.when(e % 9 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 3 == 0).alias("alert_on_price_drop"))
+
+
+SYNTH_TQ_ROWS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS row_id,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN ''
+                ELSE 'oak flooring ' || CAST(event_id % 9 AS VARCHAR)
+           END AS search_query,
+           CAST(CASE WHEN event_id % 4 = 0 THEN NULL
+                WHEN event_id % 4 = 1 THEN 0
+                ELSE event_id % 96 END AS INT)
+               AS refresh_interval_hours,
+           CASE WHEN event_id % 6 = 0 THEN NULL
+                ELSE CAST(event_id % 40 AS INT) END
+               AS total_credits_used,
+           event_id % 3 <> 0 AS has_verify_prices,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE event_id % 2 = 0 END AS verify_prices,
+           event_id % 4 <> 1 AS has_is_active,
+           CASE WHEN event_id % 8 = 0 THEN NULL
+                ELSE event_id % 2 = 1 END AS is_active,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE event_id % 3 = 0 END AS alert_on_price_drop
+    FROM events
+"""
+
+
+def tq_response_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_TQ_ROWS_SQL})
+        SELECT row_id,
+               CASE WHEN search_query IS NOT NULL
+                         AND search_query <> '' THEN search_query
+                    ELSE '' END AS search_query_out,
+               CAST(CASE WHEN refresh_interval_hours IS NOT NULL
+                         AND refresh_interval_hours <> 0
+                    THEN refresh_interval_hours ELSE 24 END AS INT)
+                   AS refresh_interval_out,
+               CAST(coalesce(total_credits_used, 0) AS INT)
+                   AS total_credits_out,
+               CASE WHEN has_verify_prices
+                    THEN coalesce(verify_prices, FALSE)
+                    ELSE TRUE END AS verify_prices_out,
+               CASE WHEN has_is_active
+                    THEN coalesce(is_active, FALSE)
+                    ELSE TRUE END AS is_active_out,
+               coalesce(alert_on_price_drop, FALSE)
+                   AS alert_on_price_drop_out
+        FROM r
+    """
+
+
+def synth_track_runs(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("row_id"),
+        (e % 7 != 0).alias("has_user"),
+        (e % 4 != 0).alias("debit_ok"),
+        (e % 9 == 0).alias("create_raised"),
+        F.when(e % 5 == 0, F.concat(F.lit("perplexity timeout "),
+                                    (e % 3).cast("string")))
+        .otherwise(F.lit(None).cast("string")).alias("last_error"),
+        (e % 3 != 0).alias("has_last_refreshed"))
+
+
+SYNTH_TRACK_RUNS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS row_id,
+           event_id % 7 <> 0 AS has_user,
+           event_id % 4 <> 0 AS debit_ok,
+           event_id % 9 = 0 AS create_raised,
+           CASE WHEN event_id % 5 = 0
+                THEN 'perplexity timeout '
+                     || CAST(event_id % 3 AS VARCHAR) END
+               AS last_error,
+           event_id % 3 <> 0 AS has_last_refreshed
+    FROM events
+"""
+
+
+def track_outcome_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_TRACK_RUNS_SQL}),
+        g AS (
+          SELECT *, has_user AND NOT debit_ok AS debit_fail
+          FROM r),
+        h AS (
+          SELECT *, has_user AND NOT debit_fail
+                    AND (create_raised OR last_error IS NOT NULL
+                         OR NOT has_last_refreshed) AS refunded
+          FROM g)
+        SELECT row_id,
+               CAST(CASE WHEN debit_fail THEN 402
+                    WHEN create_raised THEN 500
+                    ELSE 201 END AS INT) AS status,
+               refunded,
+               has_user AND NOT debit_fail AND NOT refunded
+                   AS credit_kept
+        FROM h
+    """
