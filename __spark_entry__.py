@@ -7145,6 +7145,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prc.synth_track_runs(_events(spark, sf_dir)))
     q["track_credit_outcome"] = track_credit_outcome_q
 
+    def dup_check_envelope_q(spark, sf_dir):
+        # auto-merge score HARDCODED 0.95 regardless of the real one;
+        # a found id with neither flag discards the duplicate
+        # (saved_searches_routes.py:162-236)
+        from mivaa_pdf_extractor_spark.operators import search_merge \
+            as smg
+        return smg.dup_check_envelope(
+            smg.synth_dup_checks(_events(spark, sf_dir)))
+    q["dup_check_envelope"] = dup_check_envelope_q
+
     return q
 
 
@@ -8127,6 +8137,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import pages as _pgs
     from mivaa_pdf_extractor_spark.operators import (
         manual_product as _mpr)
+    from mivaa_pdf_extractor_spark.operators import (
+        search_merge as _smg2)
     _jg = _jobs.gate_sql_exprs()
     _job_src_prio = ("CASE source WHEN 'ats_board' THEN 5 "
                      "WHEN 'firecrawl_careers' THEN 4 "
@@ -14332,4 +14344,5 @@ def oracle_sql() -> dict[str, str]:
         "manual_passthrough": _mpr.passthrough_sql(),
         "tracked_query_response": _prices.tq_response_sql(),
         "track_credit_outcome": _prices.track_outcome_sql(),
+        "dup_check_envelope": _smg2.dup_envelope_sql(),
     }

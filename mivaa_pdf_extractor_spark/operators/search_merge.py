@@ -232,3 +232,90 @@ def find_or_merge(new_df: DataFrame, saved_df: DataFrame) -> DataFrame:
         best, "new_id", "left")
     return out.withColumn(
         "action", F.coalesce(F.col("action"), F.lit("create_new")))
+
+
+# ---------------------------------------------------------------------------
+# Check-duplicates response envelope (app/api/saved_searches_routes.py:162-236)
+# ---------------------------------------------------------------------------
+
+def dup_check_envelope(checks: "DataFrame") -> "DataFrame":
+    """Pins:
+
+    - existing_id NULL -> no-duplicate envelope;
+    - should_merge -> auto-merge whose similarity_score is HARDCODED
+      0.95 and whose reason is the pinned literal REGARDLESS of the
+      service's actual score (pin);
+    - a merge_suggestion dict passes its own score/reason through;
+    - a FOUND existing_id with neither flag reports
+      has_duplicate = FALSE — the found id is discarded (pin).
+    """
+    from pyspark.sql import functions as F
+    found = F.col("existing_id").isNotNull()
+    auto = found & F.col("should_merge")
+    sugg = found & ~F.col("should_merge") & F.col("has_suggestion")
+    return checks.select(
+        "check_id",
+        (auto | sugg).alias("has_duplicate"),
+        auto.alias("should_auto_merge"),
+        F.when(auto, F.lit(0.95))
+        .when(sugg, F.col("suggestion_score"))
+        .alias("similarity_score"),
+        F.when(auto, F.lit("Very high similarity - auto-merge "
+                           "recommended"))
+        .when(sugg, F.col("suggestion_reason")).alias("reason"))
+
+
+def synth_dup_checks(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("check_id"),
+        F.when(e % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("ss"), (e % 40).cast("string")))
+        .alias("existing_id"),
+        (e % 3 == 0).alias("should_merge"),
+        (e % 5 != 0).alias("has_suggestion"),
+        ((e % 11).cast("double") / 100 + 0.85)
+        .alias("suggestion_score"),
+        F.concat(F.lit("similar filters "), (e % 6).cast("string"))
+        .alias("suggestion_reason"))
+
+
+SYNTH_DUP_CHECKS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS check_id,
+           CASE WHEN event_id % 4 = 0 THEN NULL
+                ELSE 'ss' || CAST(event_id % 40 AS VARCHAR) END
+               AS existing_id,
+           event_id % 3 = 0 AS should_merge,
+           event_id % 5 <> 0 AS has_suggestion,
+           CAST(event_id % 11 AS DOUBLE) / 100 + 0.85
+               AS suggestion_score,
+           'similar filters ' || CAST(event_id % 6 AS VARCHAR)
+               AS suggestion_reason
+    FROM events
+"""
+
+
+def dup_envelope_sql() -> str:
+    return f"""
+        WITH c AS ({SYNTH_DUP_CHECKS_SQL}),
+        g AS (
+          SELECT *, existing_id IS NOT NULL AS found
+          FROM c),
+        h AS (
+          SELECT *, found AND should_merge AS auto,
+                 found AND NOT should_merge AND has_suggestion
+                     AS sugg
+          FROM g)
+        SELECT check_id,
+               auto OR sugg AS has_duplicate,
+               auto AS should_auto_merge,
+               CASE WHEN auto THEN 0.95
+                    WHEN sugg THEN suggestion_score END
+                   AS similarity_score,
+               CASE WHEN auto
+                      THEN 'Very high similarity - auto-merge '
+                           || 'recommended'
+                    WHEN sugg THEN suggestion_reason END AS reason
+        FROM h
+    """
