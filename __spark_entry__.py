@@ -7155,6 +7155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             smg.synth_dup_checks(_events(spark, sf_dir)))
     q["dup_check_envelope"] = dup_check_envelope_q
 
+    def sam_bbox_pixels_q(spark, sf_dir):
+        # x2 truncates the SUM int((x+w)*img_w) — opposite of the
+        # Paddle pixelizer's truncated-difference width; the two can
+        # disagree by a pixel (sam_routes.py:83-99)
+        from mivaa_pdf_extractor_spark.operators import (
+            segmentation as sg)
+        return sg.sam_bbox_pixels(
+            sg.synth_sam_boxes(_events(spark, sf_dir)))
+    q["sam_bbox_pixels"] = sam_bbox_pixels_q
+
     return q
 
 
@@ -14345,4 +14355,5 @@ def oracle_sql() -> dict[str, str]:
         "tracked_query_response": _prices.tq_response_sql(),
         "track_credit_outcome": _prices.track_outcome_sql(),
         "dup_check_envelope": _smg2.dup_envelope_sql(),
+        "sam_bbox_pixels": _sg.sam_pixels_sql(),
     }

@@ -349,3 +349,65 @@ mcase(k, b64, media_type) AS (VALUES
 mimg AS (
   SELECT doc AS image_id, c.media_type
   FROM docs JOIN mcase c ON CAST(docs.doc % 7 AS INT) = c.k)"""
+
+
+# ---------------------------------------------------------------------------
+# SAM-2 bbox pixelization (app/api/sam_routes.py:73-99)
+# ---------------------------------------------------------------------------
+
+def sam_bbox_pixels(boxes: "DataFrame") -> "DataFrame":
+    """Pin: x2/y2 truncate the SUM int((x + w) * img_w) — the OPPOSITE
+    convention from the Paddle block pixelizer (ocr_service.py:283-296
+    truncates the width from the DIFFERENCE product); the two
+    pixelizers can disagree by a pixel on the same box.  Output
+    ladder (:131-133): `output[0] if isinstance(output, list) else
+    output` — a list-wrapped URL unwraps, a bare string passes, an
+    empty output fails the mask."""
+    from pyspark.sql import functions as F
+    return boxes.select(
+        "box_id",
+        F.floor(F.col("x") * F.col("img_w")).cast("int")
+        .alias("box_x1"),
+        F.floor(F.col("y") * F.col("img_h")).cast("int")
+        .alias("box_y1"),
+        F.floor((F.col("x") + F.col("w")) * F.col("img_w"))
+        .cast("int").alias("box_x2"),
+        F.floor((F.col("y") + F.col("h")) * F.col("img_h"))
+        .cast("int").alias("box_y2"))
+
+
+def synth_sam_boxes(events: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("box_id"),
+        ((e % 50).cast("double") / 100).alias("x"),
+        ((e % 40).cast("double") / 100).alias("y"),
+        ((e % 30 + 1).cast("double") / 100).alias("w"),
+        ((e % 25 + 1).cast("double") / 100).alias("h"),
+        (e % 900 + 300).cast("int").alias("img_w"),
+        (e % 700 + 200).cast("int").alias("img_h"))
+
+
+SYNTH_SAM_BOXES_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS box_id,
+           CAST(event_id % 50 AS DOUBLE) / 100 AS x,
+           CAST(event_id % 40 AS DOUBLE) / 100 AS y,
+           CAST(event_id % 30 + 1 AS DOUBLE) / 100 AS w,
+           CAST(event_id % 25 + 1 AS DOUBLE) / 100 AS h,
+           CAST(event_id % 900 + 300 AS INT) AS img_w,
+           CAST(event_id % 700 + 200 AS INT) AS img_h
+    FROM events
+"""
+
+
+def sam_pixels_sql() -> str:
+    return f"""
+        WITH b AS ({SYNTH_SAM_BOXES_SQL})
+        SELECT box_id,
+               CAST(floor(x * img_w) AS INT) AS box_x1,
+               CAST(floor(y * img_h) AS INT) AS box_y1,
+               CAST(floor((x + w) * img_w) AS INT) AS box_x2,
+               CAST(floor((y + h) * img_h) AS INT) AS box_y2
+        FROM b
+    """
