@@ -7165,6 +7165,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sg.synth_sam_boxes(_events(spark, sf_dir)))
     q["sam_bbox_pixels"] = sam_bbox_pixels_q
 
+    def project_list_filter_q(spark, sf_dir):
+        # DB limit applies BEFORE the include_archived post-filter, and
+        # the flag also hides COMPLETED projects
+        # (project_tracking_routes.py:272-290)
+        from mivaa_pdf_extractor_spark.operators import projects as prj
+        return prj.project_list_filter(
+            prj.synth_projects(_events(spark, sf_dir)))
+    q["project_list_filter"] = project_list_filter_q
+
+    def project_task_rollup_q(spark, sf_dir):
+        # flat task rows -> parents with nested-subtask counts; a
+        # subtask whose parent is missing from the project result set
+        # is silently dropped (project_tracking_routes.py:415-453)
+        from mivaa_pdf_extractor_spark.operators import projects as prj
+        return prj.project_task_rollup(
+            prj.synth_tasks(_events(spark, sf_dir)))
+    q["project_task_rollup"] = project_task_rollup_q
+
+    def task_room_inherit_q(spark, sf_dir):
+        # subtasks inherit the PARENT's room even when NULL, overriding
+        # the caller's explicit room_id; parent outside the project is
+        # a 400 (project_tracking_routes.py:455-496)
+        from mivaa_pdf_extractor_spark.operators import projects as prj
+        return prj.task_room_inherit(
+            prj.synth_task_reqs(_events(spark, sf_dir)))
+    q["task_room_inherit"] = task_room_inherit_q
+
+    def invite_outcome_q(spark, sf_dir):
+        # 403 -> strip/lower '@'-only 400 -> pre-debit ilike dup 409 ->
+        # 402 -> insert-fail 500 refund; email-SEND failure keeps row
+        # AND credit (project_tracking_routes.py:560-640)
+        from mivaa_pdf_extractor_spark.operators import projects as prj
+        return prj.invite_outcome(
+            prj.synth_invites(_events(spark, sf_dir)))
+    q["invite_outcome"] = invite_outcome_q
+
     return q
 
 
@@ -8041,6 +8077,8 @@ def oracle_sql() -> dict[str, str]:
         mention_costs as _mc2)
     from mivaa_pdf_extractor_spark.operators import (
         segmentation as _sg)
+    from mivaa_pdf_extractor_spark.operators import (
+        projects as _prj)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14356,4 +14394,8 @@ def oracle_sql() -> dict[str, str]:
         "track_credit_outcome": _prices.track_outcome_sql(),
         "dup_check_envelope": _smg2.dup_envelope_sql(),
         "sam_bbox_pixels": _sg.sam_pixels_sql(),
+        "project_list_filter": _prj.list_filter_sql(),
+        "project_task_rollup": _prj.task_rollup_sql(),
+        "task_room_inherit": _prj.room_inherit_sql(),
+        "invite_outcome": _prj.invite_outcome_sql(),
     }
