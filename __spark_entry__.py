@@ -7201,6 +7201,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             prj.synth_invites(_events(spark, sf_dir)))
     q["invite_outcome"] = invite_outcome_q
 
+    def job_refresh_credit_q(spark, sf_dir):
+        # userless keys run FREE; '' error is falsy and keeps the
+        # credit; H15 no-op refund needs cae PRESENT>0 & persisted=0
+        # (job_tracking_routes.py:224-262)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_track_routes as jtr)
+        return jtr.job_refresh_credit(
+            jtr.synth_refresh_runs(_events(spark, sf_dir)))
+    q["job_refresh_credit"] = job_refresh_credit_q
+
+    def job_create_credit_q(spark, sf_dir):
+        # first-refresh debit only when run_first_refresh AND user;
+        # ValueError 400 / exception 500 refund; H15 no-op refund on
+        # a 201 (job_tracking_routes.py:126-171)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_track_routes as jtr)
+        return jtr.job_create_credit(
+            jtr.synth_create_reqs(_events(spark, sf_dir)))
+    q["job_create_credit"] = job_create_credit_q
+
+    def regen_keywords_credit_q(spark, sf_dir):
+        # silent Haiku failure = BOTH expanded and query_phrasings
+        # empty -> refund; either non-empty keeps
+        # (job_tracking_routes.py:329-355)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_track_routes as jtr)
+        return jtr.regen_keywords_credit(
+            jtr.synth_regen_runs(_events(spark, sf_dir)))
+    q["regen_keywords_credit"] = regen_keywords_credit_q
+
+    def correct_match_note_q(spark, sf_dir):
+        # 404 -> 403 ladder; match_note or-fallback fires on '' too;
+        # 240-char cap applies AFTER the 16-char prefix
+        # (job_tracking_routes.py:357-394)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_track_routes as jtr)
+        return jtr.correct_match_note(
+            jtr.synth_correct_reqs(_events(spark, sf_dir)))
+    q["correct_match_note"] = correct_match_note_q
+
     return q
 
 
@@ -8079,6 +8119,8 @@ def oracle_sql() -> dict[str, str]:
         segmentation as _sg)
     from mivaa_pdf_extractor_spark.operators import (
         projects as _prj)
+    from mivaa_pdf_extractor_spark.operators import (
+        job_track_routes as _jtr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14398,4 +14440,8 @@ def oracle_sql() -> dict[str, str]:
         "project_task_rollup": _prj.task_rollup_sql(),
         "task_room_inherit": _prj.room_inherit_sql(),
         "invite_outcome": _prj.invite_outcome_sql(),
+        "job_refresh_credit": _jtr.refresh_credit_sql(),
+        "job_create_credit": _jtr.create_credit_sql(),
+        "regen_keywords_credit": _jtr.regen_credit_sql(),
+        "correct_match_note": _jtr.correct_note_sql(),
     }
