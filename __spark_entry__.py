@@ -7241,6 +7241,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jtr.synth_correct_reqs(_events(spark, sf_dir)))
     q["correct_match_note"] = correct_match_note_q
 
+    def mention_refresh_credit_q(spark, sf_dir):
+        # EVERYONE debited (userless keys bill user_id='' — opposite
+        # of the job route); five no-work statuses refund; zero hits
+        # keeps (mention_tracking_routes.py:333-367)
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_track_routes as mtr)
+        return mtr.mention_refresh_credit(
+            mtr.synth_mention_refreshes(_events(spark, sf_dir)))
+    q["mention_refresh_credit"] = mention_refresh_credit_q
+
+    def mention_create_brand_q(spark, sf_dir):
+        # brand_name or-fallback fires on ''; only subject_type='brand'
+        # inherits the label (mention_tracking_routes.py:241-258)
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_track_routes as mtr)
+        return mtr.mention_create_brand(
+            mtr.synth_mention_creates(_events(spark, sf_dir)))
+    q["mention_create_brand"] = mention_create_brand_q
+
+    def probe_llm_credit_q(spark, sf_dir):
+        # refund on any status other than EXACTLY 'completed' —
+        # 'completed_with_errors' refunds too
+        # (mention_tracking_routes.py:427-467)
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_track_routes as mtr)
+        return mtr.probe_llm_credit(
+            mtr.synth_probe_runs(_events(spark, sf_dir)))
+    q["probe_llm_credit"] = probe_llm_credit_q
+
+    def opportunities_credit_q(spark, sf_dir):
+        # cost key switches on use_llm_summary (2 vs 5); empty
+        # opportunities refunds (mention_tracking_routes.py:511-558)
+        from mivaa_pdf_extractor_spark.operators import (
+            mention_track_routes as mtr)
+        return mtr.opportunities_credit(
+            mtr.synth_opportunity_runs(_events(spark, sf_dir)))
+    q["opportunities_credit"] = opportunities_credit_q
+
     return q
 
 
@@ -8121,6 +8159,8 @@ def oracle_sql() -> dict[str, str]:
         projects as _prj)
     from mivaa_pdf_extractor_spark.operators import (
         job_track_routes as _jtr)
+    from mivaa_pdf_extractor_spark.operators import (
+        mention_track_routes as _mtr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14444,4 +14484,8 @@ def oracle_sql() -> dict[str, str]:
         "job_create_credit": _jtr.create_credit_sql(),
         "regen_keywords_credit": _jtr.regen_credit_sql(),
         "correct_match_note": _jtr.correct_note_sql(),
+        "mention_refresh_credit": _mtr.mention_refresh_sql(),
+        "mention_create_brand": _mtr.mention_brand_sql(),
+        "probe_llm_credit": _mtr.probe_credit_sql(),
+        "opportunities_credit": _mtr.opportunities_credit_sql(),
     }
