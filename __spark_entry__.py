@@ -7279,6 +7279,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mtr.synth_opportunity_runs(_events(spark, sf_dir)))
     q["opportunities_credit"] = opportunities_credit_q
 
+    def endpoint_ready_gate_q(spark, sf_dir):
+        # SLIG: enabled AND modal_url (combined gate); Paddle: enabled
+        # FIRST then endpoint_url (distinct warnings); ready = health
+        # validated AND >=1 manager (endpoint_registry.py:84-200,339-360)
+        from mivaa_pdf_extractor_spark.operators import (
+            endpoint_registry as epr)
+        return epr.endpoint_ready_gate(
+            epr.synth_registry_cfgs(_events(spark, sf_dir)))
+    q["endpoint_ready_gate"] = endpoint_ready_gate_q
+
+    def processing_lock_replay_q(spark, sf_dir):
+        # duplicate starts / unmatched ends are no-ops; active count
+        # gates can_auto_pause — replayed with two window functions,
+        # no per-row state machine (endpoint_registry.py:283-337)
+        from mivaa_pdf_extractor_spark.operators import (
+            endpoint_registry as epr)
+        return epr.processing_lock_replay(
+            epr.synth_lock_ops(_events(spark, sf_dir)))
+    q["processing_lock_replay"] = processing_lock_replay_q
+
     return q
 
 
@@ -8161,6 +8181,8 @@ def oracle_sql() -> dict[str, str]:
         job_track_routes as _jtr)
     from mivaa_pdf_extractor_spark.operators import (
         mention_track_routes as _mtr)
+    from mivaa_pdf_extractor_spark.operators import (
+        endpoint_registry as _epr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14488,4 +14510,6 @@ def oracle_sql() -> dict[str, str]:
         "mention_create_brand": _mtr.mention_brand_sql(),
         "probe_llm_credit": _mtr.probe_credit_sql(),
         "opportunities_credit": _mtr.opportunities_credit_sql(),
+        "endpoint_ready_gate": _epr.ready_gate_sql(),
+        "processing_lock_replay": _epr.lock_replay_sql(),
     }
