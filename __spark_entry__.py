@@ -7299,6 +7299,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             epr.synth_lock_ops(_events(spark, sf_dir)))
     q["processing_lock_replay"] = processing_lock_replay_q
 
+    def ws_reconcile_q(spark, sf_dir):
+        # D38 fail-closed reconcile: two ABSENT workspace ids still 403
+        # (duplicate_detection_routes.py:25-33)
+        from mivaa_pdf_extractor_spark.operators import dup_routes as dpr
+        return dpr.ws_reconcile(
+            dpr.synth_ws_pairs(_events(spark, sf_dir)))
+    q["ws_reconcile"] = ws_reconcile_q
+
+    def merge_route_envelope_q(spark, sf_dir):
+        # not-success raise inside try gets re-wrapped -> '500: ...'
+        # double-wrap; absent error 'Merge failed', present-None 'None'
+        # (duplicate_detection_routes.py:283-327)
+        from mivaa_pdf_extractor_spark.operators import dup_routes as dpr
+        return dpr.merge_route_envelope(
+            dpr.synth_merge_calls(_events(spark, sf_dir)))
+    q["merge_route_envelope"] = merge_route_envelope_q
+
     return q
 
 
@@ -8183,6 +8200,8 @@ def oracle_sql() -> dict[str, str]:
         mention_track_routes as _mtr)
     from mivaa_pdf_extractor_spark.operators import (
         endpoint_registry as _epr)
+    from mivaa_pdf_extractor_spark.operators import (
+        dup_routes as _dpr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14512,4 +14531,6 @@ def oracle_sql() -> dict[str, str]:
         "opportunities_credit": _mtr.opportunities_credit_sql(),
         "endpoint_ready_gate": _epr.ready_gate_sql(),
         "processing_lock_replay": _epr.lock_replay_sql(),
+        "ws_reconcile": _dpr.ws_reconcile_sql(),
+        "merge_route_envelope": _dpr.merge_envelope_sql(),
     }
