@@ -7316,6 +7316,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dpr.synth_merge_calls(_events(spark, sf_dir)))
     q["merge_route_envelope"] = merge_route_envelope_q
 
+    def retry_backoff_plan_q(spark, sf_dir):
+        # min(base*2^i, cap) schedule; sleeps only BETWEEN attempts —
+        # the last failure re-raises without sleeping
+        # (retry_utils.py:21-47,70-113)
+        from mivaa_pdf_extractor_spark.operators import (
+            runtime_limits as rtl)
+        return rtl.retry_backoff_plan(
+            rtl.synth_retry_calls(_events(spark, sf_dir)))
+    q["retry_backoff_plan"] = retry_backoff_plan_q
+
+    def vision_concurrency_tier_q(spark, sf_dir):
+        # out-of-range tier -> 1; tier 1 short-circuits to 10 BEFORE
+        # the 60%-RPM formula; int-truncate then clamp [2,20]
+        # (rate_limits.py:47-137)
+        from mivaa_pdf_extractor_spark.operators import (
+            runtime_limits as rtl)
+        return rtl.vision_concurrency_tier(
+            rtl.synth_tier_envs(_events(spark, sf_dir)))
+    q["vision_concurrency_tier"] = vision_concurrency_tier_q
+
     return q
 
 
@@ -8202,6 +8222,8 @@ def oracle_sql() -> dict[str, str]:
         endpoint_registry as _epr)
     from mivaa_pdf_extractor_spark.operators import (
         dup_routes as _dpr)
+    from mivaa_pdf_extractor_spark.operators import (
+        runtime_limits as _rtl)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14533,4 +14555,6 @@ def oracle_sql() -> dict[str, str]:
         "processing_lock_replay": _epr.lock_replay_sql(),
         "ws_reconcile": _dpr.ws_reconcile_sql(),
         "merge_route_envelope": _dpr.merge_envelope_sql(),
+        "retry_backoff_plan": _rtl.retry_plan_sql(),
+        "vision_concurrency_tier": _rtl.tier_concurrency_sql(),
     }
