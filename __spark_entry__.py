@@ -7336,6 +7336,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rtl.synth_tier_envs(_events(spark, sf_dir)))
     q["vision_concurrency_tier"] = vision_concurrency_tier_q
 
+    def observability_stamp_q(spark, sf_dir):
+        # three presence conventions side by side: or-'-' record stamp,
+        # truthy tag gates, is-not-None llm annotation (0 recorded)
+        # (pipeline_observability.py:38-49,118-125,165-189)
+        from mivaa_pdf_extractor_spark.operators import (
+            observability as obs)
+        return obs.observability_stamp(
+            obs.synth_observed_calls(_events(spark, sf_dir)))
+    q["observability_stamp"] = observability_stamp_q
+
+    def bestprice_decision_q(spark, sf_dir):
+        # plausibility BEFORE facets (opposite of skroutz); /to/ or
+        # /item/ substring wants fanout; every failed-fanout path
+        # falls back to the single hit (adapters/bestprice.py:105-185)
+        from mivaa_pdf_extractor_spark.operators import bestprice as bp
+        d = _docs(spark, sf_dir)
+        return bp.bestprice_decisions(bp.synth_bp_search(d),
+                                      bp.synth_bp_shops(d))
+    q["bestprice_decision"] = bestprice_decision_q
+
+    def bestprice_hit_assembly_q(spark, sf_dir):
+        # UNCAPPED shop fanout, 3-token OUT-only availability ladder,
+        # raw-availability single fallback with 'Bestprice.gr' default
+        # (adapters/bestprice.py:175-247)
+        from mivaa_pdf_extractor_spark.operators import bestprice as bp
+        d = _docs(spark, sf_dir)
+        return bp.bestprice_hits(bp.synth_bp_search(d),
+                                 bp.synth_bp_shops(d))
+    q["bestprice_hit_assembly"] = bestprice_hit_assembly_q
+
     return q
 
 
@@ -8224,6 +8254,10 @@ def oracle_sql() -> dict[str, str]:
         dup_routes as _dpr)
     from mivaa_pdf_extractor_spark.operators import (
         runtime_limits as _rtl)
+    from mivaa_pdf_extractor_spark.operators import (
+        observability as _obs)
+    from mivaa_pdf_extractor_spark.operators import (
+        bestprice as _bp)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14557,4 +14591,15 @@ def oracle_sql() -> dict[str, str]:
         "merge_route_envelope": _dpr.merge_envelope_sql(),
         "retry_backoff_plan": _rtl.retry_plan_sql(),
         "vision_concurrency_tier": _rtl.tier_concurrency_sql(),
+        "observability_stamp": _obs.observability_stamp_sql(),
+        "bestprice_decision": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_bp.duck_bestprice_sql()}
+            SELECT * FROM bdecision""",
+        "bestprice_hit_assembly": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_bp.duck_bestprice_sql()}
+            SELECT * FROM bhits""",
     }
