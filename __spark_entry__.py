@@ -7366,6 +7366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  bp.synth_bp_shops(d))
     q["bestprice_hit_assembly"] = bestprice_hit_assembly_q
 
+    def shopflix_outcome_q(spark, sf_dir):
+        # hydration retry ONLY when scrape SUCCEEDED empty (a failed
+        # scrape does not retry — pin); Spryker double-param URL;
+        # plausibility-before-facets single hit
+        # (adapters/shopflix.py:38-160)
+        from mivaa_pdf_extractor_spark.operators import shopflix as sfx
+        return sfx.shopflix_outcome(
+            sfx.synth_shopflix_reqs(_docs(spark, sf_dir)))
+    q["shopflix_outcome"] = shopflix_outcome_q
+
     return q
 
 
@@ -8258,6 +8268,8 @@ def oracle_sql() -> dict[str, str]:
         observability as _obs)
     from mivaa_pdf_extractor_spark.operators import (
         bestprice as _bp)
+    from mivaa_pdf_extractor_spark.operators import (
+        shopflix as _sfx)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14602,4 +14614,9 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_bp.duck_bestprice_sql()}
             SELECT * FROM bhits""",
+        "shopflix_outcome": f"""
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
+                          FROM documents),
+            {_sfx.duck_shopflix_sql()}
+            SELECT * FROM fout""",
     }
