@@ -7376,6 +7376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sfx.synth_shopflix_reqs(_docs(spark, sf_dir)))
     q["shopflix_outcome"] = shopflix_outcome_q
 
+    def idealo_listing_filter_q(spark, sf_dir):
+        # [:limit] slice BEFORE the row filters (junk consumes slots);
+        # 0/negative/unparsable price skip; EXACT aggregator blocklist
+        # misses 'idealo.fr' (adapters/idealo_search.py:93-121)
+        from mivaa_pdf_extractor_spark.operators import idealo as idl
+        return idl.idealo_listing_filter(
+            idl.synth_idealo_listings(_events(spark, sf_dir)))
+    q["idealo_listing_filter"] = idealo_listing_filter_q
+
     return q
 
 
@@ -8270,6 +8279,8 @@ def oracle_sql() -> dict[str, str]:
         bestprice as _bp)
     from mivaa_pdf_extractor_spark.operators import (
         shopflix as _sfx)
+    from mivaa_pdf_extractor_spark.operators import (
+        idealo as _idl)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14619,4 +14630,5 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             {_sfx.duck_shopflix_sql()}
             SELECT * FROM fout""",
+        "idealo_listing_filter": _idl.idealo_filter_sql(),
     }
