@@ -7385,6 +7385,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idl.synth_idealo_listings(_events(spark, sf_dir)))
     q["idealo_listing_filter"] = idealo_listing_filter_q
 
+    def feedback_submit_fold_q(spark, sf_dir):
+        # D25/G1 BOPLA: JWT identity wins, is_verified forced FALSE
+        # server-side; is_public pydantic-default True; context or-{}
+        # (user_feedback.py:104-149)
+        from mivaa_pdf_extractor_spark.operators import (
+            feedback_routes as fbr)
+        return fbr.feedback_submit_fold(
+            fbr.synth_feedback_submits(_events(spark, sf_dir)))
+    q["feedback_submit_fold"] = feedback_submit_fold_q
+
+    def feedback_helpful_fold_q(spark, sf_dir):
+        # absent helpful_count increments from 0; the inner 404
+        # double-wraps to 500 '404: Feedback not found'
+        # (user_feedback.py:248-277)
+        from mivaa_pdf_extractor_spark.operators import (
+            feedback_routes as fbr)
+        return fbr.feedback_helpful_fold(
+            fbr.synth_helpful_reqs(_events(spark, sf_dir)))
+    q["feedback_helpful_fold"] = feedback_helpful_fold_q
+
     return q
 
 
@@ -8281,6 +8301,8 @@ def oracle_sql() -> dict[str, str]:
         shopflix as _sfx)
     from mivaa_pdf_extractor_spark.operators import (
         idealo as _idl)
+    from mivaa_pdf_extractor_spark.operators import (
+        feedback_routes as _fbr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14631,4 +14653,6 @@ def oracle_sql() -> dict[str, str]:
             {_sfx.duck_shopflix_sql()}
             SELECT * FROM fout""",
         "idealo_listing_filter": _idl.idealo_filter_sql(),
+        "feedback_submit_fold": _fbr.feedback_submit_sql(),
+        "feedback_helpful_fold": _fbr.feedback_helpful_sql(),
     }
