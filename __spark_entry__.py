@@ -7405,6 +7405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fbr.synth_helpful_reqs(_events(spark, sf_dir)))
     q["feedback_helpful_fold"] = feedback_helpful_fold_q
 
+    def job_sites_render_q(spark, sf_dir):
+        # unknown site_types vanish; NULL country sorts LAST via 'ZZ';
+        # backquotes only in the perplexity section; ' · ' extras in
+        # evaluation order (job_sites_kb_sync.py:40-78)
+        from mivaa_pdf_extractor_spark.operators import kb_sync as kbs
+        return kbs.job_sites_render(
+            kbs.synth_job_sites(_events(spark, sf_dir)))
+    q["job_sites_render"] = job_sites_render_q
+
     return q
 
 
@@ -8303,6 +8312,8 @@ def oracle_sql() -> dict[str, str]:
         idealo as _idl)
     from mivaa_pdf_extractor_spark.operators import (
         feedback_routes as _fbr)
+    from mivaa_pdf_extractor_spark.operators import (
+        kb_sync as _kbs)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14655,4 +14666,5 @@ def oracle_sql() -> dict[str, str]:
         "idealo_listing_filter": _idl.idealo_filter_sql(),
         "feedback_submit_fold": _fbr.feedback_submit_sql(),
         "feedback_helpful_fold": _fbr.feedback_helpful_sql(),
+        "job_sites_render": _kbs.job_sites_render_sql(),
     }
