@@ -7414,6 +7414,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             kbs.synth_job_sites(_events(spark, sf_dir)))
     q["job_sites_render"] = job_sites_render_q
 
+    def meter_operation_fold_q(spark, sf_dir):
+        # '' sub falls to user_id; 402 only on 'insufficient' substring
+        # OR truthy credits_required (0 does NOT 402); everything else
+        # fails OPEN at 0.0 (credit_metering.py:24-60)
+        from mivaa_pdf_extractor_spark.operators import metering as mtg
+        return mtg.meter_operation_fold(
+            mtg.synth_meter_calls(_events(spark, sf_dir)))
+    q["meter_operation_fold"] = meter_operation_fold_q
+
+    def charge_cron_fold_q(spark, sf_dir):
+        # workspace payer wins; no payer = free pass; absent 'allowed'
+        # allows but present-NULL SKIPS; errors fail open
+        # (cron_billing.py:22-79)
+        from mivaa_pdf_extractor_spark.operators import metering as mtg
+        return mtg.charge_cron_fold(
+            mtg.synth_cron_charges(_events(spark, sf_dir)))
+    q["charge_cron_fold"] = charge_cron_fold_q
+
     return q
 
 
@@ -8314,6 +8332,8 @@ def oracle_sql() -> dict[str, str]:
         feedback_routes as _fbr)
     from mivaa_pdf_extractor_spark.operators import (
         kb_sync as _kbs)
+    from mivaa_pdf_extractor_spark.operators import (
+        metering as _mtg)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14667,4 +14687,6 @@ def oracle_sql() -> dict[str, str]:
         "feedback_submit_fold": _fbr.feedback_submit_sql(),
         "feedback_helpful_fold": _fbr.feedback_helpful_sql(),
         "job_sites_render": _kbs.job_sites_render_sql(),
+        "meter_operation_fold": _mtg.meter_fold_sql(),
+        "charge_cron_fold": _mtg.charge_cron_sql(),
     }
