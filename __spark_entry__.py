@@ -7432,6 +7432,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mtg.synth_cron_charges(_events(spark, sf_dir)))
     q["charge_cron_fold"] = charge_cron_fold_q
 
+    def turnstile_verdict_q(spark, sf_dir):
+        # fail-closed ladder; action check only on SUCCESS + truthy
+        # expected, flips success but keeps hostname/action; failed
+        # verify keeps its original codes
+        # (turnstile_verifier.py:39-85)
+        from mivaa_pdf_extractor_spark.operators import turnstile as ts
+        return ts.turnstile_verdict(
+            ts.synth_turnstile_reqs(_events(spark, sf_dir)))
+    q["turnstile_verdict"] = turnstile_verdict_q
+
+    def kb_rechunk_rows_q(spark, sf_dir):
+        # '' heading -> NULL; len//4 token count; empty embedding ==
+        # failed (row kept, model NULLed) (kb_chunk_service.py:24-113)
+        from mivaa_pdf_extractor_spark.operators import (
+            kb_rechunk as kbr)
+        return kbr.kb_rechunk_rows(
+            kbr.synth_kb_chunks(_events(spark, sf_dir)))
+    q["kb_rechunk_rows"] = kb_rechunk_rows_q
+
     return q
 
 
@@ -8334,6 +8353,10 @@ def oracle_sql() -> dict[str, str]:
         kb_sync as _kbs)
     from mivaa_pdf_extractor_spark.operators import (
         metering as _mtg)
+    from mivaa_pdf_extractor_spark.operators import (
+        turnstile as _ts)
+    from mivaa_pdf_extractor_spark.operators import (
+        kb_rechunk as _kbr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14689,4 +14712,6 @@ def oracle_sql() -> dict[str, str]:
         "job_sites_render": _kbs.job_sites_render_sql(),
         "meter_operation_fold": _mtg.meter_fold_sql(),
         "charge_cron_fold": _mtg.charge_cron_sql(),
+        "turnstile_verdict": _ts.turnstile_sql(),
+        "kb_rechunk_rows": _kbr.kb_rechunk_sql(),
     }
