@@ -7451,6 +7451,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             kbr.synth_kb_chunks(_events(spark, sf_dir)))
     q["kb_rechunk_rows"] = kb_rechunk_rows_q
 
+    def endpoint_provider_fold_q(spark, sf_dir):
+        # modal_url-or-endpoint_url ladder, rstrip-all-slashes, no
+        # /health doubling, empty token = NO auth header, resume
+        # warm/cold state fold (endpoint_providers.py:92-237)
+        from mivaa_pdf_extractor_spark.operators import (
+            endpoint_provider as epv)
+        return epv.endpoint_provider_fold(
+            epv.synth_provider_rows(_events(spark, sf_dir)))
+    q["endpoint_provider_fold"] = endpoint_provider_fold_q
+
     return q
 
 
@@ -8357,6 +8367,8 @@ def oracle_sql() -> dict[str, str]:
         turnstile as _ts)
     from mivaa_pdf_extractor_spark.operators import (
         kb_rechunk as _kbr)
+    from mivaa_pdf_extractor_spark.operators import (
+        endpoint_provider as _epv)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14714,4 +14726,5 @@ def oracle_sql() -> dict[str, str]:
         "charge_cron_fold": _mtg.charge_cron_sql(),
         "turnstile_verdict": _ts.turnstile_sql(),
         "kb_rechunk_rows": _kbr.kb_rechunk_sql(),
+        "endpoint_provider_fold": _epv.provider_fold_sql(),
     }
