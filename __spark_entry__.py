@@ -7461,6 +7461,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             epv.synth_provider_rows(_events(spark, sf_dir)))
     q["endpoint_provider_fold"] = endpoint_provider_fold_q
 
+    def slig_resize_plan_q(spark, sf_dir):
+        # PIL thumbnail round_aspect arithmetic (floor-vs-ceil by
+        # closeness to true aspect, floor wins ties, min 1);
+        # RGBA/LA/P -> RGB (slig_client.py:142-171)
+        from mivaa_pdf_extractor_spark.operators import (
+            slig_client as slc)
+        return slc.slig_resize_plan(
+            slc.synth_slig_images(_events(spark, sf_dir)))
+    q["slig_resize_plan"] = slig_resize_plan_q
+
+    def slig_backpressure_classify_q(spark, sf_dir):
+        # transport failures + 429/5xx shrink concurrency; other 4xx
+        # raise with NO backpressure signal; mark_used only on success
+        # with a manager (slig_client.py:107-141)
+        from mivaa_pdf_extractor_spark.operators import (
+            slig_client as slc)
+        return slc.slig_backpressure_classify(
+            slc.synth_slig_calls(_events(spark, sf_dir)))
+    q["slig_backpressure_classify"] = slig_backpressure_classify_q
+
     return q
 
 
@@ -8369,6 +8389,8 @@ def oracle_sql() -> dict[str, str]:
         kb_rechunk as _kbr)
     from mivaa_pdf_extractor_spark.operators import (
         endpoint_provider as _epv)
+    from mivaa_pdf_extractor_spark.operators import (
+        slig_client as _slc)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14727,4 +14749,6 @@ def oracle_sql() -> dict[str, str]:
         "turnstile_verdict": _ts.turnstile_sql(),
         "kb_rechunk_rows": _kbr.kb_rechunk_sql(),
         "endpoint_provider_fold": _epv.provider_fold_sql(),
+        "slig_resize_plan": _slc.slig_resize_sql(),
+        "slig_backpressure_classify": _slc.slig_backpressure_sql(),
     }
