@@ -7481,6 +7481,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             slc.synth_slig_calls(_events(spark, sf_dir)))
     q["slig_backpressure_classify"] = slig_backpressure_classify_q
 
+    def slig_mode_route_q(spark, sf_dir):
+        # auto ladder: dict-images beats candidate_labels; >=500-char
+        # or 'http'-prefixed text falls to IMAGE embedding; unknown
+        # mode 400; exact-equality bearer; comma-split labels
+        # (modal_app/slig.py:222-262,300-339)
+        from mivaa_pdf_extractor_spark.operators import (
+            slig_modes as slm)
+        return slm.slig_mode_route(
+            slm.synth_slig_infer_reqs(_events(spark, sf_dir)))
+    q["slig_mode_route"] = slig_mode_route_q
+
     return q
 
 
@@ -8391,6 +8402,8 @@ def oracle_sql() -> dict[str, str]:
         endpoint_provider as _epv)
     from mivaa_pdf_extractor_spark.operators import (
         slig_client as _slc)
+    from mivaa_pdf_extractor_spark.operators import (
+        slig_modes as _slm)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14751,4 +14764,5 @@ def oracle_sql() -> dict[str, str]:
         "endpoint_provider_fold": _epv.provider_fold_sql(),
         "slig_resize_plan": _slc.slig_resize_sql(),
         "slig_backpressure_classify": _slc.slig_backpressure_sql(),
+        "slig_mode_route": _slm.slig_mode_sql(),
     }
