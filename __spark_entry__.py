@@ -7492,6 +7492,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             slm.synth_slig_infer_reqs(_events(spark, sf_dir)))
     q["slig_mode_route"] = slig_mode_route_q
 
+    def paddle_region_fold_q(spark, sf_dir):
+        # None-coalescing order ladder (explicit 0 kept — the fixed
+        # 500-bug); len(regions) fallback shifts with earlier skips;
+        # truthy label/content ladders; stable sort
+        # (modal_app/paddleocr_vl.py:183-224)
+        from mivaa_pdf_extractor_spark.operators import (
+            paddle_parse as ppr)
+        return ppr.paddle_region_fold(
+            ppr.synth_paddle_blocks(_events(spark, sf_dir)))
+    q["paddle_region_fold"] = paddle_region_fold_q
+
+    def paddle_block_text_q(spark, sf_dir):
+        # block mode: newline-join of truthy contents in region order,
+        # stripped (modal_app/paddleocr_vl.py:250-255)
+        from mivaa_pdf_extractor_spark.operators import (
+            paddle_parse as ppr)
+        return ppr.paddle_block_text(
+            ppr.synth_paddle_blocks(_events(spark, sf_dir)))
+    q["paddle_block_text"] = paddle_block_text_q
+
     return q
 
 
@@ -8404,6 +8424,8 @@ def oracle_sql() -> dict[str, str]:
         slig_client as _slc)
     from mivaa_pdf_extractor_spark.operators import (
         slig_modes as _slm)
+    from mivaa_pdf_extractor_spark.operators import (
+        paddle_parse as _ppz)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14765,4 +14787,6 @@ def oracle_sql() -> dict[str, str]:
         "slig_resize_plan": _slc.slig_resize_sql(),
         "slig_backpressure_classify": _slc.slig_backpressure_sql(),
         "slig_mode_route": _slm.slig_mode_sql(),
+        "paddle_region_fold": _ppz.paddle_region_sql(),
+        "paddle_block_text": _ppz.paddle_block_text_sql(),
     }
