@@ -7512,6 +7512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ppr.synth_paddle_blocks(_events(spark, sf_dir)))
     q["paddle_block_text"] = paddle_block_text_q
 
+    def price_debit_gate_q(spark, sf_dir):
+        # fail-CLOSED partner debit (H3): free<=0 TRUE even userless;
+        # positive without user FALSE; success=false row never serves
+        # free (price_cost_logger.py:33-58)
+        from mivaa_pdf_extractor_spark.operators import metering as mtg
+        return mtg.price_debit_gate(
+            mtg.synth_price_debits(_events(spark, sf_dir)))
+    q["price_debit_gate"] = price_debit_gate_q
+
     return q
 
 
@@ -14789,4 +14798,5 @@ def oracle_sql() -> dict[str, str]:
         "slig_mode_route": _slm.slig_mode_sql(),
         "paddle_region_fold": _ppz.paddle_region_sql(),
         "paddle_block_text": _ppz.paddle_block_text_sql(),
+        "price_debit_gate": _mtg.price_debit_sql(),
     }

@@ -234,3 +234,92 @@ def charge_cron_sql() -> str:
                     ELSE row_allowed END AS allowed
         FROM i
     """
+
+
+# ---------------------------------------------------------------------------
+# price-flow debit (price_cost_logger.py:33-58, audit #217 H3)
+# ---------------------------------------------------------------------------
+
+def price_debit_gate(debits: DataFrame) -> DataFrame:
+    """Partner price-flow debit — fail-CLOSED, the opposite direction
+    of ``charge_cron_fold``:
+
+    - ``amount <= 0 or not user_id`` returns ``amount <= 0`` — a
+      zero/negative amount is a free TRUE even with NO user, while a
+      positive amount without a user is False (pin);
+    - empty RPC data → False; exception → False;
+    - a dict row folds ``bool(row.get('success'))`` — the H3 fix: a
+      truthy row with ``success=false`` (insufficient balance) must
+      NOT serve the paid op free; absent success → False."""
+    free = F.col("amount") <= 0
+    no_user = F.col("user_id").isNull() | (F.col("user_id") == "")
+    early = free | no_user
+    ok = (~early & ~F.col("rpc_raised") & F.col("has_data")
+          & F.coalesce(F.col("row_success"), F.lit(False)))
+    return debits.select(
+        "debit_id",
+        F.when(early, free).otherwise(ok).alias("proceed"),
+        F.when(free, F.lit("free"))
+        .when(no_user, F.lit("no_user"))
+        .when(F.col("rpc_raised"), F.lit("rpc_error"))
+        .when(~F.col("has_data"), F.lit("no_data"))
+        .when(F.coalesce(F.col("row_success"), F.lit(False)),
+              F.lit("debited"))
+        .otherwise(F.lit("insufficient")).alias("reason"))
+
+
+def synth_price_debits(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("debit_id"),
+        F.when(e % 7 == 0, F.lit(0))
+        .when(e % 7 == 1, F.lit(-2))
+        .otherwise(((e % 4) + 1).cast("int")).alias("amount"),
+        F.when(e % 5 == 0, F.lit(None).cast("string"))
+        .when(e % 5 == 1, F.lit(""))
+        .otherwise(F.concat(F.lit("u-"), (e % 6).cast("string")))
+        .alias("user_id"),
+        (e % 11 == 0).alias("rpc_raised"),
+        (e % 4 != 0).alias("has_data"),
+        F.when(e % 6 == 0, F.lit(None).cast("boolean"))
+        .otherwise(e % 3 != 0).alias("row_success"))
+
+
+SYNTH_PRICE_DEBITS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS debit_id,
+           CAST(CASE WHEN event_id % 7 = 0 THEN 0
+                WHEN event_id % 7 = 1 THEN -2
+                ELSE (event_id % 4) + 1 END AS INT) AS amount,
+           CASE WHEN event_id % 5 = 0 THEN NULL
+                WHEN event_id % 5 = 1 THEN ''
+                ELSE 'u-' || CAST(event_id % 6 AS VARCHAR)
+           END AS user_id,
+           event_id % 11 = 0 AS rpc_raised,
+           event_id % 4 <> 0 AS has_data,
+           CASE WHEN event_id % 6 = 0 THEN NULL
+                ELSE event_id % 3 <> 0 END AS row_success
+    FROM events
+"""
+
+
+def price_debit_sql() -> str:
+    return f"""
+        WITH r AS ({SYNTH_PRICE_DEBITS_SQL}),
+        g AS (
+          SELECT *,
+                 amount <= 0 AS free,
+                 user_id IS NULL OR user_id = '' AS no_user
+          FROM r)
+        SELECT debit_id,
+               CASE WHEN free OR no_user THEN free
+                    ELSE NOT rpc_raised AND has_data
+                         AND coalesce(row_success, FALSE) END
+                   AS proceed,
+               CASE WHEN free THEN 'free'
+                    WHEN no_user THEN 'no_user'
+                    WHEN rpc_raised THEN 'rpc_error'
+                    WHEN NOT has_data THEN 'no_data'
+                    WHEN coalesce(row_success, FALSE) THEN 'debited'
+                    ELSE 'insufficient' END AS reason
+        FROM g
+    """
