@@ -7521,6 +7521,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mtg.synth_price_debits(_events(spark, sf_dir)))
     q["price_debit_gate"] = price_debit_gate_q
 
+    def extraction_prompt_resolve_q(spark, sf_dir):
+        # 2-tier exact -> (stage,'default') ladder; active-only with
+        # HIGHEST version winning (inactive higher version invisible);
+        # double miss raises (prompt_templates.py:18-79)
+        from mivaa_pdf_extractor_spark.operators import (
+            extraction_prompts as exp)
+        ev = _events(spark, sf_dir)
+        return exp.resolve_extraction_prompts(
+            exp.synth_prompt_requests(ev), exp.synth_prompt_rows(ev))
+    q["extraction_prompt_resolve"] = extraction_prompt_resolve_q
+
     return q
 
 
@@ -8435,6 +8446,8 @@ def oracle_sql() -> dict[str, str]:
         slig_modes as _slm)
     from mivaa_pdf_extractor_spark.operators import (
         paddle_parse as _ppz)
+    from mivaa_pdf_extractor_spark.operators import (
+        extraction_prompts as _exp)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14799,4 +14812,5 @@ def oracle_sql() -> dict[str, str]:
         "paddle_region_fold": _ppz.paddle_region_sql(),
         "paddle_block_text": _ppz.paddle_block_text_sql(),
         "price_debit_gate": _mtg.price_debit_sql(),
+        "extraction_prompt_resolve": _exp.resolve_prompts_sql(),
     }
