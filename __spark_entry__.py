@@ -7532,6 +7532,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             exp.synth_prompt_requests(ev), exp.synth_prompt_rows(ev))
     q["extraction_prompt_resolve"] = extraction_prompt_resolve_q
 
+    def lazy_component_replay_q(spark, sf_dir):
+        # binary lifecycle as one last_value window; raising cleanup
+        # leaves the component LOADED (pin)
+        # (lazy_loader.py:20-160)
+        from mivaa_pdf_extractor_spark.operators import (
+            lazy_components as lzc)
+        return lzc.lazy_component_replay(
+            lzc.synth_lazy_ops(_events(spark, sf_dir)))
+    q["lazy_component_replay"] = lazy_component_replay_q
+
     return q
 
 
@@ -8448,6 +8458,8 @@ def oracle_sql() -> dict[str, str]:
         paddle_parse as _ppz)
     from mivaa_pdf_extractor_spark.operators import (
         extraction_prompts as _exp)
+    from mivaa_pdf_extractor_spark.operators import (
+        lazy_components as _lzc)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14813,4 +14825,5 @@ def oracle_sql() -> dict[str, str]:
         "paddle_block_text": _ppz.paddle_block_text_sql(),
         "price_debit_gate": _mtg.price_debit_sql(),
         "extraction_prompt_resolve": _exp.resolve_prompts_sql(),
+        "lazy_component_replay": _lzc.lazy_replay_sql(),
     }
