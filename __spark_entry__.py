@@ -7542,6 +7542,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lzc.synth_lazy_ops(_events(spark, sf_dir)))
     q["lazy_component_replay"] = lazy_component_replay_q
 
+    def job_site_normalize_q(spark, sf_dir):
+        # lower() only for perplexity_domain; (cc or '').upper() or
+        # None; 409 via duplicate/unique substring
+        # (job_research_routes.py:429-456)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_sites_admin as jsa)
+        return jsa.job_site_normalize(
+            jsa.synth_site_creates(_events(spark, sf_dir)))
+    q["job_site_normalize"] = job_site_normalize_q
+
+    def job_sites_bulk_clean_q(spark, sf_dir):
+        # dedup by LOWERCASED key, stored value keeps first original
+        # case; duplicate/unique/23505 substrings -> skipped
+        # (job_research_routes.py:490-546)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_sites_admin as jsa)
+        return jsa.job_sites_bulk_clean(
+            jsa.synth_bulk_urls(_events(spark, sf_dir)))
+    q["job_sites_bulk_clean"] = job_sites_bulk_clean_q
+
     return q
 
 
@@ -8460,6 +8480,8 @@ def oracle_sql() -> dict[str, str]:
         extraction_prompts as _exp)
     from mivaa_pdf_extractor_spark.operators import (
         lazy_components as _lzc)
+    from mivaa_pdf_extractor_spark.operators import (
+        job_sites_admin as _jsa)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14826,4 +14848,6 @@ def oracle_sql() -> dict[str, str]:
         "price_debit_gate": _mtg.price_debit_sql(),
         "extraction_prompt_resolve": _exp.resolve_prompts_sql(),
         "lazy_component_replay": _lzc.lazy_replay_sql(),
+        "job_site_normalize": _jsa.site_normalize_sql(),
+        "job_sites_bulk_clean": _jsa.bulk_clean_sql(),
     }
