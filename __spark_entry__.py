@@ -7562,6 +7562,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jsa.synth_bulk_urls(_events(spark, sf_dir)))
     q["job_sites_bulk_clean"] = job_sites_bulk_clean_q
 
+    def rasterize_plan_q(spark, sf_dir):
+        # fail-closed cron secret; int-truncated clamp crop with
+        # degenerate full-page fallback; 4-decimal bbox key; %04d page
+        # path; truthy target override (catalog_routes.py:45-185)
+        from mivaa_pdf_extractor_spark.operators import rasterize as rz
+        return rz.rasterize_plan(
+            rz.synth_rasterize_reqs(_events(spark, sf_dir)))
+    q["rasterize_plan"] = rasterize_plan_q
+
     return q
 
 
@@ -8482,6 +8491,8 @@ def oracle_sql() -> dict[str, str]:
         lazy_components as _lzc)
     from mivaa_pdf_extractor_spark.operators import (
         job_sites_admin as _jsa)
+    from mivaa_pdf_extractor_spark.operators import (
+        rasterize as _rz)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14850,4 +14861,5 @@ def oracle_sql() -> dict[str, str]:
         "lazy_component_replay": _lzc.lazy_replay_sql(),
         "job_site_normalize": _jsa.site_normalize_sql(),
         "job_sites_bulk_clean": _jsa.bulk_clean_sql(),
+        "rasterize_plan": _rz.rasterize_sql(),
     }
