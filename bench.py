@@ -229,6 +229,14 @@ BENCH_QUERIES = [
     "desc_chunks_assemble", "template_prompt_resolve",
     "query_metrics_tables", "ai_metrics_model_usage",
     "credits_ai_debit", "request_log_route", "log_sink_gate",
+    # round 4 continuation 17: tracking/adapter/window folds
+    "processing_lock_replay", "lazy_component_replay",
+    "project_list_filter", "project_task_rollup",
+    "job_refresh_credit", "mention_refresh_credit",
+    "bestprice_hit_assembly", "shopflix_outcome",
+    "idealo_listing_filter", "job_sites_render",
+    "job_sites_bulk_clean", "extraction_prompt_resolve",
+    "slig_resize_plan", "paddle_region_fold", "rasterize_plan",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /

@@ -1,111 +1,155 @@
-"""Pins for the small service-fold operators: XML import stage
-progress, material quota clamp, keyword-expansion curation, and the
-query-understanding cache fold."""
+"""Pins for the continuation-17 service folds: turnstile ladder, SLIG
+resize/router, paddle region shaping, metering directions, bulk-site
+dedup, rasterize crop."""
 
-import pytest
-from pyspark.sql import Row, functions as F
+import pandas as pd
 
-from mivaa_pdf_extractor_spark.operators.import_stages import (
-    xml_import_description, xml_import_progress)
-from mivaa_pdf_extractor_spark.operators.keyword_expansion import (
-    curate_expansions)
-from mivaa_pdf_extractor_spark.operators.query_cache import (
-    fold_cache_events)
-from mivaa_pdf_extractor_spark.operators.quota import (
-    clamp_batch, is_quota_error)
-
-
-def test_xml_stage_ladder(spark):
-    rows = spark.createDataFrame(
-        [(s,) for s in ("initialized", "products_parsed",
-                        "clips_generated", "completed", "failed",
-                        "nope")],
-        "stage string")
-    got = {r["stage"]: (r["p"], r["d"]) for r in rows.select(
-        "stage", xml_import_progress(F.col("stage")).alias("p"),
-        xml_import_description(F.col("stage")).alias("d")).collect()}
-    assert got["initialized"][0] == 0
-    assert got["products_parsed"][0] == 14      # int(1/7*100)
-    assert got["clips_generated"][0] == 57      # int(4/7*100)
-    assert got["completed"] == (100, "Import completed successfully")
-    assert got["failed"] == (0, "Import failed")
-    assert got["nope"] == (0, None)
+from mivaa_pdf_extractor_spark.operators import turnstile as ts
+from mivaa_pdf_extractor_spark.operators import slig_client as slc
+from mivaa_pdf_extractor_spark.operators import slig_modes as slm
+from mivaa_pdf_extractor_spark.operators import paddle_parse as ppz
+from mivaa_pdf_extractor_spark.operators import metering as mtg
+from mivaa_pdf_extractor_spark.operators import (
+    job_sites_admin as jsa)
+from mivaa_pdf_extractor_spark.operators import rasterize as rz
 
 
-def test_quota_clamp(spark):
-    rows = spark.createDataFrame(
-        [Row(row_id=i, workspace_id="w", batch_pos=i,
-             is_service=(i == 1)) for i in range(5)]
-        + [Row(row_id=10, workspace_id=None, batch_pos=0,
-               is_service=False),
-           Row(row_id=11, workspace_id="unknown", batch_pos=0,
-               is_service=False),
-           Row(row_id=12, workspace_id="full", batch_pos=0,
-               is_service=False),
-           Row(row_id=13, workspace_id="full", batch_pos=1,
-               is_service=True)],
-        "row_id long, workspace_id string, batch_pos long, "
-        "is_service boolean")
-    limits = spark.createDataFrame(
-        [("w", 10), ("full", 3)],
-        "workspace_id string, plan_limit long")
-    counts = spark.createDataFrame(
-        [("w", 8), ("full", 7)],
-        "workspace_id string, n_products long")
-    out = {r["row_id"]: r.asDict()
-           for r in clamp_batch(rows, limits, counts).collect()}
-    # w: remaining 2 -> first 2 non-service admitted, service always
-    assert [out[i]["admitted"] for i in range(5)] == [
-        True, True, True, False, False]
-    assert out[3]["refusal"] == "quota_exceeded"
-    # null + unknown workspaces fail open (-1)
-    assert out[10]["remaining"] == -1 and out[10]["admitted"]
-    assert out[11]["remaining"] == -1 and out[11]["admitted"]
-    # negative remaining: nothing non-service admitted; service exempt
-    assert out[12]["admitted"] is False
-    assert out[13]["admitted"] is True
-    err = spark.range(1).select(
-        is_quota_error(F.lit("ERROR: quota_exceeded for ws"))
-        .alias("x")).collect()[0]["x"]
-    assert err is True
+TS_COLS = ["req_id", "secret_configured", "token", "net_raised",
+           "cf_success", "cf_error_codes", "expected_action",
+           "action", "hostname"]
 
 
-def test_keyword_curation_order_dedup_exclusion(spark):
-    raw = spark.createDataFrame(
-        [Row(req_id=1,
-             title_variants=["Senior PM", " pm ", "", "SENIOR PM"],
-             seniority_variants=["lead pm"],
-             abbreviations=["PM"],
-             rejected_terms=[" product marketing ", ""],
-             query_phrasings=["PM hiring", "pm HIRING", " PM roles "],
-             excluded_keywords=["lead"])],
-        "req_id long, title_variants array<string>, "
-        "seniority_variants array<string>, "
-        "abbreviations array<string>, rejected_terms array<string>, "
-        "query_phrasings array<string>, "
-        "excluded_keywords array<string>")
-    r = curate_expansions(raw).collect()[0]
-    # 'senior pm' first, 'pm' second; dup SENIOR PM dropped; 'lead pm'
-    # excluded by substring; abbreviation 'PM' deduped against ' pm '
-    assert r["expanded"] == ["senior pm", "pm"]
-    assert r["rejected"] == ["product marketing"]
-    assert r["query_phrasings"] == ["PM hiring", "PM roles"]
+def test_turnstile_action_mismatch_only_on_success(spark):
+    rows = [
+        # success + expected + differing action -> mismatch, keeps host
+        (0, True, "tok", False, True, "", "tools_scan", "other", "h1"),
+        # FAILED verify with mismatched action keeps original codes
+        (1, True, "tok", False, False, "invalid-input-response",
+         "tools_scan", "other", "h2"),
+        # NULL action on success with expected IS a mismatch
+        (2, True, "tok", False, True, "", "tools_scan", None, "h3"),
+        # '' expected_action skips the check
+        (3, True, "tok", False, True, "", "", "other", "h4")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=TS_COLS))
+    out = {r.req_id: r for r in ts.turnstile_verdict(df).collect()}
+    assert out[0].error_codes == "action_mismatch"
+    assert out[0].success is False and out[0].hostname == "h1"
+    assert out[1].error_codes == "invalid-input-response"
+    assert out[2].error_codes == "action_mismatch"
+    assert out[3].success is True and out[3].error_codes == ""
 
 
-def test_query_cache_store_resets_hits(spark):
-    events = spark.createDataFrame(
-        [(0, "lookup", "q one"),        # miss: before any store
-         (1, "store", "  Q One "),
-         (2, "lookup", "q one"),
-         (3, "lookup", "Q ONE"),
-         (4, "store", "Q one"),         # upsert resets hit_count
-         (5, "lookup", " q one"),
-         (6, "lookup", "other q")],     # never stored: no row
-        "event_ord long, kind string, query string")
-    rows = fold_cache_events(events).collect()
-    assert len(rows) == 1
-    r = rows[0].asDict()
-    assert r["query_text"] == "Q one"   # raw text of last store
-    assert r["hit_count"] == 1          # only the post-re-store lookup
-    assert r["created_at_ord"] == 4
-    assert r["last_hit_ord"] == 5
+def test_slig_resize_thumbnail_arithmetic(spark):
+    rows = [(0, 2000, 1500, "RGB"),   # landscape: x=512, y=round(384)
+            (1, 100, 1024, "RGBA"),   # portrait: y=512, x=50
+            (2, 512, 512, "P"),       # no resize
+            (3, 513, 1, "L")]         # extreme aspect, y floors to 1
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["img_id", "width", "height", "mode"]))
+    out = {r.img_id: r for r in slc.slig_resize_plan(df).collect()}
+    assert (out[0].out_w, out[0].out_h) == (512, 384)
+    assert (out[1].out_w, out[1].out_h) == (50, 512)
+    assert out[1].converted_rgb is True
+    assert out[2].resized is False and out[2].out_w == 512
+    assert (out[3].out_w, out[3].out_h) == (512, 1)   # min-1 floor
+
+
+def test_slig_auto_mode_http_prose_is_image(spark):
+    base = dict(req_id=0, mode_param="auto", input_kind="str",
+                str_prefix="plain", str_len=40,
+                all_members_short_nonurl=True,
+                has_candidate_labels=False,
+                candidate_labels_str="a,b", api_key="k",
+                auth_header="Bearer k")
+    rows = [dict(base, req_id=0, str_prefix="http"),
+            dict(base, req_id=1, str_len=900),
+            dict(base, req_id=2),
+            dict(base, req_id=3, input_kind="dict_images",
+                 has_candidate_labels=True)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.req_id: r for r in slm.slig_mode_route(df).collect()}
+    assert out[0].resolved_mode == "image_embedding"   # 'http' prefix
+    assert out[1].resolved_mode == "image_embedding"   # >=500 chars
+    assert out[2].resolved_mode == "text_embedding"
+    # dict-with-images beats candidate_labels (ladder order)
+    assert out[3].resolved_mode == "similarity"
+
+
+PB_COLS = ["req_id", "bidx", "has_bbox", "bbox_len", "block_order",
+           "block_id", "block_label", "label", "block_content",
+           "content"]
+
+
+def test_paddle_order_ladder_and_shifting_fallback(spark):
+    rows = [
+        # bidx0: skipped (bad bbox) — must NOT advance the fallback
+        (0, 0, False, 4, None, None, "t", None, "a", None),
+        # bidx1: explicit 0 order KEPT (None-coalescing, not or)
+        (0, 1, True, 4, 0, 7, "t", None, "b", None),
+        # bidx2: no order/id -> len(regions)=1 (one kept so far)
+        (0, 2, True, 4, None, None, "", "", None, None)]
+    pdf = pd.DataFrame(rows, columns=PB_COLS)
+    pdf["block_order"] = pdf["block_order"].astype("Int32")
+    pdf["block_id"] = pdf["block_id"].astype("Int32")
+    df = spark.createDataFrame(pdf)
+    out = {r.bidx: r for r in ppz.paddle_region_fold(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].order_out == 0          # explicit 0 survives
+    assert out[2].order_out == 1          # shifted by the earlier skip
+    assert out[2].label_out == "text"     # '' falls to default
+    assert out[2].content_out == ""
+
+
+def test_meter_zero_credits_required_no_402(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, "s", None, False, False, "quota thing", 0, None),
+         (1, "s", None, False, False, "quota thing", 3, None)],
+        columns=["call_id", "sub", "user_id_alt", "rpc_raised",
+                 "rpc_success", "error", "credits_required",
+                 "credits_debited"]))
+    out = {r.call_id: r
+           for r in mtg.meter_operation_fold(df).collect()}
+    assert out[0].status == 200 and out[0].proceeded   # 0 is falsy
+    assert out[1].status == 402                        # truthy
+
+
+def test_price_debit_fail_closed_directions(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, 0, None, False, True, True),     # free even userless
+         (1, 3, None, False, True, True),     # positive, no user
+         (2, 3, "u", False, True, False)],    # success=false row
+        columns=["debit_id", "amount", "user_id", "rpc_raised",
+                 "has_data", "row_success"]))
+    out = {r.debit_id: r for r in mtg.price_debit_gate(df).collect()}
+    assert out[0].proceed is True and out[0].reason == "free"
+    assert out[1].proceed is False and out[1].reason == "no_user"
+    assert out[2].proceed is False and out[2].reason == "insufficient"
+
+
+def test_bulk_dedup_keeps_first_case(spark):
+    rows = [(0, 0, "rss_feed_default", " Foo.GR ", None),
+            (0, 1, "rss_feed_default", "foo.gr", None),
+            (0, 2, "rss_feed_default", "   ", None)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["batch_id", "uidx", "site_type", "raw_url",
+                       "insert_error"]))
+    out = {r.uidx: r for r in jsa.job_sites_bulk_clean(df).collect()}
+    assert out[0].kept and out[0].stored_value == "Foo.GR"
+    assert not out[1].kept                     # lowercase-key dup
+    assert not out[2].kept                     # empty after strip
+
+
+def test_rasterize_degenerate_crop_full_page(spark):
+    base = dict(req_id=0, source_pdf_id="pdf-1", secret_configured=True,
+                secret_match=True, pdf_found=True, pdf_valid=True,
+                page_no=7, total_pages=32, has_bbox=True,
+                x1=0.5, y1=0.5, x2=0.5, y2=0.75,
+                page_w=1000, page_h=800, target_override=None)
+    rows = [base, dict(base, req_id=1, x2=0.75)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.req_id: r for r in rz.rasterize_plan(df).collect()}
+    assert out[0].crop_result == "degenerate"
+    assert (out[0].out_w, out[0].out_h) == (1000, 800)  # full page
+    assert out[1].crop_result == "valid"
+    assert (out[1].out_w, out[1].out_h) == (250, 200)
+    assert "page-0007-" in out[1].storage_target
