@@ -7571,6 +7571,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rz.synth_rasterize_reqs(_events(spark, sf_dir)))
     q["rasterize_plan"] = rasterize_plan_q
 
+    def job_health_dashboard_q(spark, sf_dir):
+        # elif heartbeat ladder (fresh heartbeat shields a stale
+        # updated_at); critical threshold vs COMPLETED not total
+        # (job_health_routes.py:31-133)
+        from mivaa_pdf_extractor_spark.operators import (
+            job_health as jhl)
+        return jhl.job_health_dashboard(
+            jhl.synth_health_jobs(_events(spark, sf_dir)))
+    q["job_health_dashboard"] = job_health_dashboard_q
+
     return q
 
 
@@ -8493,6 +8503,8 @@ def oracle_sql() -> dict[str, str]:
         job_sites_admin as _jsa)
     from mivaa_pdf_extractor_spark.operators import (
         rasterize as _rz)
+    from mivaa_pdf_extractor_spark.operators import (
+        job_health as _jhl)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14862,4 +14874,5 @@ def oracle_sql() -> dict[str, str]:
         "job_site_normalize": _jsa.site_normalize_sql(),
         "job_sites_bulk_clean": _jsa.bulk_clean_sql(),
         "rasterize_plan": _rz.rasterize_sql(),
+        "job_health_dashboard": _jhl.health_dashboard_sql(),
     }
