@@ -7581,6 +7581,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jhl.synth_health_jobs(_events(spark, sf_dir)))
     q["job_health_dashboard"] = job_health_dashboard_q
 
+    def ws_room_final_q(spark, sf_dir):
+        # disconnect removes only metadata['room']: a reconnect to a
+        # different room leaks the old membership forever (pin);
+        # lag + last_value windows, no state machine
+        # (websocket_routes.py:35-112)
+        from mivaa_pdf_extractor_spark.operators import ws_rooms as wsr
+        return wsr.ws_room_final(
+            wsr.synth_ws_ops(_events(spark, sf_dir)))
+    q["ws_room_final"] = ws_room_final_q
+
     return q
 
 
@@ -8505,6 +8515,8 @@ def oracle_sql() -> dict[str, str]:
         rasterize as _rz)
     from mivaa_pdf_extractor_spark.operators import (
         job_health as _jhl)
+    from mivaa_pdf_extractor_spark.operators import (
+        ws_rooms as _wsr)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14875,4 +14887,5 @@ def oracle_sql() -> dict[str, str]:
         "job_sites_bulk_clean": _jsa.bulk_clean_sql(),
         "rasterize_plan": _rz.rasterize_sql(),
         "job_health_dashboard": _jhl.health_dashboard_sql(),
+        "ws_room_final": _wsr.ws_room_sql(),
     }
