@@ -7591,6 +7591,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wsr.synth_ws_ops(_events(spark, sf_dir)))
     q["ws_room_final"] = ws_room_final_q
 
+    def report_stage_fold_q(spark, sf_dir):
+        # unknown key drops silently; raising live tracker falls
+        # through to append-only history (never fabricates a tracker);
+        # 'completed' only at >=100 (internal_routes.py:77-138)
+        from mivaa_pdf_extractor_spark.operators import (
+            stage_reporting as srp)
+        return srp.report_stage_fold(
+            srp.synth_stage_reports(_events(spark, sf_dir)))
+    q["report_stage_fold"] = report_stage_fold_q
+
+    def internal_access_gate_q(spark, sf_dir):
+        # D19/D20: unconfigured secret falls through to JWT (opposite
+        # of the catalog route); case-sensitive Bearer
+        # (internal_routes.py:150-170)
+        from mivaa_pdf_extractor_spark.operators import (
+            stage_reporting as srp)
+        return srp.internal_access_gate(
+            srp.synth_internal_reqs(_events(spark, sf_dir)))
+    q["internal_access_gate"] = internal_access_gate_q
+
     return q
 
 
@@ -8517,6 +8537,8 @@ def oracle_sql() -> dict[str, str]:
         job_health as _jhl)
     from mivaa_pdf_extractor_spark.operators import (
         ws_rooms as _wsr)
+    from mivaa_pdf_extractor_spark.operators import (
+        stage_reporting as _srp)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14888,4 +14910,6 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_plan": _rz.rasterize_sql(),
         "job_health_dashboard": _jhl.health_dashboard_sql(),
         "ws_room_final": _wsr.ws_room_sql(),
+        "report_stage_fold": _srp.report_stage_sql(),
+        "internal_access_gate": _srp.internal_access_sql(),
     }
