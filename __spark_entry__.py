@@ -7611,6 +7611,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             srp.synth_internal_reqs(_events(spark, sf_dir)))
     q["internal_access_gate"] = internal_access_gate_q
 
+    def tracked_refresh_route_q(spark, sf_dir):
+        # issue-#234 cost boundary: (mode or '')=='url-only' routes to
+        # the Firecrawl-only path; 0-interval falls to 24; blank pin
+        # errors at 0 credits; www-stripped domain or 'pinned URL'
+        # (tracked_queries_service.py:533-779)
+        from mivaa_pdf_extractor_spark.operators import (
+            url_only_refresh as uor)
+        return uor.tracked_refresh_route(
+            uor.synth_refresh_rows(_events(spark, sf_dir)))
+    q["tracked_refresh_route"] = tracked_refresh_route_q
+
     return q
 
 
@@ -8539,6 +8550,8 @@ def oracle_sql() -> dict[str, str]:
         ws_rooms as _wsr)
     from mivaa_pdf_extractor_spark.operators import (
         stage_reporting as _srp)
+    from mivaa_pdf_extractor_spark.operators import (
+        url_only_refresh as _uor)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14912,4 +14925,5 @@ def oracle_sql() -> dict[str, str]:
         "ws_room_final": _wsr.ws_room_sql(),
         "report_stage_fold": _srp.report_stage_sql(),
         "internal_access_gate": _srp.internal_access_sql(),
+        "tracked_refresh_route": _uor.refresh_route_sql(),
     }
