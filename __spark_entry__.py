@@ -7622,6 +7622,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             uor.synth_refresh_rows(_events(spark, sf_dir)))
     q["tracked_refresh_route"] = tracked_refresh_route_q
 
+    def extraction_config_resolve_q(spark, sf_dir):
+        # missing row -> 7-field defaults, read error -> {}; update
+        # only when a REAL row with id was read
+        # (admin_prompt_service.py:267-330)
+        from mivaa_pdf_extractor_spark.operators import (
+            extraction_config as exc)
+        return exc.extraction_config_resolve(
+            exc.synth_config_rows(_events(spark, sf_dir)))
+    q["extraction_config_resolve"] = extraction_config_resolve_q
+
+    def trending_searches_fold_q(spark, sf_dir):
+        # unknown window falls to daily; the category 'filter' labels
+        # rows with the filter value and never drops (pin);
+        # min_search_count filters AFTER the RPC limit
+        # (suggestions.py:97-183)
+        from mivaa_pdf_extractor_spark.operators import trending as trd
+        return trd.trending_searches_fold(
+            trd.synth_trending_rows(_events(spark, sf_dir)))
+    q["trending_searches_fold"] = trending_searches_fold_q
+
     return q
 
 
@@ -8552,6 +8572,10 @@ def oracle_sql() -> dict[str, str]:
         stage_reporting as _srp)
     from mivaa_pdf_extractor_spark.operators import (
         url_only_refresh as _uor)
+    from mivaa_pdf_extractor_spark.operators import (
+        extraction_config as _exc)
+    from mivaa_pdf_extractor_spark.operators import (
+        trending as _trd)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14926,4 +14950,6 @@ def oracle_sql() -> dict[str, str]:
         "report_stage_fold": _srp.report_stage_sql(),
         "internal_access_gate": _srp.internal_access_sql(),
         "tracked_refresh_route": _uor.refresh_route_sql(),
+        "extraction_config_resolve": _exc.config_resolve_sql(),
+        "trending_searches_fold": _trd.trending_sql(),
     }
