@@ -119,11 +119,13 @@ def processing_lock_replay(ops: DataFrame) -> DataFrame:
     prev_op = F.lag("op").over(w_job)
     cand = prev_op.isNull() | (F.col("op") != prev_op)
     with_cand = ops.withColumn("cand", cand)
-    w_rank = (Window.partitionBy("registry_id", "job_id", "cand")
-              .orderBy("seq"))
+    # rank among candidate rows via a running conditional count on the
+    # SAME (registry, job) sort — no extra (…, cand) exchange
+    w_run = w_job.rowsBetween(Window.unboundedPreceding, 0)
     with_rank = with_cand.withColumn(
         "cand_rank",
-        F.when(F.col("cand"), F.row_number().over(w_rank)))
+        F.when(F.col("cand"),
+               F.sum(F.col("cand").cast("int")).over(w_run)))
     valid = (F.col("cand")
              & ~((F.col("cand_rank") == 1) & (F.col("op") == "end")))
     delta = (F.when(valid & (F.col("op") == "start"), 1)
@@ -176,9 +178,11 @@ def lock_replay_sql() -> str:
         e2 AS (
           SELECT *,
                  CASE WHEN cand THEN
-                     row_number() OVER (
-                         PARTITION BY registry_id, job_id, cand
-                         ORDER BY seq) END AS cand_rank
+                     sum(CASE WHEN cand THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY registry_id, job_id
+                         ORDER BY seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) END AS cand_rank
           FROM d),
         v AS (
           SELECT *,
