@@ -7642,6 +7642,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             trd.synth_trending_rows(_events(spark, sf_dir)))
     q["trending_searches_fold"] = trending_searches_fold_q
 
+    def greek_dedupe_fold_q(spark, sf_dir):
+        # 'gr' passes the upper() gate; (domain, source-or-'') keep-
+        # first dedup with the source tie-breaker; netloc-less URLs
+        # dropped (greek_marketplaces/service.py:54-112)
+        from mivaa_pdf_extractor_spark.operators import (
+            greek_service as gks)
+        return gks.greek_dedupe_fold(
+            gks.synth_greek_hits(_events(spark, sf_dir)))
+    q["greek_dedupe_fold"] = greek_dedupe_fold_q
+
     return q
 
 
@@ -8576,6 +8586,8 @@ def oracle_sql() -> dict[str, str]:
         extraction_config as _exc)
     from mivaa_pdf_extractor_spark.operators import (
         trending as _trd)
+    from mivaa_pdf_extractor_spark.operators import (
+        greek_service as _gks)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14952,4 +14964,5 @@ def oracle_sql() -> dict[str, str]:
         "tracked_refresh_route": _uor.refresh_route_sql(),
         "extraction_config_resolve": _exc.config_resolve_sql(),
         "trending_searches_fold": _trd.trending_sql(),
+        "greek_dedupe_fold": _gks.greek_dedupe_sql(),
     }
