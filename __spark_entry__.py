@@ -7652,6 +7652,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gks.synth_greek_hits(_events(spark, sf_dir)))
     q["greek_dedupe_fold"] = greek_dedupe_fold_q
 
+    def idealo_locale_route_q(spark, sf_dir):
+        # 7-entry locale table (AT->.de alias, UK+GB->.co.uk);
+        # unknown locale = NO fallback; empty-query/module/exception
+        # ladder (idealo/service.py:53-80)
+        from mivaa_pdf_extractor_spark.operators import idealo as idl
+        return idl.idealo_locale_route(
+            idl.synth_locale_reqs(_events(spark, sf_dir)))
+    q["idealo_locale_route"] = idealo_locale_route_q
+
     return q
 
 
@@ -14965,4 +14974,5 @@ def oracle_sql() -> dict[str, str]:
         "extraction_config_resolve": _exc.config_resolve_sql(),
         "trending_searches_fold": _trd.trending_sql(),
         "greek_dedupe_fold": _gks.greek_dedupe_sql(),
+        "idealo_locale_route": _idl.locale_route_sql(),
     }

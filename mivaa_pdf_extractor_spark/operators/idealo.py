@@ -149,3 +149,93 @@ def idealo_filter_sql() -> str:
           AND lower(retailer) NOT IN ('idealo', 'idealo.de',
                                       'idealo.it')
     """
+
+
+# ---------------------------------------------------------------------------
+# locale routing (app/modules/idealo/service.py:40-80)
+# ---------------------------------------------------------------------------
+
+LOCALE_HOST = {
+    "DE": "www.idealo.de", "AT": "www.idealo.de",
+    "IT": "www.idealo.it", "UK": "www.idealo.co.uk",
+    "GB": "www.idealo.co.uk", "ES": "www.idealo.es",
+    "FR": "www.idealo.fr",
+}
+
+
+def idealo_locale_route(reqs: DataFrame) -> DataFrame:
+    """Gate ladder + locale table (service.py:53-80): empty query →
+    skip; module disabled → skip; unknown locale → skip with NO
+    fallback to .de (pin — out-of-country stock would surface); AT
+    aliases .de, UK and GB both map .co.uk; adapter exceptions fold
+    to empty."""
+    cc = F.upper(F.coalesce(F.col("country_code"), F.lit("")))
+    host = F.lit(None).cast("string")
+    for k, v in LOCALE_HOST.items():
+        host = F.when(cc == k, v).otherwise(host)
+    no_query = (F.col("query").isNull()) | (F.col("query") == "")
+    reason = (F.when(no_query, "empty_query")
+              .when(~F.col("module_enabled"), "module_disabled")
+              .when(host.isNull(), "no_locale")
+              .when(F.col("scrape_raised"), "error_empty")
+              .otherwise(F.lit(None).cast("string")))
+    return reqs.select(
+        "req_id",
+        F.when(reason.isNull(), host)
+        .otherwise(F.lit(None).cast("string")).alias("host"),
+        reason.alias("skip_reason"))
+
+
+def synth_locale_reqs(events: DataFrame) -> DataFrame:
+    e = F.col("event_id")
+    return events.select(
+        e.cast("long").alias("req_id"),
+        F.when(e % 7 == 0, F.lit(None).cast("string"))
+        .when(e % 7 == 1, F.lit(""))
+        .otherwise(F.lit("hansgrohe talis e")).alias("query"),
+        F.element_at(F.array(
+            F.lit("DE"), F.lit("at"), F.lit("IT"), F.lit("uk"),
+            F.lit("GB"), F.lit("ES"), F.lit("FR"), F.lit("GR"),
+            F.lit(None).cast("string"), F.lit("")),
+            (e % 10 + 1).cast("int")).alias("country_code"),
+        (e % 5 != 0).alias("module_enabled"),
+        (e % 11 == 0).alias("scrape_raised"))
+
+
+SYNTH_LOCALE_REQS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS req_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                WHEN event_id % 7 = 1 THEN ''
+                ELSE 'hansgrohe talis e' END AS query,
+           (['DE', 'at', 'IT', 'uk', 'GB', 'ES', 'FR', 'GR', NULL,
+             ''])[CAST(event_id % 10 AS INT) + 1] AS country_code,
+           event_id % 5 <> 0 AS module_enabled,
+           event_id % 11 = 0 AS scrape_raised
+    FROM events
+"""
+
+
+def locale_route_sql() -> str:
+    cases = "\n".join(f"WHEN '{k}' THEN '{v}'"
+                      for k, v in LOCALE_HOST.items())
+    return f"""
+        WITH r AS ({SYNTH_LOCALE_REQS_SQL}),
+        g AS (
+          SELECT *,
+                 CASE upper(coalesce(country_code, ''))
+                      {cases} END AS host0,
+                 query IS NULL OR query = '' AS no_query
+          FROM r),
+        h AS (
+          SELECT *,
+                 CASE WHEN no_query THEN 'empty_query'
+                      WHEN NOT module_enabled THEN 'module_disabled'
+                      WHEN host0 IS NULL THEN 'no_locale'
+                      WHEN scrape_raised THEN 'error_empty'
+                 END AS skip_reason
+          FROM g)
+        SELECT req_id,
+               CASE WHEN skip_reason IS NULL THEN host0 END AS host,
+               skip_reason
+        FROM h
+    """
