@@ -7661,6 +7661,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             idl.synth_locale_reqs(_events(spark, sf_dir)))
     q["idealo_locale_route"] = idealo_locale_route_q
 
+    def module_enabled_fold_q(spark, sf_dir):
+        # central fail-CLOSED toggle (contrast with the fail-open
+        # route chokepoints); stale-cache fallback with never-cached
+        # False (registry.py:96-140)
+        from mivaa_pdf_extractor_spark.operators import (
+            module_registry as mreg)
+        return mreg.module_enabled_fold(
+            mreg.synth_module_checks(_events(spark, sf_dir)))
+    q["module_enabled_fold"] = module_enabled_fold_q
+
     return q
 
 
@@ -8597,6 +8607,8 @@ def oracle_sql() -> dict[str, str]:
         trending as _trd)
     from mivaa_pdf_extractor_spark.operators import (
         greek_service as _gks)
+    from mivaa_pdf_extractor_spark.operators import (
+        module_registry as _mreg)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14975,4 +14987,5 @@ def oracle_sql() -> dict[str, str]:
         "trending_searches_fold": _trd.trending_sql(),
         "greek_dedupe_fold": _gks.greek_dedupe_sql(),
         "idealo_locale_route": _idl.locale_route_sql(),
+        "module_enabled_fold": _mreg.module_enabled_sql(),
     }
