@@ -7671,6 +7671,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             mreg.synth_module_checks(_events(spark, sf_dir)))
     q["module_enabled_fold"] = module_enabled_fold_q
 
+    def auth_dependency_fold_q(spark, sf_dir):
+        # leaky 'Authentication failed: …' 401 vs the J3 generic 403
+        # (deliberate asymmetry); optional routes swallow every
+        # HTTPException to anonymous (dependencies.py:150-336)
+        from mivaa_pdf_extractor_spark.operators import (
+            auth_deps as adp)
+        return adp.auth_dependency_fold(
+            adp.synth_auth_reqs(_events(spark, sf_dir)))
+    q["auth_dependency_fold"] = auth_dependency_fold_q
+
     return q
 
 
@@ -8609,6 +8619,8 @@ def oracle_sql() -> dict[str, str]:
         greek_service as _gks)
     from mivaa_pdf_extractor_spark.operators import (
         module_registry as _mreg)
+    from mivaa_pdf_extractor_spark.operators import (
+        auth_deps as _adp)
     from mivaa_pdf_extractor_spark.operators import (
         enrich_props as _ep)
     from mivaa_pdf_extractor_spark.operators import (
@@ -14988,4 +15000,5 @@ def oracle_sql() -> dict[str, str]:
         "greek_dedupe_fold": _gks.greek_dedupe_sql(),
         "idealo_locale_route": _idl.locale_route_sql(),
         "module_enabled_fold": _mreg.module_enabled_sql(),
+        "auth_dependency_fold": _adp.auth_fold_sql(),
     }
