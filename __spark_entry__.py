@@ -5005,6 +5005,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             facet_sweep.TARGET_VERSION, facet_sweep.MAX_PRODUCTS)
     q["facet_sweep_summary"] = facet_sweep_summary
 
+    def facet_canonicals_view(spark, sf_dir):
+        # admin canonicals listing: aliases None->[], alias_count
+        # int(or 0), is_locked bool(), alias_count-desc top-limit
+        # (facet_routes.py:166-193)
+        from mivaa_pdf_extractor_spark.operators import facet_admin
+        return facet_admin.canonicals_view(
+            facet_admin.synth_canonicals(_events(spark, sf_dir)),
+            facet_key="color", limit=50)
+    q["facet_canonicals_view"] = facet_canonicals_view
+
+    def facet_merge_log_view(spark, sf_dir):
+        # merge-log observability: triple optional equality ladder +
+        # occurred_at-desc limit (facet_routes.py:214-257)
+        from mivaa_pdf_extractor_spark.operators import facet_admin
+        return facet_admin.merge_log_view(
+            facet_admin.synth_merge_log(_events(spark, sf_dir)),
+            action="embedding_merge", limit=60)
+    q["facet_merge_log_view"] = facet_merge_log_view
+
+    def facet_lock_outcomes(spark, sf_dir):
+        # lock toggle: zero-match -> 404, else echo the REQUESTED
+        # is_locked (no read-back) (facet_routes.py:266-280)
+        from mivaa_pdf_extractor_spark.operators import facet_admin
+        ev = _events(spark, sf_dir)
+        return facet_admin.lock_outcomes(
+            facet_admin.synth_lock_reqs(ev),
+            facet_admin.synth_canonicals(ev))
+    q["facet_lock_outcomes"] = facet_lock_outcomes
+
+    def doc_entities_admin_query(spark, sf_dir):
+        # workspace + truthy filter ladder; .range(offset,
+        # offset+limit-1) INCLUSIVE both ends -> exactly limit rows
+        # (document_entities.py:107-160)
+        from mivaa_pdf_extractor_spark.operators import doc_entities
+        return doc_entities.entities_admin_query(
+            doc_entities.synth_entities(_events(spark, sf_dir)),
+            workspace_id=1, entity_type="logo", limit=20, offset=5)
+    q["doc_entities_admin_query"] = doc_entities_admin_query
+
+    def doc_entities_for_product(spark, sf_dir):
+        # embedded-filter phantom rows: a non-matching entity_type
+        # NULLS the embed but keeps the relationship row -> all-None
+        # entity with page_range=[] (document_entity_service.py:501-547)
+        from mivaa_pdf_extractor_spark.operators import doc_entities
+        ev = _events(spark, sf_dir)
+        return doc_entities.entities_for_product(
+            doc_entities.synth_rels(ev),
+            doc_entities.synth_entities(ev),
+            entity_type="certificate")
+    q["doc_entities_for_product"] = doc_entities_for_product
+
+    def doc_entities_by_factory(spark, sf_dir):
+        # factory equality + optional type; .get-defaulted projection
+        # (document_entity_service.py:549-596)
+        from mivaa_pdf_extractor_spark.operators import doc_entities
+        return doc_entities.entities_by_factory(
+            doc_entities.synth_entities(_events(spark, sf_dir)),
+            factory_name="Factory 2")
+    q["doc_entities_by_factory"] = doc_entities_by_factory
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8520,6 +8580,8 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import recipes as _rec
     from mivaa_pdf_extractor_spark.operators import source_curation as _scur
     from mivaa_pdf_extractor_spark.operators import facet_sweep as _fsw
+    from mivaa_pdf_extractor_spark.operators import facet_admin as _fad
+    from mivaa_pdf_extractor_spark.operators import doc_entities as _dce
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14285,6 +14347,17 @@ def oracle_sql() -> dict[str, str]:
             WITH products_in AS ({_fsw.SYNTH_SWEEP_PRODUCTS_SQL}),
             {_fsw.duck_sweep_summary_sql(_fsw.TARGET_VERSION,
                                          _fsw.MAX_PRODUCTS)}""",
+        "facet_canonicals_view": _fad.canonicals_sql(
+            facet_key="color", limit=50),
+        "facet_merge_log_view": _fad.merge_log_sql(
+            action="embedding_merge", limit=60),
+        "facet_lock_outcomes": _fad.lock_outcomes_sql(),
+        "doc_entities_admin_query": _dce.admin_query_sql(
+            workspace_id=1, entity_type="logo", limit=20, offset=5),
+        "doc_entities_for_product": _dce.for_product_sql(
+            entity_type="certificate"),
+        "doc_entities_by_factory": _dce.by_factory_sql(
+            factory_name="Factory 2"),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -237,6 +237,10 @@ BENCH_QUERIES = [
     "idealo_listing_filter", "job_sites_render",
     "job_sites_bulk_clean", "extraction_prompt_resolve",
     "slig_resize_plan", "paddle_region_fold", "rasterize_plan",
+    # round 4 continuation 18: facet admin views + doc-entity routes
+    "facet_canonicals_view", "facet_merge_log_view",
+    "facet_lock_outcomes", "doc_entities_admin_query",
+    "doc_entities_for_product", "doc_entities_by_factory",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
