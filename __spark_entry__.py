@@ -5065,6 +5065,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             factory_name="Factory 2")
     q["doc_entities_by_factory"] = doc_entities_by_factory
 
+    def chunk_page_dispatch(spark, sf_dir):
+        # per-page routing ladder: document-level layout gate, 1-based
+        # region lookup, empty-page index skip, over-applied fallback
+        # stamp, global start_index cumsum
+        # (unified_chunking_service.py:150-366)
+        from mivaa_pdf_extractor_spark.operators import chunk_dispatch
+        ev = _events(spark, sf_dir)
+        return chunk_dispatch.page_dispatch(
+            chunk_dispatch.synth_pages(ev),
+            chunk_dispatch.synth_regions(ev))
+    q["chunk_page_dispatch"] = chunk_page_dispatch
+
+    def chunk_dispatch_rollup(spark, sf_dir):
+        # per-doc chunk_pages summary: route/warn/stamp counts +
+        # total_chunks (unified_chunking_service.py:226-246)
+        from mivaa_pdf_extractor_spark.operators import chunk_dispatch
+        ev = _events(spark, sf_dir)
+        return chunk_dispatch.dispatch_doc_rollup(
+            chunk_dispatch.page_dispatch(
+                chunk_dispatch.synth_pages(ev),
+                chunk_dispatch.synth_regions(ev)))
+    q["chunk_dispatch_rollup"] = chunk_dispatch_rollup
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8582,6 +8605,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import facet_sweep as _fsw
     from mivaa_pdf_extractor_spark.operators import facet_admin as _fad
     from mivaa_pdf_extractor_spark.operators import doc_entities as _dce
+    from mivaa_pdf_extractor_spark.operators import chunk_dispatch as _cdsp
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14358,6 +14382,8 @@ def oracle_sql() -> dict[str, str]:
             entity_type="certificate"),
         "doc_entities_by_factory": _dce.by_factory_sql(
             factory_name="Factory 2"),
+        "chunk_page_dispatch": _cdsp.page_dispatch_sql(),
+        "chunk_dispatch_rollup": _cdsp.doc_rollup_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "facet_canonicals_view", "facet_merge_log_view",
     "facet_lock_outcomes", "doc_entities_admin_query",
     "doc_entities_for_product", "doc_entities_by_factory",
+    "chunk_page_dispatch", "chunk_dispatch_rollup",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
