@@ -5088,6 +5088,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 chunk_dispatch.synth_regions(ev)))
     q["chunk_dispatch_rollup"] = chunk_dispatch_rollup
 
+    def icon_spec_rollup(spark, sf_dir):
+        # icon_metadata -> flat spec fields: strip+alias normalize,
+        # unknown dropped, empty values skipped after the known check,
+        # strict-> confidence with first-seen tiebreak
+        # (stage_4_products.py:1127-1238)
+        from mivaa_pdf_extractor_spark.operators import icon_rollup
+        ev = _events(spark, sf_dir)
+        return icon_rollup.icon_rollup(
+            icon_rollup.synth_icon_items(ev),
+            icon_rollup.synth_spec_fields(ev))
+    q["icon_spec_rollup"] = icon_spec_rollup
+
+    def icon_unknown_counts(spark, sf_dir):
+        # the _unknown_field_counts sentinel: top-20 dropped field
+        # names per doc, count desc (stage_4_products.py:1216-1224)
+        from mivaa_pdf_extractor_spark.operators import icon_rollup
+        ev = _events(spark, sf_dir)
+        return icon_rollup.icon_unknown_counts(
+            icon_rollup.synth_icon_items(ev),
+            icon_rollup.synth_spec_fields(ev))
+    q["icon_unknown_counts"] = icon_unknown_counts
+
+    def product_body_text(spark, sf_dir):
+        # reading-order body text: strip-filter but raw-join with
+        # \\n\\n, global strip, 4000-char cut + rstrip
+        # (stage_4_products.py:999-1035)
+        from mivaa_pdf_extractor_spark.operators import icon_rollup
+        return icon_rollup.page_body_text(
+            icon_rollup.synth_page_cache(_events(spark, sf_dir)))
+    q["product_body_text"] = product_body_text
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8606,6 +8637,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import facet_admin as _fad
     from mivaa_pdf_extractor_spark.operators import doc_entities as _dce
     from mivaa_pdf_extractor_spark.operators import chunk_dispatch as _cdsp
+    from mivaa_pdf_extractor_spark.operators import icon_rollup as _icr
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14384,6 +14416,9 @@ def oracle_sql() -> dict[str, str]:
             factory_name="Factory 2"),
         "chunk_page_dispatch": _cdsp.page_dispatch_sql(),
         "chunk_dispatch_rollup": _cdsp.doc_rollup_sql(),
+        "icon_spec_rollup": _icr.icon_rollup_sql(),
+        "icon_unknown_counts": _icr.icon_unknown_sql(),
+        "product_body_text": _icr.page_body_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

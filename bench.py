@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "facet_lock_outcomes", "doc_entities_admin_query",
     "doc_entities_for_product", "doc_entities_by_factory",
     "chunk_page_dispatch", "chunk_dispatch_rollup",
+    "icon_spec_rollup", "icon_unknown_counts", "product_body_text",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
