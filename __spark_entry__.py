@@ -5119,6 +5119,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             icon_rollup.synth_page_cache(_events(spark, sf_dir)))
     q["product_body_text"] = product_body_text
 
+    def tracked_latest_results(spark, sf_dir):
+        # newest refresh run per tracked query, cheapest-first, with
+        # the URL/domain exclusion soft-hide
+        # (tracked_queries_service.py:969-1000,1243-1269)
+        from mivaa_pdf_extractor_spark.operators import tracked_results
+        ev = _events(spark, sf_dir)
+        return tracked_results.latest_results(
+            tracked_results.synth_price_rows(ev),
+            tracked_results.synth_exclusions(ev))
+    q["tracked_latest_results"] = tracked_latest_results
+
+    def tracked_results_split(spark, sf_dir):
+        # family vs primary split: (match_kind or '').lower() ==
+        # 'family'; NULL folds to primary
+        # (tracked_queries_service.py:1271-1289)
+        from mivaa_pdf_extractor_spark.operators import tracked_results
+        ev = _events(spark, sf_dir)
+        return tracked_results.results_split(
+            tracked_results.latest_results(
+                tracked_results.synth_price_rows(ev),
+                tracked_results.synth_exclusions(ev)))
+    q["tracked_results_split"] = tracked_results_split
+
+    def tracked_exclusion_norm(spark, sf_dir):
+        # the wrong-order removeprefix ladder: www. stripped BEFORE
+        # schemes, so scheme'd domains keep their www (pin)
+        # (tracked_queries_service.py:1027-1031)
+        from mivaa_pdf_extractor_spark.operators import tracked_results
+        return tracked_results.exclusion_norm(
+            tracked_results.synth_exclusion_reqs(_events(spark, sf_dir)))
+    q["tracked_exclusion_norm"] = tracked_exclusion_norm
+
+    def tracked_due_refresh(spark, sf_dir):
+        # cron-due selection: active + api_key_id IS NULL (money-leak
+        # guard) + next_check_at null-or-past, nulls-last order,
+        # clamped limit (tracked_queries_service.py:1313-1338)
+        from mivaa_pdf_extractor_spark.operators import tracked_results
+        return tracked_results.due_for_refresh(
+            tracked_results.synth_tracked_queries(_events(spark, sf_dir)),
+            now=tracked_results.NOW, limit=300)
+    q["tracked_due_refresh"] = tracked_due_refresh
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8638,6 +8680,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import doc_entities as _dce
     from mivaa_pdf_extractor_spark.operators import chunk_dispatch as _cdsp
     from mivaa_pdf_extractor_spark.operators import icon_rollup as _icr
+    from mivaa_pdf_extractor_spark.operators import tracked_results as _trk
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14419,6 +14462,10 @@ def oracle_sql() -> dict[str, str]:
         "icon_spec_rollup": _icr.icon_rollup_sql(),
         "icon_unknown_counts": _icr.icon_unknown_sql(),
         "product_body_text": _icr.page_body_sql(),
+        "tracked_latest_results": _trk.latest_results_sql(),
+        "tracked_results_split": _trk.results_split_sql(),
+        "tracked_exclusion_norm": _trk.exclusion_norm_sql(),
+        "tracked_due_refresh": _trk.due_for_refresh_sql(limit=300),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

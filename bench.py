@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "doc_entities_for_product", "doc_entities_by_factory",
     "chunk_page_dispatch", "chunk_dispatch_rollup",
     "icon_spec_rollup", "icon_unknown_counts", "product_body_text",
+    "tracked_latest_results", "tracked_results_split",
+    "tracked_exclusion_norm", "tracked_due_refresh",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
