@@ -5161,6 +5161,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             now=tracked_results.NOW, limit=300)
     q["tracked_due_refresh"] = tracked_due_refresh
 
+    def job_terminal_updates(spark, sf_dir):
+        # complete/fail terminal fold: completed-only idempotent noop,
+        # cost sum + vision coverage on the success path only,
+        # floor-truncated progress on failure
+        # (progress_tracker.py:619-995)
+        from mivaa_pdf_extractor_spark.operators import job_terminal
+        ev = _events(spark, sf_dir)
+        return job_terminal.terminal_job_updates(
+            job_terminal.synth_terminal_jobs(ev),
+            job_terminal.synth_ai_logs(ev),
+            job_terminal.synth_vision_images(ev))
+    q["job_terminal_updates"] = job_terminal_updates
+
+    def job_orphan_sweep(spark, sf_dir):
+        # pending/processing product rows at terminal time -> failed
+        # with outcome-specific message; noop jobs never sweep
+        # (progress_tracker.py:731-756,906-921)
+        from mivaa_pdf_extractor_spark.operators import job_terminal
+        ev = _events(spark, sf_dir)
+        return job_terminal.orphan_sweep(
+            job_terminal.synth_product_rows(ev),
+            job_terminal.synth_terminal_jobs(ev))
+    q["job_orphan_sweep"] = job_orphan_sweep
+
+    def job_docs_mirror(spark, sf_dir):
+        # processed_documents status mirror, failed errors truncated
+        # to 2000 chars (progress_tracker.py:757-778,923-937)
+        from mivaa_pdf_extractor_spark.operators import job_terminal
+        return job_terminal.processed_docs_mirror(
+            job_terminal.synth_terminal_jobs(_events(spark, sf_dir)))
+    q["job_docs_mirror"] = job_docs_mirror
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8681,6 +8713,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import chunk_dispatch as _cdsp
     from mivaa_pdf_extractor_spark.operators import icon_rollup as _icr
     from mivaa_pdf_extractor_spark.operators import tracked_results as _trk
+    from mivaa_pdf_extractor_spark.operators import job_terminal as _jtm
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14466,6 +14499,9 @@ def oracle_sql() -> dict[str, str]:
         "tracked_results_split": _trk.results_split_sql(),
         "tracked_exclusion_norm": _trk.exclusion_norm_sql(),
         "tracked_due_refresh": _trk.due_for_refresh_sql(limit=300),
+        "job_terminal_updates": _jtm.terminal_updates_sql(),
+        "job_orphan_sweep": _jtm.orphan_sweep_sql(),
+        "job_docs_mirror": _jtm.docs_mirror_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "icon_spec_rollup", "icon_unknown_counts", "product_body_text",
     "tracked_latest_results", "tracked_results_split",
     "tracked_exclusion_norm", "tracked_due_refresh",
+    "job_terminal_updates", "job_orphan_sweep", "job_docs_mirror",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
