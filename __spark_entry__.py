@@ -5193,6 +5193,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             job_terminal.synth_terminal_jobs(_events(spark, sf_dir)))
     q["job_docs_mirror"] = job_docs_mirror
 
+    def startup_resume_outcomes(spark, sf_dir):
+        # startup auto-resume: 4h window (docstring says 30min — code
+        # wins), outcome ladder no_doc -> no_file -> claim_noop ->
+        # promote_noop -> resumed + rehydrated params with falsy-or
+        # defaults (rag_routes.py:249-403)
+        from mivaa_pdf_extractor_spark.operators import startup_resume
+        ev = _events(spark, sf_dir)
+        return startup_resume.resume_outcomes(
+            startup_resume.synth_resume_jobs(ev),
+            startup_resume.synth_resume_docs(ev),
+            now=startup_resume.NOW)
+    q["startup_resume_outcomes"] = startup_resume_outcomes
+
+    def startup_resume_summary(spark, sf_dir):
+        # the summary counts only resumed/no_file/no_doc — claim and
+        # promote no-ops are logged, not counted (rag_routes.py:399-403)
+        from mivaa_pdf_extractor_spark.operators import startup_resume
+        ev = _events(spark, sf_dir)
+        return startup_resume.resume_summary(
+            startup_resume.resume_outcomes(
+                startup_resume.synth_resume_jobs(ev),
+                startup_resume.synth_resume_docs(ev),
+                now=startup_resume.NOW))
+    q["startup_resume_summary"] = startup_resume_summary
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8714,6 +8739,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import icon_rollup as _icr
     from mivaa_pdf_extractor_spark.operators import tracked_results as _trk
     from mivaa_pdf_extractor_spark.operators import job_terminal as _jtm
+    from mivaa_pdf_extractor_spark.operators import startup_resume as _sres
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14502,6 +14528,8 @@ def oracle_sql() -> dict[str, str]:
         "job_terminal_updates": _jtm.terminal_updates_sql(),
         "job_orphan_sweep": _jtm.orphan_sweep_sql(),
         "job_docs_mirror": _jtm.docs_mirror_sql(),
+        "startup_resume_outcomes": _sres.resume_outcomes_sql(),
+        "startup_resume_summary": _sres.resume_summary_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

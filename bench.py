@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "tracked_latest_results", "tracked_results_split",
     "tracked_exclusion_norm", "tracked_due_refresh",
     "job_terminal_updates", "job_orphan_sweep", "job_docs_mirror",
+    "startup_resume_outcomes", "startup_resume_summary",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
