@@ -5218,6 +5218,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 now=startup_resume.NOW))
     q["startup_resume_summary"] = startup_resume_summary
 
+    def rag_jobs_list(spark, sf_dir):
+        # field:direction sort parse (non-'asc' tokens mean DESC),
+        # inclusive range page, count = page rows
+        # (rag_routes.py:2115-2171)
+        from mivaa_pdf_extractor_spark.operators import rag_job_routes
+        return rag_job_routes.list_jobs(
+            rag_job_routes.synth_jobs(_events(spark, sf_dir)),
+            limit=25, offset=10, status_filter="processing",
+            sort="progress:ASC")
+    q["rag_jobs_list"] = rag_jobs_list
+
+    def rag_job_delete_mode(spark, sf_dir):
+        # explicit override wins; completed preserves; other terminal
+        # statuses wipe; active/unknown/missing -> default-wipe label
+        # (rag_routes.py:2216-2258; schemas/jobs.py:48-63)
+        from mivaa_pdf_extractor_spark.operators import rag_job_routes
+        ev = _events(spark, sf_dir)
+        return rag_job_routes.delete_mode(
+            rag_job_routes.synth_delete_reqs(ev),
+            rag_job_routes.synth_jobs(ev))
+    q["rag_job_delete_mode"] = rag_job_delete_mode
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8740,6 +8762,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import tracked_results as _trk
     from mivaa_pdf_extractor_spark.operators import job_terminal as _jtm
     from mivaa_pdf_extractor_spark.operators import startup_resume as _sres
+    from mivaa_pdf_extractor_spark.operators import rag_job_routes as _rjr
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14530,6 +14553,10 @@ def oracle_sql() -> dict[str, str]:
         "job_docs_mirror": _jtm.docs_mirror_sql(),
         "startup_resume_outcomes": _sres.resume_outcomes_sql(),
         "startup_resume_summary": _sres.resume_summary_sql(),
+        "rag_jobs_list": _rjr.list_jobs_sql(
+            limit=25, offset=10, status_filter="processing",
+            sort="progress:ASC"),
+        "rag_job_delete_mode": _rjr.delete_mode_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "tracked_exclusion_norm", "tracked_due_refresh",
     "job_terminal_updates", "job_orphan_sweep", "job_docs_mirror",
     "startup_resume_outcomes", "startup_resume_summary",
+    "rag_jobs_list", "rag_job_delete_mode",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
