@@ -5240,6 +5240,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rag_job_routes.synth_jobs(ev))
     q["rag_job_delete_mode"] = rag_job_delete_mode
 
+    def admin_jobs_list(spark, sf_dir):
+        # active+history union list: filtered total but UNFILTERED
+        # status_counts (history-only completed/failed), page slicing
+        # (admin.py:287-337)
+        from mivaa_pdf_extractor_spark.operators import admin_jobs
+        ev = _events(spark, sf_dir)
+        return admin_jobs.admin_list_jobs(
+            admin_jobs.synth_active_jobs(ev),
+            admin_jobs.synth_history_jobs(ev),
+            job_type="bulk_processing", page=2, page_size=40)
+    q["admin_jobs_list"] = admin_jobs_list
+
+    def admin_job_distributions(spark, sf_dir):
+        # status/type distributions over the union (admin.py:348-360)
+        from mivaa_pdf_extractor_spark.operators import admin_jobs
+        ev = _events(spark, sf_dir)
+        return admin_jobs.admin_job_distributions(
+            admin_jobs.synth_active_jobs(ev),
+            admin_jobs.synth_history_jobs(ev))
+    q["admin_job_distributions"] = admin_job_distributions
+
+    def admin_job_scalars(spark, sf_dir):
+        # scalar stats: history-only terminal counts, strict 24h
+        # recency, mean processing seconds (admin.py:362-399)
+        from mivaa_pdf_extractor_spark.operators import admin_jobs
+        ev = _events(spark, sf_dir)
+        return admin_jobs.admin_job_scalars(
+            admin_jobs.synth_active_jobs(ev),
+            admin_jobs.synth_history_jobs(ev),
+            now=admin_jobs.NOW)
+    q["admin_job_scalars"] = admin_job_scalars
+
+    def admin_cancel_outcomes(spark, sf_dir):
+        # cancel ladder: 404 missing, 404 (not 403) cross-workspace,
+        # 400 on completed/failed/cancelled (interrupted IS
+        # cancellable), else cancelled + cleanup echo
+        # (admin.py:533-655)
+        from mivaa_pdf_extractor_spark.operators import admin_jobs
+        ev = _events(spark, sf_dir)
+        return admin_jobs.cancel_outcomes(
+            admin_jobs.synth_cancel_reqs(ev),
+            admin_jobs.synth_active_jobs(ev))
+    q["admin_cancel_outcomes"] = admin_cancel_outcomes
+
+    def admin_cleanup_scope(spark, sf_dir):
+        # retention sweep scope: strictly older than now - days_old
+        # (admin.py:836-880)
+        from mivaa_pdf_extractor_spark.operators import admin_jobs
+        return admin_jobs.cleanup_scope(
+            admin_jobs.synth_history_jobs(_events(spark, sf_dir)),
+            now=admin_jobs.NOW, days_old=2)
+    q["admin_cleanup_scope"] = admin_cleanup_scope
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8763,6 +8816,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import job_terminal as _jtm
     from mivaa_pdf_extractor_spark.operators import startup_resume as _sres
     from mivaa_pdf_extractor_spark.operators import rag_job_routes as _rjr
+    from mivaa_pdf_extractor_spark.operators import admin_jobs as _adj
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14557,6 +14611,12 @@ def oracle_sql() -> dict[str, str]:
             limit=25, offset=10, status_filter="processing",
             sort="progress:ASC"),
         "rag_job_delete_mode": _rjr.delete_mode_sql(),
+        "admin_jobs_list": _adj.list_jobs_sql(
+            job_type="bulk_processing", page=2, page_size=40),
+        "admin_job_distributions": _adj.distributions_sql(),
+        "admin_job_scalars": _adj.scalars_sql(),
+        "admin_cancel_outcomes": _adj.cancel_sql(),
+        "admin_cleanup_scope": _adj.cleanup_scope_sql(days_old=2),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "job_terminal_updates", "job_orphan_sweep", "job_docs_mirror",
     "startup_resume_outcomes", "startup_resume_summary",
     "rag_jobs_list", "rag_job_delete_mode",
+    "admin_jobs_list", "admin_job_distributions", "admin_job_scalars",
+    "admin_cancel_outcomes", "admin_cleanup_scope",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
