@@ -5293,6 +5293,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             now=admin_jobs.NOW, days_old=2)
     q["admin_cleanup_scope"] = admin_cleanup_scope
 
+    def google_jobs_parse(spark, sf_dir):
+        # DataForSEO Google-Jobs item mapping: 3-type gate, URL
+        # ladder, or-None is_remote (never False), int(float) salary
+        # truncation, 600-char excerpt with empty->NULL
+        # (job_search_service.py:537-586)
+        from mivaa_pdf_extractor_spark.operators import google_jobs
+        return google_jobs.parse_google_jobs(
+            google_jobs.synth_google_items(_events(spark, sf_dir)))
+    q["google_jobs_parse"] = google_jobs_parse
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8817,6 +8827,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import startup_resume as _sres
     from mivaa_pdf_extractor_spark.operators import rag_job_routes as _rjr
     from mivaa_pdf_extractor_spark.operators import admin_jobs as _adj
+    from mivaa_pdf_extractor_spark.operators import google_jobs as _gjp
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14617,6 +14628,7 @@ def oracle_sql() -> dict[str, str]:
         "admin_job_scalars": _adj.scalars_sql(),
         "admin_cancel_outcomes": _adj.cancel_sql(),
         "admin_cleanup_scope": _adj.cleanup_scope_sql(days_old=2),
+        "google_jobs_parse": _gjp.parse_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),
