@@ -5303,6 +5303,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             google_jobs.synth_google_items(_events(spark, sf_dir)))
     q["google_jobs_parse"] = google_jobs_parse
 
+    def kb_chunk_expand(spark, sf_dir):
+        # issue-#318 neighbour expansion: (doc, product)-scoped
+        # adjacency, sequential 6000-char budget with skip-not-break,
+        # NULL reading order -> INT_MAX, document-id address,
+        # matched_content only when expanded
+        # (rag_routes.py:5860,6340-6470)
+        from mivaa_pdf_extractor_spark.operators import kb_expand
+        ev = _events(spark, sf_dir)
+        return kb_expand.expand_chunk_hits(
+            kb_expand.synth_kb_hits(ev),
+            kb_expand.synth_kb_corpus(ev), expand_n=1)
+    q["kb_chunk_expand"] = kb_chunk_expand
+
+    def kb_expand_stats(spark, sf_dir):
+        # the shipped expansion counters (rag_routes.py:6202-6205)
+        from mivaa_pdf_extractor_spark.operators import kb_expand
+        ev = _events(spark, sf_dir)
+        return kb_expand.expansion_stats(
+            kb_expand.expand_chunk_hits(
+                kb_expand.synth_kb_hits(ev),
+                kb_expand.synth_kb_corpus(ev), expand_n=1),
+            expand_n=1)
+    q["kb_expand_stats"] = kb_expand_stats
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8828,6 +8852,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import rag_job_routes as _rjr
     from mivaa_pdf_extractor_spark.operators import admin_jobs as _adj
     from mivaa_pdf_extractor_spark.operators import google_jobs as _gjp
+    from mivaa_pdf_extractor_spark.operators import kb_expand as _kbe
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14629,6 +14654,8 @@ def oracle_sql() -> dict[str, str]:
         "admin_cancel_outcomes": _adj.cancel_sql(),
         "admin_cleanup_scope": _adj.cleanup_scope_sql(days_old=2),
         "google_jobs_parse": _gjp.parse_sql(),
+        "kb_chunk_expand": _kbe.expand_sql(expand_n=1),
+        "kb_expand_stats": _kbe.stats_sql(expand_n=1),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

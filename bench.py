@@ -250,7 +250,7 @@ BENCH_QUERIES = [
     "rag_jobs_list", "rag_job_delete_mode",
     "admin_jobs_list", "admin_job_distributions", "admin_job_scalars",
     "admin_cancel_outcomes", "admin_cleanup_scope",
-    "google_jobs_parse",
+    "google_jobs_parse", "kb_chunk_expand", "kb_expand_stats",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
