@@ -168,7 +168,8 @@ def derive_pbr_maps(images: DataFrame) -> DataFrame:
                                "metalness_zero", "normal_mean",
                                "roughness_mean"])
 
-    return images.mapInPandas(
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
+    return fan_out(images).mapInPandas(
         run, "image_id string, width int, height int, "
              "normal array<int>, roughness array<int>, "
              "metalness_zero boolean, normal_mean double, "

@@ -598,8 +598,9 @@ def extract_relevant_sections(docs: DataFrame, max_chars: int = 100000,
                 "extracted": out,
                 "out_len": out.str.len().astype("int32")})
 
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
     id_type = dict(docs.dtypes)["doc_id"]
-    return docs.select("doc_id", "text").mapInPandas(
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(
         run, f"doc_id {id_type}, extracted string, out_len int")
 
 

@@ -75,21 +75,28 @@ def resolve_template_prompt(requests: DataFrame,
               & (F.col("p_category") == F.col("category"))
               & F.col("p_industry").isNull(), 3)
         .when(F.col("is_default"), 4))
-    # NULLS-LAST rank keeps unmatched requests without a second join:
-    # the left join guarantees >= 1 row per request, and a row whose
-    # tier is NULL only wins when NO prompt matched — it then emits
-    # NULL prompt_id/tier, exactly the re-join's left-miss shape.
+    # Winner pick as a map-side-combinable min(struct) aggregation
+    # rather than a per-request rank window: the join fans each
+    # request across every active prompt of its (workspace, stage),
+    # and an aggregate combines partially BEFORE the shuffle, so only
+    # one candidate row per request crosses — a rank window would
+    # shuffle-and-sort the full fan-out. NULL tier folds to the
+    # sentinel 5 (nulls-last); a request whose winner is the sentinel
+    # had no matching prompt and emits NULLs, exactly the re-join's
+    # left-miss shape.
     j = j.withColumn("tier", tier)
-    w = Window.partitionBy("request_id").orderBy(
-        F.col("tier").asc_nulls_last(), F.col("updated_at").desc(),
-        F.col("p_id").asc())
-    return (j.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("request_id", "workspace_id", "stage", "category",
-                    "industry",
-                    F.when(F.col("tier").isNotNull(), F.col("p_id"))
-                    .alias("prompt_id"),
-                    F.col("tier").cast("int").alias("tier")))
+    pick = F.struct(
+        F.coalesce(F.col("tier"), F.lit(5)).alias("t"),
+        (-F.coalesce(F.col("updated_at"), F.lit(0))).alias("u"),
+        F.col("p_id").alias("p"))
+    g = (j.groupBy("request_id", "workspace_id", "stage", "category",
+                   "industry")
+         .agg(F.min(pick).alias("_w")))
+    matched = F.col("_w.t") != 5
+    return g.select(
+        "request_id", "workspace_id", "stage", "category", "industry",
+        F.when(matched, F.col("_w.p")).alias("prompt_id"),
+        F.when(matched, F.col("_w.t")).cast("int").alias("tier"))
 
 
 def cache_key(requests: DataFrame) -> DataFrame:

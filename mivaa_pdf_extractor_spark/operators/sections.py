@@ -109,7 +109,8 @@ def smart_extract_sections(df: DataFrame, text_col: str = "text",
                 "n_chars_in": [len(t or "") for t in pdf[text_col]],
                 "n_chars_out": [len(o) for o in outs]})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
+    return fan_out(df.select(id_col, text_col)).mapInPandas(run, schema)
 
 
 def section_header_hits(df: DataFrame, text_col: str = "text",

@@ -177,7 +177,8 @@ def parse_zone_responses(responses: DataFrame) -> DataFrame:
                 "finish", "dominant_color", "zone_intent",
                 "search_query"])
 
-    return responses.mapInPandas(run, ZONE_SCHEMA)
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
+    return fan_out(responses).mapInPandas(run, ZONE_SCHEMA)
 
 
 # ──────────────────────────────────────────────────────────────────

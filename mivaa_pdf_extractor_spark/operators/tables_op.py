@@ -52,7 +52,8 @@ def parse_and_classify_tables(df: DataFrame, text_col: str = "text",
             if len(pdf):
                 yield _parse_batch(pdf)
 
-    return slim.mapInPandas(run, schema=TABLE_SCHEMA)
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
+    return fan_out(slim).mapInPandas(run, schema=TABLE_SCHEMA)
 
 
 # --- G7 table-metadata mining (core/table_metadata.py semantics) ---------
@@ -164,4 +165,5 @@ def mine_table_metadata(df: DataFrame, text_col: str = "text",
             if len(pdf):
                 yield _mine_batch(pdf)
 
-    return slim.mapInPandas(run, schema=MINED_SCHEMA)
+    from mivaa_pdf_extractor_spark.core.fanout import fan_out
+    return fan_out(slim).mapInPandas(run, schema=MINED_SCHEMA)
