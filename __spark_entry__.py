@@ -5327,6 +5327,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             expand_n=1)
     q["kb_expand_stats"] = kb_expand_stats
 
+    def read_section_requests(spark, sf_dir):
+        # source normalize + 400 ladder; from clamps to 0; backwards
+        # span clamps UP to from (rag_routes.py:6723-6745)
+        from mivaa_pdf_extractor_spark.operators import read_section
+        return read_section.resolve_requests(
+            read_section.synth_read_requests(_events(spark, sf_dir)))
+    q["read_section_requests"] = read_section_requests
+
+    def read_section_pdf(spark, sf_dir):
+        # pdf span read: (doc, product)-namespaced, page-N headings,
+        # len//4 token estimate, first-section-always-kept budget,
+        # full-span outline, empty span -> 404 (rag_routes.py:6746-6877)
+        from mivaa_pdf_extractor_spark.operators import read_section
+        ev = _events(spark, sf_dir)
+        return read_section.read_pdf_sections(
+            read_section.synth_read_requests(ev),
+            read_section.synth_section_chunks(ev))
+    q["read_section_pdf"] = read_section_pdf
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8853,6 +8872,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import admin_jobs as _adj
     from mivaa_pdf_extractor_spark.operators import google_jobs as _gjp
     from mivaa_pdf_extractor_spark.operators import kb_expand as _kbe
+    from mivaa_pdf_extractor_spark.operators import read_section as _rds
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14656,6 +14676,8 @@ def oracle_sql() -> dict[str, str]:
         "google_jobs_parse": _gjp.parse_sql(),
         "kb_chunk_expand": _kbe.expand_sql(expand_n=1),
         "kb_expand_stats": _kbe.stats_sql(expand_n=1),
+        "read_section_requests": _rds.resolve_sql(),
+        "read_section_pdf": _rds.read_pdf_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

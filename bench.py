@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "admin_jobs_list", "admin_job_distributions", "admin_job_scalars",
     "admin_cancel_outcomes", "admin_cleanup_scope",
     "google_jobs_parse", "kb_chunk_expand", "kb_expand_stats",
+    "read_section_requests", "read_section_pdf",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
