@@ -5346,6 +5346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_section.synth_section_chunks(ev))
     q["read_section_pdf"] = read_section_pdf
 
+    def temp_sweep_classify(spark, sf_dir):
+        # five-tier temp-file scope ladder: strict age gates on
+        # tiers 1/2/5, AGELESS output + __pycache__ tiers, isdir
+        # gates (cleanup_service.py:1042-1250)
+        from mivaa_pdf_extractor_spark.operators import temp_sweep
+        return temp_sweep.classify_entries(
+            temp_sweep.synth_fs_entries(_events(spark, sf_dir)))
+    q["temp_sweep_classify"] = temp_sweep_classify
+
+    def temp_sweep_summary(spark, sf_dir):
+        # the stats dict incl. the forever-zero empty_folders_deleted
+        # (advertised tier with no code path — doc-vs-code pin)
+        from mivaa_pdf_extractor_spark.operators import temp_sweep
+        return temp_sweep.sweep_summary(
+            temp_sweep.classify_entries(
+                temp_sweep.synth_fs_entries(_events(spark, sf_dir))))
+    q["temp_sweep_summary"] = temp_sweep_summary
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8873,6 +8891,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import google_jobs as _gjp
     from mivaa_pdf_extractor_spark.operators import kb_expand as _kbe
     from mivaa_pdf_extractor_spark.operators import read_section as _rds
+    from mivaa_pdf_extractor_spark.operators import temp_sweep as _tsw
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14678,6 +14697,8 @@ def oracle_sql() -> dict[str, str]:
         "kb_expand_stats": _kbe.stats_sql(expand_n=1),
         "read_section_requests": _rds.resolve_sql(),
         "read_section_pdf": _rds.read_pdf_sql(),
+        "temp_sweep_classify": _tsw.classify_sql(),
+        "temp_sweep_summary": _tsw.summary_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

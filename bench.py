@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "admin_cancel_outcomes", "admin_cleanup_scope",
     "google_jobs_parse", "kb_chunk_expand", "kb_expand_stats",
     "read_section_requests", "read_section_pdf",
+    "temp_sweep_classify", "temp_sweep_summary",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
