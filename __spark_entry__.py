@@ -5364,6 +5364,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 temp_sweep.synth_fs_entries(_events(spark, sf_dir))))
     q["temp_sweep_summary"] = temp_sweep_summary
 
+    def kb_save_chunk_rows(spark, sf_dir):
+        # legacy KB save: non-empty string chunks only, but
+        # chunk_index keeps the enumerate position (gaps survive)
+        # (supabase_client.py:703-731)
+        from mivaa_pdf_extractor_spark.operators import kb_save
+        return kb_save.chunk_rows(
+            kb_save.synth_kb_chunk_inputs(_events(spark, sf_dir)))
+    q["kb_save_chunk_rows"] = kb_save_chunk_rows
+
+    def kb_save_image_rows(spark, sf_dir):
+        # image URL ladder + placeholder-prefix drop (real
+        # placeholder_-urls dropped too), falsy-or page (0 falls to
+        # 1), caption/layer/storage defaults
+        # (supabase_client.py:734-812)
+        from mivaa_pdf_extractor_spark.operators import kb_save
+        return kb_save.image_rows(
+            kb_save.synth_kb_image_inputs(_events(spark, sf_dir)))
+    q["kb_save_image_rows"] = kb_save_image_rows
+
     # --- multi-modal image-product associations (operators/
     # associations.py; reference
     # multi_modal_image_product_association_service.py) ---
@@ -8892,6 +8911,7 @@ def oracle_sql() -> dict[str, str]:
     from mivaa_pdf_extractor_spark.operators import kb_expand as _kbe
     from mivaa_pdf_extractor_spark.operators import read_section as _rds
     from mivaa_pdf_extractor_spark.operators import temp_sweep as _tsw
+    from mivaa_pdf_extractor_spark.operators import kb_save as _kbsv
     from mivaa_pdf_extractor_spark.operators import associations as _asc
     from mivaa_pdf_extractor_spark.operators import job_classify as _jc
     from mivaa_pdf_extractor_spark.operators import serp_opps as _so
@@ -14699,6 +14719,8 @@ def oracle_sql() -> dict[str, str]:
         "read_section_pdf": _rds.read_pdf_sql(),
         "temp_sweep_classify": _tsw.classify_sql(),
         "temp_sweep_summary": _tsw.summary_sql(),
+        "kb_save_chunk_rows": _kbsv.chunk_rows_sql(),
+        "kb_save_image_rows": _kbsv.image_rows_sql(),
         "image_product_assoc": f"""
             WITH images_in AS ({_asc.SYNTH_ASSOC_IMAGES_SQL}),
             products_in AS ({_asc.SYNTH_ASSOC_PRODUCTS_SQL}),

@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "google_jobs_parse", "kb_chunk_expand", "kb_expand_stats",
     "read_section_requests", "read_section_pdf",
     "temp_sweep_classify", "temp_sweep_summary",
+    "kb_save_chunk_rows", "kb_save_image_rows",
 ]
 
 # queries whose single-shot wall is dominated by first-invocation JIT /
