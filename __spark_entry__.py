@@ -619,6 +619,139 @@ refs AS (
 
 
 # ---------------------------------------------------------------------------
+# contract-boundary serialization
+#
+# The driver's canonicalizer sorts every output column (pandas
+# ``sort_values`` over raw values) before hashing; a top-level
+# array/map column makes that throw ``unhashable type: 'list'`` — the
+# only red rows in CORRECTNESS_r04 were exactly this shape.  Operators
+# keep their natural array outputs; the CONTRACT projection flattens
+# them deterministically:
+#   array<string>              -> array_join(col, ' | ')
+#   array<numeric>             -> elements cast to string, ' | '-joined
+#   array<struct<a,b,...>>     -> per-element 'a:b:...' (fields
+#                                 coalesced to ''), ' | '-joined
+# NULL arrays stay NULL; empty arrays become ''.  The DuckDB twins of
+# the affected queries are wrapped with the identical expressions via
+# ``SELECT * REPLACE`` (see _ORACLE_COMPLEX below), so the value hash
+# still compares the full content, just in a sortable encoding.
+# ---------------------------------------------------------------------------
+
+def _contract_serialize(df: DataFrame) -> DataFrame:
+    from pyspark.sql.types import (ArrayType, MapType, StringType,
+                                   StructType)
+
+    def _struct_fmt(et: StructType):
+        names = [f.name for f in et.fields]
+
+        def mk(s):
+            parts = []
+            for i, fname in enumerate(names):
+                if i:
+                    parts.append(F.lit(":"))
+                parts.append(F.coalesce(s[fname].cast("string"),
+                                        F.lit("")))
+            return F.concat(*parts)
+        return mk
+
+    cols, changed = [], False
+    for f in df.schema.fields:
+        c, t = F.col(f.name), f.dataType
+        if isinstance(t, ArrayType):
+            et = t.elementType
+            if isinstance(et, StringType):
+                expr = F.array_join(c, " | ")
+            elif isinstance(et, StructType):
+                expr = F.array_join(F.transform(c, _struct_fmt(et)),
+                                    " | ")
+            else:
+                expr = F.array_join(
+                    F.transform(c, lambda x: x.cast("string")), " | ")
+            cols.append(expr.alias(f.name))
+            changed = True
+        elif isinstance(t, (MapType, StructType)):
+            cols.append(F.to_json(c).alias(f.name))
+            changed = True
+        else:
+            cols.append(c)
+    return df.select(*cols) if changed else df
+
+
+def _serialize_wrap(fn):
+    def wrapped(spark, sf_dir, _fn=fn):
+        return _contract_serialize(_fn(spark, sf_dir))
+    return wrapped
+
+
+# Oracle-side twin of _contract_serialize: query -> {col: spec} where
+# spec is 'str' (VARCHAR[]), 'num' (numeric[]), or a list of struct
+# field names.  Derived from the Spark schemas of every registered
+# query (the 20 below are the only ones with complex top-level
+# columns; tests/test_contract_registry.py enforces the closed set).
+_ORACLE_COMPLEX: dict[str, dict[str, object]] = {
+    "category_prompt_build": {"skip_fields": "str",
+                              "controlled_vocab": "str"},
+    "keyword_expansion_curate": {"expanded": "str", "rejected": "str",
+                                 "query_phrasings": "str"},
+    "product_field_mine": {"sku_entries": "str",
+                           "grout_suppliers": "str",
+                           "grout_color_codes": "str",
+                           "dimensions": "str",
+                           "grout_products": "str"},
+    "vision_rollup": {"patterns": "str", "textures": "str",
+                      "appearance_colors": "str",
+                      "applications": "str", "detected_text": "str"},
+    "enrich_merge_fields": {"filled": "str", "provenance": "str",
+                            "final_kv": "str"},
+    "facet_canonicals_view": {"aliases": "str"},
+    "doc_entities_for_product": {"page_range": "num"},
+    "doc_entities_by_factory": {"page_range": "num"},
+    "job_persistence_fold": {"metadata": ["key", "value"]},
+    "product_progress_fold": {"stages_completed": "str",
+                              "metrics": ["key", "value"]},
+    "job_product_summary": {"failed_product_ids": "str"},
+    "catalog_knowledge_certs": {"certifications": "str"},
+    "knowledge_cert_propagate": {"certifications": "str"},
+    "legend_cert_propagate": {"certifications": "str"},
+    "security_scan_violations": {"matches": "str"},
+    "perf_analysis": {"rec_types": "str", "rec_severities": "str",
+                      "rec_messages": "str", "rec_metrics": "str",
+                      "rec_values": "num"},
+    "product_enrich_properties": {"colors": "str", "finishes": "str",
+                                  "patterns": "str", "textures": "str",
+                                  "materials": "str"},
+    "probe_extract_deterministic": {"competitors_mentioned": "str"},
+    "probe_snapshot_models": {"positions": "num"},
+    "probe_snapshot_run": {"top_competitors": "str"},
+}
+
+
+def _duck_flatten_expr(col: str, spec) -> str:
+    if spec == "str":
+        inner = col
+    elif spec == "num":
+        inner = (f"list_transform({col}, "
+                 f"x -> CAST(x AS VARCHAR))")
+    else:  # struct field list
+        fields = " || ':' || ".join(
+            f"COALESCE(CAST(s.{f} AS VARCHAR), '')" for f in spec)
+        inner = f"list_transform({col}, s -> {fields})"
+    return (f"CASE WHEN {col} IS NULL THEN NULL "
+            f"ELSE COALESCE(array_to_string({inner}, ' | '), '') END "
+            f"AS {col}")
+
+
+def _wrap_complex_oracles(oracles: dict[str, str]) -> None:
+    for name, colspec in _ORACLE_COMPLEX.items():
+        if name not in oracles:
+            continue
+        repl = ", ".join(_duck_flatten_expr(c, s)
+                         for c, s in colspec.items())
+        oracles[name] = (f"SELECT * REPLACE ({repl}) "
+                         f"FROM ({oracles[name]})")
+
+
+# ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
 
@@ -1184,16 +1317,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def stuck_job_diagnosis_q(spark, sf_dir):
         # analyzer ladder: stage progression w/ dict-overwrite, first-
         # insertion bottleneck ties, root-cause ladder, substring-
-        # triggered recommendation blocks, recovery options
+        # triggered recommendation blocks, recovery options.  The
+        # operator keeps its array columns; the contract boundary
+        # serializes them (" | "-joined) so the driver's canonicalizer
+        # (sort_values over all columns) can hash the frame.
         jd, jobs, checkpoints = _diag_frames(spark, sf_dir)
-        return jd.analyze_stuck_jobs(jobs, checkpoints, now_min=1000.0)
+        out = jd.analyze_stuck_jobs(jobs, checkpoints, now_min=1000.0)
+        return out.withColumn(
+            "recommendations", F.array_join("recommendations", " | ")
+        ).withColumn(
+            "recovery_options", F.array_join("recovery_options", " | "))
     q["stuck_job_diagnosis"] = stuck_job_diagnosis_q
 
     def stuck_job_stats_q(spark, sf_dir):
         # one-row rollup: stuck = processing & >30min stale; breakdown
-        # + canonical most-common stage
+        # + canonical most-common stage.  stage_breakdown is an
+        # array<struct<stage,n>> in the operator; serialized here as
+        # "stage:n | stage:n" for the driver's canonicalizer.
         jd, jobs, _ = _diag_frames(spark, sf_dir)
-        return jd.stuck_job_statistics(jobs, now_min=1000.0)
+        out = jd.stuck_job_statistics(jobs, now_min=1000.0)
+        return out.withColumn(
+            "stage_breakdown",
+            F.array_join(
+                F.transform(
+                    "stage_breakdown",
+                    lambda s: F.concat(s["stage"], F.lit(":"),
+                                       s["n"].cast("string"))),
+                " | "))
     q["stuck_job_stats"] = stuck_job_stats_q
 
     def _monitor_frames(spark, sf_dir):
@@ -8059,6 +8209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             adp.synth_auth_reqs(_events(spark, sf_dir)))
     q["auth_dependency_fold"] = auth_dependency_fold_q
 
+    # contract boundary: flatten any top-level array/map/struct output
+    # so the driver's canonicalizer can sort+hash every query (the
+    # matching DuckDB twins are wrapped in _wrap_complex_oracles)
+    for _name in list(q):
+        q[_name] = _serialize_wrap(q[_name])
     return q
 
 
@@ -9667,7 +9822,7 @@ def oracle_sql() -> dict[str, str]:
               FROM v CROSS JOIN n)
     """
 
-    return {
+    o = {
         "url_ingest": """
             WITH u AS (
               SELECT doc_id,
@@ -10190,7 +10345,7 @@ def oracle_sql() -> dict[str, str]:
                    progress_percentage AS progress,
                    stuck_duration_minutes, checkpoints_completed,
                    bottleneck_stage, root_cause,
-                   flatten([
+                   COALESCE(array_to_string(flatten([
                      CASE WHEN contains(root_cause, 'silent_crash')
                        THEN ['Add comprehensive error handling with try-except blocks',
                              'Implement heartbeat monitoring to detect crashes within 2 minutes',
@@ -10211,14 +10366,14 @@ def oracle_sql() -> dict[str, str]:
                              'Implement API call batching for parallel processing',
                              'Add fallback models if primary API fails']
                        ELSE CAST([] AS VARCHAR[]) END
-                   ]) AS recommendations,
-                   flatten([
+                   ]), ' | '), '') AS recommendations,
+                   COALESCE(array_to_string(flatten([
                      CASE WHEN checkpoints_completed > 0
                        THEN ['Resume from last checkpoint: ' || last_stage]
                        ELSE CAST([] AS VARCHAR[]) END,
                      ['Restart job from beginning',
                       'Mark job as failed and notify user']
-                   ]) AS recovery_options
+                   ]), ' | '), '') AS recovery_options
             FROM caused""",
         "escalation_fold": f"""
             WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc
@@ -11659,8 +11814,10 @@ def oracle_sql() -> dict[str, str]:
                     FROM stuck GROUP BY stage)
             SELECT CAST(COALESCE(sum(n), 0) AS BIGINT)
                      AS total_stuck_jobs,
-                   COALESCE(array_agg({{'stage': stage, 'n': n}}
-                            ORDER BY stage), []) AS stage_breakdown,
+                   COALESCE(string_agg(stage || ':'
+                              || CAST(n AS VARCHAR), ' | '
+                              ORDER BY stage, n), '')
+                     AS stage_breakdown,
                    COALESCE((SELECT stage FROM per
                              ORDER BY n DESC, stage ASC LIMIT 1),
                             'none') AS most_common_stuck_stage
@@ -15438,3 +15595,5 @@ def oracle_sql() -> dict[str, str]:
         "module_enabled_fold": _mreg.module_enabled_sql(),
         "auth_dependency_fold": _adp.auth_fold_sql(),
     }
+    _wrap_complex_oracles(o)
+    return o

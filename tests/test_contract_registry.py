@@ -47,3 +47,31 @@ def test_every_oracle_key_has_a_query():
     m = re.search(r"def oracle_sql\(\).*", src, re.S)
     okeys = set(re.findall(r'^\s{8}"([^"]+)":', m.group(0), re.M))
     assert okeys - qnames == set()
+
+
+def test_no_top_level_complex_columns(spark):
+    """Driver-canonicalizer safety: the driver sorts every output
+    column with pandas ``sort_values`` before hashing, which throws
+    ``unhashable type: 'list'`` on array/map columns (the only red
+    rows in CORRECTNESS_r04 were stuck_job_diagnosis/_stats for
+    exactly this reason).  The contract boundary now flattens complex
+    columns (`_contract_serialize`); this asserts NO registered query
+    leaks one — including any future registration."""
+    import importlib.util
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spec = importlib.util.spec_from_file_location("entrymod", ENTRY)
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType,
+                                          StructType))]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
