@@ -340,7 +340,11 @@ def main() -> None:
             # accumulate storage — including when a query THROWS
             release_cached()
 
-    print(json.dumps({
+    # full per-query map -> sidecar file (300+ entries outgrew what the
+    # driver parses from stdout: BENCH_r04.json came back "parsed": null
+    # with only a 2000-char tail). The FINAL stdout line stays compact:
+    # headline throughput + the steady-graded subset + suite rollups.
+    full = {
         "metric": "extraction_wall_sec_and_query_suite",
         "value": round(wall, 3),
         "unit": "sec",
@@ -350,6 +354,35 @@ def main() -> None:
         "docs": n_docs,
         "docs_per_sec": round(docs_per_sec, 2),
         "cpus": int(cpus),
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"BENCH_FULL_sf{sf}.json")
+    with open(sidecar, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    ok_walls = sorted(((v, k) for k, v in timings.items() if v >= 0),
+                      reverse=True)
+    compact_queries = {"extract_pipeline_skewed": round(wall, 3)}
+    compact_queries.update(steady)
+    for v, k in ok_walls[:8]:  # slowest single-shots still visible
+        compact_queries.setdefault(k, v)
+    print(json.dumps({
+        "metric": "docs_per_sec",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": compact_queries,
+        "sf": sf,
+        "docs": n_docs,
+        "extraction_wall_sec": round(wall, 3),
+        "suite": {
+            "n_queries": len(timings),
+            "n_failed": sum(1 for v in timings.values() if v < 0),
+            "total_wall_sec": round(sum(v for v in timings.values()
+                                        if v >= 0), 1),
+            "steady_median_total_sec": round(sum(steady.values()), 2),
+        },
+        "cpus": int(cpus),
+        "full_map": os.path.basename(sidecar),
     }))
     spark.stop()
 
