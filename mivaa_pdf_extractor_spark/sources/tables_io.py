@@ -39,9 +39,11 @@ previously leaked forever).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -75,11 +77,20 @@ class Catalog:
     16; a 100 TB warehouse would use O(thousands) so each bucket is a few
     GB and an incremental upsert touches a handful of them.
 
-    Concurrency model: single writer per table (like Hive-style external
-    tables without a lock service), any number of readers — the atomic
-    manifest swap means readers always see a complete generation.
-    Concurrent WRITERS need the real Iceberg runtime (optimistic commit
-    on the catalog); this fallback does not arbitrate between them."""
+    Concurrency model: readers never lock — the atomic manifest swap
+    means they always see a complete generation. WRITERS serialize per
+    table through an ``O_CREAT|O_EXCL`` lock file (``_LOCK``) held
+    across the read-manifest -> stage -> swap critical section — the
+    local-filesystem equivalent of Iceberg's optimistic catalog commit
+    (HadoopCatalog arbitrates the same way, via atomic rename). Without
+    it, two concurrent writers would each base their new manifest on
+    the same parent and the second ``os.replace`` would silently drop
+    the first writer's bucket additions (and GC its data dirs). A lock
+    older than ``LOCK_STALE_SEC`` is presumed crashed and stolen.
+    Exercised by tests/test_concurrent_writers.py with two separate
+    Spark-driver processes."""
+
+    LOCK_STALE_SEC = 600.0
 
     def __init__(self, spark: SparkSession, warehouse: str,
                  prefer_iceberg: bool = True, num_buckets: int = 16):
@@ -93,6 +104,45 @@ class Catalog:
 
     def _path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    @contextlib.contextmanager
+    def _table_lock(self, name: str, timeout: float = 120.0):
+        """Serialize the read-manifest -> stage -> swap critical section
+        across writer PROCESSES (see class docstring)."""
+        if self.use_iceberg:
+            yield
+            return
+        root = self._path(name)
+        os.makedirs(root, exist_ok=True)
+        lock = os.path.join(root, "_LOCK")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between exists and stat
+                if age > self.LOCK_STALE_SEC:
+                    # presumed-crashed holder; unlink is idempotent if
+                    # another waiter steals first
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock)
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"writer lock on table {name!r} not released "
+                        f"within {timeout}s ({lock})")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
 
     def _manifest(self, name: str) -> dict | None:
         p = os.path.join(self._path(name), "_MANIFEST")
@@ -304,42 +354,45 @@ class Catalog:
         if self.use_iceberg:
             df.writeTo(f"local.db.{name}").append()
             return
-        m = self._manifest(name)
-        if m is None:
-            self._init_table(df, name, key)
-            return
-        # bucket by the table's established key; if these rows lack it the
-        # table degrades to unkeyed (a later keyed merge then rewrites
-        # fully rather than pruning buckets unsoundly)
-        eff_key = self._bucket_key(df, m["key"])
-        gen = m["version"] + 1
-        staged = self._stage_buckets(df, name, eff_key, gen,
-                                     m["num_buckets"])
-        buckets = dict(m["buckets"])
-        for b, d in staged.items():
-            buckets[str(b)] = buckets.get(str(b), []) + [d]
-        self._swap_manifest(name, {
-            "version": gen, "key": eff_key,
-            "num_buckets": m["num_buckets"],
-            "schema": json.dumps(
-                self._merged_schema(m["schema"], df).jsonValue()),
-            "buckets": buckets,
-        })
+        with self._table_lock(name):
+            m = self._manifest(name)
+            if m is None:
+                self._init_table(df, name, key)
+                return
+            # bucket by the table's established key; if these rows lack
+            # it the table degrades to unkeyed (a later keyed merge then
+            # rewrites fully rather than pruning buckets unsoundly)
+            eff_key = self._bucket_key(df, m["key"])
+            gen = m["version"] + 1
+            staged = self._stage_buckets(df, name, eff_key, gen,
+                                         m["num_buckets"])
+            buckets = dict(m["buckets"])
+            for b, d in staged.items():
+                buckets[str(b)] = buckets.get(str(b), []) + [d]
+            self._swap_manifest(name, {
+                "version": gen, "key": eff_key,
+                "num_buckets": m["num_buckets"],
+                "schema": json.dumps(
+                    self._merged_schema(m["schema"], df).jsonValue()),
+                "buckets": buckets,
+            })
 
     def overwrite(self, df: DataFrame, name: str,
                   key: str = "doc_id") -> None:
         if self.use_iceberg:
             df.writeTo(f"local.db.{name}").createOrReplace()
             return
-        m = self._manifest(name)
-        gen = (m["version"] + 1) if m else 1
-        eff_key = self._bucket_key(df, key)
-        staged = self._stage_buckets(df, name, eff_key, gen)
-        self._swap_manifest(name, {
-            "version": gen, "key": eff_key, "num_buckets": self.num_buckets,
-            "schema": json.dumps(df.schema.jsonValue()),
-            "buckets": {str(b): [d] for b, d in staged.items()},
-        })
+        with self._table_lock(name):
+            m = self._manifest(name)
+            gen = (m["version"] + 1) if m else 1
+            eff_key = self._bucket_key(df, key)
+            staged = self._stage_buckets(df, name, eff_key, gen)
+            self._swap_manifest(name, {
+                "version": gen, "key": eff_key,
+                "num_buckets": self.num_buckets,
+                "schema": json.dumps(df.schema.jsonValue()),
+                "buckets": {str(b): [d] for b, d in staged.items()},
+            })
 
     def upsert(self, df: DataFrame, name: str, key: str = "doc_id") -> None:
         """Row-level upsert keyed on ``key`` — Iceberg MERGE INTO when the
@@ -397,38 +450,45 @@ class Catalog:
         many were compacted. No-op on Iceberg (the runtime compacts)."""
         if self.use_iceberg:
             return 0
-        m = self._manifest(name)
-        if m is None:
-            return 0
-        fat = [int(b) for b, dl in m["buckets"].items()
-               if len(dl) > max_dirs_per_bucket]
-        if not fat:
-            return 0
-        old = self._read_buckets(name, m, fat)
-        gen = m["version"] + 1
-        staged = self._stage_buckets(old, name, m["key"], gen,
-                                     m["num_buckets"])
-        buckets = dict(m["buckets"])
-        for b in fat:
-            buckets[str(b)] = []
-        # unkeyed tables re-hash rows on the manifest's column order, which
-        # can differ from the order at original write time and move rows to
-        # buckets OUTSIDE `fat` — extend those buckets' dir lists instead of
-        # dropping the staged dirs (keyed tables always stage within `fat`,
-        # where this reduces to the plain [d] replacement)
-        for b, d in staged.items():
-            buckets[str(b)] = buckets.get(str(b), []) + [d]
-        self._swap_manifest(name, {
-            "version": gen, "key": m["key"],
-            "num_buckets": m["num_buckets"], "schema": m["schema"],
-            "buckets": buckets,
-        })
-        return len(fat)
+        with self._table_lock(name):
+            m = self._manifest(name)
+            if m is None:
+                return 0
+            fat = [int(b) for b, dl in m["buckets"].items()
+                   if len(dl) > max_dirs_per_bucket]
+            if not fat:
+                return 0
+            old = self._read_buckets(name, m, fat)
+            gen = m["version"] + 1
+            staged = self._stage_buckets(old, name, m["key"], gen,
+                                         m["num_buckets"])
+            buckets = dict(m["buckets"])
+            for b in fat:
+                buckets[str(b)] = []
+            # unkeyed tables re-hash rows on the manifest's column order,
+            # which can differ from the order at original write time and
+            # move rows to buckets OUTSIDE `fat` — extend those buckets'
+            # dir lists instead of dropping the staged dirs (keyed tables
+            # always stage within `fat`, where this reduces to the plain
+            # [d] replacement)
+            for b, d in staged.items():
+                buckets[str(b)] = buckets.get(str(b), []) + [d]
+            self._swap_manifest(name, {
+                "version": gen, "key": m["key"],
+                "num_buckets": m["num_buckets"], "schema": m["schema"],
+                "buckets": buckets,
+            })
+            return len(fat)
 
     # -------------------------------------------------- merge (parquet)
 
     def _merge_buckets(self, df: DataFrame, name: str, key: str,
                        delete_keys: DataFrame | None) -> None:
+        with self._table_lock(name):
+            self._merge_buckets_locked(df, name, key, delete_keys)
+
+    def _merge_buckets_locked(self, df: DataFrame, name: str, key: str,
+                              delete_keys: DataFrame | None) -> None:
         m = self._manifest(name)
         if m is None:
             keys = (delete_keys if delete_keys is not None
