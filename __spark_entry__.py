@@ -10027,6 +10027,14 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(len(list_intersect(wa, wb)) AS DOUBLE)
                               / greatest(len(wa), len(wb)) END, 6) AS overlap
             FROM a JOIN b ON a.id_a + 100000 = b.id_b""",
+        # difflib.SequenceMatcher.ratio as a recursive CTE (rows-only
+        # since round 2; see seqratio_oracle_sql's docstring for the
+        # autojunk / find_longest_match / block-recursion mapping)
+        "text_similarity_seqratio": ta.seqratio_oracle_sql("""
+            SELECT CAST(doc_id AS BIGINT) AS id_a,
+                   CAST(doc_id + 100000 AS BIGINT) AS id_b,
+                   text AS text_a, text || ' zzzextra' AS text_b
+            FROM documents WHERE doc_id % 100 = 0"""),
         "sheet_layout": """
             WITH sheets AS (
               SELECT doc_id,

@@ -205,6 +205,160 @@ def sequence_ratio_pairs(pairs: DataFrame, a_col: str = "text_a",
     return pairs.withColumn("seq_ratio", _ratio(F.col(a_col), F.col(b_col)))
 
 
+def seqratio_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB twin of ``difflib.SequenceMatcher(None, a, b).ratio()``
+    — rows-only for three rounds, now value-oracled (round-4 verdict
+    item 8).  CPython's Ratcliff-Obershelp as pure SQL:
+
+    * **autojunk** (``difflib.py __chain_b``): when ``len(b) >= 200``,
+      chars occurring more than ``len(b)//100 + 1`` times are
+      "popular" — removed from ``b2j``, so they can never SEED a
+      match, but the post-DP extension loops still extend over them
+      (they are not in ``bjunk``, which stays empty for
+      ``isjunk=None``).
+    * **find_longest_match**: the j2len DP over non-popular equal
+      pairs == per-diagonal gaps-and-islands run lengths (``runs``),
+      clipped to the segment; the scan-order tie-break (first
+      strictly-greater k, i then j ascending) == ORDER BY
+      (k DESC, i, j) LIMIT 1; the greedy extension loops == equality
+      runs regardless of popularity (``eruns``), clipped.  A segment
+      with no seed still extends from ``(alo, blo)`` (bestsize=0
+      fallback), so the LATERAL seed probe must be a LEFT join.
+    * **get_matching_blocks**' queue recursion == a recursive CTE
+      whose working rows are segments and whose emitted ``'b'`` rows
+      carry each block's size; ``ratio`` = 2·ΣK / (|a|+|b|),
+      1.0 when both strings are empty.
+
+    Verified char-exact against difflib on the sf0.01 contract pairs
+    and a 200-case fuzz battery (alphabet sizes 2-27, lengths 0-400
+    spanning the autojunk threshold, near-duplicate edit chains) —
+    tests/test_seqratio_oracle.py.
+
+    ``pairs_cte``: SQL producing (id_a, id_b, text_a, text_b).
+    """
+    return f"""
+WITH RECURSIVE
+input_pairs AS ({pairs_cte}),
+ca AS (
+  SELECT id_a, id_b, i, a_ch FROM (
+    SELECT id_a, id_b, unnest(generate_series(1, length(text_a))) AS i,
+           text_a FROM input_pairs)
+  , LATERAL (SELECT substr(text_a, i, 1) AS a_ch)
+),
+cb AS (
+  SELECT id_a, id_b, j, b_ch FROM (
+    SELECT id_a, id_b, unnest(generate_series(1, length(text_b))) AS j,
+           text_b FROM input_pairs)
+  , LATERAL (SELECT substr(text_b, j, 1) AS b_ch)
+),
+blen AS (SELECT id_a, id_b, length(text_b) AS lb, length(text_a) AS la
+         FROM input_pairs),
+popular AS (
+  SELECT cb.id_a, cb.id_b, b_ch
+  FROM cb JOIN blen USING (id_a, id_b)
+  GROUP BY cb.id_a, cb.id_b, b_ch, lb
+  HAVING lb >= 200 AND count(*) > lb // 100 + 1
+),
+eq AS (
+  SELECT ca.id_a, ca.id_b, i, j, ca.a_ch,
+         (p.b_ch IS NOT NULL) AS pop
+  FROM ca JOIN cb ON ca.id_a = cb.id_a AND ca.id_b = cb.id_b
+                 AND ca.a_ch = cb.b_ch
+  LEFT JOIN popular p ON p.id_a = ca.id_a AND p.id_b = ca.id_b
+                     AND p.b_ch = ca.a_ch
+),
+runs AS (
+  SELECT id_a, id_b, i, j,
+         i - min(i) OVER (PARTITION BY id_a, id_b, i - j, isl) + 1 AS r
+  FROM (
+    SELECT *, i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                     ORDER BY i) AS isl
+    FROM eq WHERE NOT pop)
+),
+eruns AS (
+  SELECT id_a, id_b, i, j,
+         i - min(i) OVER (PARTITION BY id_a, id_b, i - j, isl) + 1
+           AS e_back,
+         max(i) OVER (PARTITION BY id_a, id_b, i - j, isl) - i + 1
+           AS e_fwd
+  FROM (
+    SELECT *, i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                     ORDER BY i) AS isl
+    FROM eq)
+),
+seg AS (
+  SELECT id_a, id_b, 's' AS kind, 1 AS alo, la + 1 AS ahi,
+         1 AS blo, lb + 1 AS bhi, 0 AS k
+  FROM blen
+  UNION ALL
+  SELECT id_a, id_b, u.kind, u.alo, u.ahi, u.blo, u.bhi, u.k
+  FROM (
+    SELECT s.id_a, s.id_b, s.alo, s.ahi, s.blo, s.bhi,
+           best.i AS bi, best.j AS bj, coalesce(best.kc, 0) AS kc
+    FROM seg s LEFT JOIN LATERAL (
+      SELECT i, j, least(r, i - s.alo + 1, j - s.blo + 1) AS kc
+      FROM runs t
+      WHERE t.id_a = s.id_a AND t.id_b = s.id_b
+        AND t.i >= s.alo AND t.i < s.ahi
+        AND t.j >= s.blo AND t.j < s.bhi
+      ORDER BY kc DESC, i ASC, j ASC LIMIT 1
+    ) best ON true
+    WHERE s.kind = 's'
+  ) s0,
+  LATERAL (
+    SELECT CASE WHEN kc > 0 THEN bi - kc + 1 ELSE s0.alo END AS si,
+           CASE WHEN kc > 0 THEN bj - kc + 1 ELSE s0.blo END AS sj
+  ) st,
+  LATERAL (
+    SELECT CASE WHEN kc > 0 THEN
+             coalesce((SELECT least(e.e_back, st.si - s0.alo,
+                                    st.sj - s0.blo)
+                       FROM eruns e
+                       WHERE e.id_a = s0.id_a AND e.id_b = s0.id_b
+                         AND e.i = st.si - 1 AND e.j = st.sj - 1), 0)
+           ELSE 0 END AS lext
+  ) le,
+  LATERAL (
+    SELECT coalesce(
+      (SELECT least(e.e_fwd,
+                    s0.ahi - (CASE WHEN kc > 0 THEN bi
+                              ELSE s0.alo - 1 END) - 1,
+                    s0.bhi - (CASE WHEN kc > 0 THEN bj
+                              ELSE s0.blo - 1 END) - 1)
+       FROM eruns e
+       WHERE e.id_a = s0.id_a AND e.id_b = s0.id_b
+         AND e.i = (CASE WHEN kc > 0 THEN bi ELSE s0.alo - 1 END) + 1
+         AND e.j = (CASE WHEN kc > 0 THEN bj ELSE s0.blo - 1 END) + 1),
+      0) AS rext
+  ) re,
+  LATERAL (
+    SELECT st.si - le.lext AS fi, st.sj - le.lext AS fj,
+           kc + le.lext + re.rext AS fk
+  ) fin,
+  LATERAL (
+    SELECT * FROM (VALUES
+      ('b', fin.fi, fin.fi + fin.fk, fin.fj, fin.fj + fin.fk, fin.fk),
+      ('s', s0.alo, fin.fi, s0.blo, fin.fj, 0),
+      ('s', fin.fi + fin.fk, s0.ahi, fin.fj + fin.fk, s0.bhi, 0)
+    ) v(kind, alo, ahi, blo, bhi, k)
+    WHERE (v.kind = 'b' AND v.k > 0)
+       OR (v.kind = 's' AND fin.fk > 0 AND v.alo < v.ahi
+           AND v.blo < v.bhi
+           AND NOT (v.alo = s0.alo AND v.ahi = s0.ahi
+                    AND v.blo = s0.blo AND v.bhi = s0.bhi))
+  ) u
+)
+SELECT p.id_a, p.id_b,
+       CASE WHEN length(p.text_a) + length(p.text_b) = 0 THEN 1.0
+            ELSE round(2.0 * coalesce(m.msum, 0)
+                       / (length(p.text_a) + length(p.text_b)), 6)
+       END AS seq_ratio
+FROM input_pairs p
+LEFT JOIN (SELECT id_a, id_b, sum(k) AS msum FROM seg WHERE kind = 'b'
+           GROUP BY id_a, id_b) m USING (id_a, id_b)
+"""
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        min_words: int = 3) -> DataFrame:
