@@ -29,7 +29,11 @@ honestly:
 A crash mid-write leaves the previous manifest intact and at worst orphans
 staged directories, which the next successful swap GCs; readers never
 observe a half-written table. The previous manifest generation's dirs are
-retained for in-flight readers.
+retained for in-flight readers, and the last ``snapshot_retention``
+generations are kept as immutable ``_MANIFEST.v<N>`` files with their data
+dirs pinned — ``read(name, version=N)`` / ``versions(name)`` give
+Iceberg-style time travel, and expiry past the window is a loud error
+(the ``expire_snapshots`` analogue).
 
 Legacy layouts (the round-2 ``v<N>`` + ``_VERSION`` pointer, and the plain
 root-level append log) are migrated on first write: their rows are folded
@@ -93,10 +97,12 @@ class Catalog:
     LOCK_STALE_SEC = 600.0
 
     def __init__(self, spark: SparkSession, warehouse: str,
-                 prefer_iceberg: bool = True, num_buckets: int = 16):
+                 prefer_iceberg: bool = True, num_buckets: int = 16,
+                 snapshot_retention: int = 3):
         self.spark = spark
         self.warehouse = warehouse
         self.num_buckets = num_buckets
+        self.snapshot_retention = snapshot_retention
         self.use_iceberg = prefer_iceberg and iceberg_available(spark)
         os.makedirs(warehouse, exist_ok=True)
 
@@ -153,8 +159,11 @@ class Catalog:
 
     def _swap_manifest(self, name: str, manifest: dict) -> None:
         """Atomically publish ``manifest``; keep the outgoing one as
-        ``_MANIFEST.prev`` (in-flight readers + GC grace), then drop data
-        dirs referenced by neither generation."""
+        ``_MANIFEST.prev`` (in-flight readers + GC grace) and retain the
+        last ``snapshot_retention`` generations as immutable
+        ``_MANIFEST.v<N>`` snapshot files (Iceberg time-travel
+        analogue — ``read(name, version=N)`` / ``versions(name)``),
+        then drop data dirs referenced by no retained generation."""
         root = self._path(name)
         cur = os.path.join(root, "_MANIFEST")
         prev = os.path.join(root, "_MANIFEST.prev")
@@ -164,8 +173,25 @@ class Catalog:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, cur)
+        # immutable snapshot record for this generation, then expire old
+        # snapshots past the retention window (Iceberg expire_snapshots)
+        ver = manifest["version"]
+        vtmp = os.path.join(root, f"_MANIFEST.v{ver}.tmp")
+        with open(vtmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(vtmp, os.path.join(root, f"_MANIFEST.v{ver}"))
+        retained = []
+        for v in self._snapshot_versions(name):
+            if v <= ver - self.snapshot_retention:
+                with contextlib.suppress(OSError):
+                    os.unlink(os.path.join(root, f"_MANIFEST.v{v}"))
+            else:
+                retained.append(v)
         live: set[str] = set()
-        for m in (manifest, self._read_json(prev)):
+        gens = [manifest, self._read_json(prev)] + [
+            self._read_json(os.path.join(root, f"_MANIFEST.v{v}"))
+            for v in retained]
+        for m in gens:
             if m:
                 for dirs in m["buckets"].values():
                     live.update(dirs)
@@ -180,6 +206,19 @@ class Catalog:
         # covers overwrite() straight over a legacy layout
         if self._legacy_path(name) is not None:
             self._scrub_legacy(name)
+
+    def _snapshot_versions(self, name: str) -> list[int]:
+        root = self._path(name)
+        out = []
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return []
+        for d in entries:
+            if d.startswith("_MANIFEST.v") and not d.endswith(".tmp"):
+                with contextlib.suppress(ValueError):
+                    out.append(int(d[len("_MANIFEST.v"):]))
+        return sorted(out)
 
     @staticmethod
     def _read_json(path: str) -> dict | None:
@@ -328,10 +367,37 @@ class Catalog:
         return (self._manifest(name) is not None
                 or self._legacy_path(name) is not None)
 
-    def read(self, name: str) -> DataFrame:
+    def versions(self, name: str) -> list[int]:
+        """Readable snapshot versions, oldest first (time-travel window:
+        the last ``snapshot_retention`` committed generations)."""
         if self.use_iceberg:
-            return self.spark.read.format("iceberg").load(f"local.db.{name}")
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM local.db.{name}.snapshots "
+                "ORDER BY committed_at").collect()
+            return [r["snapshot_id"] for r in rows]
+        return self._snapshot_versions(name)
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        if self.use_iceberg:
+            r = self.spark.read.format("iceberg")
+            if version is not None:
+                r = r.option("snapshot-id", version)
+            return r.load(f"local.db.{name}")
         m = self._manifest(name)
+        if version is not None:
+            # time travel: an expired snapshot is a loud error listing
+            # what IS readable (Iceberg's snapshot-expired semantics)
+            if m is not None and version == m["version"]:
+                pass  # current generation — _MANIFEST is authoritative
+            else:
+                vm = self._read_json(os.path.join(
+                    self._path(name), f"_MANIFEST.v{version}"))
+                if vm is None:
+                    raise ValueError(
+                        f"table {name} has no readable snapshot "
+                        f"v{version}; retained: "
+                        f"{self._snapshot_versions(name)}")
+                m = vm
         if m is None:
             legacy = self._legacy_path(name)
             if legacy is None:

@@ -135,3 +135,20 @@ def test_run_rollup_cancel_semantics(spark):
     # heartbeats before items 0,5,... among processed
     assert got[1]["heartbeats"] == 5      # 0,5,10,15,20
     assert got[2]["heartbeats"] == 2      # 0,5
+
+
+def test_batch_plan_is_not_cartesian(spark):
+    """Scale pin for the round-4 verdict's 100x veto: the catalog must
+    not shuffle into per-run window partitions. The executed plan ranks
+    per distinct CONFIG with a literal rn cap, which lets Spark insert
+    WindowGroupLimit (map-side bounded top-k BEFORE the exchange); the
+    run side rides broadcast joins."""
+    plan = ae.batch_plan(
+        ae.synth_agent_runs(_ev(spark)),
+        ae.synth_agent_products(_ev(spark)))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan   # tiny config set build side
+    assert "CartesianProduct" not in plan
+    # the only Window partitions by cfg_id, never run_id
+    assert "windowspecdefinition(run_id" not in plan

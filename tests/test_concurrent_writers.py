@@ -53,7 +53,7 @@ spark.stop()
 
 
 @pytest.mark.slow
-def test_two_process_disjoint_upserts(tmp_path):
+def test_two_process_disjoint_upserts(tmp_path, spark):
     warehouse = str(tmp_path / "wh")
     script = WRITER.format(repo=str(REPO))
     procs = [
@@ -82,22 +82,17 @@ def test_two_process_disjoint_upserts(tmp_path):
     assert man["version"] == 10
 
     # no rows lost: both writers' 400 disjoint keys all present exactly
-    # once, each carrying its writer's payload
-    from mivaa_pdf_extractor_spark.session import build_session
+    # once, each carrying its writer's payload. Read with the shared
+    # session fixture — build_session's getOrCreate would hand back the
+    # SAME session, and stopping it here would kill every later test.
     from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
-    spark = build_session(app_name="reader", master="local[2]",
-                          shuffle_partitions=4)
-    spark.sparkContext.setLogLevel("ERROR")
-    try:
-        rows = (Catalog(spark, warehouse, num_buckets=8)
-                .read("shared").collect())
-        assert len(rows) == 400
-        by_id = {r["doc_id"]: r["payload"] for r in rows}
-        assert len(by_id) == 400
-        assert all(by_id[i] == f"w0_{i}" for i in range(200))
-        assert all(by_id[i] == f"w200_{i}" for i in range(200, 400))
-    finally:
-        spark.stop()
+    rows = (Catalog(spark, warehouse, num_buckets=8)
+            .read("shared").collect())
+    assert len(rows) == 400
+    by_id = {r["doc_id"]: r["payload"] for r in rows}
+    assert len(by_id) == 400
+    assert all(by_id[i] == f"w0_{i}" for i in range(200))
+    assert all(by_id[i] == f"w200_{i}" for i in range(200, 400))
 
 
 def test_lock_blocks_second_writer(tmp_path, spark):
