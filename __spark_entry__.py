@@ -58,7 +58,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # same single-row-group trap as _docs: events.parquet scans as ONE
+    # task, and the ~400 service-fold queries that synthesize their
+    # frames from it run their expression ladders single-threaded until
+    # the first shuffle — shuffle-free folds (salary_normalize: 13 s ->
+    # ~1 s) never parallelize at all. One hash repartition here fixes
+    # every consumer; a production events table has >= cores splits.
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         "event_id"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
