@@ -114,16 +114,24 @@ def test_catalog_upsert(spark, tmp_path):
     df3 = spark.createDataFrame([("d", 3)], "doc_id string, v int")
     cat.upsert(df3, "t")
     assert len({r["doc_id"] for r in cat.read("t").collect()}) == 4
-    # GC: dirs referenced by neither the current nor previous manifest are
-    # gone; 'd's bucket gained a g3 dir
-    with open(os.path.join(root, "_MANIFEST")) as f:
-        m3 = json.load(f)
-    live = {d for dl in m3["buckets"].values() for d in dl}
-    with open(os.path.join(root, "_MANIFEST.prev")) as f:
-        live |= {d for dl in json.load(f)["buckets"].values() for d in dl}
+    # GC: dirs referenced by NO retained generation are gone. Retained =
+    # current + previous + the last `snapshot_retention` time-travel
+    # snapshots (_MANIFEST.v<N>, round 5) — their dirs stay pinned so
+    # read(name, version=N) keeps working.
+    live = set()
+    for fn in os.listdir(root):
+        if fn == "_MANIFEST" or fn == "_MANIFEST.prev" \
+                or (fn.startswith("_MANIFEST.v")
+                    and not fn.endswith(".tmp")):
+            with open(os.path.join(root, fn)) as f:
+                live |= {d for dl in json.load(f)["buckets"].values()
+                         for d in dl}
     on_disk = {d for d in os.listdir(root)
                if d.startswith("b") and os.path.isdir(os.path.join(root, d))}
     assert on_disk == live
+    # and the oldest retained snapshot still reads coherently
+    assert {r["doc_id"] for r in
+            cat.read("t", version=1).collect()} == {"a", "b"}
 
 
 def test_catalog_touched_bucket_rewrite_cost(spark, tmp_path):
