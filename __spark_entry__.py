@@ -3664,7 +3664,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- product-identity gates (rule-based match tier) ----
     def _identity_base(spark, sf_dir):
-        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        # same single-row-group trap as _docs/_events: part.parquet
+        # scans as ONE task, so every identity/search-merge consumer
+        # (incl. the Python difflib tier and the candidate-pair cosine
+        # fan) ran single-threaded until its first shuffle — measured
+        # as whole stages at (0 + 1) / 1 in the round-6 probe. One
+        # hash repartition fixes every consumer.
+        p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .repartition(spark.sparkContext.defaultParallelism,
+                          "p_partkey"))
         k = F.col("p_partkey")
         w = F.split(F.col("p_name"), " ")
         return p.select(
