@@ -5628,11 +5628,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # video dedup, platform inference, reference truncations —
         # all per-query windows, no UDFs
         from mivaa_pdf_extractor_spark.operators import serp_opps as so
-        # localCheckpoint truncates the synth's when-chain lineage so
-        # the 11-branch parse doesn't embed it 11x in the plan (the
-        # 24 MB-plan analysis cost dwarfed execution)
-        items = so.synth_serp_items(_docs(spark, sf_dir)) \
-            .localCheckpoint()
+        # round 6: the synth is now a broadcast template-table join
+        # (~70 rows), so the 11-branch parse embeds a small plan —
+        # the eager localCheckpoint that truncated the old 24 MB
+        # when-chain lineage is no longer needed (parse persists the
+        # item stream itself)
+        items = so.synth_serp_items(_docs(spark, sf_dir))
         return so.parse_serp_blocks(items, limit=2)
     q["serp_blocks_parse"] = serp_blocks_parse
 
@@ -5643,12 +5644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the insertion-order tiebreak, rank-decay priorities
         from mivaa_pdf_extractor_spark.operators import serp_opps as so
         d = _docs(spark, sf_dir)
-        items = so.synth_serp_items(d).localCheckpoint()
-        # checkpoint the parsed blocks too: nine builders otherwise
-        # re-embed the 11-branch parse lineage into one 24 MB plan
-        parsed = so.parse_serp_blocks(items, limit=2).localCheckpoint()
+        # round 6: synth is a small broadcast template-table join, so
+        # no checkpoint is needed on items (parse persists the stream
+        # internally). The parsed union IS checkpointed, partitioned
+        # by query_id first: one materialization that (a) truncates
+        # the 11-branch parse subtree so the nine builders don't
+        # re-analyze it 9x, and (b) preserves HashPartitioning so the
+        # builders' joins/groupBys on query_id add no exchanges.
+        items = so.synth_serp_items(d)
+        parsed = (so.parse_serp_blocks(items, limit=2)
+                  .repartition("query_id").localCheckpoint())
         return so.build_serp_opportunities(
-            parsed, so.synth_serp_subjects(d), limit=2)
+            parsed, so.synth_serp_subjects(d), limit=2,
+            pre_partitioned=True)
     q["serp_opportunities"] = serp_opportunities
 
     # --- mention keyword / LLM-visibility / domain cards (operators/

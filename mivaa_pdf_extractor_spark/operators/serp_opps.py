@@ -106,8 +106,12 @@ def parse_serp_blocks(items: DataFrame, limit: int = 5) -> DataFrame:
     # the plan fans the stream into ~11 typed branches; without a
     # persist every branch recomputes the upstream (the synth's giant
     # when-chains made the contract query pay ~11x) — measured
-    # 14.8 s -> 5.7 s at sf0.01 with the persist
-    items = track(items.persist())
+    # 14.8 s -> 5.7 s at sf0.01 with the persist. Round 6: persist
+    # ALREADY hash-partitioned by query_id — every branch window
+    # partitions by (query_id[, key]), and HashPartitioning(query_id)
+    # satisfies that clustering, so all 11 branch exchanges collapse
+    # into this one (guide §2.4: establish the partitioning once).
+    items = track(items.repartition("query_id").persist())
     q = F.col("query_id")
     order = [F.col("arrival"), F.col("pos")]
     wq = Window.partitionBy("query_id").orderBy(*order)
@@ -484,49 +488,54 @@ def _param_sql(tmpl: str) -> str:
 
 
 def synth_serp_items(docs) -> DataFrame:
-    d = docs.select(F.col("doc_id").cast("long").alias("doc"))
-    base = d.select("doc", F.explode(F.sequence(
-        F.lit(0), F.lit(len(TEMPLATES) - 1))).alias("t"))
-    doc, t = F.col("doc"), F.col("t")
+    """Docs × the ~70-row template table → the flattened item stream.
 
-    keep = F.lit(False)
+    Round 6: the original built per-field ``when``-chains over every
+    template (70 × 18 nested branches plus a 70-branch gate filter),
+    a plan whose Catalyst analysis dominated both serp queries
+    (build-side 7.6 s / 11.0 s measured). The templates are DATA, not
+    plan: ship them as a broadcast literal table, gate with four
+    array_contains checks, and substitute {d}/{m} with two native
+    ``replace`` calls per string field. Identical rows out (the DuckDB
+    twin SQL is generated from the same TEMPLATES and is unchanged)."""
+    spark = docs.sparkSession
+    rows = []
     for i, tm in enumerate(TEMPLATES):
-        g = F.lit(True)
+        g: dict = {2: None, 3: None, 4: None, 5: None}
         for mod, rems in tm["gates"]:
-            g = g & (doc % mod).isin(*[F.lit(r) for r in rems])
-        keep = keep | ((t == i) & g)
-    base = base.filter(keep)
+            g[mod] = list(rems)
+        rows.append((i, tm["itype"], tm["arrival"], tm["pos"],
+                     g[2], g[3], g[4], g[5],
+                     *[tm.get(n) for n, _ in _ITEM_FIELDS]))
+    fschema = ", ".join(
+        f"{n} {'string' if ty == 's' else 'double' if ty == 'd' else 'bigint'}"
+        for n, ty in _ITEM_FIELDS)
+    tmpl = spark.createDataFrame(rows, schema=(
+        "t int, itype string, arrival int, pos int, g2 array<int>, "
+        f"g3 array<int>, g4 array<int>, g5 array<int>, {fschema}"))
 
-    def fld(name, typ):
-        col = None
-        for i, tm in enumerate(TEMPLATES):
-            val = tm.get(name)
-            if val is None:
-                expr = F.lit(None).cast(
-                    {"s": "string", "d": "double", "l": "long"}[typ])
-            elif typ == "s":
-                expr = _param_col(doc, val)
-            else:
-                expr = F.lit(val).cast(
-                    "double" if typ == "d" else "long")
-            col = F.when(t == i, expr) if col is None \
-                else col.when(t == i, expr)
-        return col.alias(name)
+    d = docs.select(F.col("doc_id").cast("long").alias("doc"))
+    j = d.crossJoin(F.broadcast(tmpl))
+    doc = F.col("doc")
+    keep = F.lit(True)
+    for m in (2, 3, 4, 5):
+        gcol = F.col(f"g{m}")
+        keep = keep & (gcol.isNull()
+                       | F.array_contains(gcol, (doc % m).cast("int")))
+    j = j.filter(keep)
 
-    itype = None
-    arrival = None
-    pos = None
-    for i, tm in enumerate(TEMPLATES):
-        itype = (F.when(t == i, F.lit(tm["itype"])) if itype is None
-                 else itype.when(t == i, F.lit(tm["itype"])))
-        arrival = (F.when(t == i, F.lit(tm["arrival"])) if arrival is
-                   None else arrival.when(t == i, F.lit(tm["arrival"])))
-        pos = (F.when(t == i, F.lit(tm["pos"])) if pos is None
-               else pos.when(t == i, F.lit(tm["pos"])))
-    return base.select(
-        doc.alias("query_id"), arrival.cast("int").alias("arrival"),
-        pos.cast("int").alias("pos"), itype.alias("itype"),
-        *[fld(n, ty) for n, ty in _ITEM_FIELDS])
+    ds = doc.cast("string")
+    ms = (doc % 7).cast("string")
+
+    def sub(c: Column) -> Column:
+        return F.replace(F.replace(c, F.lit("{d}"), ds),
+                         F.lit("{m}"), ms)
+
+    return j.select(
+        doc.alias("query_id"), F.col("arrival"), F.col("pos"),
+        F.col("itype"),
+        *[(sub(F.col(n)) if ty == "s" else F.col(n)).alias(n)
+          for n, ty in _ITEM_FIELDS])
 
 
 def synth_serp_items_sql() -> str:
@@ -839,7 +848,8 @@ def _rank_str(rank: Column) -> Column:
 
 
 def build_serp_opportunities(parsed: DataFrame, subjects: DataFrame,
-                             limit: int = 5) -> DataFrame:
+                             limit: int = 5,
+                             pre_partitioned: bool = False) -> DataFrame:
     """The nine deterministic opportunity builders (:1237-1753) over
     :func:`parse_serp_blocks` output.
 
@@ -854,8 +864,17 @@ def build_serp_opportunities(parsed: DataFrame, subjects: DataFrame,
     over per-query keys; strings are native concat chains.
     """
     # nine builders each re-scan `parsed` (itself an 11-branch union)
-    # — persist it once; release_cached()/cache_scope() reclaims
-    parsed = track(parsed.persist())
+    # — persist it once; release_cached()/cache_scope() reclaims.
+    # Round 6: persist hash-partitioned by query_id so every builder
+    # join / groupBy / window on query_id reuses this one exchange;
+    # same for the subjects side, which eight builders join. A caller
+    # that already materialized `parsed` partitioned by query_id (e.g.
+    # via repartition + localCheckpoint, which preserves partitioning
+    # through LogicalRDD) passes pre_partitioned=True and skips the
+    # redundant second materialization.
+    if not pre_partitioned:
+        parsed = track(parsed.repartition("query_id").persist())
+    subjects = track(subjects.repartition("query_id").persist())
     q = F.col("query_id")
     seed = F.col("used_seed")
     quote = F.lit('"')
