@@ -316,15 +316,20 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     for i in range(max_iter):
         nbr_min = (edges.join(labels, edges["dst"] == labels["id"])
                    .groupBy("src").agg(F.min("comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr_min,
-                                  labels["id"] == nbr_min["src"], "left")
-                      .select(labels["id"],
-                              F.least("comp", "nbr_comp").alias("comp")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") < F.col("o.comp")).count())
-        labels = new_labels
+        # round 6: the changed flag rides the propagation select
+        # (nbr_comp < comp ⇔ the old new-vs-old join's n.comp < o.comp),
+        # so the convergence probe is a cheap scan of the checkpointed
+        # blocks instead of a third shuffle join per round — measured
+        # ~5.0 s -> ~2.5 s for the 3-round contract graph
+        upd = (labels.join(nbr_min,
+                           labels["id"] == nbr_min["src"], "left")
+               .select(labels["id"],
+                       F.least("comp", "nbr_comp").alias("comp"),
+                       (F.col("nbr_comp") < F.col("comp"))
+                       .alias("_chg")))
+        upd = upd.localCheckpoint(eager=True)
+        changed = upd.filter("_chg").count()
+        labels = upd.drop("_chg")
         if changed == 0:
             converged = True
             break

@@ -567,25 +567,56 @@ def extract_relevant_sections(docs: DataFrame, max_chars: int = 100000,
     ASCII semantics) at ~µs/row; the DuckDB oracle is unchanged and
     still hash-gates it."""
     import re as _re
+    import string as _string
 
     import pandas as pd
 
-    kw_pats = [_re.compile(p, _re.ASCII)
-               for p in SECTION_KEYWORD_PATTERNS]
-    idx_pat = _re.compile(INDEX_DIM_PAT, _re.ASCII)
+    # Round-6 kernel: ONE combined scan over an ASCII-lowercased copy
+    # replaces four (?i) finditer passes. Equivalence argument, pinned
+    # by the DuckDB twin + fixtures:
+    # - `(?i)` + re.ASCII folds ASCII letters only, so an A-Z→a-z
+    #   translate (length-preserving; Greek/accents untouched, exactly
+    #   like ASCII case folding) over the haystack with case-sensitive
+    #   patterns matches the identical spans at identical offsets;
+    # - no keyword literal appears in two families and every match is
+    #   \b-bounded, so a match of one family can never start inside a
+    #   match of another — the combined alternation finds exactly the
+    #   union of the per-family matches;
+    # - matches are re-bucketed per family and emitted in (declared
+    #   family order, position order) — the original iteration order.
+    _ascii_lower = str.maketrans(_string.ascii_uppercase,
+                                 _string.ascii_lowercase)
+    fam_names = [f"f{i}" for i in range(len(SECTION_KEYWORD_PATTERNS))]
+    combined = _re.compile(
+        "|".join(f"(?P<{nm}>{p[4:]})"   # strip the leading "(?i)"
+                 for nm, p in zip(fam_names, SECTION_KEYWORD_PATTERNS)),
+        _re.ASCII)
+    # family lookup via lastindex: each family contributes its named
+    # group plus exactly one inner group, so the highest matched group
+    # number identifies the family (lastgroup would return None here —
+    # the inner groups are unnamed)
+    fam_by_gnum = {}
+    for i, nm in enumerate(fam_names):
+        g = combined.groupindex[nm]
+        fam_by_gnum[g] = i
+        fam_by_gnum[g + 1] = i
+    idx_pat = _re.compile(INDEX_DIM_PAT[4:], _re.ASCII)
 
     def one(t: str) -> str:
         t = t or ""
         n = len(t)
         if n <= max_chars:
             return t
+        low = t.translate(_ascii_lower)
         secs = [t[:head]]
-        index_area = t[index_start:min(index_end, n)]
-        if n > index_end and idx_pat.search(index_area):
-            secs.append(index_area)
-        for pat in kw_pats:
-            for m in pat.finditer(t):
-                s, e = m.start(), m.end()
+        if n > index_end and idx_pat.search(
+                low[index_start:index_end]):
+            secs.append(t[index_start:min(index_end, n)])
+        fams = [[] for _ in fam_names]
+        for m in combined.finditer(low):
+            fams[fam_by_gnum[m.lastindex]].append(m.span())
+        for spans in fams:
+            for s, e in spans:
                 secs.append(t[max(s - around, 0):min(e + around, n)])
         secs.append(t[max(n - tail, 0):])
         return "\n\n---\n\n".join(secs)[:max_chars]
@@ -660,9 +691,18 @@ def synth_section_docs(events: DataFrame) -> DataFrame:
     """~2-4 KB docs against scaled-down constants (max 1500, head
     300, index (300, 900), around 150, tail 200)."""
     e = F.col("event_id")
-    filler = F.array_join(F.array_repeat(
-        F.lit("lorem body line with steady filler text here. "),
-        (F.lit(40) + (e % 4) * 12).cast("int")), "")
+    # constant-folded filler (round 6): the repeat count is 40 + (e%4)*12
+    # ∈ {40, 52, 64, 76} repeats of a 46-char line, so the substr(1, N)
+    # prefixes (N ≤ 700 < 40·46) are row-independent constants and the
+    # full filler is one of four literals — the original array_repeat +
+    # array_join tree re-built up to ~3.5 KB of string per reference,
+    # four references per row. Same bytes out; the DuckDB twin SQL is
+    # unchanged.
+    _line = "lorem body line with steady filler text here. "
+    filler = F.element_at(
+        F.array(*[F.lit(_line * c) for c in (40, 52, 64, 76)]),
+        (e % 4).cast("int") + 1)
+    _prefix = (_line * 40)
     kw1 = F.when(e % 3 == 0, " packaging 12 pieces per box ") \
         .otherwise(F.lit(" plain segment "))
     kw2 = F.when(e % 4 == 0, " ISO certification dossier ") \
@@ -673,9 +713,9 @@ def synth_section_docs(events: DataFrame) -> DataFrame:
         .otherwise(F.lit(" no sizes here "))
     text = F.concat(
         F.lit("HEAD product intro "), (e % 9).cast("string"),
-        F.lit(" "), filler.substr(1, 280),
-        dims, filler.substr(1, 500), kw1, filler.substr(1, 600),
-        kw2, filler.substr(1, 700), kw3, filler,
+        F.lit(" "), F.lit(_prefix[:280]),
+        dims, F.lit(_prefix[:500]), kw1, F.lit(_prefix[:600]),
+        kw2, F.lit(_prefix[:700]), kw3, filler,
         F.lit(" TAIL compliance table "), (e % 6).cast("string"))
     short = F.concat(F.lit("tiny doc "), (e % 11).cast("string"))
     return events.select(
