@@ -108,6 +108,12 @@ def lm_doc_scores(df: DataFrame, counts: DataFrame,
             .select(id_col, F.explode(tris).alias("t"))
             .select(id_col, "t.w1", "t.w2", "t.w3"))
 
+    # five backoff lookups + the token total all slice `counts`: persist
+    # it once or every slice recomputes the corpus explode + groupBy
+    # (6x the aggregation; measured ~2.3 s -> ~1.4 s steady at sf0.1)
+    from mivaa_pdf_extractor_spark.core.cache import track
+    counts = track(counts.persist())
+
     def tbl(n, key_cols, out):
         c = counts.filter(F.col("n") == n).select(
             F.col("gram"), F.col("cnt").alias(out))

@@ -294,12 +294,15 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     per plane is 1 - theta/pi (~0.94 per bit at cosine 0.95), and
     ``n_tables`` independent tables keep the miss rate bounded
     (asserted by tests/test_ann_recall.py)."""
-    if n_planes is None:
-        import math
-        n = df.count()
-        n_planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket)))
     base = track(df.select(F.col(id_col).alias("id"),
                            _as_double(F.col(vec_col)).alias("v")))
+    if n_planes is None:
+        # ADVICE r5: count the persisted slim base (the frame the
+        # scoring re-joins reuse) so the adaptive-plane probe seeds the
+        # cache instead of paying one extra scan of the raw lineage
+        import math
+        n = base.count()
+        n_planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket)))
     buckets = srp_buckets_udf(n_planes, n_tables, dim, seed)
     allt = df.select(
         F.col(id_col).alias("id"),
