@@ -202,7 +202,11 @@ def refresh_cascade(hits: DataFrame, exclusions: DataFrame,
     """
     url_key = F.lower(F.coalesce(F.col("canonical_url"), F.col("url"),
                                  F.lit("")))
-    h = hits.withColumn("_ukey", url_key)
+    # round 6: both dedup windows cluster by (tracked_id, <key>) —
+    # HashPartitioning(tracked_id) satisfies both, so establishing the
+    # partitioning once replaces the two per-window exchanges with one
+    # (guide §2.4); everything downstream is broadcast-joined.
+    h = hits.repartition("tracked_id").withColumn("_ukey", url_key)
     w1 = Window.partitionBy("tracked_id", "_ukey").orderBy("hit_ord")
     h = h.withColumn(
         "_url_dup",
