@@ -5646,14 +5646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf_dir)
         # round 6: synth is a small broadcast template-table join, so
         # no checkpoint is needed on items (parse persists the stream
-        # internally). The parsed union IS checkpointed, partitioned
-        # by query_id first: one materialization that (a) truncates
-        # the 11-branch parse subtree so the nine builders don't
-        # re-analyze it 9x, and (b) preserves HashPartitioning so the
-        # builders' joins/groupBys on query_id add no exchanges.
+        # internally). The parsed union IS checkpointed: one
+        # materialization that truncates the 11-branch parse subtree
+        # so the nine builders don't re-analyze (or re-persist) it 9x.
         items = so.synth_serp_items(d)
-        parsed = (so.parse_serp_blocks(items, limit=2)
-                  .repartition("query_id").localCheckpoint())
+        parsed = so.parse_serp_blocks(items, limit=2).localCheckpoint()
         return so.build_serp_opportunities(
             parsed, so.synth_serp_subjects(d), limit=2,
             pre_partitioned=True)

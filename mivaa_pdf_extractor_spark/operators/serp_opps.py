@@ -106,12 +106,14 @@ def parse_serp_blocks(items: DataFrame, limit: int = 5) -> DataFrame:
     # the plan fans the stream into ~11 typed branches; without a
     # persist every branch recomputes the upstream (the synth's giant
     # when-chains made the contract query pay ~11x) — measured
-    # 14.8 s -> 5.7 s at sf0.01 with the persist. Round 6: persist
-    # ALREADY hash-partitioned by query_id — every branch window
-    # partitions by (query_id[, key]), and HashPartitioning(query_id)
-    # satisfies that clustering, so all 11 branch exchanges collapse
-    # into this one (guide §2.4: establish the partitioning once).
-    items = track(items.repartition("query_id").persist())
+    # 14.8 s -> 5.7 s at sf0.01 with the persist. (Round 6 note: a
+    # repartition("query_id") before the persist was tried to collapse
+    # the branch-window exchanges, but partitioning does not survive a
+    # cache/checkpoint boundary in this build — each branch re-instances
+    # the relation with fresh exprIds and EnsureRequirements re-inserts
+    # the exchange — so the extra shuffle bought nothing and was
+    # dropped.)
+    items = track(items.persist())
     q = F.col("query_id")
     order = [F.col("arrival"), F.col("pos")]
     wq = Window.partitionBy("query_id").orderBy(*order)
@@ -865,16 +867,15 @@ def build_serp_opportunities(parsed: DataFrame, subjects: DataFrame,
     """
     # nine builders each re-scan `parsed` (itself an 11-branch union)
     # — persist it once; release_cached()/cache_scope() reclaims.
-    # Round 6: persist hash-partitioned by query_id so every builder
-    # join / groupBy / window on query_id reuses this one exchange;
-    # same for the subjects side, which eight builders join. A caller
-    # that already materialized `parsed` partitioned by query_id (e.g.
-    # via repartition + localCheckpoint, which preserves partitioning
-    # through LogicalRDD) passes pre_partitioned=True and skips the
-    # redundant second materialization.
+    # Round 6: a caller that already materialized `parsed` (e.g. via
+    # localCheckpoint) passes pre_partitioned=True and skips the
+    # redundant second materialization. The subjects side is persisted
+    # too: eight builders join it, and with its measured in-memory size
+    # AQE turns each of those joins into a broadcast join (no shuffle
+    # on either side).
     if not pre_partitioned:
-        parsed = track(parsed.repartition("query_id").persist())
-    subjects = track(subjects.repartition("query_id").persist())
+        parsed = track(parsed.persist())
+    subjects = track(subjects.persist())
     q = F.col("query_id")
     seed = F.col("used_seed")
     quote = F.lit('"')
