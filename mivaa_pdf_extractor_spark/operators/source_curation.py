@@ -53,7 +53,13 @@ TWO_PART_TLDS = (
 
 
 def registrable(value: Column) -> Column:
-    """Column transcription of _registrable(_host(value)) (:58-77)."""
+    """Column transcription of _registrable(_host(value)) (:58-77).
+
+    Round 6: the host (whose derivation includes a parse_url call) and
+    the split-parts array are bound ONCE each via nested single-element
+    ``transform`` lambdas — a native let-binding. The previous flat
+    expression referenced ``host``/``parts``/``last2`` multiple times
+    and Catalyst inlined ~7 copies of the parse_url chain per row."""
     v = F.lower(F.trim(value))
     bare = (~v.contains("://")) & (~v.contains("/")) & (~v.contains(" "))
     parsed = F.parse_url(
@@ -61,14 +67,22 @@ def registrable(value: Column) -> Column:
         F.lit("HOST"))
     host0 = F.when(v == "", "").otherwise(
         F.when(bare, v).otherwise(F.coalesce(parsed, F.lit(""))))
-    host1 = F.regexp_replace(host0, r"^www\.", "")
-    host = F.split(host1, ":").getItem(0)
-    parts = F.split(host, r"\.")
-    last2 = F.array_join(F.slice(parts, -2, 2), ".")
-    last3 = F.array_join(F.slice(parts, -3, 3), ".")
-    return (F.when(~host.contains("."), host)
-             .when((F.size(parts) >= 3) & last2.isin(*TWO_PART_TLDS), last3)
-             .otherwise(last2))
+    host_expr = F.split(F.regexp_replace(host0, r"^www\.", ""),
+                        ":").getItem(0)
+
+    def decide(host: Column) -> Column:
+        def from_parts(parts: Column) -> Column:
+            last2 = F.array_join(F.slice(parts, -2, 2), ".")
+            last3 = F.array_join(F.slice(parts, -3, 3), ".")
+            return (F.when((F.size(parts) >= 3)
+                           & last2.isin(*TWO_PART_TLDS), last3)
+                    .otherwise(last2))
+
+        multi = F.element_at(
+            F.transform(F.array(F.split(host, r"\.")), from_parts), 1)
+        return F.when(~host.contains("."), host).otherwise(multi)
+
+    return F.element_at(F.transform(F.array(host_expr), decide), 1)
 
 
 def _run_domains(listings: DataFrame) -> DataFrame:
