@@ -175,14 +175,35 @@ def detect_sections(pages: DataFrame, products: DataFrame) -> DataFrame:
     # one regex pass: pages x distinct names per doc
     uniq = named.select("doc_id", "clean", "len_ok", "cutoff",
                         "total_pages", "hpat", "wpat").distinct()
+    # round 6: persist the regex pass — hl/wcnt/cand (and hl again via
+    # nxt/pflags) all fan out from `hits`, and without the persist the
+    # pages × names join with its two PER-ROW-PATTERN regexes (the
+    # single most expensive subtree here; dynamic patterns defeat the
+    # regex instance cache) re-ran for every consumer. Rows are sorted
+    # by name within partitions first so equal patterns are adjacent
+    # and the expression's last-used compiled-pattern cache hits.
+    from mivaa_pdf_extractor_spark.core.cache import track
     hits = (pages.join(uniq, "doc_id")
             .where((F.col("page_num") > F.col("cutoff"))
                    & (F.col("page_num") <= F.col("total_pages")))
+            .sortWithinPartitions("clean")
             .select("doc_id", "clean", "len_ok", "page_num",
-                    F.regexp_like(F.col("content"), F.col("hpat"))
-                     .alias("headline"),
-                    F.regexp_like(F.col("content"), F.col("wpat"))
-                     .alias("word")))
+                    # contains() prefilter: content and clean are both
+                    # lowercased, and both patterns embed the escaped
+                    # literal name, so a regex match implies the plain
+                    # substring is present — the (cheap, codegen'd)
+                    # substring search short-circuits the per-row
+                    # pattern compile+match for the misses, which are
+                    # the overwhelming majority of (page, name) pairs
+                    F.when(F.col("content").contains(F.col("clean")),
+                           F.regexp_like(F.col("content"),
+                                         F.col("hpat")))
+                     .otherwise(F.lit(False)).alias("headline"),
+                    F.when(F.col("content").contains(F.col("clean")),
+                           F.regexp_like(F.col("content"),
+                                         F.col("wpat")))
+                     .otherwise(F.lit(False)).alias("word")))
+    hits = track(hits.persist())
     hl = hits.where("headline").select("doc_id", "clean", "len_ok",
                                        "page_num")
     firsts = hl.groupBy("doc_id", "clean").agg(
