@@ -222,6 +222,10 @@ def opportunity_feed(mentions: DataFrame, subjects: DataFrame,
     four generators ranked by priority desc (ties: type asc, then the
     per-type rank). Returns (subject_id, feed_rank, type, title,
     priority_score)."""
+    # round 6: four generators each re-derive the mention stream —
+    # persist it once (release via release_cached()/cache_scope())
+    from mivaa_pdf_extractor_spark.core.cache import track
+    mentions = track(mentions.persist())
     t = trending_bigrams(mentions, subjects, limit_per_type).select(
         "subject_id", F.lit("trending_topic").alias("type"),
         F.col("phrase").alias("title"), "priority_score", "rank")
