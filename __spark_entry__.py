@@ -5920,9 +5920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["knowledge_cert_propagate"] = knowledge_cert_propagate_q
 
     def _ckb_legend(spark, sf_dir):
+        from mivaa_pdf_extractor_spark.core.cache import track
         from mivaa_pdf_extractor_spark.operators import catalog_kb as kb
         docs = kb.synth_legend_docs(_docs(spark, sf_dir))
-        plan = kb.legend_page_plan(docs)
+        # round 6: the page plan feeds the extractor AND both synth
+        # sides of its joins — persist it once instead of re-running
+        # the plan ladder three times per query
+        plan = track(kb.legend_page_plan(docs).persist())
         ext = kb.extract_legend_pages(plan, kb.synth_legend_vision(plan),
                                       kb.synth_legend_renders(plan))
         return kb, ext

@@ -96,17 +96,30 @@ def propagate_common_fields(products: DataFrame) -> DataFrame:
 
     j = products.join(per_doc, "doc_id")
 
+    # round 6: stage factory_updated and the merged factory object as
+    # real columns — the flat form referenced final_factory 9x in the
+    # concat (and factory_updated 3x more), and Catalyst inlined that
+    # many copies of the 9-field score/merge trees per row. The
+    # multi-referenced non-cheap aliases below block CollapseProject,
+    # so each evaluates once (same pattern as normalize_salaries).
     best_score = F.col("bf")["s"]
     best = F.col("bf")["f"]
     own_score = _factory_score(F.col("factory"))
     own_nonneg = F.greatest(own_score, F.lit(0))
-    factory_updated = (best_score > 0) & (own_nonneg < best_score)
-
-    merged = F.struct(*[
+    merged0 = F.struct(*[
         F.when(~is_empty_col(F.col("factory")[f]), F.col("factory")[f])
          .otherwise(best[f]).alias(f) for f in FACTORY_FIELDS])
-    final_factory = F.when(factory_updated, merged) \
-        .otherwise(F.col("factory"))
+    j = j.select(
+        "*",
+        ((best_score > 0) & (own_nonneg < best_score)).alias("_fupd"),
+        merged0.alias("_merged"))
+    j = j.select(
+        "*",
+        F.when(F.col("_fupd"), F.col("_merged"))
+         .otherwise(F.col("factory")).alias("_ffac"))
+    factory_updated = F.col("_fupd")
+    merged = F.col("_merged")
+    final_factory = F.col("_ffac")
 
     def common_value(f: str) -> Column:
         if f == "material_category":
@@ -118,11 +131,19 @@ def propagate_common_fields(products: DataFrame) -> DataFrame:
     # carries it if a product's factory dict had one — our factory
     # struct doesn't, so only factory_name mirrors (the group-name
     # mirror is a no-op on this schema and the fill path rules)
+    # stage the per-field "would fill" flags once: fill() and the
+    # `updated` disjunction previously re-evaluated the same
+    # is_empty pair per field
+    j = j.select(
+        "*",
+        *[(is_empty_col(m[f]) & ~is_empty_col(common_value(f)))
+          .alias(f"_wf_{f}") for f in COMMON_FIELDS],
+        *[(is_empty_col(p[f]) & ~is_empty_col(F.col(f"n_{f}")))
+          .alias(f"_nwf_{f}") for f in NESTED_FIELDS])
+
     def fill(f: str) -> Column:
-        cur = m[f]
-        com = common_value(f)
-        filled = F.when(is_empty_col(cur) & ~is_empty_col(com), com) \
-            .otherwise(cur)
+        filled = F.when(F.col(f"_wf_{f}"), common_value(f)) \
+            .otherwise(m[f])
         # the factory_name mirror overwrites the top level
         # UNCONDITIONALLY whenever the factory object propagates and
         # the merged object carries a name (:1418-1424)
@@ -133,23 +154,15 @@ def propagate_common_fields(products: DataFrame) -> DataFrame:
                           merged["factory_name"]).otherwise(filled)
         return filled
 
-    def was_filled(f: str) -> Column:
-        cur = m[f]
-        com = common_value(f)
-        return is_empty_col(cur) & ~is_empty_col(com)
-
     def nested_fill(f: str) -> Column:
-        cur = p[f]
-        com = F.col(f"n_{f}")
-        return F.when(is_empty_col(cur) & ~is_empty_col(com), com) \
-            .otherwise(cur)
+        return F.when(F.col(f"_nwf_{f}"), F.col(f"n_{f}")) \
+            .otherwise(p[f])
 
     updated = factory_updated
     for f in COMMON_FIELDS:
-        updated = updated | was_filled(f)
+        updated = updated | F.col(f"_wf_{f}")
     for f in NESTED_FIELDS:
-        updated = updated | (is_empty_col(p[f])
-                             & ~is_empty_col(F.col(f"n_{f}")))
+        updated = updated | F.col(f"_nwf_{f}")
 
     out = [F.col("doc_id"), F.col("product_id")]
     out += [fill(f).alias(f) for f in COMMON_FIELDS]
