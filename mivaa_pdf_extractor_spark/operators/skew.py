@@ -164,10 +164,15 @@ def _extract_giant(giant: DataFrame,
             F.nullif(F.regexp_extract("kind", _PAGE_RE, 1), F.lit("")),
             F.lit("1")).cast("long"))
     )
-    # doc-level failure: any NULL kind (same semantics as the normal path)
-    failed = (exploded.filter(F.col("kind").isNull())
-              .select("doc_id").distinct()
-              .withColumn("is_failed", F.lit(True)))
+    # doc-level failure: any NULL kind (same semantics as the normal
+    # path). Round 6: probed with an array-level exists() on the
+    # persisted DOC rows — the explode + distinct shuffle the round-5
+    # shape paid for this tiny flag is gone (one cheap cached scan,
+    # zero exchanges; giants' spans arrays are non-null by the router's
+    # size() > threshold gate).
+    failed = (giant.filter(F.exists("spans",
+                                    lambda s: s["kind"].isNull()))
+              .select("doc_id").withColumn("is_failed", F.lit(True)))
 
     ok = exploded.filter(F.col("kind").isNotNull()) \
                  .filter(~F.col("base").isin(*C.BOILERPLATE_KINDS))
@@ -194,27 +199,34 @@ def _extract_giant(giant: DataFrame,
         F.nullif(F.regexp_extract("kind", attr_regex("size", FLOAT_ATTR_PATTERN), 1),
                  F.lit("")),
         F.lit("10")).cast("double")
+    # Round 6: the body-size window + tt-vs-body join + second groupBy
+    # of the round-5 shape (3 exchanges + a join over the histogram)
+    # collapse into ONE per-doc aggregation followed by array ops —
+    # the per-doc histogram is bounded by DISTINCT font sizes, so the
+    # collected array is tiny at any document size. Equivalences:
+    # body = first of sort by (count desc, size asc); dense_rank over
+    # distinct sizes desc == index+1 in the sorted-desc array.
     tt = (ok.filter(F.col("base").isin("text", "title"))
           .withColumn("size", size_col)
           .groupBy("doc_id", "size").count())
-    body = (tt.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("doc_id")
-            .orderBy(F.col("count").desc(), F.col("size").asc())))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("size").alias("body_size")))
+    per_doc = tt.groupBy("doc_id").agg(
+        F.collect_list(F.struct("size", "count")).alias("hl"))
+    body_size = F.element_at(
+        F.array_sort(F.transform(
+            F.col("hl"),
+            lambda s: F.struct((-s["count"]).alias("nc"),
+                               s["size"].alias("size")))), 1)["size"]
+    heads_neg = F.array_sort(F.transform(
+        F.filter(F.col("hl"), lambda s: s["size"] > F.col("body_size")),
+        lambda s: -s["size"]))
     headings = (
-        tt.join(body, "doc_id")
-        .filter(F.col("size") > F.col("body_size"))
-        .withColumn("level", F.least(
-            F.dense_rank().over(
-                Window.partitionBy("doc_id").orderBy(F.col("size").desc())),
-            F.lit(C.MAX_HEADING_LEVEL)))
-        .groupBy("doc_id")
-        .agg(F.concat_ws(",", F.collect_list(
-            F.concat_ws(":", F.col("size").cast("string"),
-                        F.col("level").cast("string"))))
-             .alias("heading_str"))
+        per_doc.withColumn("body_size", body_size)
+        .select("doc_id", F.concat_ws(",", F.transform(
+            heads_neg,
+            lambda ns, i: F.concat_ws(
+                ":", (-ns).cast("string"),
+                F.least(i + 1, F.lit(C.MAX_HEADING_LEVEL))
+                .cast("string")))).alias("heading_str"))
     )
 
     # doc-global sheet context (L3/L5 spread remap + the L2 full-spread
