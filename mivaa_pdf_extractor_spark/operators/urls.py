@@ -60,28 +60,45 @@ def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 def _ipv4_blocked(host: F.Column) -> F.Column:
     """Literal-IPv4 family check mirroring ssrf_guard._ip_is_blocked for
     in-scope families; octets > 255 are unparseable -> blocked, like the
-    reference's ValueError path."""
+    reference's ValueError path.
+
+    Round 6: the split/octet intermediates are bound ONCE via nested
+    single-element ``transform`` lambdas (native let-binding). The flat
+    form referenced the four octets ~16 times, each copy inlining
+    split(regexp_extract(<the caller's whole url expression>)) — with
+    the 12-branch synthetic-url chain upstream this pushed the
+    whole-stage-codegen method past Janino's 64 KB limit and the stage
+    silently fell back to interpreted execution."""
     looks_ipv4 = host.rlike(_IPV4_RE)
-    parts = F.split(host, r"\.")
-    # try_cast, not cast: a digit run past int range must classify as
-    # blocked (the reference's unparseable-IP rule), not throw under
-    # ANSI mode and kill the whole classification pass
-    o1 = F.element_at(parts, 1).try_cast("int")
-    o2 = F.element_at(parts, 2).try_cast("int")
-    o3 = F.element_at(parts, 3).try_cast("int")
-    o4 = F.element_at(parts, 4).try_cast("int")
-    out_of_range = (o1.isNull() | o2.isNull() | o3.isNull() | o4.isNull()
-                    | (o1 > 255) | (o2 > 255) | (o3 > 255) | (o4 > 255))
-    blocked = (
-        (o1 == 0) | (o1 == 10) | (o1 == 127)
-        | ((o1 == 169) & (o2 == 254))
-        | ((o1 == 172) & (o2 >= 16) & (o2 <= 31))
-        | ((o1 == 192) & (o2 == 168))
-        # NOT 100.64/10: Python's ipaddress (which the reference guard
-        # calls) reports CGNAT space as neither private nor global, so
-        # _ip_is_blocked admits it
-        | (o1 >= 224))
-    return looks_ipv4 & (out_of_range | blocked)
+
+    def verdict(o: F.Column) -> F.Column:
+        o1, o2, o3, o4 = o["o1"], o["o2"], o["o3"], o["o4"]
+        out_of_range = (o1.isNull() | o2.isNull() | o3.isNull()
+                        | o4.isNull()
+                        | (o1 > 255) | (o2 > 255) | (o3 > 255)
+                        | (o4 > 255))
+        blocked = (
+            (o1 == 0) | (o1 == 10) | (o1 == 127)
+            | ((o1 == 169) & (o2 == 254))
+            | ((o1 == 172) & (o2 >= 16) & (o2 <= 31))
+            | ((o1 == 192) & (o2 == 168))
+            # NOT 100.64/10: Python's ipaddress (which the reference
+            # guard calls) reports CGNAT space as neither private nor
+            # global, so _ip_is_blocked admits it
+            | (o1 >= 224))
+        return out_of_range | blocked
+
+    def check(parts: F.Column) -> F.Column:
+        # try_cast, not cast: a digit run past int range must classify
+        # as blocked (the reference's unparseable-IP rule), not throw
+        # under ANSI mode and kill the whole classification pass
+        octets = F.struct(*[
+            F.element_at(parts, i + 1).try_cast("int").alias(f"o{i + 1}")
+            for i in range(4)])
+        return F.element_at(F.transform(F.array(octets), verdict), 1)
+
+    return looks_ipv4 & F.element_at(
+        F.transform(F.array(F.split(host, r"\.")), check), 1)
 
 
 def classify_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -91,9 +108,12 @@ def classify_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     parsed = parse_urls(df, url_col)
     url = F.col(url_col)
     ext_target = F.substring_index(F.lower(url), "?", 1)
-    bad_ext = F.lit(False)
-    for ext in NON_CONTENT_EXTENSIONS:
-        bad_ext = bad_ext | ext_target.endswith(ext)
+    # exists() over the literal extension array: one bounded expression
+    # instead of an 11-term OR chain that re-inlined ext_target (and
+    # the url expression under it) per term
+    bad_ext = F.exists(
+        F.array(*[F.lit(e) for e in NON_CONTENT_EXTENSIONS]),
+        lambda e: ext_target.endswith(e))
     status = (
         F.when(~F.col("scheme").isin("http", "https"), "blocked_scheme")
         .when((F.col("host") == "")
