@@ -168,6 +168,30 @@ def list_page(requests: DataFrame, jobs: DataFrame) -> DataFrame:
         F.col("field").alias("rk_field"),
         F.col("direction").alias("rk_dir"), "job_id",
         F.row_number().over(w).alias("rk"))
+    # Round 6 (10x-scale audit finding): the request-vs-ranked range
+    # join hashes only on the combo keys, so every request paired with
+    # EVERY ranked job of its combo before the rank-window filter ran
+    # — quadratic in corpus size (measured 2 s at sf0.1, 57 s at 10x).
+    # Pagination only ever reads ranks up to the deepest requested
+    # page, so cap the ranked side at the per-combo max(offset+limit)
+    # first (a broadcast-sized aggregate over the bounded combo
+    # space); ranks past the cap could never have joined. Left-miss
+    # shapes are unchanged: a request whose page lies beyond its
+    # combo's jobs still finds no row and emits the NULL page.
+    need = (req.filter(~F.col("err"))
+            .groupBy("status_filter", "field", "direction")
+            .agg(F.max(F.col("offset") + F.col("limit"))
+                 .alias("_need"))
+            .select(F.col("status_filter").alias("n_sf"),
+                    F.col("field").alias("n_field"),
+                    F.col("direction").alias("n_dir"), "_need"))
+    ranked = (ranked.join(
+        F.broadcast(need),
+        F.col("rk_sf").eqNullSafe(F.col("n_sf"))
+        & (F.col("rk_field") == F.col("n_field"))
+        & (F.col("rk_dir") == F.col("n_dir"))
+        & (F.col("rk") <= F.col("_need")))
+        .select("rk_sf", "rk_field", "rk_dir", "job_id", "rk"))
     out = req.filter(~F.col("err")).join(
         ranked,
         F.col("status_filter").eqNullSafe(F.col("rk_sf"))

@@ -65,15 +65,27 @@ def expand_chunk_hits(hits: DataFrame, chunks: DataFrame, *,
             F.col("product_id").alias("_np"),
             F.col("chunk_index").alias("_nix"),
             F.col("content").alias("_ntext"))
-        j = hits.join(
+        # Round 6 (10x-scale audit finding): the |Δindex| <= n band is
+        # not an equi-condition, so the join hashed only on
+        # (document, product) — with bounded doc cardinality every hit
+        # paired with every chunk of its document before the band
+        # filter ran (42 s at the 10x corpus). A neighbour at distance
+        # <= n is exactly index + off for off in [-n..n]\{0}: explode
+        # the offsets (2n rows per hit) and join on the full
+        # (document, product, index+off) equi-key — identical match
+        # set (each pair matches exactly one offset; NULL indexes
+        # never equal), linear fan-out.
+        offs = [o for o in range(-expand_n, expand_n + 1) if o != 0]
+        hx = hits.select(
+            "chunk_id", "document_id", "product_id", "chunk_index",
+            F.explode(F.array(*[F.lit(o) for o in offs])).alias("_off"))
+        j = hx.join(
             c,
-            (hits["document_id"] == F.col("_nd"))
-            & (hits["product_id"] == F.col("_np"))
-            & (F.col("_nix") != hits["chunk_index"])
-            & (F.abs(F.col("_nix") - hits["chunk_index"])
-               <= expand_n),
+            (hx["document_id"] == F.col("_nd"))
+            & (hx["product_id"] == F.col("_np"))
+            & (F.col("_nix") == hx["chunk_index"] + F.col("_off")),
             "inner")
-        nb = (j.groupBy(hits["chunk_id"].alias("chunk_id"))
+        nb = (j.groupBy(hx["chunk_id"].alias("chunk_id"))
               .agg(F.array_sort(F.collect_list(F.struct(
                   F.coalesce(F.col("_nix").cast("long"),
                              F.lit(_RO_NULL)).alias("ro"),

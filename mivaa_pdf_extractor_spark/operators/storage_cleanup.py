@@ -66,14 +66,27 @@ def storage_delete_scope(listing: DataFrame,
     bucket, path, tier in {tiles, legacy, original})."""
     d = F.broadcast(docs.select("document_id"))
     leaves = listing.filter(~F.col("is_folder"))
+    # Round 6 (10x-scale audit finding): the raw startswith join has no
+    # equi-key, so Spark ran a nested-loop join — every leaf against
+    # every document (measured ~1 s at sf0.1, 48 s at 10x). The prefix
+    # the reference matches is exactly one path segment (document ids
+    # are UUIDs — never contain '/'), so the segment IS an equi-key;
+    # the original startswith predicate stays as the post-join filter,
+    # making the rewrite a pure plan change (hash join + filter) with
+    # an identical match set.
+    seg = F.split(F.col("path"), "/")
     tiles = (leaves.filter(F.col("bucket") == TILES_BUCKET)
-             .join(d, F.col("path").startswith(
+             .withColumn("_k", F.element_at(seg, 2))
+             .join(d, F.col("_k") == F.col("document_id"))
+             .filter(F.col("path").startswith(
                  F.concat(F.lit("extracted/"), F.col("document_id"),
                           F.lit("/"))))
              .select("document_id", "bucket", "path",
                      F.lit("tiles").alias("tier")))
     legacy = (leaves.filter(F.col("bucket") == LEGACY_BUCKET)
-              .join(d, F.col("path").startswith(
+              .withColumn("_k", F.element_at(seg, 1))
+              .join(d, F.col("_k") == F.col("document_id"))
+              .filter(F.col("path").startswith(
                   F.concat(F.col("document_id"), F.lit("/"))))
               .select("document_id", "bucket", "path",
                       F.lit("legacy").alias("tier")))
