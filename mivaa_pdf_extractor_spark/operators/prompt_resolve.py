@@ -71,8 +71,15 @@ def resolve_template_prompt(requests: DataFrame,
     # size — measured 2.2 s at sf0.1 but 166 s at the 10x corpus. The
     # combo table is bounded by workspaces x stages x axis taxonomy,
     # so the fan is now linear in the prompt table.
-    combos = requests.select("workspace_id", "stage", "category",
-                             "industry").distinct()
+    # the two nullable axes are cast to string explicitly: an all-NULL
+    # input column arrives as NullType (void), and void-typed null-safe
+    # join keys hash-mismatch in this Spark build (the re-join below
+    # returned nothing for such frames); the cast is a no-op for real
+    # string columns and NULL for void ones
+    combos = requests.select(
+        "workspace_id", "stage",
+        F.col("category").cast("string").alias("category"),
+        F.col("industry").cast("string").alias("industry")).distinct()
     j = combos.join(F.broadcast(p), ["workspace_id", "stage"], "left")
     tier = (
         F.when(F.col("industry").isNotNull()
@@ -100,31 +107,28 @@ def resolve_template_prompt(requests: DataFrame,
          .agg(F.min(pick).alias("_w")))
     matched = F.col("_w.t") != 5
     winners = g.select(
-        "workspace_id", "stage",
+        F.col("workspace_id").alias("w_ws"),
+        F.col("stage").alias("w_stage"),
         F.col("category").alias("w_category"),
         F.col("industry").alias("w_industry"),
         F.when(matched, F.col("_w.p")).alias("prompt_id"),
         F.when(matched, F.col("_w.t")).cast("int").alias("tier"))
     # null-safe re-attach on the two nullable axes (combos carry every
     # request combo, so this inner join is exact, never lossy). The
-    # winners side descends from `requests` (via combos), so alias
-    # both sides to disambiguate the self-join lineage.
-    r = requests.alias("r")
-    w = winners.alias("w")
-    out = r.join(
-        w,
-        (F.col("r.workspace_id") == F.col("w.workspace_id"))
-        & (F.col("r.stage") == F.col("w.stage"))
-        & F.col("r.category").eqNullSafe(F.col("w.w_category"))
-        & F.col("r.industry").eqNullSafe(F.col("w.w_industry")))
+    # winners side descends from `requests` (via combos), so every
+    # winner column is renamed to a unique name first — with shared
+    # names the self-join lineage misresolves silently.
+    out = requests.join(
+        winners,
+        (F.col("workspace_id") == F.col("w_ws"))
+        & (F.col("stage") == F.col("w_stage"))
+        & F.col("category").cast("string")
+           .eqNullSafe(F.col("w_category"))
+        & F.col("industry").cast("string")
+           .eqNullSafe(F.col("w_industry")))
     return out.select(
-        F.col("r.request_id").alias("request_id"),
-        F.col("r.workspace_id").alias("workspace_id"),
-        F.col("r.stage").alias("stage"),
-        F.col("r.category").alias("category"),
-        F.col("r.industry").alias("industry"),
-        F.col("w.prompt_id").alias("prompt_id"),
-        F.col("w.tier").alias("tier"))
+        "request_id", "workspace_id", "stage", "category", "industry",
+        "prompt_id", "tier")
 
 
 def cache_key(requests: DataFrame) -> DataFrame:
