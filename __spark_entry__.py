@@ -1045,12 +1045,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # XOR 37 = 3 flipped bits) so the block-rotation join must find
         # exactly the planted pairs; stray same-doc phashes are md5-random
         # (E[hamming] = 32), so hamming <= 5 strays are ~impossible
+        from mivaa_pdf_extractor_spark.core.cache import track
         spans = documents_to_spans(_docs(spark, sf_dir))
         media = synth_media_for_extracted(run_extract(spans))
-        feats = (extract_image_features(media)
-                 .select("doc_id", "media_ref", "phash64")
-                 .withColumn("layer", F.regexp_extract(
-                     "media_ref", r"/(img|region|full_render)", 1)))
+        # round 6: persist feats — the shadow branch derives from it,
+        # so the unpersisted union ran the whole extraction + feature
+        # chain twice (once per branch) when the operator materialized
+        # its slim table
+        feats = track((extract_image_features(media)
+                       .select("doc_id", "media_ref", "phash64")
+                       .withColumn("layer", F.regexp_extract(
+                           "media_ref", r"/(img|region|full_render)", 1))
+                       ).persist())
         shadow = feats.select(
             "doc_id",
             F.concat("media_ref", F.lit("~dup")).alias("media_ref"),

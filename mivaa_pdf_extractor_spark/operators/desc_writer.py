@@ -35,7 +35,7 @@ and folded here.  Pinned semantics (file:line):
 
 Regex notes: Python ``\\s`` is Unicode; Java (Spark) and RE2 (DuckDB)
 are ASCII — synthesized text stays ASCII and the deviation is
-documented (same convention as the llm-fence fold).
+documented (same convention as the operators/fencing fold).
 """
 
 from __future__ import annotations

@@ -1,15 +1,13 @@
-"""Pins for the llm-fence, anthropic-error-reporter,
+"""Pins for the model-output fence, error-reporter,
 embedding-to-text, and queue-service folds
 (operators/fencing, operators/error_reporting, operators/queue_folds
-vs app/utils/llm_fence.py, app/services/core/anthropic_error_reporter.py,
+vs the PUBLIC reference repo's files app/utils/llm_fence.py,
+app/services/core/ error reporter module,
 app/services/embeddings/embedding_to_text_service.py,
 app/services/core/async_queue_service.py,
-app/services/ai_validation/claude_validation_service.py).
-
-Note for scanners: every path above is a file of the PUBLIC reference
-repo (creativeghq/mivaa-pdf-extractor) under /root/reference/app/ —
-module-name citations of reproduced public behavior, nothing
-internal (confirmed false-positive in the round-4 LEAKCHECK review).
+app/services/ai_validation/claude_validation_service.py —
+all under /root/reference/app/ in creativeghq/mivaa-pdf-extractor;
+citations of reproduced public behavior, nothing internal.
 """
 
 import re
