@@ -88,17 +88,26 @@ PATTERNS_PATTERN = r"(?i)\b(\d{1,3})\s+patterns?\b"
 
 def _modal(arr: Column) -> Column:
     """Counter.most_common(1) over an ordered candidate array: count
-    desc, first-insertion tie-break. Map-only encode-and-min."""
-    enc = F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
-        lambda i: F.concat(
-            F.lpad((F.lit(9999) - F.size(
-                F.filter(arr, lambda x: x == F.element_at(arr, i))))
-                .cast("string"), 4, "0"),
-            F.lpad(i.cast("string"), 4, "0"),
-            F.element_at(arr, i)))
-    return F.when(F.size(arr) > 0,
-                  F.substring(F.array_min(enc), 9, 1 << 20))
+    desc, first-insertion tie-break. Map-only encode-and-min.
+
+    The argument is let-bound (single-element transform lambda) before
+    the count sweep: a HOF argument expression is re-evaluated on EVERY
+    reference (Spark has no per-row subexpression cache inside lambda
+    bodies), and the sweep below references its array O(n) times per
+    row — callers routinely pass derived arrays (transform/filter
+    chains), which would otherwise be re-materialized per element."""
+    def _body(a: Column) -> Column:
+        enc = F.transform(
+            F.sequence(F.lit(1), F.size(a)),
+            lambda i: F.concat(
+                F.lpad((F.lit(9999) - F.size(
+                    F.filter(a, lambda x: x == F.element_at(a, i))))
+                    .cast("string"), 4, "0"),
+                F.lpad(i.cast("string"), 4, "0"),
+                F.element_at(a, i)))
+        return F.when(F.size(a) > 0,
+                      F.substring(F.array_min(enc), 9, 1 << 20))
+    return F.element_at(F.transform(F.array(arr), _body), 1)
 
 
 def _extract_all(text: Column, flags: str, pat: str, group: int) -> Column:

@@ -95,32 +95,44 @@ def _pretty(values: Column) -> Column:
 
 def _dedupe_cap(values: Column, cap: int) -> Column:
     """_dedupe_pretty: folds by (count desc, first insertion), capped,
-    each represented by its first stripped original."""
-    folds = F.transform(values, lambda v: F.lower(F.trim(v)))
-    idx = F.sequence(F.lit(1), F.size(folds))
-    encs = F.array_compact(F.transform(idx, lambda i: F.when(
-        F.array_position(folds, F.element_at(folds, i)) == i,
-        F.concat(
-            F.lpad((F.lit(9999) - F.size(F.filter(
-                folds, lambda f: f == F.element_at(folds, i))))
-                .cast("string"), 4, "0"),
-            F.lpad(i.cast("string"), 4, "0")))))
-    picked = F.slice(F.array_sort(encs), 1, cap)
-    out = F.transform(picked, lambda e: F.trim(F.element_at(
-        values, F.substring(e, 5, 4).cast("int"))))
-    return F.when(F.size(values) > 0, out).otherwise(_empty())
+    each represented by its first stripped original.
+
+    ``values`` and the derived fold array are let-bound once (single-
+    element transform lambdas): the sweep references the fold array
+    O(n) times per row and HOF arguments are re-evaluated per
+    reference."""
+    def _body(vals: Column) -> Column:
+        def _inner(folds: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(folds))
+            encs = F.array_compact(F.transform(idx, lambda i: F.when(
+                F.array_position(folds, F.element_at(folds, i)) == i,
+                F.concat(
+                    F.lpad((F.lit(9999) - F.size(F.filter(
+                        folds, lambda f: f == F.element_at(folds, i))))
+                        .cast("string"), 4, "0"),
+                    F.lpad(i.cast("string"), 4, "0")))))
+            picked = F.slice(F.array_sort(encs), 1, cap)
+            return F.transform(picked, lambda e: F.trim(F.element_at(
+                vals, F.substring(e, 5, 4).cast("int"))))
+        out = F.element_at(F.transform(F.array(
+            F.transform(vals, lambda v: F.lower(F.trim(v)))), _inner), 1)
+        return F.when(F.size(vals) > 0, out).otherwise(_empty())
+    return F.element_at(F.transform(F.array(values), _body), 1)
 
 
 def _longest_first(values: Column) -> Column:
-    """max(values, key=len): longest, FIRST on ties."""
-    idx = F.sequence(F.lit(1), F.size(values))
-    encs = F.transform(idx, lambda i: F.concat(
-        F.lpad((F.lit(99999) - F.length(F.element_at(values, i)))
-               .cast("string"), 5, "0"),
-        F.lpad(i.cast("string"), 4, "0"),
-        F.element_at(values, i)))
-    return F.when(F.size(values) > 0,
-                  F.substring(F.array_min(encs), 10, 1 << 20))
+    """max(values, key=len): longest, FIRST on ties. Argument let-bound
+    once (same rationale as ``_modal``)."""
+    def _body(vals: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(vals))
+        encs = F.transform(idx, lambda i: F.concat(
+            F.lpad((F.lit(99999) - F.length(F.element_at(vals, i)))
+                   .cast("string"), 5, "0"),
+            F.lpad(i.cast("string"), 4, "0"),
+            F.element_at(vals, i)))
+        return F.when(F.size(vals) > 0,
+                      F.substring(F.array_min(encs), 10, 1 << 20))
+    return F.element_at(F.transform(F.array(values), _body), 1)
 
 
 def normalize_vision_category_col(key: Column) -> Column:
@@ -218,18 +230,23 @@ def rollup_vision(rows: DataFrame) -> DataFrame:
     # Why: Spark evaluates a HOF's argument expression on every
     # reference — there is no per-row subexpression cache in either
     # interpreted or codegen mode. _most_common_pretty nests the
-    # winning-fold modal (an O(n^3) expression) inside the candidate
+    # winning-fold modal (an O(n^2+) expression) inside the candidate
     # filter's per-element lambda, and the outer modal then touches the
-    # filtered array O(n^2) more times: if CollapseProject inlines the
-    # win expression, the composed tree evaluates in O(n^6) per product
-    # — measured as a multi-minute stall at just ~40 candidates.
+    # filtered array O(n) more times: if CollapseProject inlines the
+    # win expression, the composed tree's cost multiplies per nesting
+    # level — measured as a multi-minute stall at just ~40 candidates.
     # Computing each field's winning FOLD as a real column first and
-    # cutting lineage with an eager localCheckpoint (a genuine barrier
-    # CollapseProject cannot cross) keeps every stage at O(n^3) worst
-    # case. The checkpointed frame is one row per product with
-    # row-sized arrays — at any corpus scale this is the already-
-    # aggregated side, so the extra materialization is a rounding
-    # error next to the groupBy shuffle that precedes it.
+    # cutting the plan with a persist() barrier (the CacheManager
+    # substitutes InMemoryRelation after analysis and BEFORE the
+    # optimizer runs, so CollapseProject cannot cross it) keeps every
+    # stage's cost bounded. Round 6: this was an eager localCheckpoint;
+    # the lazy persist is the same barrier but runs as part of the
+    # first action instead of a separate driver-blocking job (and the
+    # bench's release_cached() drops it between runs via track). The
+    # persisted frame is one row per product with row-sized arrays —
+    # at any corpus scale this is the already-aggregated side, so the
+    # materialization is a rounding error next to the groupBy shuffle
+    # that precedes it.
     def win_fold(col):
         return _modal(F.transform(F.col(col),
                                   lambda v: F.lower(F.trim(v))))
@@ -249,7 +266,8 @@ def rollup_vision(rows: DataFrame) -> DataFrame:
         win_fold("pats").alias("pats_wf"),
         win_fold("styles").alias("styles_wf"),
         win_fold("tex").alias("tex_wf"))
-    wins = wins.localCheckpoint(eager=True)
+    from mivaa_pdf_extractor_spark.core.cache import track
+    wins = track(wins)
 
     def pretty_of(col, wf):
         # second half of _most_common_pretty: modal stripped original
