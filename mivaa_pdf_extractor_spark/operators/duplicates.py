@@ -81,6 +81,14 @@ def _seqratio(a: Column, b: Column) -> Column:
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    # memoize per distinct input pair: same-factory candidate pairs
+    # draw names/descriptions from a small per-factory vocabulary, so
+    # the same (s1, s2) recurs across many pairs. The memo lives in the
+    # closure and persists across Arrow batches within a task (§4.5);
+    # the size cap bounds worker memory — on a pathological corpus with
+    # no repeats the cost degrades to the uncached difflib sweep.
+    memo: dict = {}
+
     def _fn(x, y):
         from difflib import SequenceMatcher
         out = []
@@ -88,8 +96,14 @@ def _seqratio(a: Column, b: Column) -> Column:
             if not s1 or not s2:
                 out.append(0.0)
                 continue
-            out.append(SequenceMatcher(
-                None, s1.lower().strip(), s2.lower().strip()).ratio())
+            k = (s1, s2)
+            r = memo.get(k)
+            if r is None:
+                r = SequenceMatcher(
+                    None, s1.lower().strip(), s2.lower().strip()).ratio()
+                if len(memo) < (1 << 17):
+                    memo[k] = r
+            out.append(r)
         return pd.Series(out)
 
     _fn.__annotations__ = {"x": pd.Series, "y": pd.Series,
@@ -108,6 +122,8 @@ def _meta_sim(a: Column, b: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     fkeys = set(FACTORY_KEYS)
+    # fuzzy-tier memo, same rationale and bound as _seqratio's
+    memo: dict = {}
 
     def _fn(ms1, ms2):
         from difflib import SequenceMatcher
@@ -130,10 +146,17 @@ def _meta_sim(a: Column, b: Column) -> Column:
                     if v1 == v2:
                         mv += 1
                     elif isinstance(v1, str) and isinstance(v2, str):
-                        if v1 and v2 and SequenceMatcher(
-                                None, v1.lower().strip(),
-                                v2.lower().strip()).ratio() > 0.8:
-                            mv += 0.8
+                        if v1 and v2:
+                            pk = (v1, v2)
+                            r = memo.get(pk)
+                            if r is None:
+                                r = SequenceMatcher(
+                                    None, v1.lower().strip(),
+                                    v2.lower().strip()).ratio()
+                                if len(memo) < (1 << 17):
+                                    memo[pk] = r
+                            if r > 0.8:
+                                mv += 0.8
             out.append(((mk / len(keys)) + (mv / len(keys))) / 2)
         return pd.Series(out)
 
