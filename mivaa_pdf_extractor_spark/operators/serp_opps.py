@@ -103,113 +103,131 @@ def parse_serp_blocks(items: DataFrame, limit: int = 5) -> DataFrame:
     seller, price double, currency, rating double, text, expanded,
     rank long, subtitle, card_id, image_url)``.
     """
-    # the plan fans the stream into ~11 typed branches; without a
-    # persist every branch recomputes the upstream (the synth's giant
-    # when-chains made the contract query pay ~11x) — measured
-    # 14.8 s -> 5.7 s at sf0.01 with the persist. (Round 6 note: a
-    # repartition("query_id") before the persist was tried to collapse
-    # the branch-window exchanges, but partitioning does not survive a
-    # cache/checkpoint boundary in this build — each branch re-instances
-    # the relation with fresh exprIds and EnsureRequirements re-inserts
-    # the exchange — so the extra shuffle bought nothing and was
-    # dropped.)
-    items = track(items.persist())
+    # Round 6 restructure: the round-5 shape ran each family as its own
+    # filter + window over a persisted item stream — ~11 branches with
+    # 1-2 exchanges each (52 Exchange nodes) — and the wall was
+    # stage-cascade-bound, not data-bound. Every family window clusters
+    # by query_id, so ONE hash repartition on query_id now feeds every
+    # window (hash(query_id) satisfies the (query_id, family[, key])
+    # clustering requirements; only the local sorts differ). The family
+    # row-gates, the dedup rule and the per-family cap run as a shared
+    # projection plus two shared window passes, and the family output
+    # projections collapse into ONE branch-conditional wide projection
+    # (plus the ai_overview text aggregate, the only family that
+    # aggregates instead of ranking — it joins back via the final
+    # union, and its window/groupBy reuse the same query_id exchange
+    # subtree). Row-for-row identical output (the DuckDB twin is
+    # unchanged); families without a dedup key get a per-row-unique
+    # (arrival#pos) key, which makes the shared dedup window a no-op
+    # for them exactly like the round-5 per-family shape.
     q = F.col("query_id")
+    itype = F.col("itype")
     order = [F.col("arrival"), F.col("pos")]
-    wq = Window.partitionBy("query_id").orderBy(*order)
 
-    def accepted(df: DataFrame, cap: int | None) -> DataFrame:
-        out = df.withColumn("pos_out", F.row_number().over(wq))
-        if cap is not None:
-            out = out.filter(F.col("pos_out") <= cap)
-        return out
+    # persist: the item stream feeds the two union branches below (the
+    # family pipeline and the ai-text aggregate); it is also a codegen
+    # boundary between the synth's ~70-template string-replace chains
+    # and the window pipeline (fused, the single generated stage paid a
+    # multi-second first-invocation JIT)
+    items = track(items.persist())
+    t = F.trim(F.col("title"))
+    dom_l = F.lower(F.coalesce(F.col("domain"), F.lit("")))
+    part = F.trim(F.when(F.col("text") != "", F.col("text"))
+                  .otherwise(F.col("description")))
+    pre = (items.repartition("query_id")
+           .withColumn("_t", t)
+           .withColumn("_dom", dom_l)
+           .withColumn("_part", part))
 
-    def dedup(df: DataFrame, key: Column) -> DataFrame:
-        w = Window.partitionBy(q, key).orderBy(*order)
-        return (df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-
-    parts = []
-
-    # people_also_ask (:1069-1082)
-    pao = items.filter(F.col("itype") == "people_also_ask") \
-        .withColumn("t", F.trim(F.col("title"))).filter(F.col("t") != "")
-    pao = accepted(dedup(pao, normalize_text(F.col("t"))), 2 * limit)
-    parts.append(pao.select(*_nulls({
-        "query_id": q, "block_type": F.lit("pao"),
-        "pos": F.col("pos_out").cast("long"), "title": F.col("t"),
-        "expanded": F.col("expanded")})))
-
-    # ai_overview — first block claims the slot (:1084-1104)
-    ai_all = items.filter(F.col("itype").isin("ai_overview",
-                                              "ai_overview_ref"))
-    first_arr = Window.partitionBy("query_id")
-    ai_first = (ai_all
-                .withColumn("_fa", F.min("arrival").over(first_arr))
-                .filter(F.col("arrival") == F.col("_fa")))
-    ai_text_rows = (ai_first.filter(F.col("itype") == "ai_overview")
-                    .withColumn("part", F.trim(
-                        F.when(F.col("text") != "", F.col("text"))
-                         .otherwise(F.col("description"))))
-                    .filter(F.col("part") != ""))
-    ai_txt = (ai_text_rows.groupBy("query_id")
+    # ---- branch B: the FIRST ai_overview block's joined text ----
+    # (:1084-1104) — needs only the first-arrival gate, no dedup/cap;
+    # its window and groupBy ride the query_id clustering of `pre`
+    ai = pre.filter(itype.isin("ai_overview", "ai_overview_ref"))
+    ai_first = (ai.withColumn(
+        "_fa", F.min("arrival").over(Window.partitionBy("query_id")))
+        .filter(F.col("arrival") == F.col("_fa")))
+    ai_txt = (ai_first
+              .filter((itype == "ai_overview") & (F.col("_part") != ""))
+              .groupBy("query_id")
               .agg(F.substring(F.concat_ws(" ", F.transform(
                   F.array_sort(F.collect_list(
-                      F.struct(F.col("pos"), F.col("part")))),
+                      F.struct(F.col("pos"),
+                               F.col("_part").alias("part")))),
                   lambda s: s["part"])), 1, 1500).alias("text")))
-    parts.append(ai_txt.select(*_nulls({
-        "query_id": q, "block_type": F.lit("ai_overview"),
-        "pos": F.lit(1).cast("long"), "text": F.col("text")})))
-    ai_refs = accepted(ai_first.filter(F.col("itype")
-                                       == "ai_overview_ref"), 10)
-    parts.append(ai_refs.select(*_nulls({
-        "query_id": q, "block_type": F.lit("ai_reference"),
-        "pos": F.col("pos_out").cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "url": F.col("url"), "domain": F.col("domain"),
-        "source": F.col("source")})))
 
-    # featured_snippet — first block (:1106-1112)
-    fs = accepted(items.filter(F.col("itype") == "featured_snippet"), 1)
-    parts.append(fs.select(*_nulls({
-        "query_id": q, "block_type": F.lit("featured_snippet"),
-        "pos": F.lit(1).cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "description": F.substring(
-            F.coalesce(F.col("description"), F.lit("")), 1, 400),
-        "url": F.col("url"), "domain": F.col("domain")})))
+    # ---- branch A: every ranking family in one pipeline ----
+    # first-arrival gate for ai_reference rows: conditional min ==
+    # min over the ai-filtered subset used by branch B
+    _fa = F.min(F.when(itype.isin("ai_overview", "ai_overview_ref"),
+                       F.col("arrival"))) \
+           .over(Window.partitionBy("query_id"))
+    br = F.col("branch")
+    branch = (
+        # people_also_ask (:1069-1082): blank titles skipped
+        F.when((itype == "people_also_ask") & (F.col("_t") != ""),
+               F.lit("pao"))
+        .when((itype == "ai_overview_ref")
+              & (F.col("arrival") == F.col("_fa")),
+              F.lit("ai_reference"))
+        # featured_snippet — first block (:1106-1112)
+        .when(itype == "featured_snippet", F.lit("featured_snippet"))
+        # related_searches (:1114-1125): blank skipped
+        .when((itype == "related_searches") & (F.col("_t") != ""),
+              F.lit("related_search"))
+        # organic — strict first 10 (:1127-1136)
+        .when(itype == "organic", F.lit("organic"))
+        # videos — 3 block types, empty URLs skipped (:1139-1176)
+        .when(itype.isin("video", "short_videos", "inline_videos")
+              & (F.coalesce(F.col("url"), F.lit("")) != ""),
+              F.lit("video"))
+        # top_stories (:1179-1192)
+        .when(itype == "top_stories", F.lit("news_story"))
+        # knowledge_graph — first block (:1195-1203)
+        .when(itype == "knowledge_graph", F.lit("knowledge_graph"))
+        # paid + commercial_units sub-items, empty domains skipped
+        # (:1206-1222)
+        .when(itype.isin("paid", "commercial_units")
+              & (F.col("_dom") != ""), F.lit("paid"))
+        # shopping (:1225-1236)
+        .when(itype.isin("popular_products", "shopping"),
+              F.lit("shopping")))
 
-    # related_searches (:1114-1125)
-    rel = items.filter(F.col("itype") == "related_searches") \
-        .withColumn("t", F.trim(F.col("title"))).filter(F.col("t") != "")
-    rel = accepted(dedup(rel, normalize_text(F.col("t"))), 2 * limit)
-    parts.append(rel.select(*_nulls({
-        "query_id": q, "block_type": F.lit("related_search"),
-        "pos": F.col("pos_out").cast("long"), "title": F.col("t")})))
+    # dedup keys: normalized title for pao/related, url for videos;
+    # families without a dedup rule get a per-row-unique key
+    unique = F.concat_ws("#", F.col("arrival").cast("string"),
+                         F.col("pos").cast("string"))
+    dkey = (F.when(br.isin("pao", "related_search"),
+                   normalize_text(F.col("_t")))
+            .when(br == "video", F.col("url"))
+            .otherwise(unique))
 
-    # organic — strict first 10 (:1127-1136)
-    org = accepted(items.filter(F.col("itype") == "organic"), 10)
-    parts.append(org.select(*_nulls({
-        "query_id": q, "block_type": F.lit("organic"),
-        "pos": F.col("pos_out").cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "description": F.substring(
-            F.coalesce(F.col("description"), F.lit("")), 1, 400),
-        "url": F.col("url"), "domain": F.col("domain"),
-        "rank": F.col("rank")})))
+    # per-family accepted-rank caps
+    cap = (F.when(br.isin("pao", "related_search"), 2 * limit)
+           .when(br == "ai_reference", 10)
+           .when(br.isin("featured_snippet", "knowledge_graph"), 1)
+           .when(br.isin("organic", "paid"), 10)
+           .when(br == "video", 30)
+           .when(br.isin("news_story", "shopping"), 12))
 
-    # videos — union of 3 block types, global dedup + cap (:1139-1176)
-    vid = items.filter(F.col("itype").isin(
-        "video", "short_videos", "inline_videos")) \
-        .filter(F.coalesce(F.col("url"), F.lit("")) != "")
-    vid = accepted(dedup(vid, F.col("url")), 30)
-    dom = F.lower(F.coalesce(F.col("domain"), F.lit("")))
-    kind = (F.when(F.col("itype") == "short_videos", F.lit("short"))
-            .when(F.col("itype") == "inline_videos", F.lit("inline"))
+    w1 = Window.partitionBy("query_id", "branch", "dkey").orderBy(*order)
+    w2 = Window.partitionBy("query_id", "branch").orderBy(*order)
+    staged = (pre.withColumn("_fa", _fa)
+              .withColumn("branch", branch)
+              .filter(br.isNotNull())
+              .withColumn("dkey", dkey)
+              .withColumn("_rn", F.row_number().over(w1))
+              .filter(F.col("_rn") == 1)
+              .withColumn("pos_out", F.row_number().over(w2))
+              .filter(F.col("pos_out") <= cap))
+
+    # one branch-conditional projection emits every family's output row
+    # (same per-family truncations/fallbacks as the round-5 projections)
+    t200 = F.substring(F.coalesce(F.col("title"), F.lit("")), 1, 200)
+    desc = F.coalesce(F.col("description"), F.lit(""))
+    kind = (F.when(itype == "short_videos", F.lit("short"))
+            .when(itype == "inline_videos", F.lit("inline"))
             .otherwise(F.lit("video")))
+    dom = F.col("_dom")
     platform = (
         F.when(dom.contains("tiktok.com"), F.lit("tiktok"))
         .when(dom.contains("youtube.com") | dom.contains("youtu.be"),
@@ -220,84 +238,72 @@ def parse_serp_blocks(items: DataFrame, limit: int = 5) -> DataFrame:
               F.lit("facebook"))
         .when(dom.contains("vimeo.com"), F.lit("vimeo"))
         .otherwise(F.lit("other")))
-    parts.append(vid.select(*_nulls({
-        "query_id": q, "block_type": F.lit("video"),
-        "pos": F.col("pos_out").cast("long"), "kind": kind,
-        "platform": platform,
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "url": F.col("url"), "domain": dom,
-        "creator": F.substring(
+    nstr = F.lit(None).cast("string")
+    main = staged.select(*_nulls({
+        "query_id": q,
+        "block_type": br,
+        "pos": F.col("pos_out").cast("long"),
+        "title": F.when(br.isin("pao", "related_search"), F.col("_t"))
+                  .otherwise(t200),
+        "description": F.when(br == "featured_snippet",
+                              F.substring(desc, 1, 400))
+                        .when(br == "organic", F.substring(desc, 1, 400))
+                        .when(br == "knowledge_graph",
+                              F.substring(desc, 1, 600))
+                        .when(br == "paid", F.substring(desc, 1, 300))
+                        .otherwise(nstr),
+        "url": F.when(br.isin("pao", "related_search"), nstr)
+                .otherwise(F.col("url")),
+        "domain": F.when(br.isin("ai_reference", "featured_snippet",
+                                 "organic"), F.col("domain"))
+                   .when(br.isin("video", "news_story", "paid",
+                                 "shopping"), dom)
+                   .otherwise(nstr),
+        "source": F.when(br == "ai_reference", F.col("source"))
+                   .when(br == "news_story", F.substring(
+                       F.coalesce(F.col("source"), F.lit("")), 1, 120))
+                   .otherwise(nstr),
+        "kind": F.when(br == "video", kind).otherwise(nstr),
+        "platform": F.when(br == "video", platform).otherwise(nstr),
+        "creator": F.when(br == "video", F.substring(
             F.when(F.coalesce(F.col("source"), F.lit("")) != "",
                    F.col("source"))
-             .otherwise(F.coalesce(F.col("author"), F.lit(""))), 1, 120),
-        "duration": F.coalesce(F.col("duration"), F.lit("")),
-        "event_ts": F.coalesce(F.col("event_ts"), F.lit(""))})))
-
-    # top_stories (:1179-1192)
-    news = accepted(items.filter(F.col("itype") == "top_stories"), 12)
-    parts.append(news.select(*_nulls({
-        "query_id": q, "block_type": F.lit("news_story"),
-        "pos": F.col("pos_out").cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "url": F.col("url"),
-        "domain": F.lower(F.coalesce(F.col("domain"), F.lit(""))),
-        "source": F.substring(F.coalesce(F.col("source"), F.lit("")),
-                              1, 120),
-        "event_ts": F.col("event_ts")})))
-
-    # knowledge_graph — first block (:1195-1203)
-    kg = accepted(items.filter(F.col("itype") == "knowledge_graph"), 1)
-    parts.append(kg.select(*_nulls({
-        "query_id": q, "block_type": F.lit("knowledge_graph"),
-        "pos": F.lit(1).cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "subtitle": F.substring(F.coalesce(F.col("subtitle"),
-                                           F.lit("")), 1, 200),
-        "description": F.substring(
-            F.coalesce(F.col("description"), F.lit("")), 1, 600),
-        "url": F.col("url"), "card_id": F.col("card_id"),
-        "image_url": F.col("image_url")})))
-
-    # paid + commercial_units sub-items (:1206-1222)
-    paid = items.filter(F.col("itype").isin("paid", "commercial_units")) \
-        .withColumn("dom", F.lower(F.coalesce(F.col("domain"),
-                                              F.lit("")))) \
-        .filter(F.col("dom") != "")
-    paid = accepted(paid, 10)
-    parts.append(paid.select(*_nulls({
-        "query_id": q, "block_type": F.lit("paid"),
-        "pos": F.col("pos_out").cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "description": F.substring(
-            F.coalesce(F.col("description"), F.lit("")), 1, 300),
-        "url": F.col("url"), "domain": F.col("dom"),
-        "rank": F.col("rank")})))
-
-    # shopping (:1225-1236)
-    shop = accepted(items.filter(F.col("itype").isin(
-        "popular_products", "shopping")), 12)
-    parts.append(shop.select(*_nulls({
-        "query_id": q, "block_type": F.lit("shopping"),
-        "pos": F.col("pos_out").cast("long"),
-        "title": F.substring(F.coalesce(F.col("title"), F.lit("")),
-                             1, 200),
-        "url": F.col("url"),
-        "domain": F.lower(F.coalesce(F.col("domain"), F.lit(""))),
-        "seller": F.substring(
+             .otherwise(F.coalesce(F.col("author"), F.lit(""))),
+            1, 120)).otherwise(nstr),
+        "duration": F.when(br == "video",
+                           F.coalesce(F.col("duration"), F.lit("")))
+                     .otherwise(nstr),
+        "event_ts": F.when(br == "video",
+                           F.coalesce(F.col("event_ts"), F.lit("")))
+                     .when(br == "news_story", F.col("event_ts"))
+                     .otherwise(nstr),
+        "seller": F.when(br == "shopping", F.substring(
             F.when(F.coalesce(F.col("seller"), F.lit("")) != "",
                    F.col("seller"))
-             .otherwise(F.coalesce(F.col("source"), F.lit(""))), 1, 120),
-        "price": F.col("price"), "currency": F.col("currency"),
-        "rating": F.col("rating")})))
+             .otherwise(F.coalesce(F.col("source"), F.lit(""))),
+            1, 120)).otherwise(nstr),
+        "price": F.when(br == "shopping", F.col("price"))
+                  .otherwise(F.lit(None).cast("double")),
+        "currency": F.when(br == "shopping", F.col("currency"))
+                     .otherwise(nstr),
+        "rating": F.when(br == "shopping", F.col("rating"))
+                   .otherwise(F.lit(None).cast("double")),
+        "rank": F.when(br.isin("organic", "paid"), F.col("rank"))
+                 .otherwise(F.lit(None).cast("long")),
+        "subtitle": F.when(br == "knowledge_graph", F.substring(
+            F.coalesce(F.col("subtitle"), F.lit("")), 1, 200))
+            .otherwise(nstr),
+        "card_id": F.when(br == "knowledge_graph", F.col("card_id"))
+                    .otherwise(nstr),
+        "image_url": F.when(br == "knowledge_graph", F.col("image_url"))
+                      .otherwise(nstr),
+        "expanded": F.when(br == "pao", F.col("expanded"))
+                     .otherwise(nstr)}))
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ai_out = ai_txt.select(*_nulls({
+        "query_id": q, "block_type": F.lit("ai_overview"),
+        "pos": F.lit(1).cast("long"), "text": F.col("text")}))
+    return main.unionByName(ai_out)
 
 
 # --- deterministic synth item stream + subjects ----------------------
