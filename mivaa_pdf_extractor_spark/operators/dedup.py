@@ -25,7 +25,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, \
+    types as T
 
 from ..core.cache import track
 from .text_analysis import content_hash
@@ -204,28 +205,41 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     sims = track(simhash(df, text_col, id_col))
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    blocks = []
-    for i in range(nblocks):
-        shift = i * width
-        blocks.append(sims.select(
-            "id", "simhash",
-            F.lit(i).alias("block"),
-            F.shiftright(F.col("simhash"), shift).bitwiseAND(
-                F.lit((1 << width) - 1)).alias("block_val"),
-        ))
-    allb = blocks[0]
-    for x in blocks[1:]:
-        allb = allb.unionByName(x)
+
+    def blk(col: Column, i: int) -> Column:
+        return F.shiftright(col, i * width).bitwiseAND(
+            F.lit((1 << width) - 1))
+
+    # round 6: posexplode of a literal block array replaces the
+    # nblocks-branch union (one scan of the persisted signatures per
+    # join side instead of nblocks), and the pair dedup is a
+    # first-equal-block filter instead of a distinct(): a pair within
+    # distance can match on several blocks, and keeping only the match
+    # whose block index equals the FIRST index where the two hashes
+    # agree selects exactly one copy per pair without an extra
+    # exchange. Same pair set, same columns.
+    allb = sims.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("block"),
+                     blk(F.col("simhash"), i).alias("block_val"))
+            for i in range(nblocks)])).alias("bv")) \
+        .select("id", "simhash", F.col("bv.block").alias("block"),
+                F.col("bv.block_val").alias("block_val"))
     a, b = allb.alias("a"), allb.alias("b")
     cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.block_val") == F.col("b.block_val"))
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
-            .distinct())
+                    F.col("b.simhash").alias("sh_b"),
+                    F.col("a.block").alias("block")))
+    first_eq = F.coalesce(*[
+        F.when(blk(F.col("sh_a"), i) == blk(F.col("sh_b"), i), F.lit(i))
+        for i in range(nblocks)])
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", hamming)
+    return (cand.filter(F.col("block") == first_eq)
+            .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 
@@ -252,19 +266,30 @@ def phash_hamming_pairs(features: DataFrame, max_hamming: int = 5,
     bcols = list(bucket_cols)
     slim = track(features.select(
         *bcols, F.col(id_col).alias("id"), F.col(hash_col).alias("ph")))
-    blocks = []
-    shift = 0
-    for i in range(nblocks):
-        width = base_w + (1 if i < rem else 0)
+    widths = [base_w + (1 if i < rem else 0) for i in range(nblocks)]
+    shifts = [sum(widths[:i]) for i in range(nblocks)]
+
+    def blk(col: Column, i: int) -> Column:
         # arithmetic shiftright + mask == logical shift on the low bits
-        blocks.append(slim.select(
-            *bcols, "id", "ph", F.lit(i).alias("block"),
-            F.shiftright(F.col("ph"), shift).bitwiseAND(
-                F.lit((1 << width) - 1)).alias("block_val")))
-        shift += width
-    allb = blocks[0]
-    for x in blocks[1:]:
-        allb = allb.unionByName(x)
+        return F.shiftright(col, shifts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1))
+
+    # round 6: posexplode of a literal block array replaces the
+    # nblocks-branch union (one scan of the persisted slim table per
+    # join side instead of nblocks), and the pair dedup is a
+    # first-equal-block filter instead of a distinct() — a pair within
+    # distance matches on every block where the hashes agree; keeping
+    # only the candidate whose join block is the FIRST agreeing index
+    # selects exactly one copy per pair with no extra exchange. Same
+    # pair set, same columns.
+    allb = slim.select(
+        *bcols, "id", "ph",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("block"),
+                     blk(F.col("ph"), i).alias("block_val"))
+            for i in range(nblocks)])).alias("bv")) \
+        .select(*bcols, "id", "ph", F.col("bv.block").alias("block"),
+                F.col("bv.block_val").alias("block_val"))
     a, b = allb.alias("a"), allb.alias("b")
     cond = (F.col("a.block") == F.col("b.block")) \
         & (F.col("a.block_val") == F.col("b.block_val")) \
@@ -274,10 +299,14 @@ def phash_hamming_pairs(features: DataFrame, max_hamming: int = 5,
     cand = (a.join(b, cond)
             .select(*[F.col(f"a.{c}") for c in bcols],
                     F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"))
-            .distinct())
+                    F.col("a.ph").alias("ph_a"), F.col("b.ph").alias("ph_b"),
+                    F.col("a.block").alias("block")))
+    first_eq = F.coalesce(*[
+        F.when(blk(F.col("ph_a"), i) == blk(F.col("ph_b"), i), F.lit(i))
+        for i in range(nblocks)])
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (cand.withColumn("hamming", hamming.cast("int"))
+    return (cand.filter(F.col("block") == first_eq)
+            .withColumn("hamming", hamming.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select(*bcols, "id_a", "id_b", "hamming"))
 
