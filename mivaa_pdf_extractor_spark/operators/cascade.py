@@ -142,12 +142,20 @@ def cascade_delete_plan(scope: DataFrame, jobs: DataFrame,
     if preserve_outputs:
         return out
 
+    # persist the per-kind slices, NOT the scope union: the kind filter
+    # prunes the union down to one branch per slice (persisting the
+    # union would force materializing all branches for every consumer —
+    # measured slower in round 6), and the slices below feed 2-4
+    # consumers each (sprods x3, simgs x4, and simgs itself re-derives
+    # the product branch) — unpersisted, the product-resolution joins
+    # re-ran up to 7x
+    from ..core.cache import track
     sdocs = scope.filter(F.col("kind") == "document").select(
         "job_id", F.col("key").alias("__d"))
-    sprods = scope.filter(F.col("kind") == "product").select(
-        "job_id", F.col("key").alias("__p"))
-    simgs = scope.filter(F.col("kind") == "image").select(
-        "job_id", F.col("key").alias("__i"))
+    sprods = track(scope.filter(F.col("kind") == "product").select(
+        "job_id", F.col("key").alias("__p")))
+    simgs = track(scope.filter(F.col("kind") == "image").select(
+        "job_id", F.col("key").alias("__i")))
 
     ch_doc = (chunks.join(sdocs,
                           F.col("document_id").cast("string") == F.col("__d"))
