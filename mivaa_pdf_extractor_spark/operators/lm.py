@@ -50,31 +50,39 @@ def ngram_counts(df: DataFrame, text_col: str = "text",
     map-side-combining aggregation on short string keys. No document text
     survives past the explode — the shuffle carries (gram, partial count).
     """
-    w = _words(F.col(text_col))
+    # round 6: words are staged as a real column (multi-referenced
+    # non-cheap alias — CollapseProject keeps it, so the split+filter
+    # runs once per row; the old shape embedded the chain in every
+    # element_at reference inside the gram lambdas, re-evaluating the
+    # full split per gram position), and the three orders ride ONE
+    # concatenated (n, gram) struct array through ONE explode instead
+    # of a 3-branch union that re-scanned the corpus per order. Same
+    # (n, gram, cnt) rows.
+    wdf = df.select(_words(F.col(text_col)).alias("w"))
+    w = F.col("w")
 
     def _joiner(n):
         # one-arg lambda for F.transform (a default arg would be seen as
         # a second lambda parameter by PySpark's lambda factory)
         def make(i):
-            return F.concat_ws(
-                " ", *[F.element_at(w, (i + k + 1).cast("int"))
-                       for k in range(n)])
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(
+                    " ", *[F.element_at(w, (i + k + 1).cast("int"))
+                           for k in range(n)]).alias("gram"))
         return make
 
+    empty = F.array().cast("array<struct<n:int,gram:string>>")
     per_n = []
     for n in range(1, n_max + 1):
         # guard: Spark sequence(0, k) with k < 0 is DESCENDING, not empty
-        gram = F.when(
+        per_n.append(F.when(
             F.size(w) >= n,
             F.transform(F.sequence(F.lit(0), F.size(w) - n), _joiner(n))
-        ).otherwise(F.array().cast("array<string>"))
-        per_n.append(
-            df.select(F.explode(gram).alias("gram"))
-              .withColumn("n", F.lit(n)))
-    out = per_n[0]
-    for other in per_n[1:]:
-        out = out.unionByName(other)
-    return out.groupBy("n", "gram").agg(F.count("*").alias("cnt"))
+        ).otherwise(empty))
+    return (wdf.select(F.explode(F.concat(*per_n)).alias("g"))
+            .select(F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            .groupBy("n", "gram").agg(F.count("*").alias("cnt")))
 
 
 def lm_doc_scores(df: DataFrame, counts: DataFrame,
