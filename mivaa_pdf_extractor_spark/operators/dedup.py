@@ -46,15 +46,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(df: DataFrame, text_col: str, id_col: str,
                   n: int = 5) -> DataFrame:
     """Distinct word n-gram shingles per document, computed natively:
-    sliding window via transform over index sequence + array_join."""
-    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    sliding window via transform over index sequence + array_join.
+
+    The word split is staged as a real column (multi-referenced
+    non-cheap alias, so CollapseProject keeps the boundary): embedded
+    directly, the split chain re-evaluates on every slice() reference
+    inside the per-gram lambda — the O(len x grams) inlining trap
+    documented at word_shingles_flat / winnowing_fingerprints."""
+    wdf = df.select(F.col(id_col).alias("id"),
+                    F.array_remove(F.split(F.lower(F.col(text_col)),
+                                           r"\s+"), "").alias("__w"))
+    ws = F.col("__w")
     k = F.size(ws) - F.lit(n - 1)
     shingles = F.when(k > 0, F.array_distinct(F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
     ))).otherwise(F.array())
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(shingles).alias("shingle")))
+    return wdf.select("id", F.explode(shingles).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
