@@ -172,42 +172,53 @@ def parse_spec_rows(spans: DataFrame, targets: DataFrame) -> DataFrame:
     """spans: (doc_id, page, sid, x0, x1, cy, text); targets:
     (doc_id, product_idx, name, page, pg_ord).  Emits per
     (doc_id, product_idx) the nested-shape columns (all strings)."""
+    # round 6: the span structs carry the normalized text and the
+    # "first token parses as a number" flag, computed ONCE per span at
+    # the page-array build — the anchor search evaluated _norm per span
+    # per reference and numcount re-tokenized every span pair per
+    # anchor (HOF lambdas re-evaluate derived expressions per
+    # reference). Appended fields sit after the sort-deciding ones, so
+    # the array_sort order is unchanged.
     arr = (spans.groupBy("doc_id", "page")
            .agg(F.array_sort(F.collect_list(F.struct(
-               "sid", "x0", "x1", "cy", "text"))).alias("spans")))
+               F.col("sid"), F.col("x0"), F.col("x1"), F.col("cy"),
+               F.col("text"),
+               _norm(F.col("text")).alias("ntext"),
+               _parse_num(F.element_at(_split_tokens(F.col("text")), 1))
+               .isNotNull().alias("fnum")))).alias("spans")))
     t = (targets
          .withColumn("nname", _norm(F.col("name")))
          .join(arr, ["doc_id", "page"], "left")
          .withColumn("spans", F.coalesce(
              "spans", F.array().cast(
                  "array<struct<sid:int,x0:double,x1:double,"
-                 "cy:double,text:string>>"))))
+                 "cy:double,text:string,ntext:string,fnum:boolean>>"))))
 
     nname = F.col("nname")
     sp = F.col("spans")
     exact = F.filter(sp, lambda s: (
-        (_norm(s["text"]) == nname)
-        | (_norm(s["text"]).startswith(F.concat(nname, F.lit(" ")))
-           & (F.length(_norm(s["text"])) - F.length(nname) < 30))))
+        (s["ntext"] == nname)
+        | (s["ntext"].startswith(F.concat(nname, F.lit(" ")))
+           & (F.length(s["ntext"]) - F.length(nname) < 30))))
     anchors = F.when(F.size(exact) > 0, exact).otherwise(
-        F.filter(sp, lambda s: _norm(s["text"]).contains(nname)))
+        F.filter(sp, lambda s: s["ntext"].contains(nname)))
 
     def numcount(a):
         return F.size(F.filter(
             sp, lambda s2: (s2["sid"] != a["sid"])
             & (F.abs(s2["cy"] - a["cy"]) <= Y_TOL)
             & (s2["x0"] > a["x1"])
-            & _parse_num(F.element_at(_split_tokens(s2["text"]), 1))
-              .isNotNull()))
+            & s2["fnum"]))
 
     zero = F.struct(F.lit(-1).alias("cnt"),
                     F.lit(0.0).cast("double").alias("cy"))
+    # score each anchor ONCE via transform, then fold — the old fold
+    # called numcount twice per step (condition + struct)
+    cand = F.transform(anchors, lambda a: F.struct(
+        numcount(a).alias("cnt"), a["cy"].alias("cy")))
     best = F.aggregate(
-        anchors, zero,
-        lambda acc, a: F.when(
-            numcount(a) > acc["cnt"],
-            F.struct(numcount(a).alias("cnt"), a["cy"].alias("cy"))
-        ).otherwise(acc))
+        cand, zero,
+        lambda acc, c: F.when(c["cnt"] > acc["cnt"], c).otherwise(acc))
     t = t.withColumn("best", best)
     # empty cleaned name -> no detection (the reference returns []
     # before anchor search; contains('') would otherwise match all)
