@@ -138,22 +138,32 @@ def cosine_topk_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # one Arrow matmul per batch computes every table's bucket;
     # posexplode's pos IS the table index (replaces an n_tables-way union)
     buckets = srp_buckets_udf(n_planes, n_tables, dim, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
+    # round 6: both bucket tables also carry the per-table bucket ARRAY
+    # (n_tables ints — still id-discipline) so the multi-table candidate
+    # dedup is a first-colliding-table filter instead of a distinct():
+    # only the copy from the FIRST table where the two arrays agree
+    # survives — same candidate set, one exchange fewer.
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       buckets(F.col(vec_col)).alias("qbks"))
+    q = q.select("query_id", "qbks",
+                 F.posexplode("qbks").alias("tbl", "bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      buckets(F.col(vec_col)).alias("cbks"))
+    c = c.select("neighbor_id", "cbks",
+                 F.posexplode("cbks").alias("tbl", "bucket"))
     # no persist on the bucketed corpus either: unlike the near-dup
     # SELF-join (where both sides derive from the same bucketed table and
     # the persist prevents recomputing the SRP folds twice), here the
     # corpus buckets appear on exactly one join side — the round-2 persist
     # predates the id-only split and was pure materialization cost
     # (code-review r3 finding)
+    first_eq = F.array_position(
+        F.zip_with(F.col("cbks"), F.col("qbks"),
+                   lambda x, y: x == y), True) - 1
     pairs = (c.join(F.broadcast(q), ["tbl", "bucket"])
              .filter(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id")
-             .distinct())
+             .filter(F.col("tbl") == first_eq)
+             .select("query_id", "neighbor_id"))
     # shuffle_hash for the corpus-vector re-join: broadcasting a corpus of
     # embeddings collects it to the driver (measured 2x cold-start cost at
     # bench scale, and a driver OOM at 100 TB); the query side IS broadcast
@@ -304,17 +314,28 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         n = base.count()
         n_planes = max(8, math.ceil(math.log2(max(n, 1) / target_bucket)))
     buckets = srp_buckets_udf(n_planes, n_tables, dim, seed)
-    allt = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"))
+    # round 6: the exploded rows also carry the per-table bucket ARRAY
+    # (n_tables ints — still id-discipline, no vectors) so the
+    # multi-table pair dedup is a first-colliding-table filter instead
+    # of a distinct(): a pair that collides in several tables keeps
+    # only the copy from the FIRST table where its bucket arrays
+    # agree — exactly one copy per pair, one exchange fewer.
+    allt = df.select(F.col(id_col).alias("id"),
+                     buckets(F.col(vec_col)).alias("bks"))
+    allt = allt.select(
+        "id", "bks", F.posexplode("bks").alias("tbl", "bucket"))
     # self-join: both sides re-derive the SRP buckets without a persist
     allt = track(allt)
     a, b = allt.alias("a"), allt.alias("b")
+    first_eq = F.array_position(
+        F.zip_with(F.col("a.bks"), F.col("b.bks"),
+                   lambda x, y: x == y), True) - 1
     pairs = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+             .filter(F.col("a.tbl") == first_eq)
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b")))
     # shuffle_hash (not broadcast) for both vector re-joins: the base is
     # the full corpus — see cosine_topk_lsh
     cand = (pairs
