@@ -136,23 +136,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # unpersisted plan re-runs the shingle explode + groupBy-min
     # 2*num_bands times (plan-audit finding, round 2)
     sigs = track(minhash_signatures(df, text_col, id_col, n, num_hashes))
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [f"sig_{b * band_size + j}" for j in range(band_size)]
-        bands.append(sigs.select(
-            "id",
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            F.lit(b).alias("band"),
-        ))
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+    # round 6: one posexplode of the band-key array replaces the
+    # num_bands-branch union (one signature-table scan per join side
+    # instead of num_bands), and the pair dedup is a first-matching-band
+    # filter instead of a distinct() — the rows carry the band-key array
+    # (num_bands md5 strings), and only the candidate from the FIRST
+    # band where the two arrays agree survives: exactly one copy per
+    # pair, no extra exchange. Same pair set.
+    band_arr = F.array(*[
+        F.md5(F.concat_ws("|", *[f"sig_{b * band_size + j}"
+                                 for j in range(band_size)]))
+        for b in range(num_hashes // band_size)])
+    allb = sigs.select("id", band_arr.alias("bnds")).select(
+        "id", "bnds", F.posexplode("bnds").alias("band", "band_key"))
     a, b_ = allb.alias("a"), allb.alias("b")
+    first_eq = F.array_position(
+        F.zip_with(F.col("a.bnds"), F.col("b.bnds"),
+                   lambda x, y: x == y), True) - 1
     return (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+            .filter(F.col("a.band") == first_eq)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
 
 
 _SIMHASH_SCHEMA = T.StructType([
