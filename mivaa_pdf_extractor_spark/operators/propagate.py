@@ -76,6 +76,10 @@ def propagate_common_fields(products: DataFrame) -> DataFrame:
     upload material_category, may be null)."""
     m = F.col("metadata")
     p = F.col("props")
+    # establish the doc_id clustering once: the per-doc aggregation AND
+    # the join-back below both require hash(doc_id) — without this each
+    # inserts its own exchange of the full product rows (guide §2.4)
+    products = products.repartition("doc_id")
 
     def first_nonempty(val: Column) -> Column:
         return F.min(F.when(~is_empty_col(val),
