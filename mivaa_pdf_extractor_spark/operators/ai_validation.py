@@ -268,12 +268,19 @@ def consensus_validate(results: DataFrame) -> DataFrame:
     vote_key = F.concat_ws(" ", *[
         F.when(F.col(k).isNotNull() & (F.col(k) != ""),
                F.lower(F.trim(F.col(k)))) for k in VOTE_FIELDS])
-    valid = (results.where("success")
-             .select("task_id", "ord", "model", "name", "category",
-                     "confidence_score", weight.alias("weight"),
-                     agree_key.alias("akey"), vote_key.alias("vkey")))
-    counts = valid.groupBy("task_id").agg(F.count("*").alias("n"))
-    ok = valid.join(counts.where("n >= 2"), "task_id")
+    # round 6: persist the fan-out frames — `ok` feeds the agreement
+    # self-join, both vote winners and the weighted winner, and
+    # `counts` is referenced by the ok-join, the final stats join and
+    # the failure anti-join; unpersisted, each consumer re-ran the
+    # whole synth + projection subtree (measured plan: 56 Exchanges /
+    # 52 source scans for this one query)
+    from ..core.cache import track
+    valid = track(results.where("success")
+                  .select("task_id", "ord", "model", "name", "category",
+                          "confidence_score", weight.alias("weight"),
+                          agree_key.alias("akey"), vote_key.alias("vkey")))
+    counts = track(valid.groupBy("task_id").agg(F.count("*").alias("n")))
+    ok = track(valid.join(counts.where("n >= 2"), "task_id"))
 
     # pairwise agreement
     a = ok.select("task_id", F.col("ord").alias("i"),

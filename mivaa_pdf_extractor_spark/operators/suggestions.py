@@ -72,8 +72,15 @@ def autocomplete(queries: DataFrame, suggestions: DataFrame,
     """queries: (qid, q, lim, user_id, category).  Emits the final
     ranked suggestions (qid, position, suggestion_text,
     suggestion_type, popularity_score)."""
-    q = queries.select("qid", F.lower("q").alias("ql"), "lim",
-                       "user_id", "category")
+    # round 6: persist the fan-out frames — the slim query side feeds
+    # five tier joins (each otherwise re-running the queries synth),
+    # and the tier union feeds both the budget aggregation and the
+    # budget-filtered keep (each otherwise re-running all five joins;
+    # measured plan: 51 Exchanges / 44 source scans for this query).
+    # The two budget/limit joins downstream reuse the cached slim side.
+    from ..core.cache import track
+    q = track(queries.select("qid", F.lower("q").alias("ql"), "lim",
+                             "user_id", "category"))
 
     def tier(df, n):
         w = Window.partitionBy("qid").orderBy(*df[1])
@@ -118,12 +125,12 @@ def autocomplete(queries: DataFrame, suggestions: DataFrame,
           .select("qid", F.col("name").alias("text"), "pid"))
     t5 = tier((t5, [F.asc("pid")], "product", F.lit(0.8)), 5)
 
-    cands = t1.unionByName(t2).unionByName(t3).unionByName(t4) \
-        .unionByName(t5)
+    cands = track(t1.unionByName(t2).unionByName(t3).unionByName(t4)
+                  .unionByName(t5))
     avail = cands.groupBy("qid", "tier").agg(F.count("*").alias("a"))
     wt = Window.partitionBy("qid").orderBy("tier")
     cum = avail.withColumn("s_t", F.sum("a").over(wt))
-    budgets = (cum.join(queries.select("qid", "lim"), "qid")
+    budgets = (cum.join(q.select("qid", "lim"), "qid")
                .withColumn("c_t", F.least("s_t", F.col("lim")))
                .withColumn("c_prev", F.coalesce(
                    F.lag("c_t").over(wt), F.lit(0)))
@@ -140,7 +147,7 @@ def autocomplete(queries: DataFrame, suggestions: DataFrame,
         F.desc(F.col("w")["popularity_score"]), F.col("w")["tier"],
         F.col("w")["rk"])
     ranked = first.withColumn("position", F.row_number().over(wo))
-    return (ranked.join(queries.select("qid", "lim"), "qid")
+    return (ranked.join(q.select("qid", "lim"), "qid")
             .where(F.col("position") <= F.col("lim"))
             .select("qid", "position",
                     F.col("w")["suggestion_text"]
