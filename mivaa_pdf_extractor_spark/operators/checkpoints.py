@@ -107,6 +107,11 @@ def audit_checkpoints(last: DataFrame, chunks: DataFrame,
 
     Returns (job_id, stage, valid, reason).
     """
+    # persist the per-job last checkpoints: the three claimed-count
+    # probes and the final join each re-ran the dedup window over the
+    # full history otherwise (job-count-bounded rows — scale-safe pin)
+    from ..core.cache import track
+    last = track(last)
     chunk_found = _claimed_counts(last, "chunk_ids", chunks, "chunk_id",
                                   "n_chunks_found")
     emb_found = _claimed_counts(last, "chunk_ids", chunks, "chunk_id",

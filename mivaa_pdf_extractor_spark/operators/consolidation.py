@@ -138,7 +138,12 @@ def consolidate_metadata(factory: DataFrame, visual: DataFrame,
 # Deterministic synthesis (Spark + DuckDB twins). pid = user_id % 60.
 
 def synth_consolidation_inputs(spark: SparkSession, events: DataFrame):
-    pids = events.select((F.col("user_id") % 60).alias("pid")).distinct()
+    # persist the 60-row pid base: every union branch of the three
+    # synth tables references it — unpersisted, each branch re-ran the
+    # full events scan + distinct (~20 scans per query)
+    from ..core.cache import track
+    pids = track(events.select((F.col("user_id") % 60).alias("pid"))
+                 .distinct())
     p = F.col("pid")
     ps = p.cast("string")
 

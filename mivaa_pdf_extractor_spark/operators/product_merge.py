@@ -86,6 +86,15 @@ def merge_product_data(products: DataFrame, meta: DataFrame,
     lval array<string>) — exactly one of sval/lval per row; plan:
     (merge_id, target_id, src_id, src_ord).  Emits one row per merge
     with the merged fields (set-valued parts rendered sorted)."""
+    # round 6: the merge plan fans into four join branches (targets,
+    # sources, and the two metadata sides) and the source-metadata
+    # slice into three aggregations — unpersisted, every branch re-ran
+    # the upstream lineage (measured plan: 39 Exchanges / 32 source
+    # scans). The plan is the merge REQUEST set (decision-sized at any
+    # corpus scale), and tm/sm are plan-bounded joins — all safe to
+    # pin; products/meta (catalog-sized) are never persisted.
+    from ..core.cache import track
+    plan = track(plan)
     tgt = (plan.select("merge_id", "target_id").distinct()
            .join(products, F.col("target_id") == F.col("product_id"))
            .select("merge_id", "target_id", "description",
@@ -112,12 +121,12 @@ def merge_product_data(products: DataFrame, meta: DataFrame,
             s["ch"], F.array().cast("array<string>"))))))), ",")
 
     # metadata union at row level
-    tm = (plan.select("merge_id", "target_id").distinct()
-          .join(meta, F.col("target_id") == F.col("product_id"))
-          .select("merge_id", "key", F.col("sval").alias("t_sval"),
-                  F.col("lval").alias("t_lval")))
-    sm = (plan.join(meta, F.col("src_id") == F.col("product_id"))
-          .select("merge_id", "key", "src_ord", "sval", "lval"))
+    tm = track(plan.select("merge_id", "target_id").distinct()
+               .join(meta, F.col("target_id") == F.col("product_id"))
+               .select("merge_id", "key", F.col("sval").alias("t_sval"),
+                       F.col("lval").alias("t_lval")))
+    sm = track(plan.join(meta, F.col("src_id") == F.col("product_id"))
+               .select("merge_id", "key", "src_ord", "sval", "lval"))
     first_src = sm.groupBy("merge_id", "key").agg(
         F.min(F.struct("src_ord", "sval", "lval")).alias("fs"))
     list_union = (sm.where(F.col("lval").isNotNull())

@@ -106,7 +106,11 @@ def validate_fields(fields: DataFrame, prototypes: DataFrame,
         .when(F.col("prop_embedding").isNull(), F.lit("no_prototype"))
         .when(F.col("value_embedding").isNull(),
               F.lit("embedding_generation_failed")))
-    f = f.withColumn("_pass", passthrough_reason)
+    # persist the tagged frame: the passthrough slice and the live
+    # (scored) slice below together cover every row — both union
+    # branches otherwise re-ran the flatten + prototype join lineage
+    from ..core.cache import track
+    f = track(f.withColumn("_pass", passthrough_reason))
     live = f.filter(F.col("_pass").isNull()).withColumn(
         "prop_sim", ref_cosine("value_embedding", "prop_embedding"))
 

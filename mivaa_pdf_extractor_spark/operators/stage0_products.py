@@ -99,7 +99,11 @@ def fold_stage0_creation(discovered: DataFrame, existing: DataFrame,
                ["doc_id", "key"], "left")
          .join(quotas, "doc_id"))
     w_key = Window.partitionBy("doc_id", "key")
-    d = d.withColumn("first_i", F.min("i").over(w_key))
+    # persist the joined base: the new-key quota ranking below and the
+    # final join-back both consume it — unpersisted, the discovery +
+    # existing-map + quota join lineage ran twice
+    from ..core.cache import track
+    d = track(d.withColumn("first_i", F.min("i").over(w_key)))
     # rank of each NEW key by first occurrence — the quota admission
     # order (reuses never consume allowance)
     new_keys = (d.filter(F.col("existing_db_id").isNull())
