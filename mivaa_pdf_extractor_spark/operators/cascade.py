@@ -233,10 +233,15 @@ def orphan_scan(documents: DataFrame, products: DataFrame,
     - product child rows without their product;
     - images whose product is set but gone AND whose document is gone.
     """
-    doc_keys = documents.select(
-        F.col("document_id").cast("string").alias("k")).distinct()
-    prod_keys = products.select(F.col("product_id").alias("k")).distinct()
-    img_keys = images.select(F.col("image_id").alias("k")).distinct()
+    # persist the slim parent-key tables: each feeds two anti-joins
+    # below (ids only — the heavy child tables are never pinned)
+    from ..core.cache import track
+    doc_keys = track(documents.select(
+        F.col("document_id").cast("string").alias("k")).distinct())
+    prod_keys = track(products.select(
+        F.col("product_id").alias("k")).distinct())
+    img_keys = track(images.select(
+        F.col("image_id").alias("k")).distinct())
 
     def anti(df, col, keys):
         return df.join(keys, F.col(col).cast("string") == F.col("k"),

@@ -126,7 +126,14 @@ def resolve_product_pages(products: DataFrame, pages: DataFrame,
         "doc_id", "page_idx",
         normalize_for_match(F.col("raw_text")).alias("raw_norm"),
         normalize_for_match(F.col("cache_text")).alias("cache_norm"))
-    joined = prod.filter(F.col("needle") != "").join(pg, "doc_id")
+    # persist the fan-out frames: the normalized (product x page)
+    # join feeds both scan tiers, and each tier's hits feed the output
+    # union plus the fallback anti-joins — unpersisted, the normalize +
+    # contains scan re-ran per consumer (measured plan: 21 Exchanges /
+    # 28 source scans / 19 windows for the contract query). The hit
+    # tables are <= max_pages rows per product.
+    from ..core.cache import track
+    joined = track(prod.filter(F.col("needle") != "").join(pg, "doc_id"))
 
     def _scan(col: str, label: str) -> DataFrame:
         hits = joined.filter(F.col(col).contains(F.col("needle")))
@@ -136,11 +143,11 @@ def resolve_product_pages(products: DataFrame, pages: DataFrame,
                 .select("product_id", "page_idx", "page_rank",
                         F.lit(label).alias("source")))
 
-    text_hits = _scan("raw_norm", "text")
-    cache_hits = _scan("cache_norm", "cache")
+    text_hits = track(_scan("raw_norm", "text"))
     # cache tier only for products with zero raw-text hits
     text_prods = text_hits.select("product_id").distinct()
-    cache_hits = cache_hits.join(text_prods, "product_id", "left_anti")
+    cache_hits = track(_scan("cache_norm", "cache")
+                       .join(text_prods, "product_id", "left_anti"))
 
     # numeric fallback for products with neither scan hit
     total = pages.groupBy("doc_id").agg(
