@@ -267,8 +267,11 @@ def sanity_flags(history: DataFrame) -> DataFrame:
     'zero_median'; ratio < 0.33 → 'too_low'; > 3.0 → 'too_high'; else
     clean. Reason strings become stable codes (the reference formats
     display sentences, service.py:206-213)."""
-    h = _with_run_day(history).withColumn(
-        "__domain", domain_of(F.col("product_url")))
+    # persist the stamped base: the latest-run and now aggregates plus
+    # the history/current slices below each re-ran the stamp lineage
+    from ..core.cache import track
+    h = track(_with_run_day(history).withColumn(
+        "__domain", domain_of(F.col("product_url"))))
     latest = h.groupBy("query_id").agg(
         F.max("__run_day").alias("__cur_day"))
     now = h.agg(F.max("scraped_at").alias("__now"))
@@ -335,7 +338,8 @@ def max_pct_change(history: DataFrame) -> DataFrame:
     non-positive prices (lines 88-94); prior prices take each URL's most
     recent earlier reading (lines 110-114). Queries with no comparable
     pair volatility 0.0 (line 87/97)."""
-    h = _with_run_day(history)
+    from ..core.cache import track
+    h = track(_with_run_day(history))
     latest = h.groupBy("query_id").agg(F.max("__run_day").alias("__cur_day"))
     h = h.join(latest, "query_id")
 
@@ -360,7 +364,7 @@ def max_pct_change(history: DataFrame) -> DataFrame:
            .withColumn("__pct", F.abs(F.col("new_price") - F.col("old_price"))
                        / F.col("old_price") * 100.0)
            .groupBy("query_id").agg(F.max("__pct").alias("max_pct_change")))
-    out = (history.select("query_id").distinct()
+    out = (h.select("query_id").distinct()
            .join(pct, "query_id", "left")
            .withColumn("max_pct_change",
                        F.coalesce(F.col("max_pct_change"), F.lit(0.0))))
