@@ -272,6 +272,11 @@ def transfer_relationships(assocs: DataFrame, plan: DataFrame) -> DataFrame:
     caption_score, clip_score, overall_score, confidence, reasoning);
     plan as above.  Emits the post-transfer association rows of every
     merge target."""
+    # persist: the plan feeds targets + the source-candidate join, and
+    # the existing rows feed both the output union and the freshness
+    # anti-join (merge-request-bounded frames)
+    from ..core.cache import track
+    plan = track(plan)
     targets = plan.select("merge_id", "target_id").distinct()
     existing = (targets.join(
         assocs, F.col("product_id") == F.col("target_id"))
@@ -279,6 +284,7 @@ def transfer_relationships(assocs: DataFrame, plan: DataFrame) -> DataFrame:
                 "caption_score", "clip_score", "overall_score",
                 "confidence", "reasoning",
                 F.lit("existing").alias("origin")))
+    existing = track(existing)
     cand = (plan.join(assocs, F.col("product_id") == F.col("src_id"))
             .select("merge_id", "target_id", "image_id", "src_ord",
                     "rel_ord", "spatial_score", "caption_score",
@@ -369,6 +375,11 @@ def validate_products(chunks: DataFrame, products: DataFrame) -> DataFrame:
         nonsub.alias("nonsub"), has_spec.alias("spec"),
         F.coalesce("content", F.lit("")).alias("content"),
         "embedding")
+    # persist the slim per-chunk projection: the stats aggregate, the
+    # ordered-content fold and both sides of the coherence self-join
+    # consume it (4 scans of the chunk lineage otherwise)
+    from ..core.cache import track
+    per_chunk = track(per_chunk)
     agg = per_chunk.groupBy("product_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum("len").alias("total_chars"),
