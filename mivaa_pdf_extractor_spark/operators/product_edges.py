@@ -142,12 +142,17 @@ def resolve_references(refs: DataFrame,
     (NULL = unresolved)."""
     ident = F.trim(F.coalesce(F.col("referenced_identifier"),
                               F.lit("")))
-    r = refs.withColumn("_ident", F.lower(ident)) \
-            .withColumn("_rid", F.monotonically_increasing_id())
+    # persist both sides: the three tier joins and the final resolve
+    # join all consume them — and pinning `r` also freezes the
+    # monotonically_increasing_id row tags across those consumers
+    # instead of relying on identical recomputation
+    from ..core.cache import track
+    r = track(refs.withColumn("_ident", F.lower(ident))
+              .withColumn("_rid", F.monotonically_increasing_id()))
     tiers = ("external_sku", "meta_sku", "name")
-    idx = identity.select(
+    idx = track(identity.select(
         "workspace_id", "product_id",
-        *[F.lower(F.col(c)).alias(f"_{c}") for c in tiers])
+        *[F.lower(F.col(c)).alias(f"_{c}") for c in tiers]))
     matches = None
     for t_pos, t in enumerate(tiers):
         m = (r.join(idx, (r["workspace_id"] == idx["workspace_id"])
