@@ -762,8 +762,12 @@ def merge_greek_hits(existing: DataFrame, greek: DataFrame) -> DataFrame:
     gdom = (greek.where(F.col("product_url").isNotNull())
             .select("qid", domain_of(F.col("product_url")).alias("d"))
             .where(F.col("d").isNotNull()).distinct())
-    kept = (byurl.withColumn("d", domain_of(F.col("last")["u"]))
-            .join(gdom, ["qid", "d"], "left_anti"))
+    # persist: kept feeds both the greek-append anti-join and the
+    # existing-block output — unpersisted, the URL-dict aggregation +
+    # domain anti-join ran twice
+    from ..core.cache import track
+    kept = track(byurl.withColumn("d", domain_of(F.col("last")["u"]))
+                 .join(gdom, ["qid", "d"], "left_anti"))
     gk = greek.withColumn("k", F.trim(F.coalesce("product_url",
                                                  F.lit(""))))
     gfirst = (gk.where(F.col("k") != "")
