@@ -1164,16 +1164,21 @@ def feed_fallback_plan(feeds: DataFrame, careers: DataFrame) -> DataFrame:
     page (the reference's ``_p not in _page_for.values()`` is
     case-SENSITIVE — pinned). ``feeds``: (tracked_id, feed_ord, feed_url,
     hits); ``careers``: (tracked_id, url)."""
-    c = (careers.groupBy("tracked_id")
-         .agg(F.collect_list(F.lower(F.trim(F.col("url"))))
-              .alias("_careers")))
-    f = (feeds.where(F.col("hits") == 0)
-         .withColumn("page_url", feed_to_page_col(F.col("feed_url")))
-         .where(F.col("page_url").isNotNull())
-         .join(F.broadcast(c), "tracked_id", "left")
-         .where(~F.coalesce(
-             F.array_contains(F.col("_careers"), F.lower("page_url")),
-             F.lit(False))))
+    # round 6: the careers-coverage check is an ANTI-JOIN on
+    # (tracked_id, lowered url), not a broadcast collect_list +
+    # array_contains — the old shape force-broadcast an unbounded
+    # per-tracked aggregate AND scanned the whole careers list per feed
+    # row (quadratic in per-tracked fan-out; measured 74.8 s at 10x
+    # data vs 2 s at 1x). Identical row gate.
+    ckeys = (careers.select(
+        "tracked_id", F.lower(F.trim(F.col("url"))).alias("_curl"))
+        .distinct())
+    fbase = (feeds.where(F.col("hits") == 0)
+             .withColumn("page_url", feed_to_page_col(F.col("feed_url")))
+             .where(F.col("page_url").isNotNull()))
+    f = fbase.join(
+        ckeys, (fbase["tracked_id"] == ckeys["tracked_id"])
+        & (F.lower(fbase["page_url"]) == ckeys["_curl"]), "left_anti")
     w = Window.partitionBy("tracked_id", "page_url").orderBy("feed_ord")
     return (f.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
