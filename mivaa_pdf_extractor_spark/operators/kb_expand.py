@@ -34,11 +34,27 @@ Scale: one (doc, product)-keyed self-join bounded by 2·expand_n rows
 per hit, then a per-hit ``aggregate`` HOF over the sorted neighbour
 array — the budget fold is O(neighbours) inside one row, no shuffle
 beyond the join and the per-hit collect.
+
+Round 6 (10x audit, second pass): the keep/skip decision of the
+budget fold depends only on the LENGTH of each neighbour's trimmed
+text, yet the plan shuffled the full text per (hit, neighbour) pair —
+with the synth's index-collision fan-out (hundreds of chunks per
+(doc, product, index) bucket at 10x) that was ~GBs of duplicated
+text through the neighbour collect. The fold now runs over
+(ro, nid, len) structs; the (few) KEPT neighbours' texts are joined
+back by chunk_id afterwards for the content assembly. Always-skipped
+neighbours (empty after trim, or longer than the whole char budget —
+the running budget starts at ``char_budget - len(hit)`` and only
+shrinks, so they can never fit) are filtered before the join.
+Identical output for any corpus keyed by ``chunk_id`` (the reference
+PK; duplicate chunk_id rows were never defined for this RPC).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..core.cache import track
 
 EXPANDED_CHUNK_CHAR_BUDGET = 6000
 _RO_NULL = 2_147_483_647
@@ -53,79 +69,143 @@ def expand_chunk_hits(hits: DataFrame, chunks: DataFrame, *,
     chunks: (chunk_id, document_id, product_id, chunk_index,
     content)."""
     if not expand_n:
-        nb = hits.select(
-            "chunk_id",
+        x = hits.withColumn(
+            "_nbs",
             F.array().cast(
-                "array<struct<ro:long,nid:long,text:string>>")
-            .alias("_nbs"))
+                "array<struct<ro:long,nid:long,len:long>>"))
     else:
-        c = chunks.select(
+        # one slim trimmed-text projection of the corpus, persisted:
+        # both the length side of the neighbour join and the kept-text
+        # join-back below read it, and ``chunks`` may arrive as an
+        # arbitrary computed lineage (the contract synth builds its
+        # texts with repeat()) — unpersisted, that lineage would
+        # materialize twice. On a cluster over a parquet chunk table
+        # the persist is optional (the second read is a pruned
+        # column scan), here it keeps the single-materialization
+        # shape of the round-5 plan.
+        corpus = track(chunks.select(
             F.col("chunk_id").alias("_nid"),
             F.col("document_id").alias("_nd"),
             F.col("product_id").alias("_np"),
             F.col("chunk_index").alias("_nix"),
-            F.col("content").alias("_ntext"))
-        # Round 6 (10x-scale audit finding): the |Δindex| <= n band is
-        # not an equi-condition, so the join hashed only on
-        # (document, product) — with bounded doc cardinality every hit
-        # paired with every chunk of its document before the band
-        # filter ran (42 s at the 10x corpus). A neighbour at distance
-        # <= n is exactly index + off for off in [-n..n]\{0}: explode
-        # the offsets (2n rows per hit) and join on the full
-        # (document, product, index+off) equi-key — identical match
-        # set (each pair matches exactly one offset; NULL indexes
-        # never equal), linear fan-out.
+            F.trim(F.coalesce("content", F.lit("")))
+            .alias("_ntext")))
+        # lengths of the trimmed neighbour texts are all the budget
+        # fold needs; always-skipped neighbours (empty, or longer than
+        # the whole budget) are dropped before the join (module
+        # docstring, round-6 second pass)
+        c = corpus.select(
+            "_nid", "_nd", "_np", "_nix",
+            F.length("_ntext").cast("long").alias("_nlen")).where(
+            (F.col("_nlen") > 0) & (F.col("_nlen") <= char_budget))
+        # Round 6 (10x-scale audit finding, second pass): a neighbour
+        # at distance <= n is exactly index + off for off in
+        # [-n..n]\{0}, and with the synth's index collisions hundreds
+        # of chunks share each (document, product, index) key — every
+        # hit on that key needs the SAME candidate set. Build each
+        # bucket's nid-sorted (nid, len) array ONCE, then left-join
+        # every hit to its 2n bucket rows on the full
+        # (document, product, index+off) equi-key: identical match set
+        # (each neighbour matches exactly one offset; NULL indexes
+        # never equal on either side), and the per-hit neighbour
+        # collect disappears from the plan entirely — no shuffle of
+        # per-(hit, neighbour) rows at any scale.
+        buckets = track(
+            c.groupBy("_nd", "_np", "_nix")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.coalesce(F.col("_nix").cast("long"),
+                           F.lit(_RO_NULL)).alias("ro"),
+                F.col("_nid").cast("long").alias("nid"),
+                F.col("_nlen").alias("len")))).alias("_barr")))
         offs = [o for o in range(-expand_n, expand_n + 1) if o != 0]
-        hx = hits.select(
-            "chunk_id", "document_id", "product_id", "chunk_index",
-            F.explode(F.array(*[F.lit(o) for o in offs])).alias("_off"))
-        j = hx.join(
-            c,
-            (hx["document_id"] == F.col("_nd"))
-            & (hx["product_id"] == F.col("_np"))
-            & (F.col("_nix") == hx["chunk_index"] + F.col("_off")),
-            "inner")
-        nb = (j.groupBy(hx["chunk_id"].alias("chunk_id"))
-              .agg(F.array_sort(F.collect_list(F.struct(
-                  F.coalesce(F.col("_nix").cast("long"),
-                             F.lit(_RO_NULL)).alias("ro"),
-                  F.col("_nid").cast("long").alias("nid"),
-                  F.trim(F.coalesce("_ntext", F.lit("")))
-                  .alias("text")))).alias("_nbs")))
-    x = hits.join(nb, "chunk_id", "left").withColumn(
-        "_nbs", F.coalesce(
-            F.col("_nbs"),
-            F.array().cast(
-                "array<struct<ro:long,nid:long,text:string>>")))
+        x = hits
+        parts = []
+        drop_cols = []
+        for i, off in enumerate(offs):
+            bo = buckets.select(
+                F.col("_nd").alias(f"_bd{i}"),
+                F.col("_np").alias(f"_bp{i}"),
+                F.col("_nix").alias(f"_bx{i}"),
+                F.col("_barr").alias(f"_ba{i}"))
+            x = x.join(
+                bo,
+                (x["document_id"] == F.col(f"_bd{i}"))
+                & (x["product_id"] == F.col(f"_bp{i}"))
+                & (F.col(f"_bx{i}") == x["chunk_index"] + F.lit(off)),
+                "left")
+            parts.append(F.coalesce(F.col(f"_ba{i}"), F.array().cast(
+                "array<struct<ro:long,nid:long,len:long>>")))
+            drop_cols += [f"_bd{i}", f"_bp{i}", f"_bx{i}", f"_ba{i}"]
+        # concat in ascending-offset order == the (ro, nid) sort the
+        # budget fold walks: ro = index + off rises with off, and each
+        # bucket array is nid-sorted
+        x = x.withColumn(
+            "_nbs",
+            F.concat(*parts) if len(parts) > 1 else parts[0]
+        ).drop(*drop_cols)
     matched = F.trim(F.coalesce("content", F.lit("")))
-    # sequential budget fold over the reading-order-sorted neighbours
+    # sequential budget fold over the reading-order-sorted neighbours;
+    # kept carries (ro, nid) in fold (= reading) order — the prefilter
+    # above already removed empty texts, so len >= 1 here
     init = F.struct(
         (F.lit(char_budget) - F.length(matched)).cast("long")
         .alias("budget"),
-        F.array().cast(
-            "array<struct<ro:long,nid:long,text:string>>")
+        F.array().cast("array<struct<ro:long,nid:long>>")
         .alias("kept"))
     folded = F.aggregate(
         F.col("_nbs"), init,
         lambda acc, n: F.struct(
-            F.when((n["text"] != "")
-                   & (F.length(n["text"]) <= acc["budget"]),
-                   acc["budget"] - F.length(n["text"]))
+            F.when(n["len"] <= acc["budget"],
+                   acc["budget"] - n["len"])
             .otherwise(acc["budget"]).alias("budget"),
-            F.when((n["text"] != "")
-                   & (F.length(n["text"]) <= acc["budget"]),
-                   F.concat(acc["kept"], F.array(n)))
+            F.when(n["len"] <= acc["budget"],
+                   F.concat(acc["kept"], F.array(F.struct(
+                       n["ro"].alias("ro"), n["nid"].alias("nid")))))
             .otherwise(acc["kept"]).alias("kept")))
-    x = x.withColumn("_kept", folded["kept"])
+    x = x.withColumn("_kept", folded["kept"]).drop("_nbs")
+    if expand_n:
+        # persist the folded frame: the kept-text join-back below and
+        # the final select both read it, and its lineage holds the
+        # neighbour join + per-hit fold
+        x = track(x)
+        # join the KEPT neighbours' texts back by chunk_id (few per
+        # hit — their lengths sum to <= char_budget-ish counts, vs the
+        # full neighbour fan-out the old plan shuffled)
+        kept_rows = (x.select(F.col("chunk_id").alias("_kcid"),
+                              F.explode("_kept").alias("_k"))
+                     .select("_kcid", F.col("_k.ro").alias("_kro"),
+                             F.col("_k.nid").alias("_knid")))
+        kparts = (kept_rows
+                  .join(corpus.select("_nid", "_ntext"),
+                        F.col("_knid") == F.col("_nid"), "inner")
+                  .groupBy(F.col("_kcid").alias("chunk_id"))
+                  .agg(F.collect_list(F.struct(
+                      F.col("_kro").alias("ro"),
+                      F.col("_knid").alias("nid"),
+                      F.col("_ntext").alias("text")))
+                      .alias("_kparts")))
+        x = x.join(kparts, "chunk_id", "left")
+    else:
+        x = x.withColumn(
+            "_kparts",
+            F.lit(None).cast(
+                "array<struct<ro:long,nid:long,text:string>>"))
+    x = x.withColumn(
+        "_kparts", F.coalesce(
+            F.col("_kparts"),
+            F.array().cast(
+                "array<struct<ro:long,nid:long,text:string>>")))
     hit_piece = F.struct(
         F.coalesce(F.col("chunk_index").cast("long"),
                    F.lit(_RO_NULL)).alias("ro"),
         F.lit(-1).cast("long").alias("nid"),   # hit sorts before
         matched.alias("text"))                  # equal-keyed others
     pieces = F.array_sort(
-        F.concat(F.array(hit_piece), F.col("_kept")))
+        F.concat(F.array(hit_piece), F.col("_kparts")))
+    # _kept is in fold order = (ro, nid) ascending (the fold walked
+    # the sorted array), so the added-index list reads off it directly
     added = F.transform(
-        F.filter(pieces, lambda p: p["nid"] != -1),
+        F.col("_kept"),
         lambda p: F.when(p["ro"] == _RO_NULL,
                          F.lit(None).cast("long"))
         .otherwise(p["ro"]))

@@ -90,6 +90,23 @@ def test_matched_content_only_when_expanded(spark):
     assert r.content == "before\n\nHIT"
 
 
+def test_budget_boundary_neighbour_survives_prefilter(spark):
+    # round-6 internals: neighbours longer than the WHOLE budget are
+    # pre-filtered (they can never be kept); one of exactly the budget
+    # must survive the filter and be kept when the hit is empty
+    # (trim -> "" -> budget stays 6000)
+    hit = [_hit(100, 1, 1, 2, "   ")]
+    corpus = [(1, 1, 1, 1, "a" * 6000),   # == budget: kept
+              (2, 1, 1, 3, "b" * 6001),   # > budget: never kept
+              (100, 1, 1, 2, "   ")]
+    r = ke.expand_chunk_hits(_hits(spark, hit),
+                             _chunks(spark, corpus),
+                             expand_n=1).collect()[0]
+    assert r.neighbors_added == 1
+    assert r.expanded_chunk_indexes == "1"
+    assert r.content == "a" * 6000 + "\n\n"   # empty hit piece joins
+
+
 def test_budget_sequential_in_reading_order(spark):
     # budget 6000 - 3 = 5997; idx1 eats 5000, idx3 (1000) no longer
     # fits, idx... -> only idx1 kept even though idx3 alone would fit
