@@ -48,6 +48,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -114,31 +115,70 @@ class Catalog:
     @contextlib.contextmanager
     def _table_lock(self, name: str, timeout: float = 120.0):
         """Serialize the read-manifest -> stage -> swap critical section
-        across writer PROCESSES (see class docstring)."""
+        across writer PROCESSES (see class docstring).
+
+        Round 6 (ADVICE r5 #1): the old steal path ``unlink``-ed a lock
+        judged stale, so two waiters could both judge it stale, waiter A
+        unlink+re-acquire, and waiter B's queued unlink then delete A's
+        FRESH lock — two writers in the critical section. And the old
+        release path unlinked unconditionally, so a healthy holder whose
+        stage outlived ``LOCK_STALE_SEC`` (big bucket rewrite) would,
+        after being stolen from, remove the THIEF's lock and cascade.
+        Now: every lock carries a unique ``pid:uuid`` token; stealing
+        atomically RENAMES the lock to a unique grave name (only one
+        waiter's rename can succeed) and verifies the grave still holds
+        the token it observed as stale — a fresh lock renamed by
+        mistake is restored; release unlinks only if the lock still
+        holds our own token. Residual: the restore/release windows are
+        a few syscalls wide and require the lock to be *already past
+        expiry* in that same instant — vs the old guaranteed cascade on
+        any expiry. A holder expecting stages longer than
+        ``LOCK_STALE_SEC`` should touch the lock mtime between stages
+        (none of the in-repo stages approach it)."""
         if self.use_iceberg:
             yield
             return
         root = self._path(name)
         os.makedirs(root, exist_ok=True)
         lock = os.path.join(root, "_LOCK")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.time() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(lock)
+                    with open(lock) as f:
+                        seen = f.read()
                 except OSError:
                     continue  # holder released between exists and stat
                 if age > self.LOCK_STALE_SEC:
-                    # presumed-crashed holder; unlink is idempotent if
-                    # another waiter steals first
+                    # presumed-crashed holder: steal by atomic rename —
+                    # exactly one contending waiter's rename succeeds
+                    grave = f"{lock}.steal.{uuid.uuid4().hex[:12]}"
+                    try:
+                        os.rename(lock, grave)
+                    except OSError:
+                        continue  # another waiter stole first
+                    try:
+                        with open(grave) as f:
+                            stolen = f.read()
+                    except OSError:
+                        stolen = None
+                    if stolen != seen:
+                        # the holder released and someone re-acquired
+                        # between our stat and the rename: that lock is
+                        # FRESH — put it back (best effort)
+                        with contextlib.suppress(OSError):
+                            os.rename(grave, lock)
+                        continue
                     with contextlib.suppress(OSError):
-                        os.unlink(lock)
-                    continue
+                        os.unlink(grave)
+                    continue  # re-try the O_EXCL acquire
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"writer lock on table {name!r} not released "
@@ -147,8 +187,16 @@ class Catalog:
         try:
             yield
         finally:
-            with contextlib.suppress(OSError):
-                os.unlink(lock)
+            # release only OUR lock: if it went stale mid-stage and a
+            # thief replaced it, leave the thief's lock alone
+            try:
+                with open(lock) as f:
+                    mine = f.read() == token
+            except OSError:
+                mine = False
+            if mine:
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
 
     def _manifest(self, name: str) -> dict | None:
         p = os.path.join(self._path(name), "_MANIFEST")

@@ -119,3 +119,36 @@ def test_lock_blocks_second_writer(tmp_path, spark):
     os.utime(lock, (old, old))
     with cat._table_lock("t", timeout=0.3):
         pass
+
+
+def test_release_spares_a_thiefs_lock(tmp_path, spark):
+    """Round 6 (ADVICE r5 #1): a holder whose lock was stolen mid-stage
+    must NOT remove the thief's lock on release — release is
+    token-checked."""
+    from mivaa_pdf_extractor_spark.sources.tables_io import Catalog
+    cat = Catalog(spark, str(tmp_path / "wh"), num_buckets=4)
+    lock = os.path.join(str(tmp_path / "wh"), "t", "_LOCK")
+    with cat._table_lock("t"):
+        # simulate a thief: replace the lock with a foreign token
+        with open(lock, "w") as f:
+            f.write("thief:deadbeef")
+    # the holder's release must have left the thief's lock alone
+    with open(lock) as f:
+        assert f.read() == "thief:deadbeef"
+    os.unlink(lock)
+
+    # and a NORMAL release (token still ours) must clear the lock
+    with cat._table_lock("t"):
+        pass
+    assert not os.path.exists(lock)
+
+    # steal path leaves no grave files behind
+    with open(lock, "w") as f:
+        f.write("crashed:cafe")
+    old = time.time() - Catalog.LOCK_STALE_SEC - 5
+    os.utime(lock, (old, old))
+    with cat._table_lock("t", timeout=0.3):
+        pass
+    leftovers = [p for p in os.listdir(os.path.dirname(lock))
+                 if p.startswith("_LOCK")]
+    assert leftovers == []
