@@ -98,9 +98,19 @@ def batch_plan(runs: DataFrame, products: DataFrame) -> DataFrame:
         eff_batch.cast("long").alias("batch_size"),
         F.col("category_filter"), F.col("force_rewrite"))
     # NULL-safe config identity (category_filter is nullable): the same
-    # hash derives cfg_id on both sides, so no value-equality join back
-    cfg_key = F.xxhash64("agent_type", "category_filter",
-                         "force_rewrite")
+    # hash derives cfg_id on both sides, so no value-equality join back.
+    # ADVICE r5 #2: xxhash64 SKIPS null inputs, so configs differing
+    # only in WHICH column is NULL (e.g. agent_type NULL vs
+    # category_filter NULL holding the same string) hashed identically
+    # and would silently merge — hash each value together with its
+    # isnull flag so the null placement is part of the identity.
+    cfg_key = F.xxhash64(
+        F.coalesce(F.col("agent_type"), F.lit("")),
+        F.col("agent_type").isNull(),
+        F.coalesce(F.col("category_filter"), F.lit("")),
+        F.col("category_filter").isNull(),
+        F.coalesce(F.col("force_rewrite").cast("string"), F.lit("")),
+        F.col("force_rewrite").isNull())
     planned = planned.withColumn("cfg_id", cfg_key)
     cfgs = (planned
             .select("cfg_id", "agent_type", "category_filter",

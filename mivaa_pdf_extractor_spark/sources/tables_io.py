@@ -441,6 +441,13 @@ class Catalog:
                 vm = self._read_json(os.path.join(
                     self._path(name), f"_MANIFEST.v{version}"))
                 if vm is None:
+                    # ADVICE r5 #4: a table that does not exist AT ALL
+                    # is 'table missing' (FileNotFoundError, like the
+                    # unversioned path), not 'snapshot expired'
+                    if (m is None and not self._snapshot_versions(name)
+                            and self._legacy_path(name) is None):
+                        raise FileNotFoundError(
+                            f"table {name} does not exist")
                     raise ValueError(
                         f"table {name} has no readable snapshot "
                         f"v{version}; retained: "

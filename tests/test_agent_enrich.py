@@ -152,3 +152,30 @@ def test_batch_plan_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     # the only Window partitions by cfg_id, never run_id
     assert "windowspecdefinition(run_id" not in plan
+
+
+def test_cfg_id_distinguishes_null_placement(spark):
+    """ADVICE r5 #2: xxhash64 skips NULL inputs, so configs differing
+    only in WHICH column is NULL used to hash identically and share
+    one rank window — interleaving two runs' candidate batches. Two
+    such runs must each get a contiguous, path-correct batch."""
+    runs = spark.createDataFrame(
+        [(1, "product-enrichment", None, 10, None, False),
+         (2, None, "product-enrichment", 10, None, False)],
+        "run_id long, agent_type string, category_filter string, "
+        "config_batch_size long, input_batch_size long, "
+        "force_rewrite boolean")
+    # p1/p2: enrich-eligible only (no description, no image);
+    # p3/p4: tag-eligible only (described + not forced, image + no
+    # material_type)
+    products = spark.createDataFrame(
+        [(1, 100, None, "cat-0", None, "m", ["t"]),
+         (2, 200, None, "cat-0", None, "m", ["t"]),
+         (3, 300, "d3", "cat-0", "img-3", None, []),
+         (4, 400, "d4", "cat-0", "img-4", None, [])],
+        "product_id long, created_at long, description string, "
+        "category string, image_url string, material_type string, "
+        "tags array<string>")
+    got = {(r["run_id"], r["product_id"]): r["item_idx"]
+           for r in ae.batch_plan(runs, products).collect()}
+    assert got == {(1, 1): 0, (1, 2): 1, (2, 3): 0, (2, 4): 1}

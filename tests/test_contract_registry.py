@@ -67,11 +67,31 @@ def test_no_top_level_complex_columns(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     offenders = {}
+    prewrap_complex = set()
     for name, fn in entrymod.queries().items():
-        df = fn(spark, sf_dir)
-        bad = [f.name for f in df.schema.fields
+        # unwrap _serialize_wrap (its _fn default arg) to see the
+        # PRE-wrap schema; serialize the same frame in-process so one
+        # plan build covers both asserts
+        defaults = getattr(fn, "__defaults__", None)
+        base = defaults[0] if defaults else fn
+        df = base(spark, sf_dir)
+        if any(isinstance(f.dataType, (ArrayType, MapType, StructType))
+               for f in df.schema.fields):
+            prewrap_complex.add(name)
+        wrapped = entrymod._contract_serialize(df)
+        bad = [f.name for f in wrapped.schema.fields
                if isinstance(f.dataType, (ArrayType, MapType,
                                           StructType))]
         if bad:
             offenders[name] = bad
     assert offenders == {}
+    # ADVICE r5 #3: _ORACLE_COMPLEX is a hand-maintained closed set; a
+    # future query whose array output gets auto-flattened Spark-side
+    # while its DuckDB twin stays unwrapped would surface only as a
+    # silent value-hash mismatch. Pin the exact equality: queries with
+    # complex top-level columns BEFORE the wrap == the twin-wrap set.
+    assert prewrap_complex == set(entrymod._ORACLE_COMPLEX), (
+        f"missing twin wrap: "
+        f"{sorted(prewrap_complex - set(entrymod._ORACLE_COMPLEX))}; "
+        f"stale _ORACLE_COMPLEX entries: "
+        f"{sorted(set(entrymod._ORACLE_COMPLEX) - prewrap_complex)}")

@@ -73,3 +73,18 @@ def test_snapshot_dirs_survive_gc_until_expiry(tmp_path, spark):
     assert cat.versions("t") == [2, 3]
     root = str(tmp_path / "wh" / "t")
     assert not os.path.exists(os.path.join(root, "_MANIFEST.v1"))
+
+
+def test_versioned_read_of_missing_table_is_file_not_found(tmp_path,
+                                                           spark):
+    """ADVICE r5 #4: read(name, version=N) on a table that does not
+    exist at all raises FileNotFoundError (like the unversioned path),
+    not the snapshot-expired ValueError."""
+    cat = Catalog(spark, str(tmp_path / "wh"), num_buckets=4)
+    with pytest.raises(FileNotFoundError):
+        cat.read("nope", version=1)
+    # but an EXISTING table with an expired/never-committed snapshot
+    # still raises the loud snapshot error
+    cat.overwrite(_df(spark, 0, 4, "g1"), "t")
+    with pytest.raises(ValueError, match="no readable snapshot"):
+        cat.read("t", version=99)
